@@ -1,0 +1,99 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+
+import graft.interp.GridBuilder
+import graft.model.RegularGrid
+
+/** Variable metadata parsed from the reference's `name[units]` column
+  * naming convention, regex `(\w+)\[(.*?)\]`
+  * (`kamodo_dask/kamodo_dask.py:330-332`); a bare column name is a variable
+  * with empty units.
+  */
+final case class VarMeta(name: String, units: String, column: String)
+
+object VarMeta {
+  private val NameUnits = """(\w+)\[(.*?)\]""".r
+
+  def parse(column: String): Option[VarMeta] = column match {
+    case NameUnits(n, u) => Some(VarMeta(n, u, column))
+    case _ => None
+  }
+}
+
+/** The functional registry — the engine's equivalent of the reference's
+  * Kamodo object surface (`kamodo_dask.py:301-357`): every unit-suffixed
+  * variable column of a fetched grid window becomes a named, unit-carrying
+  * interpolating function with point evaluation, meshgrid ("gridify")
+  * evaluation, bounds and midpoint probes.
+  *
+  * Divergence by design: the reference's loop captures the interpolator
+  * late-bound, so with >1 variable every registered function evaluates the
+  * *last* column's grid (`kamodo_dask.py:328-351`, SURVEY §2.8). The
+  * intended per-variable semantics are implemented here.
+  */
+final class GridFields(
+    val fields: Map[String, (VarMeta, RegularGrid)],
+    val axisNames: Seq[String]) extends Serializable {
+
+  def names: Seq[String] = fields.keys.toSeq.sorted
+  def units(name: String): String = fields(name)._1.units
+  def grid(name: String): RegularGrid = fields(name)._2
+
+  /** Point evaluation — reference `kd.rho(xvec)` (`kamodo_dask.py:339-341`);
+    * each point is (time_epoch_s, lon, lat, h).
+    */
+  def eval(name: String, points: Array[Array[Double]]): Array[Double] = {
+    val g = grid(name)
+    points.map(g.interpolate)
+  }
+
+  def eval(name: String, point: Array[Double]): Double =
+    grid(name).interpolate(point)
+
+  /** Meshgrid evaluation — reference `kd.rho_ijkl(time=…, lon=…)` via
+    * `@gridify` (`kamodo_dask.py:345-351`): evaluates on the cartesian
+    * product of the supplied per-axis arrays, each axis defaulting to the
+    * full grid axis. Output is C-order over the effective axes.
+    */
+  def gridEval(name: String, overrides: Map[String, Array[Double]] = Map.empty)
+      : (Array[Array[Double]], Array[Double]) = {
+    val g = grid(name)
+    val effAxes = axisNames.zipWithIndex.map { case (an, i) =>
+      overrides.getOrElse(an, g.axes(i))
+    }.toArray
+    (effAxes, g.meshEval(effAxes))
+  }
+
+  /** Per-axis (min, max) — reference `get_bounds` (`kamodo_dask.py:353-354`). */
+  def bounds(name: String): Map[String, (Double, Double)] =
+    axisNames.zip(grid(name).bounds).toMap
+
+  /** Per-axis mean of distinct grid planes — reference `get_midpoint`
+    * (`kamodo_dask.py:356-357`).
+    */
+  def midpoint(name: String): Map[String, Double] =
+    axisNames.zip(grid(name).midpoint).toMap
+}
+
+object GridFields {
+
+  /** Register every `name[units]` column of a long-form grid window
+    * (driver-mode tier; SURVEY §2.8 tier 1). Non-matching columns that are
+    * not axes are ignored, like the reference ignores nothing — it assumes
+    * all non-index columns are variables; explicit `extraVars` opts bare
+    * columns in.
+    */
+  def fromDataFrame(df: DataFrame, fillValue: Double = 0.0,
+      axisCols: Seq[String] = GridBuilder.DefaultAxes,
+      extraVars: Seq[String] = Seq.empty): GridFields = {
+    val metas = df.columns.filterNot(axisCols.contains).toSeq
+      .flatMap(VarMeta.parse) ++
+      extraVars.map(c => VarMeta(c, "", c))
+    require(metas.nonEmpty, "no name[units] variable columns found")
+    val grids = GridBuilder.fromLongForm(df, metas.map(_.column), axisCols, fillValue)
+    new GridFields(
+      metas.map(m => m.name -> (m, grids(m.column))).toMap,
+      axisCols)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.interp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tier-3 interpolation (SURVEY §2.8): pure-DataFrame multilinear
+  * interpolation with **no broadcast of the grid values** — the 100 TB path.
+  *
+  * Formulation: for each query point, compute the per-axis cell index
+  * `i = «position of the last grid plane ≤ x»` and fractional offset, expand
+  * the point into its 2^d = 16 bracketing corner keys with multilinear
+  * weights (`explode`), equi-join corners ↔ grid nodes on the 4 small int
+  * indices, and `groupBy(point).agg(sum(weight * value))`. Everything is
+  * Catalyst-native — filter/explode/join/hash-agg — so AQE picks
+  * broadcast vs shuffle join from runtime stats, and whole-stage codegen
+  * covers the arithmetic.
+  *
+  * Only the **axis arrays** (tiny: distinct coordinates per dimension) are
+  * embedded as literals; grid *values* stay distributed. Zero-weight corners
+  * are dropped before the join (points exactly on grid planes produce ≤ 8
+  * live corners), and out-of-hull points short-circuit to `fillValue`
+  * without joining at all (reference `bounds_error=False, fill_value=…`
+  * semantics, `kamodo_dask/kamodo_dask.py:335-338`).
+  *
+  * Scale notes: the corner explosion is the cost driver (≤ 16×) — mitigated
+  * by the zero-weight filter and by the join being an equi-join on 4 ints
+  * (sort-merge/shuffled-hash friendly; broadcastable when the grid window is
+  * small). The grid side is assumed **dense** (every axis combination
+  * present — the reference's standing invariant, `kamodo_dask.py:279`).
+  */
+object JoinInterpolator {
+
+  /** Per-axis cell location expressions for a (possibly non-uniform)
+    * rectilinear axis: index of the cell's lower plane (clamped to
+    * [0, n-2]), fractional offset in the cell, and out-of-hull flag.
+    * `size(filter(axis, p ≤ x)) - 1` is a codegen'd scan of a small literal
+    * array — no join, no UDF.
+    */
+  private[interp] def locate(x: Column, axis: Array[Double]): (Column, Column, Column) = {
+    require(axis.length >= 2, "join-mode needs ≥ 2 planes per axis")
+    val litAxis = typedlit(axis.toSeq)
+    val n = axis.length
+    val raw = size(filter(litAxis, p => p <= x)) - 1
+    val idx = greatest(least(raw, lit(n - 2)), lit(0))
+    val lo = element_at(litAxis, idx + 1) // element_at is 1-based
+    val hi = element_at(litAxis, idx + 2)
+    val frac = (x - lo) / (hi - lo)
+    val oob = x.isNull || x.isNaN || x < lit(axis(0)) || x > lit(axis(n - 1))
+    (idx, frac, oob)
+  }
+
+  /** Index each grid row by its exact per-axis plane position — same
+    * literal-array scan as the query side, so both sides agree bit-for-bit.
+    */
+  private def planeIdx(x: Column, axis: Array[Double]): Column =
+    size(filter(typedlit(axis.toSeq), p => p <= x)) - 1
+
+  /** Interpolate `valueCols` of a dense long-form grid at every row of
+    * `points`.
+    *
+    * @param points    query points; must contain `idCol` and the 4
+    *                  coordinate columns (double; time = epoch seconds)
+    * @param grid      long-form dense grid `(time, lon, lat, h, value…)`
+    * @param axes      the 4 sorted distinct axis arrays (time, lon, lat, h)
+    *                  — tiny; from [[GridBuilder.axis]]
+    * @return one row per input point: `idCol` + one interpolated column per
+    *         value column (same names)
+    */
+  def interpolate(
+      points: DataFrame,
+      idCol: String,
+      grid: DataFrame,
+      axes: Array[Array[Double]],
+      valueCols: Seq[String],
+      coordCols: Seq[String] = Seq("time", "lon", "lat", "h"),
+      fillValue: Double = 0.0): DataFrame = {
+
+    val d = coordCols.length
+    require(axes.length == d)
+
+    // --- query side: locate cells, build ≤ 2^d weighted corner keys ---
+    val located = coordCols.zipWithIndex.foldLeft(points) { case (df, (c, i)) =>
+      val (idx, frac, oob) = locate(col(c).cast("double"), axes(i))
+      df.withColumn(s"_i$i", idx).withColumn(s"_f$i", frac).withColumn(s"_o$i", oob)
+    }
+    val anyOob = (0 until d).map(i => col(s"_o$i")).reduce(_ || _)
+
+    val corners: Column = array((0 until (1 << d)).map { c =>
+      val w = (0 until d).map { i =>
+        if (((c >> i) & 1) == 1) col(s"_f$i") else lit(1.0) - col(s"_f$i")
+      }.reduce(_ * _)
+      val fields = (0 until d).map { i =>
+        (col(s"_i$i") + lit((c >> i) & 1)).as(s"_c$i")
+      } :+ w.as("_w")
+      struct(fields: _*)
+    }: _*)
+
+    val inHull = located.filter(!anyOob)
+      .withColumn("_corner", explode(filter(corners, c => c.getField("_w") =!= 0.0)))
+      .select(
+        col(idCol) +:
+          (0 until d).map(i => col("_corner").getField(s"_c$i").as(s"_c$i")) :+
+          col("_corner").getField("_w").as("_w"): _*)
+
+    // --- grid side: exact plane indices per node ---
+    val indexedGrid = grid.select(
+      (0 until d).map(i => planeIdx(col(coordCols(i)).cast("double"), axes(i)).as(s"_c$i")) ++
+        valueCols.map(v => col(v).cast("double").as(v)): _*)
+
+    val joined = inHull.join(indexedGrid, (0 until d).map(i => s"_c$i"))
+      .groupBy(idCol)
+      .agg(
+        // NaN grid cells act as fillValue (reference fillna-at-build,
+        // kamodo_dask.py:334)
+        valueCols.map(v => sum(col("_w") *
+          when(col(v).isNaN || col(v).isNull, lit(fillValue)).otherwise(col(v))).as(v)).head,
+        valueCols.drop(1).map(v => sum(col("_w") *
+          when(col(v).isNaN || col(v).isNull, lit(fillValue)).otherwise(col(v))).as(v)): _*)
+
+    val oobRows = located.filter(anyOob)
+      .select(col(idCol) +: valueCols.map(v => lit(fillValue).as(v)): _*)
+
+    joined.unionByName(oobRows)
+  }
+}

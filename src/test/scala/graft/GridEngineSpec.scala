@@ -1,0 +1,175 @@
+package graft
+
+import java.time.{Duration, Instant}
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GridFields
+import graft.interp.{BroadcastInterpolator, GridBuilder, JoinInterpolator}
+import graft.source.{GridCatalog, GridFixtures, GridReader}
+
+/** End-to-end grid engine: fixtures → discovery → window fetch →
+  * registry / broadcast / join interpolation, mirroring the reference's
+  * canonical workflow (`docs/interpolator.md`).
+  */
+class GridEngineSpec extends SparkSuite {
+
+  private lazy val dir = GridFixtures.ensure(spark, "full13", n = 13)
+  private lazy val holeDir =
+    GridFixtures.ensure(spark, "hole", n = 13, skip = Set(5))
+  private lazy val reader = new GridReader(spark, dir)
+
+  private val t0s = GridFixtures.t0.getEpochSecond.toDouble
+
+  test("discovery finds all timesteps sorted; pruning keeps the window") {
+    val files = reader.files()
+    assert(files.length == 13)
+    assert(files.map(_.ts) == files.map(_.ts).sorted)
+    val pruned = GridCatalog.prune(files,
+      GridFixtures.t0.plusSeconds(600), GridFixtures.t0.plusSeconds(3000))
+    assert(pruned.length == 5) // steps 1..5 inclusive
+  }
+
+  test("cadence rounding (T1) floors start / ceils end to 10 minutes") {
+    val c = Duration.ofMinutes(10)
+    assert(GridCatalog.floorTo(Instant.parse("2024-04-09T05:07:31Z"), c) ==
+      Instant.parse("2024-04-09T05:00:00Z"))
+    assert(GridCatalog.ceilTo(Instant.parse("2024-04-09T05:07:31Z"), c) ==
+      Instant.parse("2024-04-09T05:10:00Z"))
+    assert(GridCatalog.ceilTo(Instant.parse("2024-04-09T05:10:00Z"), c) ==
+      Instant.parse("2024-04-09T05:10:00Z"))
+  }
+
+  test("snap-to-grid widens outward to bracketing planes (F5)") {
+    val h = GridFixtures.hAxis
+    assert(GridCatalog.snapOutward(h, 292500.0, 357500.0) == ((287500.0, 362500.0)) ||
+      h.contains(292500.0)) // exact planes snap to themselves
+    val (lo, hi) = GridCatalog.snapOutward(h, 260000.0, 390000.0)
+    assert(lo == 250000.0 && hi == 400000.0)
+    intercept[IllegalArgumentException] {
+      GridCatalog.snapOutward(h, 100.0, 200.0)
+    }
+  }
+
+  test("window fetch: pruned scan + provenance time + pushed h filter (E1)") {
+    val df = reader.fetch(
+      GridFixtures.t0.plusSeconds(90), // floors to t0
+      GridFixtures.t0.plusSeconds(3000 + 90), // ceils to step 6 → 7 files
+      hLo = 260000.0, hHi = 390000.0)
+    val hVals = df.select("h").distinct().collect().map(_.getDouble(0)).sorted
+    assert(hVals.head == 250000.0 && hVals.last == 400000.0) // snapped outward
+    val times = df.select("time").distinct().count()
+    assert(times == 7)
+    // every row's value matches the analytic field at its (file-derived) time
+    val bad = df.withColumn("t", col("time").cast("double"))
+      .filter(abs(col("rho[kg/m^3]") -
+        (lit(1.0e-9) + lit(1.0e-15) * col("t") + lit(2.0e-12) * col("lon")
+          - lit(3.0e-12) * col("lat") - lit(1.0e-15) * col("h"))) > 1e-24)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("ragged cadence (missing timestep) is handled correctly") {
+    val r = new GridReader(spark, holeDir)
+    val df = r.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      260000.0, 390000.0)
+    assert(df.select("time").distinct().count() == 12)
+    // provenance-derived time keeps each row on its own file's timestep even
+    // with the hole (the reference's positional repeat would smear here)
+    val ts = df.select(col("time").cast("double")).distinct()
+      .collect().map(_.getDouble(0)).sorted
+    assert(!ts.contains(t0s + 5 * 600.0))
+  }
+
+  test("strict-interior validation (V1) rejects boundary-touching windows") {
+    intercept[IllegalArgumentException] {
+      reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(600),
+        260000.0, 390000.0, strictInterior = true)
+    }
+  }
+
+  test("GridFields registry: units, bounds, midpoint, exact eval (E2/E3)") {
+    val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      250000.0, 400000.0)
+    val kd = GridFields.fromDataFrame(df)
+    assert(kd.names == Seq("T", "rho"))
+    assert(kd.units("rho") == "kg/m^3" && kd.units("T") == "K")
+    val b = kd.bounds("rho")
+    assert(b("h") == ((250000.0, 400000.0)))
+    assert(math.abs(kd.midpoint("rho")("lat")) < 1e-12)
+    // exact at interior point (analytic multilinear field)
+    val p = Array(t0s + 1234.0, 123.4, -15.6, 301234.0)
+    assert(math.abs(kd.eval("rho", p) - GridFixtures.rho(p(0), p(1), p(2), p(3))) < 1e-21)
+    assert(math.abs(kd.eval("T", p) - GridFixtures.temperature(p(0), p(1), p(2), p(3))) < 1e-6)
+    // per-variable semantics: rho and T give different fields (the
+    // reference's late-binding closure bug would make them equal)
+    assert(math.abs(kd.eval("rho", p) - kd.eval("T", p)) > 1.0)
+  }
+
+  test("gridEval: meshgrid evaluation with axis overrides (gridify)") {
+    val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      250000.0, 400000.0)
+    val kd = GridFields.fromDataFrame(df)
+    val (axes, vals) = kd.gridEval("T",
+      Map("time" -> Array(t0s + 300.0), "lon" -> Array(0.0), "lat" -> Array(0.0)))
+    assert(axes(3).length == GridFixtures.hAxis.length)
+    assert(vals.length == GridFixtures.hAxis.length) // 1×1×1×13 profile over h
+    GridFixtures.hAxis.zipWithIndex.foreach { case (h, i) =>
+      assert(math.abs(vals(i) - GridFixtures.temperature(t0s + 300.0, 0.0, 0.0, h)) < 1e-6)
+    }
+  }
+
+  test("broadcast-mode equals driver-mode on a distributed point set") {
+    import spark.implicits._
+    val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      250000.0, 400000.0)
+    val kd = GridFields.fromDataFrame(df)
+    val interp = BroadcastInterpolator(spark, kd.grid("T"))
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 200).map { i =>
+      (i.toLong, t0s + rnd.nextDouble() * 7200, rnd.nextDouble() * 360,
+        -80 + rnd.nextDouble() * 160, 250000 + rnd.nextDouble() * 150000)
+    }
+    val out = pts.toDF("id", "t", "lon", "lat", "h")
+      .withColumn("v", interp($"t", $"lon", $"lat", $"h"))
+      .orderBy("id").collect()
+    pts.zip(out).foreach { case ((_, t, lo, la, h), row) =>
+      assert(math.abs(row.getDouble(5) - kd.eval("T", Array(t, lo, la, h))) < 1e-9)
+    }
+  }
+
+  test("join-mode equals driver-mode, including out-of-hull fill") {
+    import spark.implicits._
+    val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      250000.0, 400000.0)
+    val kd = GridFields.fromDataFrame(df, fillValue = -5.0)
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map { i =>
+      if (i % 10 == 0) // out of hull
+        (i.toLong, t0s - 1000.0, 10.0, 10.0, 260000.0)
+      else if (i % 7 == 0) // exactly on grid nodes
+        (i.toLong, t0s + 600.0 * (i % 12), GridFixtures.lonAxis(i % 19),
+          GridFixtures.latAxis(i % 9), GridFixtures.hAxis(i % 13))
+      else
+        (i.toLong, t0s + rnd.nextDouble() * 7200, rnd.nextDouble() * 360,
+          -80 + rnd.nextDouble() * 160, 250000 + rnd.nextDouble() * 150000)
+    }
+    val points = pts.toDF("id", "time", "lon", "lat", "h")
+    val gridDf = df.withColumn("time", col("time").cast("double"))
+    val axes = Array(
+      GridBuilder.axis(gridDf, "time"), GridFixtures.lonAxis,
+      GridFixtures.latAxis, GridFixtures.hAxis)
+    val out = JoinInterpolator.interpolate(
+      points, "id", gridDf, axes, Seq("T[K]", "rho[kg/m^3]"), fillValue = -5.0)
+    assert(out.count() == 300)
+    val got = out.orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    pts.foreach { case (id, t, lo, la, h) =>
+      val (gotT, gotRho) = got(id)
+      val expT = kd.eval("T", Array(t, lo, la, h))
+      val expRho = kd.eval("rho", Array(t, lo, la, h))
+      assert(math.abs(gotT - expT) < 1e-8, s"T at id=$id")
+      assert(math.abs(gotRho - expRho) < 1e-20, s"rho at id=$id")
+    }
+  }
+}
