@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+
+import graft.queries.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,6 +12,10 @@ import org.apache.spark.sql.functions._
   * ANSI SQL the driver runs in DuckDB for the hash-match correctness gate.
   * Column names/aliases are kept identical on both sides (the driver sorts
   * columns by name before hashing).
+  *
+  * Query modules (each file is one capability area):
+  *   - [[graft.queries.Relational]] — scans, filters, joins, windows, set
+  *     ops, aggregates, scalar functions (SURVEY §2.2-2.7)
   */
 object SparkEntry {
 
@@ -22,51 +27,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    Relational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql
-}
-
-/** Relational / aggregate queries over the TPC-H-ish tables.
-  *
-  * SURVEY.md §2.2 (F1 filters), §2.5 (A1/A2 aggregates): the reference's
-  * query surface is hyper-rectangle window fetch + aggregation
-  * (`kamodo_dask/kamodo_dask.py:162-163,:247-249,:353-357`); these express
-  * the same operator shapes on the driver tables so DuckDB can oracle them.
-  */
-object CoreQueries {
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1-style grouped aggregation (partial+final hash agg; map-side combine).
-    "q1_agg" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum("l_quantity").as("sum_qty"),
-          sum("l_extendedprice").as("sum_price"),
-          sum(expr("l_extendedprice * (1 - l_discount)")).as("sum_disc_price"),
-          avg("l_quantity").as("avg_qty"),
-          avg("l_discount").as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    })
-  )
-
-  val oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_price,
-        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-        |  avg(l_quantity) AS avg_qty,
-        |  avg(l_discount) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+    Relational.oracleSql
 }

@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator inventory over the driver tables — each entry is one
+  * operator shape from SURVEY.md §2 (filters F1/F5, rounding T1, aggregates
+  * A1-A3, the join/set/sort/window surface §2.6, scalar functions §2.7),
+  * expressed declaratively so Catalyst owns pushdown, pruning, join
+  * strategy, and AQE owns runtime re-planning.
+  *
+  * Scale notes per query are in the Scaladoc of each entry; the general
+  * rules: dimension joins are broadcast (`broadcast()` hints on sub-1MB
+  * tables), fact-fact joins shuffle on their equi-keys with AQE skew
+  * handling, aggregates are partial+final hash aggs (map-side combine), and
+  * every filter/projection sits directly on the scan so it reaches parquet
+  * (`PushedFilters`/`ReadSchema`).
+  */
+object Relational {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1-style grouped aggregation (TPC-H Q1 shape): partial+final hash agg,
+    // map-side combine; no shuffle beyond the single groupBy exchange.
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_price"),
+          sum(expr("l_extendedprice * (1 - l_discount)")).as("sum_disc_price"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // F1 — conjunctive closed-interval range predicate (the reference's
+    // `h >= a and h <= b` hyper-rectangle filter, kamodo_dask.py:247-249)
+    // plus projection (F4). Both reach the parquet scan: PushedFilters on
+    // value/ts, ReadSchema limited to 4 columns.
+    "q2_filter_range" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value").between(100.0, 200.0) &&
+          col("ts").between(lit("2024-01-02 00:00:00").cast("timestamp"),
+            lit("2024-01-05 00:00:00").cast("timestamp")))
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // T1 — cadence alignment: 10-minute tumbling bucket (the reference's
+    // floor('10T'), kamodo_dask.py:191-192) + per-bucket aggregation.
+    // Bucket emitted as epoch seconds (bigint) for oracle type parity.
+    "q3_time_bucket" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy((floor(unix_timestamp(col("ts")) / 600) * 600).as("bucket_s"))
+        .agg(count(lit(1)).as("n_events"),
+          sum("value").as("sum_value"))
+        .filter(col("n_events") >= 2)
+    }),
+
+    // Broadcast dimension join chain: customer ⋈ nation ⋈ region. nation
+    // (25 rows) and region (5 rows) are explicit `broadcast()` — no shuffle
+    // of the customer side at any scale.
+    "q4_join_dims" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("c_acctbal").as("sum_acctbal"))
+    }),
+
+    // TPC-H Q3 shape: fact-fact shuffle join (lineitem ⋈ orders on
+    // orderkey) + broadcast of the filtered customer dim + top-k. At 100 TB
+    // both facts shuffle on the join key (AQE skew-join splits hot keys);
+    // sort is bounded by LIMIT → TakeOrderedAndProject, no global sort.
+    "q5_join_topk" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("2024-06-01").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"),
+          max("o_orderdate").as("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Window function (§2.6 as-of formulation): latest event per user =
+    // row_number over (user_id ORDER BY ts DESC). One shuffle on user_id;
+    // running at 100 TB this is the standard sessionization shape.
+    "q6_window_latest" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    // F5/A3 — snap-to-grid bound widening as conditional extrema: the
+    // bracketing planes of a requested interval (kamodo_dask.py:194-206),
+    // plus A1 bounds and A2 midpoint-of-distinct (kamodo_dask.py:353-357).
+    // One pass, partial aggregation everywhere; distinct-avg is its own
+    // tiny two-stage agg.
+    "q7_snap_bounds" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val snap = e.agg(
+        max(when(col("value") <= 250.0, col("value"))).as("snap_lo"),
+        min(when(col("value") >= 750.0, col("value"))).as("snap_hi"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+      val mid = e.select(col("value")).distinct()
+        .agg(avg("value").as("midpoint"))
+      snap.crossJoin(mid)
+    }),
+
+    // Set ops (§2.6): purchasers who never errored = INTERSECT of
+    // purchase/signup minus EXCEPT error. Spark plans these as aggregates/
+    // anti-joins; at scale they shuffle on the full row (here: one bigint).
+    "q8_setops" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def users(t: String) =
+        e.filter(col("event_type") === t).select("user_id").distinct()
+      users("purchase").intersect(users("signup"))
+        .except(users("error"))
+        .orderBy("user_id")
+    }),
+
+    // Scalar-function pack (§2.7): JSON field extraction (the reference's
+    // props-style payload), regexp_extract (name/units convention,
+    // kamodo_dask.py:330-332), date formatting (filename templating,
+    // kamodo_dask.py:66). All codegen'd builtins — no UDFs.
+    "q9_scalar_funcs" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+          regexp_extract(col("event_type"), "(\\w+)", 1).as("etype_word"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"),
+          (unix_timestamp(col("ts")).cast("double")).as("ts_epoch_s"))
+        .filter(col("prop_k") > 90)
+    }),
+
+    // Rollup (§2.5 engine-scope note): hierarchical aggregate with subtotal
+    // rows — Expand + single hash agg in Spark.
+    "q10_rollup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .rollup("event_type")
+        .agg(count(lit(1)).as("n"), avg("value").as("avg_value"))
+    }),
+
+    // Distinct projection (§2.6) — two-stage hash aggregate.
+    "q11_distinct" -> ((s, dir) => {
+      Tables.events(s, dir).select("event_type").distinct()
+    }),
+
+    // R1 — provenance time-stamping: every row tagged with the timestamp
+    // parsed back out of a filename-shaped string built with the
+    // reference's `<prefix>%Y-%m-%dT%H:%M:%S<postfix>` template
+    // (kamodo_dask.py:66-67). Round-trips format → extract → parse, the
+    // exact mechanism GridReader.withFileTime uses on input_file_name().
+    "q12_file_time" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          concat(lit("data_"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+            lit(".parquet")).as("fname"))
+        .select(col("event_id"), col("fname"),
+          to_timestamp(
+            regexp_extract(col("fname"),
+              "(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})", 1),
+            "yyyy-MM-dd'T'HH:mm:ss").as("file_ts"))
+        .filter(col("event_id") < 100)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_range" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE value BETWEEN 100.0 AND 200.0
+        |  AND ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-01-05 00:00:00'""".stripMargin,
+
+    "q3_time_bucket" ->
+      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_s,
+        |  count(*) AS n_events, sum(value) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |HAVING count(*) >= 2""".stripMargin,
+
+    "q4_join_dims" ->
+      """SELECT r_name, count(*) AS n_customers, sum(c_acctbal) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q5_join_topk" ->
+      """SELECT l_orderkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  max(o_orderdate) AS o_orderdate
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q6_window_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q7_snap_bounds" ->
+      """SELECT
+        |  (SELECT max(value) FROM events WHERE value <= 250.0) AS snap_lo,
+        |  (SELECT min(value) FROM events WHERE value >= 750.0) AS snap_hi,
+        |  (SELECT min(value) FROM events) AS min_value,
+        |  (SELECT max(value) FROM events) AS max_value,
+        |  (SELECT avg(value) FROM (SELECT DISTINCT value FROM events)) AS midpoint""".stripMargin,
+
+    "q8_setops" ->
+      """(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        | INTERSECT
+        | SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q9_scalar_funcs" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) AS prop_k,
+        |  regexp_extract(event_type, '(\w+)', 1) AS etype_word,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+        |  CAST(epoch(ts) AS DOUBLE) AS ts_epoch_s
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND CAST(props->>'$.k' AS BIGINT) > 90""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT event_type, count(*) AS n, avg(value) AS avg_value
+        |FROM events GROUP BY ROLLUP (event_type)""".stripMargin,
+
+    "q11_distinct" ->
+      "SELECT DISTINCT event_type FROM events",
+
+    "q12_file_time" ->
+      """SELECT event_id,
+        |  'data_' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.parquet' AS fname,
+        |  strptime(regexp_extract(
+        |      'data_' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.parquet',
+        |      '(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})', 1),
+        |    '%Y-%m-%dT%H:%M:%S') AS file_ts
+        |FROM events
+        |WHERE event_id < 100""".stripMargin
+  )
+}
