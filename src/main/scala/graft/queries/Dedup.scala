@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions.tokens
+
+/** Deduplication operator family over the `documents` table — the first
+  * stage of any 100 TB training-corpus pipeline: exact dedup, n-gram
+  * Jaccard near-dup, MinHash+LSH candidate generation, and SimHash.
+  *
+  * Scale design: nothing here is quadratic in the corpus.
+  *   - exact/rolling dedup: one hash-groupBy (shuffle on a 16-byte key);
+  *   - shingle Jaccard: explode → equi-join *on the shingle* → pair agg —
+  *     cost scales with shared-shingle mass, not with |corpus|²; at 100 TB
+  *     add the standard frequent-shingle cut (drop shingles with doc-freq
+  *     above a cap) before the join;
+  *   - MinHash+LSH: fixed-width signatures (32 longs/doc) + banding join on
+  *     (band, key) — the canonical sub-quadratic near-dup path;
+  *   - SimHash: 64-bit sketch per doc; the pair scan is blocked by `lang`
+  *     here (small blocks); at scale block by sketch prefix instead.
+  */
+object Dedup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup keep-list: one survivor (min doc_id) per distinct text,
+    // with its copy count. Hash-groupBy on md5(text) — 16-byte shuffle key
+    // instead of shipping full documents.
+    "dd1_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_key"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+    }),
+
+    // Word-trigram shingle Jaccard near-dup pairs (exact, not sketched):
+    // explode shingles → equi-join on (lang, shingle) → per-pair shared
+    // count → J = shared / (|A| + |B| - shared) >= 0.6.
+    "dd2_shingle_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          shingles(tokens(col("text"))).as("sh"))
+        .withColumn("nsh", size(col("sh")))
+      val ex = docs.select(col("doc_id"), col("lang"), col("nsh"),
+        explode(col("sh")).as("shingle"))
+      val a = ex.alias("a")
+      val b = ex.alias("b")
+      a.join(b,
+          col("a.shingle") === col("b.shingle") &&
+            col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("a.nsh").as("na"), col("b.nsh").as("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jac", col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"))
+        .filter(col("jac") >= 0.6)
+        .select("i", "j", "jac")
+    }),
+
+    // MinHash (k=32) + LSH banding (16 bands × 2 rows): candidate pairs
+    // from bucket collisions, scored by signature agreement. Sub-quadratic:
+    // the join key is (band, bucket-hash), never the document. No oracle —
+    // signatures hash with Spark's xxhash64 — correctness is covered by
+    // DedupSpec's recall assertion against dd2's exact pairs.
+    "dd3_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
+      val banded = docs.select(col("doc_id"), col("sig"),
+        explode(lshBands(col("sig"), bands = 16, rows = 2)).as("band"))
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          minhashSimilarity(col("a.sig"), col("b.sig")).as("est_jac"))
+        .distinct()
+        .filter(col("est_jac") >= 0.5)
+    }),
+
+    // SimHash sketching: 64-bit majority-vote sketch per doc; 20 closest
+    // pairs by Hamming distance within language blocks. No oracle
+    // (xxhash64-based); DedupSpec asserts near-dups rank closest.
+    "dd4_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          simhash64(tokens(col("text"))).as("sh"))
+      val a = docs.alias("a")
+      val b = docs.alias("b")
+      a.join(b, col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+        .orderBy(col("hamming"), col("i"), col("j"))
+        .limit(20)
+    }),
+
+    // Order-sensitive exact dedup accounting via rolling fingerprint:
+    // corpus summary of sequence-identical copies. (The fingerprint value
+    // itself is xxhash64-based, so only the counts are emitted — they
+    // equal DuckDB's count(DISTINCT text) barring a 64-bit collision.)
+    "dd5_rolling_fp" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(rollingFingerprint(tokens(col("text"))).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("fp")).as("n_distinct_seq"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dd1_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dd2_shingle_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |    len(list_intersect(a.sh, b.sh)) AS shared,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM docs a JOIN docs b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT i, j, shared::DOUBLE / (na + nb - shared) AS jac
+        |FROM pairs
+        |WHERE shared::DOUBLE / (na + nb - shared) >= 0.6""".stripMargin,
+
+    "dd5_rolling_fp" ->
+      "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_seq FROM documents"
+  )
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` vectors):
+  * brute-force cosine top-k as the exact baseline, all-pairs top similarity,
+  * and SRP-LSH bucketed ANN as the scale path.
+  *
+  * Scale design: the brute-force scan is the *correct* plan up to ~10⁷
+  * corpus vectors per query batch (one pass, codegen'd arithmetic, no
+  * shuffle; the query vector is a plan literal, i.e. broadcast for free).
+  * Beyond that, s3's signature-bucket join bounds candidates per probe;
+  * the signature is computed from deterministic hash-derived hyperplanes,
+  * so there is no model state to broadcast at all.
+  */
+object Similarity {
+
+  /** Driver-side lookup of one embedding to use as the query point —
+    * becomes an array literal in the plan (implicit broadcast).
+    */
+  private def queryVec(s: SparkSession, dir: String, id: Long): Array[Double] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === id)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0).toArray
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact k-NN: cosine of every corpus vector against the query literal,
+    // top-10. One scan + TakeOrderedAndProject; no shuffle, no broadcast
+    // exchange (the vector is folded into the plan).
+    "s1_knn_brute" -> ((s, dir) => {
+      val q = typedlit(queryVec(s, dir, 0L).toSeq)
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), cosine(col("embedding"), q).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // All-pairs top-20 by cosine, blocked i<j by label band to show the
+    // blocked-pair shape (label is a coarse cluster id). Exact; the
+    // quadratic block scan is the oracle for s3's ANN recall.
+    "s2_top_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      val a = e.alias("a")
+      val b = e.alias("b")
+      a.join(b, col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("i"), col("j"))
+        .limit(20)
+    }),
+
+    // SRP-LSH ANN: 8 hash tables × 4-bit random-hyperplane bands (from one
+    // 32-bit signature); candidate pairs collide in ≥1 table, then exact
+    // cosine re-rank, top-10. Candidates scale with bucket occupancy, not
+    // corpus² — the 100 TB path. Band width tunes recall vs cost:
+    // P(candidate) = 1-(1-p^4)^8 with p = 1 - angle/π (≈0.83 at cos 0.5).
+    // No oracle (hash-derived hyperplanes); DedupSimilaritySpec asserts
+    // recall vs s2's exact pairs.
+    "s3_ann_srp" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          srpSignature(col("embedding"), nBits = 32).as("sig"))
+      // 4-bit slice per table: (sig >> 4t) & 0xF
+      val withKey = e.select(col("vec_id"), col("embedding"),
+        explode(transform(sequence(lit(0), lit(7)), t =>
+          struct(t.as("table"),
+            call_function("shiftright", col("sig"), t * 4)
+              .bitwiseAND(15L).as("key")))).as("tb"))
+      val a = withKey.alias("a")
+      val b = withKey.alias("b")
+      a.join(b, col("a.tb") === col("b.tb") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        .distinct()
+        .orderBy(col("cos_sim").desc, col("i"), col("j"))
+        .limit(10)
+    })
+  )
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_knn_brute" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("embedding", "qe")} AS cos_sim
+         |FROM embeddings, q
+         |WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    "s2_top_pairs" ->
+      s"""SELECT a.vec_id AS i, b.vec_id AS j,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |ORDER BY cos_sim DESC, i, j
+         |LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Correctness of the sketch-based (non-oracled) dedup/similarity queries
+  * against their exact counterparts on sf0.001:
+  *   - MinHash-LSH candidate recall vs exact shingle-Jaccard pairs;
+  *   - SimHash ranks true near-dup pairs closest;
+  *   - SRP-LSH ANN recall vs exact top pairs.
+  */
+class DedupSimilaritySpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH candidates cover all exact Jaccard>=0.8 near-dup pairs") {
+    val exact = SparkEntry.queries("dd2_shingle_jaccard")(spark, sf)
+      .filter(col("jac") >= 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val lsh = SparkEntry.queries("dd3_minhash_lsh")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
+  }
+
+  test("minhash signature agreement approximates true Jaccard") {
+    import graft.functions.HashFunctions._
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        shingles(tokens(col("text"))).as("sh"),
+        minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
+    val a = docs.alias("a"); val b = docs.alias("b")
+    // join exact-near-dup pairs with their signatures
+    val exact = SparkEntry.queries("dd2_shingle_jaccard")(spark, sf)
+    val joined = exact
+      .join(a, col("i") === col("a.doc_id"))
+      .join(b, col("j") === col("b.doc_id"))
+      .select(col("jac"),
+        minhashSimilarity(col("a.sig"), col("b.sig")).as("est"))
+      .collect()
+    joined.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.35,
+        s"jac=${r.getDouble(0)} est=${r.getDouble(1)}") // k=32 → σ≈0.09
+    }
+  }
+
+  test("simhash: exact near-dup pairs appear in the 20 closest by hamming") {
+    val near = SparkEntry.queries("dd2_shingle_jaccard")(spark, sf)
+      .filter(col("jac") >= 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val closest = SparkEntry.queries("dd4_simhash")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = near -- closest
+    assert(missed.isEmpty, s"simhash top-20 missed: $missed")
+  }
+
+  test("SRP-LSH ANN finds most of the exact global top-10 pairs") {
+    import graft.functions.VectorFunctions.cosine
+    // exact global top-10 pairs (unblocked brute force — test-only oracle;
+    // s2_top_pairs is label-blocked so it is not comparable to s3's
+    // global candidates)
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val a = e.alias("a"); val b = e.alias("b")
+    val exact = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("i"), col("j"))
+      .limit(10).select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("s3_ann_srp")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 tables × 4-bit bands at cos≈0.45 → P(candidate)≈0.78/pair; the
+    // top-10 intersection should comfortably clear 40%.
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ANN recall too low: $recall (found ${ann.size} pairs)")
+  }
+
+  test("rolling fingerprint is order-sensitive where md5-bag is not") {
+    import graft.functions.HashFunctions._
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"), (2L, "d c b a"), (3L, "a b c d")
+    ).toDF("id", "text")
+      .select(col("id"),
+        rollingFingerprint(tokens(col("text"))).as("roll"),
+        fingerprint(col("text")).as("bag"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(df(1)._1 == df(3)._1) // same sequence → same rolling fp
+    assert(df(1)._1 != df(2)._1) // reordered → different rolling fp
+    assert(df(1)._2 == df(2)._2) // same bag → same md5-bag fp
+  }
+}
