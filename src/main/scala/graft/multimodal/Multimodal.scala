@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, and run decode /
+  * feature-extract / resize / frame-sample as **batched partition
+  * functions** (`Dataset.mapPartitions` over fixed-size batches — the
+  * JVM-native shape of a vectorized decode UDF: one library call per batch,
+  * not per row).
+  *
+  * The actual codecs are NOT in this container, so [[FakeCodec]] is a
+  * clearly-marked deterministic stand-in: every derived value is a pure
+  * arithmetic function of the payload bytes. Everything around it — schema,
+  * encoders, batching, partition preservation, downstream DataFrame ops —
+  * is the real production plumbing: swap [[FakeCodec]] for a JNI/FFI codec
+  * and nothing else changes.
+  *
+  * Scale notes: payloads stay distributed (never collected); decode is a
+  * narrow transformation (no shuffle), so it pipelines with the scan and
+  * parallelizes per input split. Batch size bounds per-task peak memory
+  * (batch × avg payload), independent of partition row count.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + provenance. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Typed decode output — the metadata struct a real image decode yields. */
+  final case class MediaMeta(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      /** per-channel mean "pixel" value — the feature-extraction slot */
+      channel_means: Array[Double])
+
+  /** DETERMINISTIC FAKE — stands in for the real codec (not present in
+    * this environment). Every field is a pure function of the bytes so
+    * tests and the DuckDB oracle can replay it. A real implementation
+    * would call the decoder library here, once per batch.
+    */
+  object FakeCodec {
+    val Channels = 3
+
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+      val n = payload.length
+      val width = (n % 256) + 1
+      val height = (n / 256) + 1
+      val means = Array.tabulate(Channels) { c =>
+        // mean of every 3rd byte (unsigned), offset by channel
+        var sum = 0L; var cnt = 0; var i = c
+        while (i < n) { sum += payload(i) & 0xff; cnt += 1; i += Channels }
+        if (cnt == 0) 0.0 else sum.toDouble / cnt
+      }
+      (width, height, Channels, means)
+    }
+
+    /** "Resize": deterministic byte subsample to ~targetBytes. */
+    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+      val n = payload.length
+      if (n <= targetBytes) payload
+      else {
+        val step = n.toDouble / targetBytes
+        Array.tabulate(targetBytes)(i => payload((i * step).toInt))
+      }
+    }
+
+    /** "Frame sample": split payload into frameSize chunks, keep every
+      * k-th — the video-frame-sampling shape.
+      */
+    def sampleFrames(payload: Array[Byte], frameSize: Int, every: Int): Seq[Array[Byte]] =
+      payload.grouped(frameSize).zipWithIndex
+        .collect { case (f, i) if i % every == 0 => f }.toSeq
+  }
+
+  /** Batched decode: groups each partition's iterator into `batchSize`
+    * batches and decodes batch-at-a-time — the mapInPandas/Arrow batch
+    * shape, JVM-native. Narrow (no shuffle), pipelines with the scan.
+    */
+  def decodeMeta(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "library call" per batch in a real codec
+        batch.iterator.map { m =>
+          val (w, h, c, means) = FakeCodec.decode(m.payload)
+          MediaMeta(m.media_id, m.kind, m.payload.length.toLong, w, h, c, means)
+        }
+      }
+    }
+  }
+
+  /** Resize as a batched partition op, payload-in/payload-out. */
+  def resize(media: Dataset[MediaRow], targetBytes: Int, batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map(m =>
+        m.copy(payload = FakeCodec.resize(m.payload, targetBytes))))
+    }
+  }
+
+  /** Synthesize a media table from the documents table (payload = UTF-8
+    * bytes) — the driver corpus has no binary column; this keeps the
+    * pipeline runnable end-to-end on the provided data.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        concat(lit("img/"), col("source")).as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+}
