@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful event-stream processing — custom per-key state via
+  * `mapGroupsWithState` (SURVEY §2.10's partition-function slot, streaming
+  * flavor). State per user is O(1) (running aggregates, not buffered
+  * events), so a 1000-executor deployment holds state proportional to
+  * |users|, not |events|.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserState(n_events: Long, total_value: Double, last_ts: Long)
+
+  final case class UserSnapshot(user_id: Long, n_events: Long,
+      total_value: Double, last_ts: Long)
+
+  /** Running per-user totals with processing-time timeout eviction. */
+  def runningUserTotals(events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSnapshot](timeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          val next = batch.foldLeft(prev) { (s, e) =>
+            UserState(s.n_events + 1, s.total_value + e.value,
+              math.max(s.last_ts, e.ts.getTime))
+          }
+          state.update(next)
+          UserSnapshot(userId, next.n_events, next.total_value, next.last_ts)
+      }
+  }
+
+  /** Watermarked sliding-window event rates by type — the standard
+    * dashboard aggregation; append-mode emits closed windows only.
+    */
+  def eventRates(spark: SparkSession, events: Dataset[Event]) = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), avg($"value").as("avg_value"))
+      .select($"window.start".as("win_start"), $"event_type", $"n", $"avg_value")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.api.GridFields
+import graft.source.{GridFixtures, GridReader}
+import graft.streaming.{EventStream, GridStream}
+
+class StreamingSpec extends SparkSuite {
+
+  test("cadence file stream: provenance time + windowed stats (AvailableNow)") {
+    val dir = GridFixtures.ensure(spark, "stream13", n = 13)
+    val schema = spark.read.parquet(new GridReader(spark, dir).files().head.path).schema
+    val stream = GridStream.cadenceStream(spark, dir, schema, maxFilesPerTrigger = 4)
+    val stats = GridStream.windowedStats(stream, "`T[K]`")
+    val q = stats.writeStream
+      .format("memory").queryName("grid_stats")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("grid_stats").collect()
+    // append mode emits only watermark-closed windows: with 13 steps and a
+    // 20-min watermark, windows 0..9 are closed when the stream drains
+    assert(rows.length >= 10, s"got ${rows.length} windows")
+    val perWindow = rows.map(_.getLong(1)).distinct
+    assert(perWindow.sameElements(Array(
+      GridFixtures.lonAxis.length.toLong * GridFixtures.latAxis.length * GridFixtures.hAxis.length)))
+  }
+
+  test("foreachBatch registry refresh rebuilds interpolator from latest steps") {
+    val dir = GridFixtures.ensure(spark, "stream-refresh", n = 5)
+    val schema = spark.read.parquet(new GridReader(spark, dir).files().head.path).schema
+    val stream = GridStream.cadenceStream(spark, dir, schema, maxFilesPerTrigger = 5)
+    @volatile var latest: Option[GridFields] = None
+    val q = GridStream.refreshingRegistry(spark, stream, dir, keepSteps = 3,
+      kd => latest = Some(kd)).start()
+    q.awaitTermination(120000)
+    assert(latest.isDefined, "registry never refreshed")
+    val kd = latest.get
+    // only the last 3 timesteps are in the refreshed grid
+    val tb = kd.bounds("T")("time")
+    val expLo = GridFixtures.t0.plusSeconds(2 * 600).getEpochSecond.toDouble
+    val expHi = GridFixtures.t0.plusSeconds(4 * 600).getEpochSecond.toDouble
+    assert(tb == ((expLo, expHi)), s"time bounds $tb")
+    // and it evaluates correctly
+    val t = expLo + 300
+    assert(math.abs(kd.eval("T", Array(t, 0.0, 0.0, 300000.0)) -
+      GridFixtures.temperature(t, 0.0, 0.0, 300000.0)) < 1e-6)
+  }
+
+  test("stateful running user totals via mapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val out = EventStream.runningUserTotals(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("user_totals")
+      .outputMode("update").start()
+
+    def ev(id: Long, u: Long, v: Double, s: Long) =
+      EventStream.Event(id, new Timestamp(s * 1000), u, "e", v)
+
+    mem.addData(ev(1, 1, 10.0, 100), ev(2, 1, 5.0, 200), ev(3, 2, 7.0, 150))
+    q.processAllAvailable()
+    mem.addData(ev(4, 1, 1.0, 300))
+    q.processAllAvailable()
+    val rows = spark.table("user_totals")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    q.stop()
+    assert(rows(1L) == ((3L, 16.0)))
+    assert(rows(2L) == ((1L, 7.0)))
+  }
+
+  test("watermarked sliding-window event rates emit closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val out = EventStream.eventRates(spark, mem.toDS())
+    val q = out.writeStream.format("memory").queryName("rates")
+      .outputMode("append").start()
+    def ev(id: Long, t: String, v: Double, minute: Long) =
+      EventStream.Event(id, Timestamp.valueOf(f"2024-01-01 01:$minute%02d:00"),
+        1L, t, v)
+    mem.addData(ev(1, "a", 1.0, 0), ev(2, "a", 3.0, 2), ev(3, "b", 5.0, 7))
+    q.processAllAvailable()
+    // advance watermark far past the first windows
+    mem.addData(ev(4, "a", 1.0, 59))
+    q.processAllAvailable()
+    mem.addData(ev(5, "a", 1.0, 59))
+    q.processAllAvailable()
+    val rows = spark.table("rates").collect()
+    q.stop()
+    assert(rows.nonEmpty)
+    // type 'a' window [01:00,01:10) contains events 1+2
+    val w0 = rows.find(r => r.getString(1) == "a" &&
+      r.getTimestamp(0) == Timestamp.valueOf("2024-01-01 01:00:00"))
+    assert(w0.isDefined && w0.get.getLong(2) == 2L)
+  }
+}
