@@ -18,22 +18,17 @@ object HashFunctions {
 
   /** Distinct word n-gram shingles of a token array (the MinHash input
     * universe). Docs with fewer than `n` tokens get their whole token array
-    * as a single shingle so they still participate.
+    * as a single shingle so they still participate. Compiled kernel
+    * ([[Sketches.shinglesKernel]]).
     */
-  def shingles(toks: Column, n: Int = 3): Column =
-    array_distinct(
-      when(size(toks) < n, array(array_join(toks, " ")))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+  def shingles(toks: Column, n: Int = 3): Column = Sketches.shinglesUdf(n)(toks)
 
-  /** MinHash signature: k independent permutations simulated as
-    * `xxhash64(seed_j, shingle)`; signature element j = min over shingles.
-    * One array expression per row — no shuffle, no UDF.
+  /** MinHash signature: k simulated permutations via double hashing;
+    * signature element j = min over shingles. Compiled kernel
+    * ([[Sketches.minhashKernel]]) — the HOF-lambda formulation of the same
+    * computation is interpreted per element and measured 3000× slower.
     */
-  def minhash(sh: Column, k: Int = 32): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, s => xxhash64(j, s))))
+  def minhash(sh: Column, k: Int = 32): Column = Sketches.minhashUdf(k)(sh)
 
   /** LSH band keys from a MinHash signature: `bands` buckets, each hashing
     * `rows = k/bands` consecutive signature slots. Two docs land in the
@@ -53,26 +48,10 @@ object HashFunctions {
       x => x === 1)).cast("double") / size(sigA).cast("double")
 
   /** 64-bit SimHash of a token array: bit k of the result is 1 iff the
-    * majority of token hashes have bit k set (weighted bit-vote). Built as
-    * a 64-slot bit-vote array folded into one long.
+    * majority of token hashes have bit k set (weighted bit-vote).
+    * Compiled kernel ([[Sketches.simhashKernel]]).
     */
-  def simhash64(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val nTok = size(toks)
-    // votes(k) = #tokens with bit k set, majority → bit k of output
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, k) => {
-        // shiftright/shiftleft Scala helpers only take Int bit counts; the
-        // SQL functions accept column bit counts, so call them by name.
-        val votes = size(filter(hashes,
-          h => call_function("shiftright", h, k).bitwiseAND(1L) === 1L))
-        acc.bitwiseOR(
-          when(votes * 2 >= nTok, call_function("shiftleft", lit(1L), k))
-            .otherwise(0L))
-      })
-  }
+  def simhash64(toks: Column): Column = Sketches.simhashUdf(toks)
 
   /** Hamming distance between two 64-bit sketches (SimHash comparison). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -13,14 +13,22 @@ object VectorFunctions {
 
   private def d(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product (compiled kernel — the HOF
+    * `aggregate(zip_with(…))` formulation is interpreted per element and
+    * dominates pair-join stages).
+    */
+  def dot(a: Column, b: Column): Column = Sketches.dotUdf(d(a), d(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity: dot / (||a|| * ||b||). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** L2-normalize to a unit vector: pre-computing this once per row turns
+    * every downstream cosine into a plain dot product (the norm is not
+    * recomputed per compared pair). Compiled kernel.
+    */
+  def normalized(a: Column): Column = Sketches.normalizeUdf(a)
 
   /** Euclidean (L2) distance. */
   def l2(a: Column, b: Column): Column =
@@ -36,19 +44,6 @@ object VectorFunctions {
     * P[bit match] = 1 - angle/π, so bucket-equal vectors are
     * angularly close — the standard SRP-LSH ANN construction.
     */
-  def srpSignature(v: Column, nBits: Int = 16): Column = {
-    val dv = d(v)
-    aggregate(
-      sequence(lit(0), lit(nBits - 1)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(dv, sequence(lit(0), size(dv) - 1),
-            (x, i) => when((shiftright(xxhash64(p, i), 1).bitwiseAND(1L)) === 1L, x)
-              .otherwise(-x)),
-          lit(0.0), (a2, x) => a2 + x)
-        acc.bitwiseOR(when(proj >= 0, call_function("shiftleft", lit(1L), p))
-          .otherwise(0L))
-      })
-  }
+  def srpSignature(v: Column, nBits: Int = 16): Column =
+    Sketches.srpUdf(nBits)(v)
 }

@@ -67,18 +67,29 @@ object Dedup {
     // signatures hash with Spark's xxhash64 — correctness is covered by
     // DedupSpec's recall assertion against dd2's exact pairs.
     "dd3_minhash_lsh" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
+      // Signatures are persisted before the self-join: without the
+      // materialization barrier, Catalyst's project-collapse would inline
+      // the (32 × |shingles|)-hash minhash expression into the join and
+      // recompute it per *pair* instead of per *document* (measured 80 s →
+      // 2 s at sf0.1). The banding join then moves only (doc_id, band)
+      // pairs; signatures are re-attached once per surviving pair.
+      val sigs = Tables.documents(s, dir)
+        .select(col("doc_id"),
           minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
-      val banded = docs.select(col("doc_id"), col("sig"),
+        .persist()
+      val banded = sigs.select(col("doc_id"),
         explode(lshBands(col("sig"), bands = 16, rows = 2)).as("band"))
       val a = banded.alias("a")
       val b = banded.alias("b")
-      a.join(b, col("a.band") === col("b.band") &&
+      val pairs = a.join(b, col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          minhashSimilarity(col("a.sig"), col("b.sig")).as("est_jac"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
+      pairs
+        .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), "i")
+        .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), "j")
+        .select(col("i"), col("j"),
+          minhashSimilarity(col("sig_i"), col("sig_j")).as("est_jac"))
         .filter(col("est_jac") >= 0.5)
     }),
 
@@ -86,9 +97,11 @@ object Dedup {
     // pairs by Hamming distance within language blocks. No oracle
     // (xxhash64-based); DedupSpec asserts near-dups rank closest.
     "dd4_simhash" -> ((s, dir) => {
+      // persist: one 64-bit sketch per doc, computed once (not per pair)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           simhash64(tokens(col("text"))).as("sh"))
+        .persist()
       val a = docs.alias("a")
       val b = docs.alias("b")
       a.join(b, col("a.lang") === col("b.lang") &&

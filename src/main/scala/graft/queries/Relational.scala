@@ -124,15 +124,17 @@ object Relational {
       snap.crossJoin(mid)
     }),
 
-    // Set ops (§2.6): purchasers who never errored = INTERSECT of
-    // purchase/signup minus EXCEPT error. Spark plans these as aggregates/
-    // anti-joins; at scale they shuffle on the full row (here: one bigint).
+    // Set ops (§2.6): (purchasers ∩ signups) \ big-error users. Spark plans
+    // these as aggregates/anti-joins; at scale they shuffle on the full row
+    // (here: one bigint).
     "q8_setops" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       def users(t: String) =
         e.filter(col("event_type") === t).select("user_id").distinct()
+      val bigError = e.filter(col("event_type") === "error" && col("value") > 100.0)
+        .select("user_id").distinct()
       users("purchase").intersect(users("signup"))
-        .except(users("error"))
+        .except(bigError)
         .orderBy("user_id")
     }),
 
@@ -251,7 +253,7 @@ object Relational {
         | INTERSECT
         | SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
         |EXCEPT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 100.0
         |ORDER BY user_id""".stripMargin,
 
     "q9_scalar_funcs" ->

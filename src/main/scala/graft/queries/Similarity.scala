@@ -44,14 +44,19 @@ object Similarity {
     // All-pairs top-20 by cosine, blocked i<j by label band to show the
     // blocked-pair shape (label is a coarse cluster id). Exact; the
     // quadratic block scan is the oracle for s3's ANN recall.
+    // Vectors are L2-normalized once (persisted) so the pair stage is a
+    // single 64-wide dot product — not dot + two norms recomputed per pair.
     "s2_top_pairs" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          normalized(col("embedding")).as("unit"))
+        .persist()
       val a = e.alias("a")
       val b = e.alias("b")
       a.join(b, col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-          cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+          dot(col("a.unit"), col("b.unit")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("i"), col("j"))
         .limit(20)
     }),
@@ -64,22 +69,29 @@ object Similarity {
     // No oracle (hash-derived hyperplanes); DedupSimilaritySpec asserts
     // recall vs s2's exact pairs.
     "s3_ann_srp" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
+      // persist: the 32-hyperplane signature and the unit vector are
+      // computed once per vector, never inside the bucket join
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          normalized(col("embedding")).as("unit"),
           srpSignature(col("embedding"), nBits = 32).as("sig"))
+        .persist()
       // 4-bit slice per table: (sig >> 4t) & 0xF
-      val withKey = e.select(col("vec_id"), col("embedding"),
+      val keyed = base.select(col("vec_id"),
         explode(transform(sequence(lit(0), lit(7)), t =>
           struct(t.as("table"),
             call_function("shiftright", col("sig"), t * 4)
               .bitwiseAND(15L).as("key")))).as("tb"))
-      val a = withKey.alias("a")
-      val b = withKey.alias("b")
-      a.join(b, col("a.tb") === col("b.tb") &&
+      val a = keyed.alias("a")
+      val b = keyed.alias("b")
+      val pairs = a.join(b, col("a.tb") === col("b.tb") &&
           col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-          cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
         .distinct()
+      pairs
+        .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
+        .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
+        .select(col("i"), col("j"), dot(col("u_i"), col("u_j")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("i"), col("j"))
         .limit(10)
     })
