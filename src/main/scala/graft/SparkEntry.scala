@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, MultimodalQueries, Relational, Similarity, Text}
+import graft.queries.{Dedup, GridQueries, MultimodalQueries, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,12 +28,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Text.queries ++ Dedup.queries ++
-      Similarity.queries ++ MultimodalQueries.queries
+      Similarity.queries ++ MultimodalQueries.queries ++ GridQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Text.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ MultimodalQueries.oracleSql
+      Similarity.oracleSql ++ MultimodalQueries.oracleSql ++ GridQueries.oracleSql
 }

@@ -49,11 +49,11 @@ object JoinInterpolator {
     (idx, frac, oob)
   }
 
-  /** Index each grid row by its exact per-axis plane position — same
-    * literal-array scan as the query side, so both sides agree bit-for-bit.
-    */
-  private def planeIdx(x: Column, axis: Array[Double]): Column =
-    size(filter(typedlit(axis.toSeq), p => p <= x)) - 1
+  // Grid-side plane indexing happens via a broadcast equi-join against the
+  // tiny (plane, idx) table per axis — not the literal-array scan the query
+  // side uses: the grid has |grid| rows and a per-row O(|axis|) interpreted
+  // scan would make indexing O(|grid|·|axis|). The join is exact (plane
+  // values come from the grid's own distinct values).
 
   /** Interpolate `valueCols` of a dense long-form grid at every row of
     * `points`.
@@ -102,9 +102,16 @@ object JoinInterpolator {
           (0 until d).map(i => col("_corner").getField(s"_c$i").as(s"_c$i")) :+
           col("_corner").getField("_w").as("_w"): _*)
 
-    // --- grid side: exact plane indices per node ---
-    val indexedGrid = grid.select(
-      (0 until d).map(i => planeIdx(col(coordCols(i)).cast("double"), axes(i)).as(s"_c$i")) ++
+    // --- grid side: exact plane indices per node (broadcast idx joins) ---
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val indexedGrid0 = (0 until d).foldLeft(grid) { (df, i) =>
+      val axisDf = axes(i).zipWithIndex.toSeq.toDF(s"_plane$i", s"_c$i")
+      df.join(broadcast(axisDf),
+        col(coordCols(i)).cast("double") === col(s"_plane$i"))
+    }
+    val indexedGrid = indexedGrid0.select(
+      (0 until d).map(i => col(s"_c$i")) ++
         valueCols.map(v => col(v).cast("double").as(v)): _*)
 
     val joined = inHull.join(indexedGrid, (0 until d).map(i => s"_c$i"))

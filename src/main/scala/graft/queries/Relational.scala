@@ -167,6 +167,22 @@ object Relational {
       Tables.events(s, dir).select("event_type").distinct()
     }),
 
+    // As-of join (§2.6): each purchase picks up the user's most recent
+    // signup value at-or-before it — union-and-carry formulation (one
+    // shuffle + one window; no pair expansion). See operators.AsofJoin.
+    "q13_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.asof(
+          purchases, signups, key = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Map("value" -> "signup_value"))
+        .select("event_id", "user_id", "value", "signup_value")
+    }),
+
     // R1 — provenance time-stamping: every row tagged with the timestamp
     // parsed back out of a filename-shaped string built with the
     // reference's `<prefix>%Y-%m-%dT%H:%M:%S<postfix>` template
@@ -272,6 +288,14 @@ object Relational {
 
     "q11_distinct" ->
       "SELECT DISTINCT event_type FROM events",
+
+    "q13_asof" ->
+      """SELECT l.event_id, l.user_id, l.value, r.value AS signup_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "q12_file_time" ->
       """SELECT event_id,
