@@ -112,6 +112,27 @@ object Dedup {
         .limit(20)
     }),
 
+    // Corpus-level sketch via the MinHashMerge Aggregator (§2.10 UDAF
+    // path): one merged signature per language (map-side combined; k longs
+    // per group cross the shuffle, never documents), then pairwise
+    // signature agreement = estimated Jaccard overlap of the languages'
+    // shingle unions. No oracle (xxhash-based); DedupSimilaritySpec proves
+    // merge(sig(A), sig(B)) == sig(A ∪ B) exactly.
+    "dd6_corpus_sketch" -> ((s, dir) => {
+      val sketches = Tables.documents(s, dir)
+        .select(col("lang"),
+          minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
+        .groupBy("lang")
+        .agg(graft.functions.MinHashAgg.minhashMerge(col("sig")).as("sketch"))
+        .persist()
+      val a = sketches.alias("a")
+      val b = sketches.alias("b")
+      a.join(b, col("a.lang") < col("b.lang"))
+        .select(col("a.lang").as("lang_i"), col("b.lang").as("lang_j"),
+          minhashSimilarity(col("a.sketch"), col("b.sketch")).as("est_overlap"))
+        .orderBy("lang_i", "lang_j")
+    }),
+
     // Order-sensitive exact dedup accounting via rolling fingerprint:
     // corpus summary of sequence-identical copies. (The fingerprint value
     // itself is xxhash64-based, so only the counts are emitted — they

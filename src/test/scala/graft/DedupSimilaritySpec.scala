@@ -76,6 +76,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"ANN recall too low: $recall (found ${ann.size} pairs)")
   }
 
+  test("MinHashMerge aggregator: merged sketch == sketch of unioned shingles") {
+    import graft.functions.{MinHashAgg, Sketches}
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "g1", "a b c d e f g h"),
+      (2L, "g1", "x y z w v u t s"),
+      (3L, "g2", "a b c d e f g h x y z w"))
+      .toDF("id", "g", "text")
+    import graft.functions.HashFunctions._
+    import graft.functions.TextFunctions.tokens
+    val merged = docs
+      .select(col("g"), minhash(shingles(tokens(col("text"))), 32).as("sig"))
+      .groupBy("g").agg(MinHashAgg.minhashMerge(col("sig")).as("sketch"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // direct sketch of the union of g1's shingle sets
+    val sh1 = Sketches.shinglesKernel("a b c d e f g h".split(" ").toSeq, 3)
+    val sh2 = Sketches.shinglesKernel("x y z w v u t s".split(" ").toSeq, 3)
+    val unionSig = Sketches.minhashKernel((sh1 ++ sh2).distinct.toSeq, 32).toSeq
+    assert(merged("g1") == unionSig)
+    // dd6 runs end-to-end and yields all language pairs
+    val dd6 = SparkEntry.queries("dd6_corpus_sketch")(spark, sf).collect()
+    assert(dd6.length == 10) // C(5,2) language pairs
+    assert(dd6.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("rolling fingerprint is order-sensitive where md5-bag is not") {
     import graft.functions.HashFunctions._
     import graft.functions.TextFunctions._

@@ -138,6 +138,28 @@ class GridEngineSpec extends SparkSuite {
     }
   }
 
+  test("distributed meshgrid eval: crossJoin of axis frames + broadcast interp") {
+    import spark.implicits._
+    val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      250000.0, 400000.0)
+    val kd = GridFields.fromDataFrame(df)
+    val interp = BroadcastInterpolator(spark, kd.grid("T"))
+    // gridify at scale: the evaluation point set is the cartesian product
+    // of per-axis DataFrames (crossJoin), evaluated distributed — the
+    // reference's meshgrid (`gridify`) without materializing on the driver
+    val times = Seq(t0s + 300.0, t0s + 900.0).toDF("t")
+    val lons = Seq(0.0, 100.0, 200.0).toDF("lon")
+    val lats = Seq(-40.0, 40.0).toDF("lat")
+    val hs = GridFixtures.hAxis.toSeq.toDF("h")
+    val mesh = times.crossJoin(lons).crossJoin(lats).crossJoin(hs)
+      .withColumn("v", interp($"t", $"lon", $"lat", $"h"))
+    assert(mesh.count() == 2 * 3 * 2 * 13)
+    val sample = mesh.filter($"t" === t0s + 300.0 && $"lon" === 100.0 &&
+      $"lat" === 40.0 && $"h" === 300000.0).head().getDouble(4)
+    assert(math.abs(sample -
+      GridFixtures.temperature(t0s + 300.0, 100.0, 40.0, 300000.0)) < 1e-6)
+  }
+
   test("join-mode equals driver-mode, including out-of-hull fill") {
     import spark.implicits._
     val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
