@@ -29,8 +29,21 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+
+  /** Pushdown-safe timestamp range predicate for [[events]]: the public
+    * `ts` is computed (µs from nanos), so a `ts BETWEEN` filter cannot
+    * reach parquet row-group stats; the equivalent predicate on the raw
+    * INT64 nanos column can. `µs >= a ⇔ ns >= a·1000`;
+    * `µs <= b ⇔ ns <= b·1000 + 999`.
+    */
+  def eventsTsBetween(startMicros: Long, endMicros: Long)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col("ts_ns").between(startMicros * 1000L, endMicros * 1000L + 999L)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

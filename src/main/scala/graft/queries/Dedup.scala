@@ -40,12 +40,18 @@ object Dedup {
     // explode shingles → equi-join on (lang, shingle) → per-pair shared
     // count → J = shared / (|A| + |B| - shared) >= 0.6.
     "dd2_shingle_jaccard" -> ((s, dir) => {
+      // persisted: otherwise project-collapse inlines the shingle kernel
+      // into the explode AND its implicit size>0 filter AND the nsh column
+      // (4 evaluations per row); explode_outer skips the size>0 filter
+      // entirely (shingle arrays are never empty — short docs yield one
+      // whole-text shingle)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           shingles(tokens(col("text"))).as("sh"))
         .withColumn("nsh", size(col("sh")))
+        .persist()
       val ex = docs.select(col("doc_id"), col("lang"), col("nsh"),
-        explode(col("sh")).as("shingle"))
+        explode_outer(col("sh")).as("shingle"))
       val a = ex.alias("a")
       val b = ex.alias("b")
       a.join(b,

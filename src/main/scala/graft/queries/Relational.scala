@@ -43,10 +43,16 @@ object Relational {
     // plus projection (F4). Both reach the parquet scan: PushedFilters on
     // value/ts, ReadSchema limited to 4 columns.
     "q2_filter_range" -> ((s, dir) => {
+      // epoch µs for 2024-01-02T00:00Z / 2024-01-05T00:00Z; the raw-nanos
+      // form of the ts predicate reaches parquet row-group stats (the
+      // public `ts` column is computed, so a filter on it cannot push)
+      val startUs = java.time.Instant.parse("2024-01-02T00:00:00Z")
+        .getEpochSecond * 1000000L
+      val endUs = java.time.Instant.parse("2024-01-05T00:00:00Z")
+        .getEpochSecond * 1000000L
       Tables.events(s, dir)
         .filter(col("value").between(100.0, 200.0) &&
-          col("ts").between(lit("2024-01-02 00:00:00").cast("timestamp"),
-            lit("2024-01-05 00:00:00").cast("timestamp")))
+          Tables.eventsTsBetween(startUs, endUs))
         .select("event_id", "user_id", "event_type", "value")
     }),
 
