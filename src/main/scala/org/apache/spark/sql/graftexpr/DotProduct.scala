@@ -1,0 +1,91 @@
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: sequential-fold dot product of two numeric
+  * array columns (`array<double>` or `array<float>`, independently per
+  * side), with whole-stage codegen (`doGenCode`).
+  *
+  * This is tier (b) of the extension ladder (builtin composition → custom
+  * codegen Expression → UDF → mapPartitions):
+  *   - the HOF formulation `aggregate(zip_with(…))` is interpreted per
+  *     element AND breaks the codegen stage (higher-order functions don't
+  *     codegen);
+  *   - a Scala UDF converts each ArrayData into a boxed Seq per call;
+  *   - this expression reads primitives straight out of ArrayData inside
+  *     the generated stage — no allocation, no boxing, no stage break.
+  *     Accepting `array<float>` natively matters: a cast wrapper would
+  *     itself be a `transform` HOF and reintroduce the stage break.
+  *
+  * Null semantics match the builtins: null if either side is null;
+  * elements are assumed non-null (embedding vectors); mismatched lengths
+  * fold over the common prefix.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // def, not val: TypeCollection is not Serializable and must not become a
+  // field of the (task-serialized) expression tree
+  override def inputTypes: Seq[AbstractDataType] = {
+    val accepted = TypeCollection(ArrayType(DoubleType), ArrayType(FloatType))
+    Seq(accepted, accepted)
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $getA * $getB;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Bridge exposing the `private[sql]` Column↔Expression converters to the
+  * graft packages (this file lives under org.apache.spark.sql for access —
+  * the standard pattern for Spark-native extensions).
+  */
+object GraftExprBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+class DotProductSpec extends SparkSuite {
+
+  test("DotProduct expression matches kernel and handles nulls/lengths") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(0.5, -1.5), Seq(2.0, 2.0))
+    ).toDF("id", "a", "b")
+    val out = df.select($"id", VectorFunctions.dot($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 32.0)
+    assert(out(2L) == -2.0)
+    // null input → null out
+    val withNull = Seq((1L, Option(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("id", "a", "b")
+      .select(VectorFunctions.dot($"a", $"b").as("d")).head()
+    assert(withNull.isNullAt(0))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    // parquet-backed scan (a literal frame constant-folds to a
+    // LocalTableScan with no codegen stage at all)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val df = e.select(
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+    // the `*(n)` prefix in the plan string marks WholeStageCodegen spans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot"), s"no codegen span:\n$plan")
+    assert(df.head().getDouble(0) > 0.0)
+  }
+
+  test("graft_dot registered as a SQL function via extensions") {
+    GraftExtensions.register(spark)
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("cosine via expression equals compiled-kernel cosine on embeddings") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val rows = e.select(
+      VectorFunctions.cosine(col("embedding"), col("embedding")).as("self"))
+      .collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+}
