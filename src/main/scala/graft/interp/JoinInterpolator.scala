@@ -30,23 +30,30 @@ import org.apache.spark.sql.functions._
   */
 object JoinInterpolator {
 
-  /** Per-axis cell location expressions for a (possibly non-uniform)
-    * rectilinear axis: index of the cell's lower plane (clamped to
-    * [0, n-2]), fractional offset in the cell, and out-of-hull flag.
-    * `size(filter(axis, p ≤ x)) - 1` is a codegen'd scan of a small literal
-    * array — no join, no UDF.
+  /** Per-axis cell location for a (possibly non-uniform) rectilinear axis:
+    * index of the cell's lower plane (clamped to [0, n-2]), fractional
+    * offset in the cell, and out-of-hull flag. Compiled binary search with
+    * the (small) axis array captured in the closure — the literal-array
+    * HOF scan (`size(filter(axis, p ≤ x))`) is interpreted per element and
+    * was the query-side bottleneck at large point counts.
     */
   private[interp] def locate(x: Column, axis: Array[Double]): (Column, Column, Column) = {
     require(axis.length >= 2, "join-mode needs ≥ 2 planes per axis")
-    val litAxis = typedlit(axis.toSeq)
     val n = axis.length
-    val raw = size(filter(litAxis, p => p <= x)) - 1
-    val idx = greatest(least(raw, lit(n - 2)), lit(0))
-    val lo = element_at(litAxis, idx + 1) // element_at is 1-based
-    val hi = element_at(litAxis, idx + 2)
-    val frac = (x - lo) / (hi - lo)
-    val oob = x.isNull || x.isNaN || x < lit(axis(0)) || x > lit(axis(n - 1))
-    (idx, frac, oob)
+    val f = udf((v: Double) => {
+      if (v.isNaN || v < axis(0) || v > axis(n - 1)) (0, 0.0, true)
+      else {
+        val s = java.util.Arrays.binarySearch(axis, v)
+        val cell = math.min(math.max(if (s >= 0) s else -s - 2, 0), n - 2)
+        val lo = axis(cell); val hi = axis(cell + 1)
+        ((cell, (v - lo) / (hi - lo), false))
+      }
+    })
+    // asNondeterministic: stops CollapseProject from inlining the locate
+    // call into every one of the 16 corner expressions downstream (it is
+    // in fact deterministic; this only pins evaluation to once per row)
+    val loc = f.asNondeterministic()(x)
+    (loc.getField("_1"), loc.getField("_2"), x.isNull || loc.getField("_3"))
   }
 
   // Grid-side plane indexing happens via a broadcast equi-join against the
