@@ -47,4 +47,13 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Spread a frame across the configured shuffle parallelism. The driver
+    * test files are single-row-group parquet, so their scan stage runs on
+    * one core no matter what `maxPartitionBytes` says — per-row kernel work
+    * (sketching, signatures) must be re-spread first. A real multi-file
+    * 100 TB table would never need this.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 }

@@ -45,7 +45,7 @@ object Dedup {
       // (4 evaluations per row); explode_outer skips the size>0 filter
       // entirely (shingle arrays are never empty — short docs yield one
       // whole-text shingle)
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"),
           shingles(tokens(col("text"))).as("sh"))
         .withColumn("nsh", size(col("sh")))
@@ -79,7 +79,7 @@ object Dedup {
       // recompute it per *pair* instead of per *document* (measured 80 s →
       // 2 s at sf0.1). The banding join then moves only (doc_id, band)
       // pairs; signatures are re-attached once per surviving pair.
-      val sigs = Tables.documents(s, dir)
+      val sigs = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"),
           minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
         .persist()
@@ -104,7 +104,7 @@ object Dedup {
     // (xxhash64-based); DedupSpec asserts near-dups rank closest.
     "dd4_simhash" -> ((s, dir) => {
       // persist: one 64-bit sketch per doc, computed once (not per pair)
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"),
           simhash64(tokens(col("text"))).as("sh"))
         .persist()
@@ -125,7 +125,7 @@ object Dedup {
     // shingle unions. No oracle (xxhash-based); DedupSimilaritySpec proves
     // merge(sig(A), sig(B)) == sig(A ∪ B) exactly.
     "dd6_corpus_sketch" -> ((s, dir) => {
-      val sketches = Tables.documents(s, dir)
+      val sketches = Tables.spread(Tables.documents(s, dir))
         .select(col("lang"),
           minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
         .groupBy("lang")

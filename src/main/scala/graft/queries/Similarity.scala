@@ -47,7 +47,7 @@ object Similarity {
     // Vectors are L2-normalized once (persisted) so the pair stage is a
     // single 64-wide dot product — not dot + two norms recomputed per pair.
     "s2_top_pairs" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      val e = Tables.spread(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("label"),
           normalized(col("embedding")).as("unit"))
         .persist()
@@ -71,7 +71,7 @@ object Similarity {
     "s3_ann_srp" -> ((s, dir) => {
       // persist: the 32-hyperplane signature and the unit vector are
       // computed once per vector, never inside the bucket join
-      val base = Tables.embeddings(s, dir)
+      val base = Tables.spread(Tables.embeddings(s, dir))
         .select(col("vec_id"),
           normalized(col("embedding")).as("unit"),
           srpSignature(col("embedding"), nBits = 32).as("sig"))
