@@ -78,6 +78,25 @@ final class GridFields(
 
 object GridFields {
 
+  /** Attach the parsed `name[units]` metadata to each variable column's
+    * `StructField` (SURVEY §1.2's Spark-native carrier for unit metadata:
+    * `MetadataBuilder.putString("units", …)`), keeping the original
+    * columns. Downstream consumers read `df.schema(c).metadata`.
+    */
+  def withUnitsMetadata(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    df.columns.foldLeft(df) { (acc, c) =>
+      VarMeta.parse(c) match {
+        case Some(m) =>
+          val md = new MetadataBuilder()
+            .putString("name", m.name).putString("units", m.units).build()
+          acc.withColumn(c, col(s"`$c`").as(c, md))
+        case None => acc
+      }
+    }
+  }
+
   /** Register every `name[units]` column of a long-form grid window
     * (driver-mode tier; SURVEY §2.8 tier 1). Non-matching columns that are
     * not axes are ignored, like the reference ignores nothing — it assumes

@@ -40,6 +40,17 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same `event_id`
+    * within the watermark horizon — state is bounded by (events/horizon),
+    * the standard at-least-once → effectively-once repair for 100 TB/day
+    * ingest. (Batch dedup lives in queries/Dedup; this is its streaming
+    * face.)
+    */
+  def dedupedEvents(events: Dataset[Event]): Dataset[Event] =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked sliding-window event rates by type — the standard
     * dashboard aggregation; append-mode emits closed windows only.
     */

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GridFields
+import graft.source.{GridFixtures, GridReader}
+
+/** Partition/row-order invariance (SURVEY §5 plan #2 / §7.4 risk 1-2): the
+  * reference's positional time-stamping and sorted-MultiIndex reshape are
+  * order-fragile; the engine's provenance time + explicit-sort pivot must
+  * give identical results under any partitioning or input order.
+  */
+class InvarianceSpec extends SparkSuite {
+
+  private lazy val dir = GridFixtures.ensure(spark, "invariance", n = 5)
+
+  test("GridFields identical under repartition and row shuffle") {
+    val df = new GridReader(spark, dir)
+      .fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(5 * 600),
+        250000.0, 400000.0)
+    val base = GridFields.fromDataFrame(df)
+    val variants = Seq(
+      df.repartition(17),
+      df.repartition(3, col("lat")),
+      df.orderBy(rand(42)))
+    val p = Array(GridFixtures.t0.getEpochSecond + 700.0, 123.0, -33.0, 317000.0)
+    variants.foreach { v =>
+      val kd = GridFields.fromDataFrame(v)
+      assert(kd.grid("T").axes.map(_.toSeq).toSeq ==
+        base.grid("T").axes.map(_.toSeq).toSeq)
+      assert(kd.grid("T").values.sameElements(base.grid("T").values))
+      assert(kd.eval("rho", p) == base.eval("rho", p))
+    }
+  }
+
+  test("oracled queries invariant to shuffle partition count") {
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("q1_agg", "dd2_shingle_jaccard", "g1_interp_1d")) {
+      val r1 = SparkEntry.queries(name)(spark, sf)
+      val cols = r1.columns.map(col)
+      val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try {
+        val r2 = SparkEntry.queries(name)(spark, sf)
+          .orderBy(cols: _*).collect().map(_.toString).toSeq
+        assert(r2 == base, s"$name differs under 7 shuffle partitions")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+}

@@ -76,6 +76,36 @@ class StreamingSpec extends SparkSuite {
     assert(rows(2L) == ((1L, 7.0)))
   }
 
+  test("streaming dedup drops re-delivered event ids within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val out = EventStream.dedupedEvents(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    def ev(id: Long, s: Long) =
+      EventStream.Event(id, new Timestamp(1700000000000L + s * 1000), 1L, "e", 1.0)
+    mem.addData(ev(1, 0), ev(2, 10), ev(1, 5)) // id 1 delivered twice
+    q.processAllAvailable()
+    mem.addData(ev(2, 20), ev(3, 30)) // id 2 re-delivered in a later batch
+    q.processAllAvailable()
+    val ids = spark.table("deduped").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("GridFields.withUnitsMetadata attaches units to StructFields") {
+    val dir = GridFixtures.ensure(spark, "units-meta", n = 2)
+    val df = new GridReader(spark, dir).fetch(
+      GridFixtures.t0, GridFixtures.t0.plusSeconds(600), 250000.0, 400000.0)
+    val withMd = graft.api.GridFields.withUnitsMetadata(df)
+    val md = withMd.schema("rho[kg/m^3]").metadata
+    assert(md.getString("units") == "kg/m^3" && md.getString("name") == "rho")
+    assert(withMd.schema("T[K]").metadata.getString("units") == "K")
+    assert(!withMd.schema("lon").metadata.contains("units"))
+  }
+
   test("watermarked sliding-window event rates emit closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
