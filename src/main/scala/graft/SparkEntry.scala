@@ -19,10 +19,14 @@ import graft.queries.{Dedup, GridQueries, MultimodalQueries, Relational, Similar
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * g1 runs the engine's identity operator — join-mode multilinear
+    * interpolation — end-to-end (bucketed series → locate → corner join →
+    * weighted aggregation).
+    */
   def entry(spark: SparkSession): DataFrame = {
     val sf = "/root/testdata/sf0.001"
-    queries("q1_agg")(spark, sf)
+    queries("g1_interp_1d")(spark, sf)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

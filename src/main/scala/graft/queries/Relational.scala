@@ -173,6 +173,42 @@ object Relational {
       Tables.events(s, dir).select("event_type").distinct()
     }),
 
+    // Exact interpolated percentiles (median/p90) per event type — Spark's
+    // sort-based `percentile` and DuckDB's `quantile_cont` share the same
+    // linear-interpolation definition, so values hash-match exactly.
+    "q14_percentile" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Window frame spec: running per-user cumulative value ordered by time
+    // (rowsBetween unboundedPreceding..current) — the frame variant q6's
+    // row_number doesn't cover.
+    "q15_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          sum("value").over(w).as("running_value"))
+    }),
+
+    // Anti join (§2.6 join-type coverage): users with no purchase in the
+    // first day. Plans as LeftAnti (broadcast or shuffled per AQE stats).
+    "q16_anti_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val earlyBuyers = e.filter(col("event_type") === "purchase" &&
+        col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      e.select("user_id").distinct()
+        .join(earlyBuyers, Seq("user_id"), "left_anti")
+        .orderBy("user_id")
+    }),
+
     // As-of join (§2.6): each purchase picks up the user's most recent
     // signup value at-or-before it — union-and-carry formulation (one
     // shuffle + one window; no pair expansion). See operators.AsofJoin.
@@ -294,6 +330,28 @@ object Relational {
 
     "q11_distinct" ->
       "SELECT DISTINCT event_type FROM events",
+
+    "q14_percentile" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q15_running_sum" ->
+      """SELECT user_id, event_id,
+        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS running_value
+        |FROM events WHERE user_id < 20""".stripMargin,
+
+    "q16_anti_join" ->
+      """SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+        |    AND e.ts < TIMESTAMP '2024-01-02 00:00:00')
+        |ORDER BY user_id""".stripMargin,
 
     "q13_asof" ->
       """SELECT l.event_id, l.user_id, l.value, r.value AS signup_value
