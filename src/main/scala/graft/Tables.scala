@@ -48,6 +48,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every driver table as a temp view so the whole inventory is
+    * queryable through plain `spark.sql(...)` (SQL entry point; `events`
+    * goes through the nanos-safe loader).
+    */
+  def registerAll(s: SparkSession, d: String): Unit =
+    AllTables.foreach {
+      case "events" => events(s, d).createOrReplaceTempView("events")
+      case t => table(s, d, t).createOrReplaceTempView(t)
+    }
+
   /** Spread a frame across the configured shuffle parallelism. The driver
     * test files are single-row-group parquet, so their scan stage runs on
     * one core no matter what `maxPartitionBytes` says — per-row kernel work

@@ -18,11 +18,14 @@ final class BroadcastInterpolator(bc: Broadcast[RegularGrid]) extends Serializab
   /** Column expression interpolating at (time, lon, lat, h); time must
     * already be in double epoch-seconds (`cast("double")` on a timestamp).
     */
-  def apply(time: Column, lon: Column, lat: Column, h: Column): Column = {
+  def apply(time: Column, lon: Column, lat: Column, h: Column): Column =
+    applySeq(Seq(time, lon, lat, h))
+
+  /** Arity-generic form: interpolate at (c_0, …, c_{d-1}) for a d-dim grid. */
+  def applySeq(cols: Seq[Column]): Column = {
     val g = bc
-    val f = udf((t: Double, lo: Double, la: Double, hh: Double) =>
-      g.value.interpolate(Array(t, lo, la, hh)))
-    f(time, lon, lat, h)
+    val f = udf((p: Seq[Double]) => g.value.interpolate(p.toArray))
+    f(org.apache.spark.sql.functions.array(cols: _*))
   }
 
   def grid: RegularGrid = bc.value

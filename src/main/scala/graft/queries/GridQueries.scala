@@ -39,14 +39,33 @@ object GridQueries {
       JoinInterpolator.interpolate(
         probes, "id", series, Array(axis), valueCols = Seq("v"),
         coordCols = Seq("t"))
+    }),
+
+    // Same probes through tier 2 (broadcast grid + UDF) — identical
+    // semantics, so it shares g1's oracle arithmetic. Exercises
+    // RegularGrid + BroadcastInterpolator under the hash gate.
+    "g2_interp_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      val series = Tables.events(s, dir)
+        .groupBy((floor(unix_timestamp(col("ts")) / 600) * 600)
+          .cast("double").as("t"))
+        .agg(avg("value").as("v"))
+      val rows = series.orderBy("t").collect()
+      val axis = rows.map(_.getDouble(0))
+      val grid = new graft.model.RegularGrid(
+        Array(axis), rows.map(_.getDouble(1)))
+      val bi = graft.interp.BroadcastInterpolator(s, grid)
+      val (tMin, tMax) = (axis.head, axis.last)
+      fracs.map { case (i, f) => (i.toLong, tMin + f * (tMax - tMin)) }
+        .toDF("id", "t")
+        .select(col("id"), bi.applySeq(Seq(col("t"))).as("v"))
     })
   )
 
   private val fracsSql =
     fracs.map { case (i, f) => s"($i, $f)" }.mkString(", ")
 
-  val oracleSql: Map[String, String] = Map(
-    "g1_interp_1d" ->
+  private val interpOracle: String =
       s"""WITH series AS (
          |  SELECT CAST(floor(epoch(ts) / 600) * 600 AS DOUBLE) AS t,
          |         avg(value) AS v
@@ -65,5 +84,10 @@ object GridQueries {
          |FROM br b
          |JOIN series s1 ON s1.t = b.t1
          |JOIN series s2 ON s2.t = b.t2""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "g1_interp_1d" -> interpOracle,
+    // tiers 2 and 3 implement identical semantics → identical oracle
+    "g2_interp_broadcast" -> interpOracle
   )
 }
