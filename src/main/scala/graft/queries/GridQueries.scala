@@ -59,6 +59,32 @@ object GridQueries {
       fracs.map { case (i, f) => (i.toLong, tMin + f * (tMax - tMin)) }
         .toDF("id", "t")
         .select(col("id"), bi.applySeq(Seq(col("t"))).as("v"))
+    }),
+
+    // 2-D bilinear through the same corner-join machinery: grid over
+    // (6-day time bucket × user band), probes at interior points — the
+    // multi-axis corner expansion (2^d = 4 live corners) under the gate.
+    "g3_interp_2d" -> ((s, dir) => {
+      import s.implicits._
+      val series = Tables.events(s, dir)
+        .groupBy(
+          (floor(unix_timestamp(col("ts")) / 518400) * 518400)
+            .cast("double").as("t"),
+          (col("user_id") % 4).cast("double").as("u"))
+        .agg(avg("value").as("v"))
+        .persist()
+      val tAxis = series.select("t").distinct().orderBy("t")
+        .collect().map(_.getDouble(0))
+      val uAxis = series.select("u").distinct().orderBy("u")
+        .collect().map(_.getDouble(0))
+      val probes = fracs.map { case (i, f) =>
+        (i.toLong,
+          tAxis.head + f * (tAxis.last - tAxis.head),
+          uAxis.head + (1.0 - f) * (uAxis.last - uAxis.head))
+      }.toDF("id", "t", "u")
+      JoinInterpolator.interpolate(
+        probes, "id", series, Array(tAxis, uAxis), valueCols = Seq("v"),
+        coordCols = Seq("t", "u"))
     })
   )
 
@@ -88,6 +114,37 @@ object GridQueries {
   val oracleSql: Map[String, String] = Map(
     "g1_interp_1d" -> interpOracle,
     // tiers 2 and 3 implement identical semantics → identical oracle
-    "g2_interp_broadcast" -> interpOracle
+    "g2_interp_broadcast" -> interpOracle,
+
+    // bilinear: four bracketing corners, product weights
+    "g3_interp_2d" ->
+      s"""WITH series AS (
+         |  SELECT CAST(floor(epoch(ts) / 518400) * 518400 AS DOUBLE) AS t,
+         |         CAST(user_id % 4 AS DOUBLE) AS u,
+         |         avg(value) AS v
+         |  FROM events GROUP BY 1, 2),
+         |hull AS (SELECT min(t) AS tmin, max(t) AS tmax,
+         |                min(u) AS umin, max(u) AS umax FROM series),
+         |fr(id, f) AS (VALUES $fracsSql),
+         |probes AS (SELECT id, tmin + f * (tmax - tmin) AS t,
+         |                  umin + (1 - f) * (umax - umin) AS u
+         |           FROM fr, hull),
+         |br AS (
+         |  SELECT p.id, p.t, p.u,
+         |    (SELECT max(s.t) FROM series s WHERE s.t <= p.t) AS t1,
+         |    (SELECT min(s.t) FROM series s WHERE s.t > p.t) AS t2,
+         |    (SELECT max(s.u) FROM series s WHERE s.u <= p.u) AS u1,
+         |    (SELECT min(s.u) FROM series s WHERE s.u > p.u) AS u2
+         |  FROM probes p),
+         |w AS (SELECT *, (t - t1) / (t2 - t1) AS ft,
+         |               (u - u1) / (u2 - u1) AS fu FROM br)
+         |SELECT w.id,
+         |  (1 - ft) * (1 - fu) * s11.v + ft * (1 - fu) * s21.v
+         |    + (1 - ft) * fu * s12.v + ft * fu * s22.v AS v
+         |FROM w
+         |JOIN series s11 ON s11.t = w.t1 AND s11.u = w.u1
+         |JOIN series s21 ON s21.t = w.t2 AND s21.u = w.u1
+         |JOIN series s12 ON s12.t = w.t1 AND s12.u = w.u2
+         |JOIN series s22 ON s22.t = w.t2 AND s22.u = w.u2""".stripMargin
   )
 }
