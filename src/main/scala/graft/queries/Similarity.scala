@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -93,6 +94,44 @@ object Similarity {
         .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
         .select(col("i"), col("j"), dot(col("u_i"), col("u_j")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("i"), col("j"))
+        .limit(10)
+    }),
+
+    // IVF-flat ANN: coarse quantizer = every 53rd vector as a centroid
+    // (deterministic stand-in for trained k-means — the Spark plumbing is
+    // identical); vectors assign to their nearest centroid (broadcast
+    // centroid join), the query probes its nprobe=4 nearest cells and
+    // exact-ranks only those cells' vectors. At 100 TB the assignment is
+    // one broadcast join + write partitioned by cell; a probe then reads
+    // nprobe partitions instead of the corpus. No oracle (probe subset);
+    // DedupSimilaritySpec asserts recall vs s1's exact top-10.
+    "s4_ivf_knn" -> ((s, dir) => {
+      val e = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+        .persist()
+      val cents = e.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("cent_id"), col("unit").as("cent"))
+      // assign every vector to its nearest centroid
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
+      val assigned = e.join(broadcast(cents))
+        .withColumn("sim", dot(col("unit"), col("cent")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"), col("unit"))
+        .persist()
+      // query = vec 0; probe its 4 nearest centroids
+      val qUnit = typedlit(
+        assigned.filter(col("vec_id") === 0L).select("unit")
+          .head().getSeq[Double](0))
+      val probed = cents
+        .withColumn("qsim", dot(col("cent"), qUnit))
+        .orderBy(col("qsim").desc, col("cent_id"))
+        .limit(4)
+        .select("cent_id")
+      assigned.join(broadcast(probed), "cent_id")
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     })
   )

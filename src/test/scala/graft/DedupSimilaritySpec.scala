@@ -94,6 +94,17 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"ANN recall too low: $recall (found ${ann.size} pairs)")
   }
 
+  test("IVF ANN finds a fair share of the exact query-0 top-10") {
+    val exact = SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("s4_ivf_knn")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    // nprobe=4 of ~10 cells on near-random vectors: baseline recall ≈ 0.4
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall too low: $recall")
+  }
+
   test("MinHashMerge aggregator: merged sketch == sketch of unioned shingles") {
     import graft.functions.{MinHashAgg, Sketches}
     import spark.implicits._
