@@ -153,6 +153,24 @@ object Dedup {
         .orderBy("lang_i", "lang_j")
     }),
 
+    // Embedding-cosine near-dup pairs (the semantic-dedup operator):
+    // all pairs with cosine >= 0.4 over pre-normalized unit vectors —
+    // codegen dot product per pair. Quadratic pair scan is fine at this
+    // corpus size; the 100 TB path swaps in the s3/s4 candidate
+    // generation and keeps this exact re-rank.
+    "dd7_embed_neardup" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.{dot, normalized}
+      val e = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+        .persist()
+      val a = e.alias("a")
+      val b = e.alias("b")
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          dot(col("a.unit"), col("b.unit")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+    }),
+
     // Order-sensitive exact dedup accounting via rolling fingerprint:
     // corpus summary of sequence-identical copies. (The fingerprint value
     // itself is xxhash64-based, so only the counts are emitted — they
@@ -191,6 +209,18 @@ object Dedup {
         |WHERE shared::DOUBLE / (na + nb - shared) >= 0.6""".stripMargin,
 
     "dd5_rolling_fp" ->
-      "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_seq FROM documents"
+      "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_seq FROM documents",
+
+    "dd7_embed_neardup" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+        |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        |    AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        |  >= 0.4""".stripMargin
   )
 }
