@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkSuite {
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  test("asof picks latest right row at-or-before; null when none precedes") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(100), "L1"), (1L, ts(50), "L2"), (2L, ts(10), "L3"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(60), 6.0), (1L, ts(90), 9.0), (1L, ts(120), 12.0),
+      (2L, ts(20), 2.0))
+      .toDF("k", "rt", "v")
+    val out = AsofJoin.asof(left, right, "k", "t", "rt",
+      Map("v" -> "last_v"))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out("L1") == 9.0)  // 90 <= 100 < 120
+    assert(out("L2") == null) // no right row at-or-before t=50
+    assert(out("L3") == null) // right row at t=20 is after left t=10
+  }
+
+  test("tie at equal timestamps: right row is visible (at-or-before)") {
+    import spark.implicits._
+    val left = Seq((1L, ts(60), "L")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts(60), 42.0)).toDF("k", "rt", "v")
+    val out = AsofJoin.asof(left, right, "k", "t", "rt", Map("v" -> "lv"))
+      .head()
+    assert(out.getDouble(3) == 42.0)
+  }
+
+  test("multiple payload columns carry together") {
+    import spark.implicits._
+    val left = Seq((1L, ts(100), 0)).toDF("k", "t", "x")
+    val right = Seq((1L, ts(10), 1.0, "a"), (1L, ts(20), 2.0, "b"))
+      .toDF("k", "rt", "v", "s")
+    val out = AsofJoin.asof(left, right, "k", "t", "rt",
+      Map("v" -> "lv", "s" -> "ls")).head()
+    val lv = out.getDouble(out.fieldIndex("lv"))
+    val ls = out.getString(out.fieldIndex("ls"))
+    assert(lv == 2.0 && ls == "b")
+  }
+}
