@@ -81,6 +81,21 @@ class GridEngineSpec extends SparkSuite {
     assert(!ts.contains(t0s + 5 * 600.0))
   }
 
+  test("single-file window (FIXTURES variant 3): degenerate time axis works") {
+    val df = reader.fetch(
+      GridFixtures.t0, GridFixtures.t0.plusSeconds(1), // floors+ceils to one step... ceil(1s)=next step
+      260000.0, 390000.0)
+    // window [t0, ceil(t0+1s)] spans files t0 and t0+10min → narrow to one:
+    val one = df.filter(col("time") === java.sql.Timestamp.from(GridFixtures.t0))
+    val kd = GridFields.fromDataFrame(one)
+    val t = GridFixtures.t0.getEpochSecond.toDouble
+    // exact on the single time plane
+    assert(math.abs(kd.eval("T", Array(t, 100.0, 20.0, 300000.0)) -
+      GridFixtures.temperature(t, 100.0, 20.0, 300000.0)) < 1e-6)
+    // off the plane → out of bounds → fillValue (0.0 default)
+    assert(kd.eval("T", Array(t + 1.0, 100.0, 20.0, 300000.0)) == 0.0)
+  }
+
   test("strict-interior validation (V1) rejects boundary-touching windows") {
     intercept[IllegalArgumentException] {
       reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(600),
