@@ -209,6 +209,31 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Semi join (§2.6): large parts that actually shipped — existence
+    // check without duplication (LeftSemi; lineitem side never materializes
+    // into the output).
+    "q17_semi_join" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_size") > 45)
+        .join(Tables.lineitem(s, dir),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")
+    }),
+
+    // Pivot (§2.5 engine scope): per-user event-type counts as columns.
+    // Types are pinned (not inferred) so the schema is deterministic and
+    // the single-pass conditional aggregation is what DuckDB replays.
+    "q18_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("user_id") < 30)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
     // As-of join (§2.6): each purchase picks up the user's most recent
     // signup value at-or-before it — union-and-carry formulation (one
     // shuffle + one window; no pair expansion). See operators.AsofJoin.
@@ -330,6 +355,24 @@ object Relational {
 
     "q11_distinct" ->
       "SELECT DISTINCT event_type FROM events",
+
+    "q17_semi_join" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_size > 45
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q18_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events
+        |WHERE user_id < 30
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q14_percentile" ->
       """SELECT event_type,

@@ -76,6 +76,27 @@ class StreamingSpec extends SparkSuite {
     assert(rows(2L) == ((1L, 7.0)))
   }
 
+  test("stream-static join enriches the event stream with a dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[EventStream.Event]
+    val enriched = mem.toDS().toDF()
+      .join(dim, Seq("user_id"), "left")
+      .select($"event_id", $"user_id", $"tier")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData(
+      EventStream.Event(10L, new Timestamp(0), 1L, "e", 1.0),
+      EventStream.Event(11L, new Timestamp(0), 3L, "e", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    q.stop()
+    assert(rows(10L).contains("gold"))
+    assert(rows(11L).isEmpty) // left join keeps unmatched stream rows
+  }
+
   test("streaming dedup drops re-delivered event ids within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
