@@ -81,6 +81,21 @@ class GridEngineSpec extends SparkSuite {
     assert(!ts.contains(t0s + 5 * 600.0))
   }
 
+  test("Graft facade: canonical reference session in one call") {
+    val kd = graft.api.Graft.fetch(spark, dir,
+      GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      hLo = 292500.0, hHi = 357500.0)
+    assert(kd.names == Seq("T", "rho"))
+    assert(kd.units("rho") == "kg/m^3")
+    val mid = kd.midpoint("rho")
+    val p = Array(mid("time"), mid("lon"), mid("lat"), mid("h"))
+    assert(math.abs(kd.eval("rho", p) -
+      GridFixtures.rho(p(0), p(1), p(2), p(3))) < 1e-21)
+    val (_, profile) = kd.gridEval("T",
+      Map("time" -> Array(mid("time")), "lon" -> Array(0.0), "lat" -> Array(0.0)))
+    assert(profile.nonEmpty)
+  }
+
   test("single-file window (FIXTURES variant 3): degenerate time axis works") {
     val df = reader.fetch(
       GridFixtures.t0, GridFixtures.t0.plusSeconds(1), // floors+ceils to one step... ceil(1s)=next step
