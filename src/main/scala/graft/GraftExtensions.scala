@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftexpr.DotProduct
+import org.apache.spark.sql.graftexpr.{CosineSim, DotProduct}
 
 /** Session extension: registers the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) …")` reaches the
@@ -23,7 +23,10 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit =

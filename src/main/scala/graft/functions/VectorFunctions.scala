@@ -28,8 +28,15 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity: dot / (||a|| * ||b||). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — fused one-pass codegen Expression (dot and both
+    * norms accumulate in a single loop; the composed `dot/(norm·norm)`
+    * would scan each array three times). Bit-identical to the composed
+    * form (each accumulator folds in the same order).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftexpr.{CosineSim, GraftExprBridge => B}
+    B.column(CosineSim(B.expression(a), B.expression(b)))
+  }
 
   /** L2-normalize to a unit vector: pre-computing this once per row turns
     * every downstream cosine into a plain dot product (the norm is not

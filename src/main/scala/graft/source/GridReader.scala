@@ -38,9 +38,14 @@ final class GridReader(
     dir: String,
     prefix: String = "",
     postfix: String = ".parquet",
-    cadence: Duration = Duration.ofMinutes(10)) {
+    cadence: Duration = Duration.ofMinutes(10),
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty) {
 
   import GridCatalog._
+
+  private def read(paths: Seq[String]) =
+    spark.read.format(format).options(options).load(paths: _*)
 
   def files(): Seq[GridFile] = discover(spark, dir, prefix, postfix)
 
@@ -51,7 +56,7 @@ final class GridReader(
   def axisValues(column: String): Array[Double] = {
     val fs = files()
     require(fs.nonEmpty, s"no grid files found under $dir")
-    spark.read.parquet(fs.head.path)
+    read(Seq(fs.head.path))
       .select(col(column).cast("double")).distinct()
       .orderBy(column).collect().map(_.getDouble(0))
   }
@@ -78,7 +83,7 @@ final class GridReader(
     val pruned = prune(all, s, e)
     require(pruned.nonEmpty, s"no grid files in window [$s,$e]")
     val (snapLo, snapHi) = snapOutward(axisValues(hColumn), hLo, hHi)
-    withFileTime(spark.read.parquet(pruned.map(_.path): _*))
+    withFileTime(read(pruned.map(_.path)))
       .filter(col(hColumn).cast("double").between(snapLo, snapHi))
   }
 

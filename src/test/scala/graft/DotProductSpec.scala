@@ -43,6 +43,25 @@ class DotProductSpec extends SparkSuite {
     assert(v == 11.0)
   }
 
+  test("fused CosineSim equals composed dot/(norm*norm) bit-for-bit") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val q = typedlit((0 until 64).map(i => math.sin(i + 1.0)))
+    val both = e.select(
+      VectorFunctions.cosine(col("embedding"), q).as("fused"),
+      (VectorFunctions.dot(col("embedding"), q) /
+        (VectorFunctions.norm(col("embedding")) * VectorFunctions.norm(q))).as("composed"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("graft_cosine SQL function") {
+    GraftExtensions.register(spark)
+    val v = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-15)
+  }
+
   test("cosine via expression equals compiled-kernel cosine on embeddings") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
     val rows = e.select(

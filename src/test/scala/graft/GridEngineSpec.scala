@@ -81,6 +81,32 @@ class GridEngineSpec extends SparkSuite {
     assert(!ts.contains(t0s + 5 * 600.0))
   }
 
+  test("CSV grid source: same window fetch through format=csv") {
+    import org.apache.spark.sql.SaveMode
+    // convert three timesteps of the parquet fixture to CSV files
+    val csvDir = "target/grid-fixtures/csv3"
+    val marker = new java.io.File(s"$csvDir/_OK")
+    if (!marker.exists()) {
+      (0 until 3).foreach { i =>
+        val ts = GridFixtures.t0.plusSeconds(600L * i)
+        spark.read.parquet(s"$dir/${GridCatalog.formatTs(ts)}.parquet")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("header", "true")
+          .csv(s"$csvDir/${GridCatalog.formatTs(ts)}.csv")
+      }
+      marker.createNewFile()
+    }
+    val r = new GridReader(spark, csvDir, postfix = ".csv",
+      format = "csv", options = Map("header" -> "true", "inferSchema" -> "true"))
+    val df = r.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(1200),
+      260000.0, 390000.0)
+    assert(df.select("time").distinct().count() == 3)
+    val kd = GridFields.fromDataFrame(df)
+    val t = t0s + 700.0
+    assert(math.abs(kd.eval("T", Array(t, 50.0, 10.0, 310000.0)) -
+      GridFixtures.temperature(t, 50.0, 10.0, 310000.0)) < 1e-4)
+  }
+
   test("Graft facade: canonical reference session in one call") {
     val kd = graft.api.Graft.fetch(spark, dir,
       GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
