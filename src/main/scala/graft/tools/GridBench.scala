@@ -78,9 +78,17 @@ object GridBench {
         Seq("T[K]")).count()
     }
 
+    // canonical workload (reference envelope): 2-h window fetch (13 files,
+    // h-band filter, provenance time) + full materialization
+    val (fn2, fSec) = time {
+      reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+        292500.0, 357500.0).count()
+    }
+
     println(s"""{"metric":"interp_points_per_sec","grid_nodes":${g.values.length},""" +
       s""""driver":${(dn / dSec).toLong},"broadcast":${(bn / bSec).toLong},""" +
-      s""""join":${(jn / jSec).toLong},"n_points":$n}""")
+      s""""join":${(jn / jSec).toLong},"n_points":$n,""" +
+      s""""window_fetch_rows_per_sec":${(fn2 / fSec).toLong},"window_fetch_sec":$fSec}""")
     spark.stop()
   }
 }
