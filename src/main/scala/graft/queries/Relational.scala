@@ -234,6 +234,47 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Sessionization: gap > 30 min starts a new session; session id =
+    // running count of gap flags per user. Two stacked windows over one
+    // shuffle on user_id — the batch form of the streaming sessionizer.
+    "q19_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val e = Tables.events(s, dir)
+        .filter(col("user_id") < 10)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+            1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("new_session").over(byUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"))
+    }),
+
+    // Histogram binning: fixed-width buckets over the value domain —
+    // width_bucket is a codegen'd builtin in both engines.
+    "q20_histogram" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(width_bucket(col("value"), lit(0.0), lit(1000.0), lit(10))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Statistical aggregates: correlation / covariance / stddev per group
+    // (one-pass co-moment aggregation, map-side combined).
+    "q21_stats" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          corr("l_quantity", "l_extendedprice").as("corr_qty_price"),
+          covar_pop("l_quantity", "l_extendedprice").as("covar_qty_price"),
+          stddev("l_discount").as("sd_disc"))
+    }),
+
     // As-of join (§2.6): each purchase picks up the user's most recent
     // signup value at-or-before it — union-and-carry formulation (one
     // shuffle + one window; no pair expansion). See operators.AsofJoin.
@@ -355,6 +396,42 @@ object Relational {
 
     "q11_distinct" ->
       "SELECT DISTINCT event_type FROM events",
+
+    "q19_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events WHERE user_id < 10),
+        |f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
+
+    // DuckDB 1.0 has no width_bucket; the arithmetic below is its exact
+    // definition for 10 buckets over [0, 1000): 0 below, n+1 above.
+    "q20_histogram" ->
+      """SELECT CASE WHEN value < 0 THEN 0
+        |            WHEN value >= 1000 THEN 11
+        |            ELSE floor(value / 100)::BIGINT + 1 END AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q21_stats" ->
+      """SELECT l_returnflag,
+        |  corr(l_quantity, l_extendedprice) AS corr_qty_price,
+        |  covar_pop(l_quantity, l_extendedprice) AS covar_qty_price,
+        |  stddev(l_discount) AS sd_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q17_semi_join" ->
       """SELECT p_partkey, p_name, p_size FROM part
