@@ -21,11 +21,17 @@ final class BroadcastInterpolator(bc: Broadcast[RegularGrid]) extends Serializab
   def apply(time: Column, lon: Column, lat: Column, h: Column): Column =
     applySeq(Seq(time, lon, lat, h))
 
-  /** Arity-generic form: interpolate at (c_0, …, c_{d-1}) for a d-dim grid. */
+  /** Arity-generic form: interpolate at (c_0, …, c_{d-1}) for a d-dim
+    * grid. Null coordinates short-circuit to fillValue (matching
+    * [[JoinInterpolator]]'s out-of-hull semantics) instead of reaching the
+    * UDF, where a null array element would either NPE or unbox to 0.0.
+    */
   def applySeq(cols: Seq[Column]): Column = {
+    import org.apache.spark.sql.functions.{array, lit, when}
     val g = bc
     val f = udf((p: Seq[Double]) => g.value.interpolate(p.toArray))
-    f(org.apache.spark.sql.functions.array(cols: _*))
+    when(cols.map(_.isNull).reduce(_ || _), lit(g.value.fillValue))
+      .otherwise(f(array(cols: _*)))
   }
 
   def grid: RegularGrid = bc.value

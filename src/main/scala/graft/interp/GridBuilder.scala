@@ -50,6 +50,32 @@ object GridBuilder {
       s"grid is not dense: ${rows.length} rows != ${axes.map(_.length).mkString("×")} = $expected " +
         "(every axis combination must appear exactly once)")
     val d = axisCols.length
+    // exact density check: in sorted order, row i's axis tuple must equal
+    // the i-th cartesian tuple — a count-only check would accept a
+    // duplicated combination masking a missing one and silently misalign
+    // every cell after the defect
+    locally {
+      val idx = new Array[Int](d)
+      var i = 0
+      while (i < rows.length) {
+        var k = 0
+        while (k < d) {
+          require(rows(i).getDouble(k) == axes(k)(idx(k)),
+            s"grid is not dense at sorted row $i: axis ${axisCols(k)} has " +
+              s"${rows(i).getDouble(k)}, expected ${axes(k)(idx(k))} " +
+              "(duplicate or missing axis combination)")
+          k += 1
+        }
+        // advance mixed-radix counter
+        var c = d - 1
+        while (c >= 0) {
+          idx(c) += 1
+          if (idx(c) < axes(c).length) c = -1
+          else { idx(c) = 0; c -= 1 }
+        }
+        i += 1
+      }
+    }
     valueCols.zipWithIndex.map { case (v, vi) =>
       val values = new Array[Double](rows.length)
       var i = 0

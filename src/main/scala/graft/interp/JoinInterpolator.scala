@@ -65,8 +65,10 @@ object JoinInterpolator {
   /** Interpolate `valueCols` of a dense long-form grid at every row of
     * `points`.
     *
-    * @param points    query points; must contain `idCol` and the 4
-    *                  coordinate columns (double; time = epoch seconds)
+    * @param points    query points; must contain `idCol` (values UNIQUE —
+    *                  the final aggregation groups by it, so duplicate ids
+    *                  would sum their interpolations) and the coordinate
+    *                  columns (double; time = epoch seconds)
     * @param grid      long-form dense grid `(time, lon, lat, h, value…)`
     * @param axes      the 4 sorted distinct axis arrays (time, lon, lat, h)
     *                  — tiny; from [[GridBuilder.axis]]
@@ -121,19 +123,23 @@ object JoinInterpolator {
       (0 until d).map(i => col(s"_c$i")) ++
         valueCols.map(v => col(v).cast("double").as(v)): _*)
 
+    // NaN grid cells act as fillValue (reference fillna-at-build,
+    // kamodo_dask.py:334)
+    val aggs = valueCols.map(v => sum(col("_w") *
+      when(col(v).isNaN || col(v).isNull, lit(fillValue)).otherwise(col(v))).as(v))
     val joined = inHull.join(indexedGrid, (0 until d).map(i => s"_c$i"))
       .groupBy(idCol)
-      .agg(
-        // NaN grid cells act as fillValue (reference fillna-at-build,
-        // kamodo_dask.py:334)
-        valueCols.map(v => sum(col("_w") *
-          when(col(v).isNaN || col(v).isNull, lit(fillValue)).otherwise(col(v))).as(v)).head,
-        valueCols.drop(1).map(v => sum(col("_w") *
-          when(col(v).isNaN || col(v).isNull, lit(fillValue)).otherwise(col(v))).as(v)): _*)
+      .agg(aggs.head, aggs.tail: _*)
 
-    val oobRows = located.filter(anyOob)
-      .select(col(idCol) +: valueCols.map(v => lit(fillValue).as(v)): _*)
-
-    joined.unionByName(oobRows)
+    // Left-join repair guarantees one output row per input point: both
+    // out-of-hull points (filtered before the corner join) and in-hull
+    // points whose corner keys find no grid rows (axes broader than the
+    // grid's actual content — a dense-grid contract violation) coalesce to
+    // fillValue instead of vanishing from an inner-join result. This also
+    // removes the former oob union branch, so `located` is evaluated once.
+    points.select(col(idCol))
+      .join(joined, Seq(idCol), "left")
+      .select(col(idCol) +:
+        valueCols.map(v => coalesce(col(v), lit(fillValue)).as(v)): _*)
   }
 }

@@ -36,12 +36,16 @@ import java.util.Arrays
   */
 final class RegularGrid(
     val axes: Array[Array[Double]],
-    val values: Array[Double],
+    rawValues: Array[Double],
     val fillValue: Double = 0.0)
     extends Serializable {
 
   val dims: Int = axes.length
   require(dims >= 1, "at least one axis required")
+
+  // grid size in Long to catch Int overflow on huge axes before it wraps
+  private val sizeL: Long = axes.foldLeft(1L)(_ * _.length)
+  require(sizeL <= Int.MaxValue, s"grid size $sizeL exceeds Int.MaxValue")
 
   /** C-order strides per dimension. */
   val strides: Array[Int] = {
@@ -53,18 +57,29 @@ final class RegularGrid(
   }
 
   require(
-    values.length == strides(0) * axes(0).length,
-    s"values length ${values.length} != grid size ${strides(0) * axes(0).length}")
+    rawValues.length.toLong == sizeL,
+    s"values length ${rawValues.length} != grid size $sizeL")
   axes.foreach { a =>
     require(a.nonEmpty, "empty axis")
     var i = 1
     while (i < a.length) { require(a(i - 1) < a(i), "axis not strictly increasing"); i += 1 }
   }
 
-  // NaN cells behave as fillValue (reference fillna-at-build semantics).
-  locally {
+  /** Cell values; NaN cells behave as fillValue (reference fillna-at-build
+    * semantics). The caller's array is cloned before filling iff it
+    * contains NaNs — construction never mutates its input.
+    */
+  val values: Array[Double] = {
+    var hasNaN = false
     var i = 0
-    while (i < values.length) { if (values(i).isNaN) values(i) = fillValue; i += 1 }
+    while (i < rawValues.length && !hasNaN) { hasNaN = rawValues(i).isNaN; i += 1 }
+    if (!hasNaN) rawValues
+    else {
+      val v = rawValues.clone()
+      i = 0
+      while (i < v.length) { if (v(i).isNaN) v(i) = fillValue; i += 1 }
+      v
+    }
   }
 
   /** min/max per axis — the interpolation hull. */
@@ -148,7 +163,9 @@ final class RegularGrid(
   def meshEval(queryAxes: Array[Array[Double]]): Array[Double] = {
     require(queryAxes.length == dims)
     val lens = queryAxes.map(_.length)
-    val total = lens.product
+    val totalL = lens.foldLeft(1L)(_ * _)
+    require(totalL <= Int.MaxValue, s"mesh size $totalL exceeds Int.MaxValue")
+    val total = totalL.toInt
     val out = new Array[Double](total)
     val point = new Array[Double](dims)
     val idx = new Array[Int](dims)

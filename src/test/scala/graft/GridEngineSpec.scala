@@ -216,6 +216,42 @@ class GridEngineSpec extends SparkSuite {
       GridFixtures.temperature(t0s + 300.0, 100.0, 40.0, 300000.0)) < 1e-6)
   }
 
+  test("GridBuilder rejects duplicate-plus-missing axis combinations") {
+    import spark.implicits._
+    // count matches 2×2 but (1,1) is missing and (1,0) duplicated
+    val bad = Seq(
+      (0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 0.0, 3.0), (1.0, 0.0, 4.0))
+      .toDF("t", "u", "v")
+    val ex = intercept[IllegalArgumentException] {
+      GridBuilder.fromLongForm(bad, Seq("v"), Seq("t", "u"))
+    }
+    assert(ex.getMessage.contains("not dense"))
+  }
+
+  test("broadcast interpolator: null coordinate yields fillValue") {
+    import spark.implicits._
+    val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(1200),
+      250000.0, 400000.0)
+    val kd = GridFields.fromDataFrame(df, fillValue = -9.0)
+    val interp = BroadcastInterpolator(spark, kd.grid("T"))
+    val out = Seq((1L, Some(GridFixtures.t0.getEpochSecond.toDouble), Some(0.0)),
+      (2L, None, Some(0.0)))
+      .toDF("id", "t", "lon")
+      .select(col("id"), interp.applySeq(Seq(col("t"), col("lon"),
+        lit(0.0), lit(300000.0))).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) == -9.0)
+    assert(out(1L) != -9.0)
+  }
+
+  test("RegularGrid construction does not mutate the caller's array") {
+    val vals = Array(1.0, Double.NaN, 3.0, 4.0)
+    val g = new graft.model.RegularGrid(
+      Array(Array(0.0, 1.0), Array(0.0, 1.0)), vals, fillValue = 7.0)
+    assert(vals(1).isNaN) // caller's array untouched
+    assert(g.at(Array(0, 1)) == 7.0)
+  }
+
   test("join-mode equals driver-mode, including out-of-hull fill") {
     import spark.implicits._
     val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
