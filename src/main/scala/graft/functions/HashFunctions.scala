@@ -35,17 +35,27 @@ object HashFunctions {
     * same (band, key) bucket iff that band's slots all match — the classic
     * banding construction (P[candidate] = 1-(1-J^rows)^bands).
     */
-  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+  def lshBands(sig: Column, bands: Int, rows: Int, sigLen: Int = 32): Column = {
+    // an oversized banding config would slice past the signature into empty
+    // arrays, hashing every doc into one shared bucket per trailing band —
+    // the candidate join silently degenerates toward all-pairs
+    require(bands * rows <= sigLen,
+      s"bands*rows = ${bands * rows} exceeds signature length $sigLen")
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
         xxhash64(array_join(slice(sig, b * rows + lit(1), lit(rows)), ",")).as("key")))
+  }
 
   /** Estimated Jaccard similarity from two MinHash signatures: fraction of
     * matching slots.
     */
   def minhashSimilarity(sigA: Column, sigB: Column): Column =
+    // denominator = common length, so the estimate is symmetric even if
+    // the signatures were built with different k (zip_with pads the short
+    // side with null slots that can never count as matches)
     size(filter(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
-      x => x === 1)).cast("double") / size(sigA).cast("double")
+      x => x === 1)).cast("double") /
+      least(size(sigA), size(sigB)).cast("double")
 
   /** 64-bit SimHash of a token array: bit k of the result is 1 iff the
     * majority of token hashes have bit k set (weighted bit-vote).

@@ -35,7 +35,8 @@ object Sketches {
   /** Distinct word n-gram shingles (compiled; see [[HashFunctions.shingles]]
     * for the contract — short docs yield their whole token string).
     */
-  def shinglesKernel(toks: Seq[String], n: Int): Array[String] = {
+  def shinglesKernel(toks0: Seq[String], n: Int): Array[String] = {
+    val toks = if (toks0 == null) Seq.empty else toks0 // null array → null-safe
     if (toks.length < n) Array(toks.mkString(" "))
     else {
       val arr = toks.toArray
@@ -57,27 +58,41 @@ object Sketches {
     c => f(c)
   }
 
-  /** Sequential-fold dot product on double arrays (compiled). */
-  def dotKernel(a: Seq[Double], b: Seq[Double]): Double = {
-    val n = math.min(a.length, b.length)
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += a(i) * b(i); i += 1 }
-    acc
-  }
-
-  val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => dotKernel(a, b))
-
-  /** L2-normalize a float vector to a unit double vector (compiled). */
+  /** L2-normalize a float vector to a unit double vector (compiled).
+    * Null in → null out; a zero vector normalizes to zeros (not NaNs), so
+    * downstream dot/cosine read 0 similarity instead of silently dropping
+    * the row through NaN comparisons.
+    */
   val normalizeUdf = udf((v: Seq[Float]) => {
-    var ss = 0.0
-    v.foreach(x => ss += x.toDouble * x.toDouble)
-    val norm = math.sqrt(ss)
-    v.map(_.toDouble / norm).toArray
+    if (v == null) null
+    else {
+      var ss = 0.0
+      v.foreach(x => ss += x.toDouble * x.toDouble)
+      if (ss == 0.0) new Array[Double](v.length)
+      else {
+        val norm = math.sqrt(ss)
+        v.map(_.toDouble / norm).toArray
+      }
+    }
   })
 
-  /** k-permutation MinHash over a shingle array. */
-  def minhashKernel(shingles: Seq[String], k: Int): Array[Long] = {
+  /** Euclidean distance (compiled kernel; see VectorFunctions.l2). */
+  val l2Udf = udf((a: Seq[Double], b: Seq[Double]) => {
+    if (a == null || b == null) null
+    else {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      java.lang.Double.valueOf(math.sqrt(acc))
+    }
+  })
+
+  /** k-permutation MinHash over a shingle array (null → empty → the
+    * all-MaxValue signature, deterministic).
+    */
+  def minhashKernel(shingles0: Seq[String], k: Int): Array[Long] = {
+    val shingles = if (shingles0 == null) Seq.empty else shingles0
     val sig = Array.fill(k)(Long.MaxValue)
     shingles.foreach { s =>
       val h1 = hashString(s, 42L)
@@ -98,8 +113,11 @@ object Sketches {
     c => f(c)
   }
 
-  /** 64-bit SimHash: majority vote over token-hash bits. */
-  def simhashKernel(tokens: Seq[String]): Long = {
+  /** 64-bit SimHash: majority vote over token-hash bits (null → empty →
+    * all-ones sketch: zero votes count as majority-set, deterministic).
+    */
+  def simhashKernel(tokens0: Seq[String]): Long = {
+    val tokens = if (tokens0 == null) Seq.empty else tokens0
     val votes = new Array[Int](64)
     tokens.foreach { t =>
       val h = hashString(t, 42L)
@@ -124,7 +142,8 @@ object Sketches {
     * hyperplane component (p, i) is ±1 from bit 1 of XXH64(p·2^32 + i).
     * Deterministic — no hyperplane matrix to broadcast.
     */
-  def srpKernel(v: Seq[Float], nBits: Int): Long = {
+  def srpKernel(v0: Seq[Float], nBits: Int): Long = {
+    val v = if (v0 == null) Seq.empty[Float] else v0
     var sig = 0L
     var p = 0
     while (p < nBits) {

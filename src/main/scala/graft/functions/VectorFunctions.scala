@@ -44,10 +44,10 @@ object VectorFunctions {
     */
   def normalized(a: Column): Column = Sketches.normalizeUdf(a)
 
-  /** Euclidean (L2) distance. */
-  def l2(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+  /** Euclidean (L2) distance (compiled kernel — the HOF formulation is
+    * interpreted per element like the other replaced kernels).
+    */
+  def l2(a: Column, b: Column): Column = Sketches.l2Udf(d(a), d(b))
 
   /** Random-hyperplane LSH signature (`nBits` sign bits) for cosine
     * similarity. Hyperplane p's component in dimension i is ±1 derived from

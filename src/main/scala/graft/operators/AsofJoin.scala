@@ -44,17 +44,24 @@ object AsofJoin {
       payload: Map[String, String]): DataFrame = {
 
     val leftCols = left.columns
-    // side ordering: right rows sort before left rows at equal times, so a
-    // tie (left.ts == right.ts) sees the right row — "at or before".
+    val internal = Seq("_t", "_side", "_p")
+    require(!(left.columns ++ right.columns).exists(internal.contains),
+      s"inputs must not contain reserved columns ${internal.mkString(",")}")
+
+    // The whole right payload rides in ONE struct per row: carrying each
+    // payload column independently with last(ignoreNulls) would tear rows —
+    // a null payload VALUE in the newest right row must win over an older
+    // non-null one, and per-column carry would skip it.
     val taggedRight = right.select(
-      col(key).as(key) +:
-        col(rightTime).cast("timestamp").as("_t") +:
-        lit(0).as("_side") +:
-        payload.map { case (src, dst) => col(src).as(s"_p_$dst") }.toSeq: _*)
+      col(key).as(key),
+      col(rightTime).cast("timestamp").as("_t"),
+      lit(0).as("_side"),
+      struct(payload.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+        .as("_p"))
     val taggedLeft = left.select(
       Seq(col(key), col(leftTime).cast("timestamp").as("_t"),
-        lit(1).as("_side")) ++
-        payload.map { case (_, dst) => lit(null).as(s"_p_$dst") } ++
+        lit(1).as("_side"),
+        lit(null).cast(taggedRight.schema("_p").dataType).as("_p")) ++
         leftCols.filterNot(_ == key).map(c => col(c).as(s"_l_$c")): _*)
 
     val unioned = taggedRight
@@ -63,16 +70,19 @@ object AsofJoin {
         else lit(null).as(c)): _*)
       .unionByName(taggedLeft)
 
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+    // side ordering: right rows sort before left rows at equal times, so a
+    // tie (left.ts == right.ts) sees the right row — "at or before". The
+    // trailing _p key makes equal-(key,time) right rows order
+    // deterministically (payload fields must be orderable types).
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.values.foldLeft(unioned) { (df, dst) =>
-      df.withColumn(s"_c_$dst", last(col(s"_p_$dst"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("_c", last(col("_p"), ignoreNulls = true).over(w))
 
     carried.filter(col("_side") === 1)
       .select(
         Seq(col(key)) ++
           leftCols.filterNot(_ == key).map(c => col(s"_l_$c").as(c)) ++
-          payload.values.map(dst => col(s"_c_$dst").as(dst)): _*)
+          payload.values.map(dst => col("_c").getField(dst).as(dst)): _*)
   }
 }

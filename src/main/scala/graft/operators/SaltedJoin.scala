@@ -28,6 +28,8 @@ object SaltedJoin {
   def join(left: DataFrame, right: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
     require(saltBuckets >= 1)
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "inputs must not contain a _salt column")
     val salted = left.withColumn("_salt",
       pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
     val replicated = right.withColumn("_salt",

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.AsofJoin
 
 class AsofJoinSpec extends SparkSuite {
@@ -33,6 +35,33 @@ class AsofJoinSpec extends SparkSuite {
     val out = AsofJoin.asof(left, right, "k", "t", "rt", Map("v" -> "lv"))
       .head()
     assert(out.getDouble(3) == 42.0)
+  }
+
+  test("no row tearing: newest right row's null payload value wins") {
+    import spark.implicits._
+    val left = Seq((1L, ts(100), 0)).toDF("k", "t", "x")
+    val right = Seq(
+      (1L, ts(10), Option(5.0), "old"),
+      (1L, ts(20), Option.empty[Double], "new"))
+      .toDF("k", "rt", "price", "tag")
+    val out = AsofJoin.asof(left, right, "k", "t", "rt",
+      Map("price" -> "lp", "tag" -> "lt")).head()
+    // the t=20 row is the as-of match: its price is null and must NOT be
+    // backfilled from the older t=10 row (per-column carry would tear)
+    assert(out.isNullAt(out.fieldIndex("lp")))
+    assert(out.getString(out.fieldIndex("lt")) == "new")
+  }
+
+  test("null-array inputs to sketch kernels are safe") {
+    import graft.functions.HashFunctions._
+    import graft.functions.TextFunctions.tokens
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"),
+        minhash(shingles(tokens(col("text")))).as("sig"),
+        simhash64(tokens(col("text"))).as("sh"))
+    assert(df.count() == 2) // no NPE; null text → deterministic sketches
   }
 
   test("multiple payload columns carry together") {
