@@ -46,6 +46,21 @@ object HashFunctions {
         xxhash64(array_join(slice(sig, b * rows + lit(1), lit(rows)), ",")).as("key")))
   }
 
+  /** Band keys from a packed 64-bit long sketch (SimHash / SRP): `bands`
+    * (band, key) structs of `bitsPerBand` consecutive bits each — the long
+    * analog of [[lshBands]]. Pairs sharing any band are candidates
+    * (pigeonhole: complete for hamming ≤ bands-1).
+    */
+  def longBands(sketch: Column, bands: Int, bitsPerBand: Int): Column = {
+    require(bands * bitsPerBand <= 64,
+      s"bands*bitsPerBand = ${bands * bitsPerBand} exceeds 64 sketch bits")
+    val mask = (1L << bitsPerBand) - 1L
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        call_function("shiftright", sketch, b * bitsPerBand)
+          .bitwiseAND(mask).as("key")))
+  }
+
   /** Estimated Jaccard similarity from two MinHash signatures: fraction of
     * matching slots.
     */

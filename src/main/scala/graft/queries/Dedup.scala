@@ -113,10 +113,7 @@ object Dedup {
         .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
         .persist()
       val banded = docs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(7)), b =>
-          struct(b.as("band"),
-            call_function("shiftright", col("sh"), b * 8)
-              .bitwiseAND(255L).as("key")))).as("bk"))
+        explode(longBands(col("sh"), bands = 8, bitsPerBand = 8)).as("bk"))
       val a = banded.alias("a")
       val b = banded.alias("b")
       val pairs = a.join(b, col("a.bk") === col("b.bk") &&

@@ -79,10 +79,8 @@ object Similarity {
         .persist()
       // 4-bit slice per table: (sig >> 4t) & 0xF
       val keyed = base.select(col("vec_id"),
-        explode(transform(sequence(lit(0), lit(7)), t =>
-          struct(t.as("table"),
-            call_function("shiftright", col("sig"), t * 4)
-              .bitwiseAND(15L).as("key")))).as("tb"))
+        explode(graft.functions.HashFunctions.longBands(
+          col("sig"), bands = 8, bitsPerBand = 4)).as("tb"))
       val a = keyed.alias("a")
       val b = keyed.alias("b")
       val pairs = a.join(b, col("a.tb") === col("b.tb") &&

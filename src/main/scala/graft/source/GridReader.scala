@@ -56,10 +56,16 @@ final class GridReader(
   def axisValues(column: String): Array[Double] = {
     val fs = files()
     require(fs.nonEmpty, s"no grid files found under $dir")
-    read(Seq(fs.head.path))
+    axisValuesFrom(fs.head.path, column)
+  }
+
+  /** Axis values from a specific file — lets [[fetch]] reuse its own
+    * listing instead of listing the directory a second time.
+    */
+  def axisValuesFrom(path: String, column: String): Array[Double] =
+    read(Seq(path))
       .select(col(column).cast("double")).distinct()
       .orderBy(column).collect().map(_.getDouble(0))
-  }
 
   /** Fetch a `[start,end] × [hLo,hHi]` window as a long-form DataFrame with
     * a provenance-derived `time` column. Request validation follows the
@@ -82,7 +88,8 @@ final class GridReader(
     }
     val pruned = prune(all, s, e)
     require(pruned.nonEmpty, s"no grid files in window [$s,$e]")
-    val (snapLo, snapHi) = snapOutward(axisValues(hColumn), hLo, hHi)
+    val (snapLo, snapHi) =
+      snapOutward(axisValuesFrom(all.head.path, hColumn), hLo, hHi)
     withFileTime(read(pruned.map(_.path)))
       .filter(col(hColumn).cast("double").between(snapLo, snapHi))
   }

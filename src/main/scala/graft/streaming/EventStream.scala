@@ -22,21 +22,34 @@ object EventStream {
   final case class UserSnapshot(user_id: Long, n_events: Long,
       total_value: Double, last_ts: Long)
 
-  /** Running per-user totals with processing-time timeout eviction. */
+  /** Running per-user totals. With `ProcessingTimeTimeout`, state for a
+    * user idle longer than `idleTimeoutMs` is evicted (final snapshot
+    * emitted) — bounding the state store to active users.
+    */
   def runningUserTotals(events: Dataset[Event],
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      idleTimeoutMs: Long = 3600000L)
       : Dataset[UserSnapshot] = {
     import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .mapGroupsWithState[UserState, UserSnapshot](timeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
-          val next = batch.foldLeft(prev) { (s, e) =>
-            UserState(s.n_events + 1, s.total_value + e.value,
-              math.max(s.last_ts, e.ts.getTime))
+          if (state.hasTimedOut) {
+            // idle eviction: emit the final snapshot and drop the state
+            val last = state.get
+            state.remove()
+            UserSnapshot(userId, last.n_events, last.total_value, last.last_ts)
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+            val next = batch.foldLeft(prev) { (s, e) =>
+              UserState(s.n_events + 1, s.total_value + e.value,
+                math.max(s.last_ts, e.ts.getTime))
+            }
+            state.update(next)
+            if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
+            UserSnapshot(userId, next.n_events, next.total_value, next.last_ts)
           }
-          state.update(next)
-          UserSnapshot(userId, next.n_events, next.total_value, next.last_ts)
       }
   }
 

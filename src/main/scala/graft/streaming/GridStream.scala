@@ -58,9 +58,11 @@ object GridStream {
       stream: DataFrame,
       valueCol: String,
       cadence: Duration = Duration.ofMinutes(10)): DataFrame = {
-    val w = s"${cadence.toMinutes} minutes"
+    // seconds, not minutes: toMinutes would truncate a sub-minute cadence
+    // to an invalid "0 minutes" window (and silently misbucket 90s → 1m)
+    val w = s"${cadence.toSeconds} seconds"
     stream
-      .withWatermark("time", s"${2 * cadence.toMinutes} minutes")
+      .withWatermark("time", s"${2 * cadence.toSeconds} seconds")
       .groupBy(window(col("time"), w).as("win"))
       .agg(count(lit(1)).as("n_rows"),
         min(valueCol).as("min_v"),
@@ -81,10 +83,15 @@ object GridStream {
       stream: DataFrame,
       dir: String,
       keepSteps: Int,
-      onRefresh: GridFields => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+      onRefresh: GridFields => Unit,
+      trigger: Trigger = Trigger.ProcessingTime("10 minutes"))
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    // default trigger keeps refreshing at the file cadence — a hard-coded
+    // AvailableNow would drain once and leave the registry permanently
+    // stale; tests pass Trigger.AvailableNow() explicitly
     stream.writeStream
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (_: DataFrame, _: Long) =>
         val reader = new graft.source.GridReader(spark, dir)
         val files = reader.files().takeRight(keepSteps)

@@ -38,7 +38,8 @@ class StreamingSpec extends SparkSuite {
     val stream = GridStream.cadenceStream(spark, dir, schema, maxFilesPerTrigger = 5)
     @volatile var latest: Option[GridFields] = None
     val q = GridStream.refreshingRegistry(spark, stream, dir, keepSteps = 3,
-      kd => latest = Some(kd)).start()
+      kd => latest = Some(kd),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     assert(latest.isDefined, "registry never refreshed")
     val kd = latest.get
