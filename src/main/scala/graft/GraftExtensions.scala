@@ -23,10 +23,16 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_dot expects 2 arguments, got ${children.length}")
+        DotProduct(children.head, children(1))
+      }),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_cosine expects 2 arguments, got ${children.length}")
+        CosineSim(children.head, children(1))
+      }))
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit =

@@ -25,6 +25,12 @@ object Tables {
     * vectorized reader rejects; read nanos as long and truncate to a µs
     * TimestampType (`ts DIV 1000` — integer division; a double division
     * would lose precision above 2^53 ns). Matches DuckDB's nanos→µs read.
+    *
+    * NOTE: this sets `spark.sql.legacy.parquet.nanosAsLong` for the whole
+    * session — a deliberate session-level invariant here (only the events
+    * table carries nanos, and the key has no per-read option form). A
+    * deployment mixing nanos and non-nanos parquet should isolate reads in
+    * a dedicated session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

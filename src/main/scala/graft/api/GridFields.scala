@@ -58,6 +58,9 @@ final class GridFields(
     */
   def gridEval(name: String, overrides: Map[String, Array[Double]] = Map.empty)
       : (Array[Array[Double]], Array[Double]) = {
+    val unknown = overrides.keySet -- axisNames.toSet
+    require(unknown.isEmpty,
+      s"unknown axis name(s) ${unknown.mkString(",")}; axes are ${axisNames.mkString(",")}")
     val g = grid(name)
     val effAxes = axisNames.zipWithIndex.map { case (an, i) =>
       overrides.getOrElse(an, g.axes(i))
@@ -110,6 +113,9 @@ object GridFields {
       .flatMap(VarMeta.parse) ++
       extraVars.map(c => VarMeta(c, "", c))
     require(metas.nonEmpty, "no name[units] variable columns found")
+    val dups = metas.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate variable name(s) after unit stripping: ${dups.mkString(",")}")
     val grids = GridBuilder.fromLongForm(df, metas.map(_.column), axisCols, fillValue)
     new GridFields(
       metas.map(m => m.name -> (m, grids(m.column))).toMap,

@@ -39,11 +39,17 @@ object GridBuilder {
   def fromLongForm(df: DataFrame, valueCols: Seq[String],
       axisCols: Seq[String] = DefaultAxes, fillValue: Double = 0.0)
       : Map[String, RegularGrid] = {
-    val axes = axisCols.map(a => axis(df, a)).toArray
+    // persist: axis extraction runs one distinct-job per axis plus the
+    // dense collect below — five scans of an uncached multi-file window
+    // otherwise (the reference persists before its equivalent step too)
+    val cached = df.persist()
+    val axes = axisCols.map(a => axis(cached, a)).toArray
     val expected = axes.map(_.length.toLong).product
     val axisExprs = axisCols.map(a => col(a).cast("double").as(a))
-    val rows = df
-      .select(axisExprs ++ valueCols.map(v => col(v).cast("double")): _*)
+    // value columns are backtick-quoted: name[units] names may contain
+    // dots (e.g. kg.m-3) that col() would otherwise parse as field access
+    val rows = cached
+      .select(axisExprs ++ valueCols.map(v => col(s"`$v`").cast("double")): _*)
       .orderBy(axisCols.map(col): _*)
       .collect()
     require(rows.length == expected,
@@ -76,6 +82,7 @@ object GridBuilder {
         i += 1
       }
     }
+    cached.unpersist()
     valueCols.zipWithIndex.map { case (v, vi) =>
       val values = new Array[Double](rows.length)
       var i = 0
