@@ -35,9 +35,19 @@ object SparkEntry {
       Similarity.queries ++ MultimodalQueries.queries ++ GridQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omit for non-SQL-expressible ops. SQL may
+    * reference `{VERIFY_DIR}` — Verify substitutes the absolute dump dir so
+    * the oracle can read the signature side-tables (see [[sideDumps]]).
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Text.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ MultimodalQueries.oracleSql ++ GridQueries.oracleSql
+
+  /** Signature side-tables for the sketch queries: Spark-computed frames
+    * (xxhash64-based, not recomputable in DuckDB) that Verify dumps as
+    * parquet so the oracle SQL can replay the downstream pipeline —
+    * banding, bucket join, re-rank — from them. Keyed by dump-file stem.
+    */
+  def sideDumps: Map[String, (SparkSession, String) => DataFrame] =
+    Dedup.sideDumps ++ Similarity.sideDumps
 }

@@ -1,11 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Side tables (SparkEntry.sideDumps) let hash-based sketch pipelines be
+  * oracled: the Spark-computed signature frames (xxhash64-based — DuckDB
+  * cannot recompute them) are dumped as single parquet FILES in outDir, and
+  * the oracle SQL replays everything downstream of the signatures (banding,
+  * bucket join, hamming/similarity re-rank) from those dumps via
+  * read_parquet. Files (not directories) are invisible to the per-query
+  * compare loop, which iterates result directories only. The SQL references
+  * the dump location through a `{VERIFY_DIR}` placeholder substituted here
+  * at runtime, because only Verify knows the driver-chosen outDir.
+  *
+  * Usage: Verify <sfDir> <outDir> [comma-separated query filter]
+  * (the optional filter is a dev-iteration aid; the driver passes 2 args)
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    val filter: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +32,39 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val outAbs = new java.io.File(outDir).getAbsolutePath
+
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
+    val oracles = SparkEntry.oracleSql
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
+      .map { case (n, sql) => n -> sql.replace("{VERIFY_DIR}", outAbs) }
+
+    // side dumps first (the oracle SQL of the main queries reads them);
+    // only the dumps some selected oracle actually references are written
+    SparkEntry.sideDumps
+      .filter { case (key, _) => oracles.values.exists(_.contains(key)) }
+      .foreach { case (key, fn) =>
+        val tmp = s"$outDir/_tmp_$key"
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file for side dump $key"))
+          Files.move(part.toPath, Paths.get(s"$outDir/$key.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] side dump $key failed: ${e.getMessage}")
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(new java.io.File(tmp))
+          spark.catalog.clearCache()
+        }
+      }
+
+    queries.foreach { case (name, fn) =>
       // delete any previous result first: a failure below must not leave a
       // stale directory that the driver's compare would hash as current
       val target = new java.io.File(s"$outDir/$name")
@@ -31,7 +80,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist intermediates (materialization barriers); drop
-      // them so 36 queries don't accumulate cache
+      // them so 44 queries don't accumulate cache
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,7 +95,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HashFunctions._
 import graft.functions.TextFunctions.tokens
+import graft.operators.BucketCap
 
 /** Deduplication operator family over the `documents` table — the first
   * stage of any 100 TB training-corpus pipeline: exact dedup, n-gram
@@ -13,16 +14,50 @@ import graft.functions.TextFunctions.tokens
   *
   * Scale design: nothing here is quadratic in the corpus.
   *   - exact/rolling dedup: one hash-groupBy (shuffle on a 16-byte key);
-  *   - shingle Jaccard: explode → equi-join *on the shingle* → pair agg —
-  *     cost scales with shared-shingle mass, not with |corpus|²; at 100 TB
-  *     add the standard frequent-shingle cut (drop shingles with doc-freq
-  *     above a cap) before the join;
+  *   - shingle Jaccard: candidate pairs from an equi-join on *rare*
+  *     shingles (doc-frequency cut: shingles in more than [[DocFreqCap]]
+  *     docs never generate candidates — one hot shingle would otherwise
+  *     create a quadratic bucket), then an exact set-intersection re-rank
+  *     from the full shingle arrays, so the cut changes cost, not scores;
   *   - MinHash+LSH: fixed-width signatures (32 longs/doc) + banding join on
-  *     (band, key) — the canonical sub-quadratic near-dup path;
-  *   - SimHash: 64-bit sketch per doc; the pair scan is blocked by `lang`
-  *     here (small blocks); at scale block by sketch prefix instead.
+  *     (band, key) with a bucket-size cap ([[BucketCap]]) — the canonical
+  *     sub-quadratic near-dup path, robust to adversarial buckets;
+  *   - SimHash: 64-bit sketch per doc, banded by 8-bit slices (complete
+  *     for hamming ≤ 7), capped the same way.
+  *
+  * Oracle strategy for the xxhash64-based queries (dd3, dd4, dd6, dd7):
+  * DuckDB cannot recompute the signatures, so Verify dumps the signature
+  * frames (side_doc_sigs, side_dd4_sketches, and Similarity's
+  * side_srp_sigs) and the oracle SQL replays the full downstream pipeline
+  * — banding, bucket cap, candidate join, scoring, thresholds — from the
+  * dumps. The signature kernels themselves are covered by unit/property
+  * specs (SketchesSpec, DedupSimilaritySpec).
   */
 object Dedup {
+
+  /** dd2 doc-frequency cut: shingles appearing in more than this many docs
+    * (per language) are excluded from candidate generation. Measured on the
+    * driver corpora: true pairs (J ≥ 0.6) always share a shingle with
+    * doc-freq ≤ 4, and the global max doc-freq is 14 at sf0.1 — 32 keeps
+    * every true pair reachable at test SFs while bounding any hot shingle's
+    * join contribution to cap²/2 pairs at 100 TB.
+    */
+  private[queries] val DocFreqCap = 32
+
+  /** LSH bucket-size cap for dd3/dd4 (see [[BucketCap]]): far above any
+    * organic bucket at the test SFs; engages only on pathological
+    * exact-dup floods, whose pairs dd1 already accounts for.
+    */
+  private[queries] val LshBucketCap = 1000
+
+  /** Per-document MinHash signature frame (doc_id, lang, sig) — shared by
+    * dd3 (signatures) and dd6 (per-language merge), and dumped by Verify
+    * as `side_doc_sigs` for their oracle replays.
+    */
+  private[queries] def docSigs(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -36,31 +71,47 @@ object Dedup {
         .select("doc_id", "n_copies")
     }),
 
-    // Word-trigram shingle Jaccard near-dup pairs (exact, not sketched):
-    // explode shingles → equi-join on (lang, shingle) → per-pair shared
-    // count → J = shared / (|A| + |B| - shared) >= 0.6.
+    // Word-trigram shingle Jaccard near-dup pairs (exact scores): candidate
+    // pairs share ≥1 *rare* shingle (df in [2, DocFreqCap] — singletons
+    // can't pair, hot shingles are the quadratic risk), then the exact
+    // J = |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.6 re-rank from the full arrays.
     "dd2_shingle_jaccard" -> ((s, dir) => {
       // persisted: otherwise project-collapse inlines the shingle kernel
-      // into the explode AND its implicit size>0 filter AND the nsh column
-      // (4 evaluations per row); explode_outer skips the size>0 filter
-      // entirely (shingle arrays are never empty — short docs yield one
-      // whole-text shingle)
+      // into the explode AND the re-rank joins (multiple evaluations per
+      // row); explode_outer skips the implicit size>0 filter (shingle
+      // arrays are never empty — short docs yield one whole-text shingle)
       val docs = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"),
           shingles(tokens(col("text"))).as("sh"))
         .withColumn("nsh", size(col("sh")))
         .persist()
-      val ex = docs.select(col("doc_id"), col("lang"), col("nsh"),
+      val ex = docs.select(col("doc_id"), col("lang"),
         explode_outer(col("sh")).as("shingle"))
-      val a = ex.alias("a")
-      val b = ex.alias("b")
-      a.join(b,
+      // doc-frequency cut: candidates only through shingles 2..cap docs
+      // share. The groupBy and the semi-join shuffle on the same
+      // (lang, shingle) key the pair join uses — co-partitioned stages.
+      val rareKeys = ex.groupBy("lang", "shingle")
+        .agg(count(lit(1)).as("dfreq"))
+        .filter(col("dfreq").between(2, DocFreqCap))
+        .select("lang", "shingle")
+      val rare = ex.join(rareKeys, Seq("lang", "shingle"), "left_semi")
+      val a = rare.alias("a")
+      val b = rare.alias("b")
+      val cand = a.join(b,
           col("a.shingle") === col("b.shingle") &&
             col("a.lang") === col("b.lang") &&
             col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          col("a.nsh").as("na"), col("b.nsh").as("nb"))
-        .agg(count(lit(1)).as("shared"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      // exact re-rank: set intersection of the full (distinct) shingle
+      // arrays — the doc-freq cut above affects which pairs are *checked*,
+      // never the score a checked pair receives
+      cand
+        .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i"),
+          col("nsh").as("na")), "i")
+        .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j"),
+          col("nsh").as("nb")), "j")
+        .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
         .withColumn("jac", col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")).cast("double"))
         .filter(col("jac") >= 0.6)
@@ -68,10 +119,10 @@ object Dedup {
     }),
 
     // MinHash (k=32) + LSH banding (16 bands × 2 rows): candidate pairs
-    // from bucket collisions, scored by signature agreement. Sub-quadratic:
-    // the join key is (band, bucket-hash), never the document. No oracle —
-    // signatures hash with Spark's xxhash64 — correctness is covered by
-    // DedupSpec's recall assertion against dd2's exact pairs.
+    // from bucket collisions (bucket-size capped), scored by signature
+    // agreement. Sub-quadratic: the join key is (band, bucket-hash), never
+    // the document. Oracled via the side_doc_sigs dump replay; recall vs
+    // dd2's exact pairs is asserted by DedupSpec.
     "dd3_minhash_lsh" -> ((s, dir) => {
       // Signatures are persisted before the self-join: without the
       // materialization barrier, Catalyst's project-collapse would inline
@@ -79,14 +130,12 @@ object Dedup {
       // recompute it per *pair* instead of per *document* (measured 80 s →
       // 2 s at sf0.1). The banding join then moves only (doc_id, band)
       // pairs; signatures are re-attached once per surviving pair.
-      val sigs = Tables.spread(Tables.documents(s, dir))
-        .select(col("doc_id"),
-          minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
-        .persist()
+      val sigs = docSigs(s, dir).select("doc_id", "sig").persist()
       val banded = sigs.select(col("doc_id"),
         explode(lshBands(col("sig"), bands = 16, rows = 2)).as("band"))
-      val a = banded.alias("a")
-      val b = banded.alias("b")
+      val capped = BucketCap.capBuckets(banded, Seq("band"), LshBucketCap)
+      val a = capped.alias("a")
+      val b = capped.alias("b")
       val pairs = a.join(b, col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -102,11 +151,11 @@ object Dedup {
     // SimHash sketching, banded (sub-quadratic): 64-bit majority-vote
     // sketch per doc, candidates = pairs sharing ≥1 of 8 8-bit sketch
     // bands (pigeonhole: complete for hamming ≤ 7 — every such pair has a
-    // clean band; measured near-dups sit at hamming ≤ 5), then exact
-    // Hamming re-rank, 20 closest. The join key is (band, 8-bit slice) —
-    // never doc×doc — so cost scales with band bucket occupancy, not
-    // corpus². No oracle (xxhash64-based); DedupSpec asserts true
-    // near-dups rank closest.
+    // clean band; measured near-dups sit at hamming ≤ 5), bucket-size
+    // capped, then exact Hamming re-rank, 20 closest. The join key is
+    // (band, 8-bit slice) — never doc×doc — so cost scales with band
+    // bucket occupancy, not corpus². Oracled via the side_dd4_sketches
+    // dump replay; DedupSpec asserts true near-dups rank closest.
     "dd4_simhash" -> ((s, dir) => {
       // persist: one 64-bit sketch per doc, computed once (not per pair)
       val docs = Tables.spread(Tables.documents(s, dir))
@@ -114,8 +163,9 @@ object Dedup {
         .persist()
       val banded = docs.select(col("doc_id"),
         explode(longBands(col("sh"), bands = 8, bitsPerBand = 8)).as("bk"))
-      val a = banded.alias("a")
-      val b = banded.alias("b")
+      val capped = BucketCap.capBuckets(banded, Seq("bk"), LshBucketCap)
+      val a = capped.alias("a")
+      val b = capped.alias("b")
       val pairs = a.join(b, col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -133,12 +183,11 @@ object Dedup {
     // path): one merged signature per language (map-side combined; k longs
     // per group cross the shuffle, never documents), then pairwise
     // signature agreement = estimated Jaccard overlap of the languages'
-    // shingle unions. No oracle (xxhash-based); DedupSimilaritySpec proves
+    // shingle unions. Oracled via the side_doc_sigs dump replay (DuckDB
+    // re-merges elementwise and re-scores); DedupSimilaritySpec proves
     // merge(sig(A), sig(B)) == sig(A ∪ B) exactly.
     "dd6_corpus_sketch" -> ((s, dir) => {
-      val sketches = Tables.spread(Tables.documents(s, dir))
-        .select(col("lang"),
-          minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
+      val sketches = docSigs(s, dir)
         .groupBy("lang")
         .agg(graft.functions.MinHashAgg.minhashMerge(col("sig")).as("sketch"))
         .persist()
@@ -151,20 +200,24 @@ object Dedup {
     }),
 
     // Embedding-cosine near-dup pairs (the semantic-dedup operator):
-    // all pairs with cosine >= 0.4 over pre-normalized unit vectors —
-    // codegen dot product per pair. Quadratic pair scan is fine at this
-    // corpus size; the 100 TB path swaps in the s3/s4 candidate
-    // generation and keeps this exact re-rank.
+    // SRP banding candidates (Similarity.srpCandidates — bucket join on
+    // 4-bit signature slices, capped; shared machinery with s3) + exact
+    // cosine re-rank at threshold 0.4 over pre-normalized unit vectors.
+    // Exact precision (every emitted pair really has cos ≥ 0.4, by the
+    // re-rank); probabilistic recall (a pair at angle θ collides in ≥1 of
+    // 8 4-bit tables with P = 1-(1-(1-θ/π)⁴)⁸ — →1 for near-identical
+    // vectors, ≈0.75 at the 0.4 threshold floor; DedupSimilaritySpec pins
+    // the measured recall). Replaces the former all-pairs vec_id<vec_id
+    // scan — a BroadcastNestedLoopJoin that was quadratic at corpus scale;
+    // PlanShapeSpec asserts the new plan contains no nested-loop join.
+    // Oracled via the side_srp_sigs dump replay.
     "dd7_embed_neardup" -> ((s, dir) => {
-      import graft.functions.VectorFunctions.{dot, normalized}
-      val e = Tables.spread(Tables.embeddings(s, dir))
-        .select(col("vec_id"), normalized(col("embedding")).as("unit"))
-        .persist()
-      val a = e.alias("a")
-      val b = e.alias("b")
-      a.join(b, col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-          dot(col("a.unit"), col("b.unit")).as("cos_sim"))
+      import graft.functions.VectorFunctions.dot
+      val base = Similarity.srpBase(s, dir).persist()
+      Similarity.srpCandidates(base, Similarity.DefaultBucketCap)
+        .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
+        .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
+        .select(col("i"), col("j"), dot(col("u_i"), col("u_j")).as("cos_sim"))
         .filter(col("cos_sim") >= 0.4)
     }),
 
@@ -179,6 +232,22 @@ object Dedup {
           count_distinct(col("fp")).as("n_distinct_seq"))
     })
   )
+
+  /** Side-tables Verify dumps for the oracle replays (see class doc). */
+  val sideDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "side_doc_sigs" -> ((s, dir) => docSigs(s, dir)),
+    "side_dd4_sketches" -> ((s, dir) =>
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh")))
+  )
+
+  /** Signature-agreement score in DuckDB: fraction of equal slots of two
+    * 32-long signature lists — the replay of
+    * [[graft.functions.HashFunctions.minhashSimilarity]].
+    */
+  private def sigAgreeSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 33), " +
+      s"x -> CASE WHEN $a[x] = $b[x] THEN 1 ELSE 0 END)) / 32.0"
 
   val oracleSql: Map[String, String] = Map(
     "dd1_exact" ->
@@ -205,19 +274,79 @@ object Dedup {
         |FROM pairs
         |WHERE shared::DOUBLE / (na + nb - shared) >= 0.6""".stripMargin,
 
+    // replay of dd3 from the dumped signatures: band keys are the raw
+    // 2-slot signature slices (Spark buckets on xxhash64 of the same
+    // slice — identical collision semantics), bucket sizes replicate the
+    // cap, then agreement scoring at the same threshold.
+    "dd3_minhash_lsh" ->
+      s"""WITH sigs AS (SELECT doc_id, sig
+         |             FROM read_parquet('{VERIFY_DIR}/side_doc_sigs.parquet')),
+         |keyed AS (SELECT doc_id, b, sig[2 * b + 1] AS k1, sig[2 * b + 2] AS k2
+         |          FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS b
+         |                FROM sigs)),
+         |szs AS (SELECT b, k1, k2, count(*) AS bsz FROM keyed GROUP BY 1, 2, 3),
+         |ok AS (SELECT keyed.* FROM keyed JOIN szs USING (b, k1, k2)
+         |       WHERE bsz <= $LshBucketCap),
+         |pairs AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+         |          FROM ok a JOIN ok b2 USING (b, k1, k2)
+         |          WHERE a.doc_id < b2.doc_id)
+         |SELECT i, j, est_jac FROM (
+         |  SELECT i, j, ${sigAgreeSql("sa.sig", "sb.sig")} AS est_jac
+         |  FROM pairs
+         |  JOIN sigs sa ON sa.doc_id = i
+         |  JOIN sigs sb ON sb.doc_id = j)
+         |WHERE est_jac >= 0.5""".stripMargin,
+
+    // replay of dd4 from the dumped sketches: 8-bit band slices via
+    // arithmetic shift + mask (same low bits as Spark's shiftright), cap,
+    // then exact Hamming re-rank.
+    "dd4_simhash" ->
+      s"""WITH sk AS (SELECT doc_id, sh
+         |           FROM read_parquet('{VERIFY_DIR}/side_dd4_sketches.parquet')),
+         |keyed AS (SELECT doc_id, b, (sh >> (8 * b)) & 255 AS k
+         |          FROM (SELECT doc_id, sh, unnest(range(0, 8)) AS b FROM sk)),
+         |szs AS (SELECT b, k, count(*) AS bsz FROM keyed GROUP BY 1, 2),
+         |ok AS (SELECT keyed.* FROM keyed JOIN szs USING (b, k)
+         |       WHERE bsz <= $LshBucketCap),
+         |pairs AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+         |          FROM ok a JOIN ok b2 USING (b, k)
+         |          WHERE a.doc_id < b2.doc_id)
+         |SELECT i, j, CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming
+         |FROM pairs
+         |JOIN sk sa ON sa.doc_id = i
+         |JOIN sk sb ON sb.doc_id = j
+         |ORDER BY hamming, i, j
+         |LIMIT 20""".stripMargin,
+
+    // replay of dd6 from the dumped per-doc signatures: the Aggregator's
+    // merge is elementwise min, so DuckDB re-merges (unnest → per-slot min
+    // → reassemble in slot order) and re-scores agreement.
+    "dd6_corpus_sketch" ->
+      s"""WITH ds AS (SELECT lang, sig
+         |           FROM read_parquet('{VERIFY_DIR}/side_doc_sigs.parquet')),
+         |ex AS (SELECT lang, unnest(sig) AS v,
+         |              unnest(range(1, len(sig) + 1)) AS pos
+         |       FROM ds),
+         |merged AS (SELECT lang, pos, min(v) AS mv FROM ex GROUP BY 1, 2),
+         |sk AS (SELECT lang, list(mv ORDER BY pos) AS sketch
+         |       FROM merged GROUP BY lang)
+         |SELECT a.lang AS lang_i, b.lang AS lang_j,
+         |  ${sigAgreeSql("a.sketch", "b.sketch")} AS est_overlap
+         |FROM sk a JOIN sk b ON a.lang < b.lang
+         |ORDER BY lang_i, lang_j""".stripMargin,
+
     "dd5_rolling_fp" ->
       "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_seq FROM documents",
 
+    // replay of dd7 from the dumped SRP signatures (shared with s3): same
+    // banding/cap/candidate CTEs, exact cosine re-rank at threshold 0.4.
     "dd7_embed_neardup" ->
-      """SELECT a.vec_id AS i, b.vec_id AS j,
-        |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-        |    AS cos_sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-        |  >= 0.4""".stripMargin
+      s"""WITH ${Similarity.srpCandidatesSql(Similarity.DefaultBucketCap)}
+         |SELECT i, j, cos_sim FROM (
+         |  SELECT i, j, list_dot_product(sa.unit, sb.unit) AS cos_sim
+         |  FROM pairs
+         |  JOIN sigs sa ON sa.vec_id = i
+         |  JOIN sigs sb ON sb.vec_id = j)
+         |WHERE cos_sim >= 0.4""".stripMargin
   )
 }

@@ -156,7 +156,12 @@ object Relational {
           get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
           regexp_extract(col("event_type"), "(\\w+)", 1).as("etype_word"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"),
-          (unix_timestamp(col("ts")).cast("double")).as("ts_epoch_s"))
+          // epoch seconds as double via µs/1e6 — the same IEEE division the
+          // oracle's epoch_us(...)/1000000.0 performs. unix_timestamp()
+          // truncates to whole seconds and hash-mismatches a fractional
+          // oracle; a raw epoch() on a nanos-read table would differ in the
+          // sub-µs digits. Explicit µs arithmetic is exact on both sides.
+          (col("ts").cast("double")).as("ts_epoch_s"))
         .filter(col("prop_k") > 90)
     }),
 
@@ -250,9 +255,14 @@ object Relational {
         .withColumn("session_id",
           sum("new_session").over(byUser.rowsBetween(
             Window.unboundedPreceding, Window.currentRow)))
+      // session_start as integral epoch-µs BIGINT: a raw timestamp column
+      // would hash differently depending on whether the oracle engine reads
+      // the nanos parquet type at ns or µs precision; unix_micros on the
+      // µs-truncated ts and epoch_us(CAST(... AS TIMESTAMP)) are the same
+      // integer on both sides (min commutes with truncation).
       e.groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
-          min("ts").as("session_start"))
+          unix_micros(min("ts")).as("session_start_us"))
     }),
 
     // Histogram binning: fixed-width buckets over the value domain —
@@ -385,7 +395,7 @@ object Relational {
         |  CAST(props->>'$.k' AS BIGINT) AS prop_k,
         |  regexp_extract(event_type, '(\w+)', 1) AS etype_word,
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
-        |  CAST(epoch(ts) AS DOUBLE) AS ts_epoch_s
+        |  epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS ts_epoch_s
         |FROM events
         |WHERE event_type = 'purchase'
         |  AND CAST(props->>'$.k' AS BIGINT) > 90""".stripMargin,
@@ -414,7 +424,7 @@ object Relational {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(ts) AS session_start
+        |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us
         |FROM g GROUP BY user_id, session_id""".stripMargin,
 
     // DuckDB 1.0 has no width_bucket; the arithmetic below is its exact

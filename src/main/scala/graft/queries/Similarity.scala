@@ -1,11 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.operators.BucketCap
 
 /** Similarity search over the `embeddings` table (`Array[Float]` vectors):
   * brute-force cosine top-k as the exact baseline, all-pairs top similarity,
@@ -17,16 +17,83 @@ import graft.functions.VectorFunctions._
   * Beyond that, s3's signature-bucket join bounds candidates per probe;
   * the signature is computed from deterministic hash-derived hyperplanes,
   * so there is no model state to broadcast at all.
+  *
+  * Oracle strategy for the hash-based queries (s3, s4, and Dedup's dd7,
+  * which reuses this module's SRP machinery): DuckDB cannot recompute
+  * xxhash64 signatures, so Verify dumps the signature/assignment frames as
+  * parquet side-tables and the oracle SQL replays everything *downstream*
+  * of the signatures — banding, bucket-size cap, candidate join, exact
+  * cosine re-rank — from those dumps. The sketch computation itself is
+  * covered by SketchesSpec/DedupSimilaritySpec unit+property tests.
   */
 object Similarity {
 
-  /** Driver-side lookup of one embedding to use as the query point —
-    * becomes an array literal in the plan (implicit broadcast).
+  /** SRP banding config shared by s3 and dd7 (and their oracle replays):
+    * 8 tables × 4-bit keys from one 32-bit signature.
+    * P[candidate] = 1-(1-p^4)^8 with p = 1 - angle/π.
     */
-  private def queryVec(s: SparkSession, dir: String, id: Long): Array[Double] =
-    Tables.embeddings(s, dir).filter(col("vec_id") === id)
-      .select(transform(col("embedding"), x => x.cast("double")))
-      .head().getSeq[Double](0).toArray
+  private[queries] val SrpBands = 8
+  private[queries] val SrpBitsPerBand = 4
+  private[queries] val SrpSigBits = 32
+
+  /** Bucket-size cap (see [[BucketCap]]): far above any organic bucket at
+    * the test SFs — it engages only on pathological buckets (exact-dup
+    * floods, zero vectors), bounding per-bucket join work at cap²/2.
+    */
+  private[queries] val DefaultBucketCap = 1000
+
+  /** Shared SRP frame (vec_id, unit, sig) — computed once, persisted by
+    * callers, and dumped by Verify as `side_srp_sigs` for the oracle.
+    */
+  private[queries] def srpBase(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        normalized(col("embedding")).as("unit"),
+        srpSignature(col("embedding"), nBits = SrpSigBits).as("sig"))
+
+  /** SRP candidate pairs (i < j) from banding collisions over `base`
+    * (must carry vec_id + sig). Bucket join on the (band, key) slice —
+    * never vector×vector; oversized buckets are capped.
+    */
+  private[queries] def srpCandidates(base: DataFrame, cap: Int): DataFrame = {
+    val keyed = base.select(col("vec_id"),
+      explode(graft.functions.HashFunctions.longBands(
+        col("sig"), bands = SrpBands, bitsPerBand = SrpBitsPerBand)).as("tb"))
+    val capped = BucketCap.capBuckets(keyed, Seq("tb"), cap)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    a.join(b, col("a.tb") === col("b.tb") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+  }
+
+  /** IVF assignment frame (vec_id, cent_id, unit): coarse quantizer =
+    * every 53rd vector as a centroid (deterministic stand-in for trained
+    * k-means — the Spark plumbing is identical); every vector assigns to
+    * its nearest centroid via broadcast join + `max_by` hash aggregation
+    * (partial/final HashAggregate with map-side combine — N×C rows never
+    * shuffle; the former row_number-window formulation shuffled all of
+    * them to sort each vec_id partition).
+    */
+  private[queries] def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+    val cents = e.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("cent_id"), col("unit").as("cent"))
+    // argmax by (sim, then smallest cent_id): max of the (sim, -cent_id)
+    // struct is lexicographic, reproducing the old window's deterministic
+    // ORDER BY sim DESC, cent_id tie-break. unit is constant per vec_id
+    // (one embedding row fanned out over C centroids), so first() is
+    // deterministic-by-construction here.
+    e.join(broadcast(cents))
+      .withColumn("sim", dot(col("unit"), col("cent")))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("sim"), (-col("cent_id")).as("nc")))
+          .as("cent_id"),
+        first("unit").as("unit"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -62,32 +129,16 @@ object Similarity {
         .limit(20)
     }),
 
-    // SRP-LSH ANN: 8 hash tables × 4-bit random-hyperplane bands (from one
-    // 32-bit signature); candidate pairs collide in ≥1 table, then exact
-    // cosine re-rank, top-10. Candidates scale with bucket occupancy, not
-    // corpus² — the 100 TB path. Band width tunes recall vs cost:
-    // P(candidate) = 1-(1-p^4)^8 with p = 1 - angle/π (≈0.83 at cos 0.5).
-    // No oracle (hash-derived hyperplanes); DedupSimilaritySpec asserts
-    // recall vs s2's exact pairs.
+    // SRP-LSH ANN: banding candidates (see srpCandidates) + exact cosine
+    // re-rank, top-10. Candidates scale with bucket occupancy (capped),
+    // not corpus² — the 100 TB path. Oracled end-to-end via the
+    // side_srp_sigs dump replay; recall vs s2's exact pairs is asserted by
+    // DedupSimilaritySpec.
     "s3_ann_srp" -> ((s, dir) => {
       // persist: the 32-hyperplane signature and the unit vector are
       // computed once per vector, never inside the bucket join
-      val base = Tables.spread(Tables.embeddings(s, dir))
-        .select(col("vec_id"),
-          normalized(col("embedding")).as("unit"),
-          srpSignature(col("embedding"), nBits = 32).as("sig"))
-        .persist()
-      // 4-bit slice per table: (sig >> 4t) & 0xF
-      val keyed = base.select(col("vec_id"),
-        explode(graft.functions.HashFunctions.longBands(
-          col("sig"), bands = 8, bitsPerBand = 4)).as("tb"))
-      val a = keyed.alias("a")
-      val b = keyed.alias("b")
-      val pairs = a.join(b, col("a.tb") === col("b.tb") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-        .distinct()
-      pairs
+      val base = srpBase(s, dir).persist()
+      srpCandidates(base, DefaultBucketCap)
         .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
         .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
         .select(col("i"), col("j"), dot(col("u_i"), col("u_j")).as("cos_sim"))
@@ -95,37 +146,26 @@ object Similarity {
         .limit(10)
     }),
 
-    // IVF-flat ANN: coarse quantizer = every 53rd vector as a centroid
-    // (deterministic stand-in for trained k-means — the Spark plumbing is
-    // identical); vectors assign to their nearest centroid (broadcast
-    // centroid join), the query probes its nprobe=4 nearest cells and
-    // exact-ranks only those cells' vectors. At 100 TB the assignment is
-    // one broadcast join + write partitioned by cell; a probe then reads
-    // nprobe partitions instead of the corpus. No oracle (probe subset);
-    // DedupSimilaritySpec asserts recall vs s1's exact top-10.
+    // IVF-flat ANN: nearest-centroid assignment (broadcast join + max_by
+    // hash agg — see ivfAssign), then the query probes its nprobe=4
+    // nearest cells and exact-ranks only those cells' vectors. At 100 TB
+    // the assignment is one broadcast join + write partitioned by cell; a
+    // probe then reads nprobe partitions instead of the corpus. Oracled
+    // via the side_s4_assign dump replay; recall vs s1's exact top-10 is
+    // asserted by DedupSimilaritySpec.
     "s4_ivf_knn" -> ((s, dir) => {
-      val e = Tables.spread(Tables.embeddings(s, dir))
-        .select(col("vec_id"), normalized(col("embedding")).as("unit"))
-        .persist()
-      val cents = e.filter(col("vec_id") % 53 === 0)
-        .select(col("vec_id").as("cent_id"), col("unit").as("cent"))
-      // assign every vector to its nearest centroid
-      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
-      val assigned = e.join(broadcast(cents))
-        .withColumn("sim", dot(col("unit"), col("cent")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id"), col("unit"))
-        .persist()
+      val assigned = ivfAssign(s, dir).persist()
+      val cents = assigned.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
       // query = vec 0; probe its 4 nearest centroids
       val qUnit = typedlit(
         assigned.filter(col("vec_id") === 0L).select("unit")
           .head().getSeq[Double](0))
       val probed = cents
         .withColumn("qsim", dot(col("cent"), qUnit))
-        .orderBy(col("qsim").desc, col("cent_id"))
+        .orderBy(col("qsim").desc, col("pc_id"))
         .limit(4)
-        .select("cent_id")
+        .select(col("pc_id").as("cent_id"))
       assigned.join(broadcast(probed), "cent_id")
         .filter(col("vec_id") =!= 0L)
         .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
@@ -134,10 +174,45 @@ object Similarity {
     })
   )
 
+  /** Driver-side lookup of one embedding to use as the query point —
+    * becomes an array literal in the plan (implicit broadcast).
+    */
+  private def queryVec(s: SparkSession, dir: String, id: Long): Array[Double] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === id)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0).toArray
+
+  /** Side-tables Verify dumps for the oracle replays (see class doc). */
+  val sideDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "side_srp_sigs" -> ((s, dir) => srpBase(s, dir)),
+    "side_s4_assign" -> ((s, dir) => ivfAssign(s, dir))
+  )
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+  /** DuckDB replay of [[srpCandidates]] from the side_srp_sigs dump: band
+    * keys are the raw 4-bit signature slices ((sig >> 4b) & 15 — DuckDB's
+    * arithmetic `>>` then mask extracts the same bits as Spark's
+    * shiftright), bucket sizes replicate the cap, candidates are distinct
+    * colliding i<j pairs. CTE block ending in `pairs` + `sigs`.
+    */
+  private[queries] def srpCandidatesSql(cap: Int): String = {
+    val mask = (1 << SrpBitsPerBand) - 1
+    s"""sigs AS (SELECT vec_id, unit, sig
+       |        FROM read_parquet('{VERIFY_DIR}/side_srp_sigs.parquet')),
+       |keyed AS (SELECT vec_id, b, (sig >> ($SrpBitsPerBand * b)) & $mask AS k
+       |          FROM (SELECT vec_id, sig, unnest(range(0, $SrpBands)) AS b
+       |                FROM sigs)),
+       |szs AS (SELECT b, k, count(*) AS bsz FROM keyed GROUP BY 1, 2),
+       |ok AS (SELECT keyed.* FROM keyed JOIN szs USING (b, k)
+       |       WHERE bsz <= $cap),
+       |pairs AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
+       |          FROM ok a JOIN ok b2 USING (b, k)
+       |          WHERE a.vec_id < b2.vec_id)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "s1_knn_brute" ->
@@ -154,6 +229,30 @@ object Similarity {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |ORDER BY cos_sim DESC, i, j
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    "s3_ann_srp" ->
+      s"""WITH ${srpCandidatesSql(DefaultBucketCap)}
+         |SELECT i, j, list_dot_product(sa.unit, sb.unit) AS cos_sim
+         |FROM pairs
+         |JOIN sigs sa ON sa.vec_id = i
+         |JOIN sigs sb ON sb.vec_id = j
+         |ORDER BY cos_sim DESC, i, j
+         |LIMIT 10""".stripMargin,
+
+    "s4_ivf_knn" ->
+      """WITH assign AS (SELECT vec_id, cent_id, unit
+        |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+        |cents AS (SELECT vec_id AS pc_id, unit AS cent FROM assign
+        |          WHERE vec_id % 53 = 0),
+        |q AS (SELECT unit AS qu FROM assign WHERE vec_id = 0),
+        |probed AS (SELECT pc_id AS cent_id FROM cents, q
+        |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
+        |           LIMIT 4)
+        |SELECT a.vec_id, list_dot_product(a.unit, q.qu) AS cos_sim
+        |FROM assign a JOIN probed USING (cent_id), q
+        |WHERE a.vec_id <> 0
+        |ORDER BY cos_sim DESC, a.vec_id
+        |LIMIT 10""".stripMargin
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BucketCap
+
+/** Physical-plan shape and adversarial-input guarantees for the bucketed
+  * candidate-generation queries:
+  *   - dd7 (semantic near-dup) must not plan a nested-loop/cartesian pair
+  *     scan — that was the quadratic scale-killer its SRP rewrite removed;
+  *   - s4's nearest-centroid assignment must be a hash aggregation (map-side
+  *     combinable), not a window sort over the N×C similarity rows;
+  *   - BucketCap bounds the pair explosion of a pathological bucket (a
+  *     flood of identical members) while leaving organic buckets intact.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("dd7 plan has no nested-loop or cartesian join") {
+    val p = plan("dd7_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dd7: exact precision, measured recall vs the exact pair set") {
+    import graft.functions.VectorFunctions.cosine
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val a = e.alias("a"); val b = e.alias("b")
+    val exact = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cs"))
+      .filter(col("cs") >= 0.4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("dd7_embed_neardup")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact: the cosine re-rank admits only true pairs
+    assert((got -- exact).isEmpty, s"false positives: ${got -- exact}")
+    // recall is probabilistic: 8 tables × 4-bit bands give each pair at
+    // the cos-0.4 threshold floor P(candidate) ≈ 0.75 (higher as cos → 1);
+    // assert a conservative floor well above a broken-banding failure mode
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${got.size}/${exact.size})")
+  }
+
+  test("s4 assignment aggregates instead of window-sorting N×C rows") {
+    val p = plan("s4_ivf_knn")
+    assert(!p.contains("Window"), "nearest-centroid should be max_by, not row_number")
+    assert(p.contains("Aggregate"), "expected partial/final aggregation")
+  }
+
+  test("bucket cap drops a pathological flood but keeps organic buckets") {
+    import spark.implicits._
+    // 1000 members hash to one bucket (a boilerplate flood) + two organic
+    // buckets; capped candidate generation must not touch the flood
+    val rows = (0 until 1000).map(i => (i.toLong, "hot")) ++
+      Seq((2000L, "a"), (2001L, "a"), (3000L, "b"), (3001L, "b"))
+    val keyed = rows.toDF("doc_id", "bk")
+    val capped = BucketCap.capBuckets(keyed, Seq("bk"), cap = 100)
+    assert(capped.filter(col("bk") === "hot").count() == 0)
+    val a = capped.alias("a"); val b = capped.alias("b")
+    val pairs = a.join(b, col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+    // without the cap this join would emit 1000·999/2 ≈ 5·10⁵ flood pairs
+    assert(pairs.length == 2)
+  }
+
+  test("bucket cap is replay-consistent: kept buckets are untouched") {
+    import spark.implicits._
+    val keyed = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "bk")
+    val capped = BucketCap.capBuckets(keyed, Seq("bk"), cap = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(capped == Set((1L, "x"), (2L, "x"), (3L, "y")))
+  }
+}
