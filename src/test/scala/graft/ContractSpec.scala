@@ -31,4 +31,25 @@ class ContractSpec extends SparkSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every side-table an oracle references has a registered dump") {
+    val ref = "\\{VERIFY_DIR\\}/([A-Za-z0-9_]+)\\.parquet".r
+    val referenced = SparkEntry.oracleSql.values
+      .flatMap(sql => ref.findAllMatchIn(sql).map(_.group(1))).toSet
+    val missing = referenced -- SparkEntry.sideDumps.keySet
+    assert(missing.isEmpty, s"oracles reference undumped side-tables: $missing")
+    // and nothing is dumped for no reason (dead cost in Verify)
+    val unused = SparkEntry.sideDumps.keySet -- referenced
+    assert(unused.isEmpty, s"side dumps no oracle reads: $unused")
+  }
+
+  test("every side dump executes with rows > 0 at sf0.001") {
+    val empty = SparkEntry.sideDumps.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = fn(spark, sf).count()
+        spark.catalog.clearCache()
+        if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"empty side dumps: $empty")
+  }
 }
