@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bucket-size cap for LSH candidate generation (dd3/dd4/s3/dd7).
@@ -16,9 +15,16 @@ import org.apache.spark.sql.functions._
   * hash-groupBy exact pass, dd1) or boilerplate collisions that exact
   * re-ranking would discard. The cap bounds per-bucket work at cap²/2.
   *
-  * Cost: one window count over the bucket key — a single shuffle that the
-  * following self-join reuses (same key → co-partitioned, AQE merges the
-  * exchanges).
+  * Plan shape: bucket sizes come from a map-side-combined hash aggregation
+  * (only (key, partial-count) pairs cross the shuffle), the `> cap` filter
+  * leaves a near-empty oversize list, and the anti-join against it is
+  * AQE-broadcast in practice — so the banded frame itself is never
+  * shuffled just to be counted. (A window-count formulation would shuffle
+  * every banded row on the bucket key before the join; measured slower at
+  * sf0.1 and strictly more data movement at scale.) The oversize list is
+  * deliberately NOT hint-broadcast: in the adversarial worst case it can
+  * have up to |rows|/cap entries, and AQE's runtime-stats decision
+  * degrades gracefully to a shuffled anti-join instead of an OOM.
   *
   * The same cap must be replayed by the DuckDB oracle (a size-filtered
   * bucket join over the dumped signature frames) so capped results stay
@@ -31,9 +37,13 @@ object BucketCap {
     */
   def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     require(cap >= 2, s"cap $cap would drop every pair-producing bucket")
-    val w = Window.partitionBy(keyCols.map(col): _*)
-    df.withColumn("_bsz", count(lit(1)).over(w))
-      .filter(col("_bsz") <= cap)
-      .drop("_bsz")
+    val oversize = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > cap)
+      .select(keyCols.map(col): _*)
+    // the using-columns anti join reorders key columns first; restore the
+    // caller's column order so the cap is a transparent filter
+    df.join(oversize, keyCols, "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }

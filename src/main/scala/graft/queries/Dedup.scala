@@ -200,21 +200,22 @@ object Dedup {
     }),
 
     // Embedding-cosine near-dup pairs (the semantic-dedup operator):
-    // SRP banding candidates (Similarity.srpCandidates — bucket join on
-    // 4-bit signature slices, capped; shared machinery with s3) + exact
-    // cosine re-rank at threshold 0.4 over pre-normalized unit vectors.
-    // Exact precision (every emitted pair really has cos ≥ 0.4, by the
-    // re-rank); probabilistic recall (a pair at angle θ collides in ≥1 of
-    // 8 4-bit tables with P = 1-(1-(1-θ/π)⁴)⁸ — →1 for near-identical
-    // vectors, ≈0.75 at the 0.4 threshold floor; DedupSimilaritySpec pins
-    // the measured recall). Replaces the former all-pairs vec_id<vec_id
-    // scan — a BroadcastNestedLoopJoin that was quadratic at corpus scale;
+    // multiprobe SRP banding candidates (Similarity.srpCandidates —
+    // bucket join on 4-bit signature slices plus their 1-bit-flip
+    // neighbors, capped; machinery shared with s3) + exact cosine re-rank
+    // at threshold 0.4 over pre-normalized unit vectors. Exact precision
+    // (every emitted pair really has cos ≥ 0.4, by the re-rank);
+    // probabilistic recall ≈0.998 even at the 0.4 threshold floor (→1 for
+    // near-identical vectors); PlanShapeSpec pins the measured recall.
+    // Replaces the former all-pairs vec_id<vec_id scan — a
+    // BroadcastNestedLoopJoin that was quadratic at corpus scale;
     // PlanShapeSpec asserts the new plan contains no nested-loop join.
     // Oracled via the side_srp_sigs dump replay.
     "dd7_embed_neardup" -> ((s, dir) => {
       import graft.functions.VectorFunctions.dot
       val base = Similarity.srpBase(s, dir).persist()
-      Similarity.srpCandidates(base, Similarity.DefaultBucketCap)
+      Similarity.srpCandidates(base, Similarity.DefaultBucketCap,
+          multiprobe = true)
         .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
         .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
         .select(col("i"), col("j"), dot(col("u_i"), col("u_j")).as("cos_sim"))
@@ -339,9 +340,10 @@ object Dedup {
       "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_seq FROM documents",
 
     // replay of dd7 from the dumped SRP signatures (shared with s3): same
-    // banding/cap/candidate CTEs, exact cosine re-rank at threshold 0.4.
+    // banding/cap/multiprobe CTEs, exact cosine re-rank at threshold 0.4.
     "dd7_embed_neardup" ->
-      s"""WITH ${Similarity.srpCandidatesSql(Similarity.DefaultBucketCap)}
+      s"""WITH ${Similarity.srpCandidatesSql(Similarity.DefaultBucketCap,
+             multiprobe = true)}
          |SELECT i, j, cos_sim FROM (
          |  SELECT i, j, list_dot_product(sa.unit, sb.unit) AS cos_sim
          |  FROM pairs

@@ -54,13 +54,32 @@ object Similarity {
   /** SRP candidate pairs (i < j) from banding collisions over `base`
     * (must carry vec_id + sig). Bucket join on the (band, key) slice —
     * never vector×vector; oversized buckets are capped.
+    *
+    * `multiprobe`: additionally probe every 1-bit-flip neighbor of each
+    * band key (the standard multiprobe-LSH trick) — a pair then collides
+    * when some band is within Hamming distance 1, lifting per-band match
+    * probability from p⁴ to p⁴+4p³(1-p) (≈0.16 → ≈0.53 at the cos-0.4
+    * floor; over 8 tables: pair recall ≈0.75 → ≈0.998) for a 5× probe
+    * fan-out instead of more tables/signature bits. Off for top-k ANN
+    * (s3 — ranked output tolerates misses; keep the join light), on for
+    * near-dup dedup (dd7 — recall is the product).
     */
-  private[queries] def srpCandidates(base: DataFrame, cap: Int): DataFrame = {
+  private[queries] def srpCandidates(base: DataFrame, cap: Int,
+      multiprobe: Boolean = false): DataFrame = {
     val keyed = base.select(col("vec_id"),
       explode(graft.functions.HashFunctions.longBands(
         col("sig"), bands = SrpBands, bitsPerBand = SrpBitsPerBand)).as("tb"))
     val capped = BucketCap.capBuckets(keyed, Seq("tb"), cap)
-    val a = capped.alias("a")
+    val probes = if (!multiprobe) capped else {
+      // flip 0 (the exact key) then each of the band's bits; the flip
+      // relation is symmetric, so probing one side of the self-join covers
+      // hamming-1 pairs
+      val flips = 0L +: (0 until SrpBitsPerBand).map(b => (1L << b))
+      capped.select(col("vec_id"), explode(array(flips.map(f =>
+        struct(col("tb").getField("band").as("band"),
+          col("tb").getField("key").bitwiseXOR(lit(f)).as("key"))): _*)).as("tb"))
+    }
+    val a = probes.alias("a")
     val b = capped.alias("b")
     a.join(b, col("a.tb") === col("b.tb") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -197,10 +216,18 @@ object Similarity {
     * keys are the raw 4-bit signature slices ((sig >> 4b) & 15 — DuckDB's
     * arithmetic `>>` then mask extracts the same bits as Spark's
     * shiftright), bucket sizes replicate the cap, candidates are distinct
-    * colliding i<j pairs. CTE block ending in `pairs` + `sigs`.
+    * colliding i<j pairs (probe keys XOR-flipped when multiprobe is on).
+    * CTE block ending in `pairs` + `sigs`.
     */
-  private[queries] def srpCandidatesSql(cap: Int): String = {
+  private[queries] def srpCandidatesSql(cap: Int,
+      multiprobe: Boolean = false): String = {
     val mask = (1 << SrpBitsPerBand) - 1
+    val flips = 0 +: (0 until SrpBitsPerBand).map(b => 1 << b)
+    val probeSide =
+      if (!multiprobe) "ok"
+      else s"""(SELECT vec_id, b, xor(k, f) AS k
+              |           FROM ok, unnest([${flips.mkString(", ")}]) AS t(f))"""
+        .stripMargin
     s"""sigs AS (SELECT vec_id, unit, sig
        |        FROM read_parquet('{VERIFY_DIR}/side_srp_sigs.parquet')),
        |keyed AS (SELECT vec_id, b, (sig >> ($SrpBitsPerBand * b)) & $mask AS k
@@ -210,7 +237,7 @@ object Similarity {
        |ok AS (SELECT keyed.* FROM keyed JOIN szs USING (b, k)
        |       WHERE bsz <= $cap),
        |pairs AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
-       |          FROM ok a JOIN ok b2 USING (b, k)
+       |          FROM $probeSide a JOIN ok b2 USING (b, k)
        |          WHERE a.vec_id < b2.vec_id)""".stripMargin
   }
 
