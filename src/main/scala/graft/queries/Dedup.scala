@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HashFunctions._
 import graft.functions.TextFunctions.tokens
-import graft.operators.BucketCap
+import graft.operators.{BucketCap, ConnectedComponents}
 
 /** Deduplication operator family over the `documents` table — the first
   * stage of any 100 TB training-corpus pipeline: exact dedup, n-gram
-  * Jaccard near-dup, MinHash+LSH candidate generation, and SimHash.
+  * Jaccard near-dup, MinHash+LSH candidate generation, SimHash, and
+  * near-dup cluster formation.
   *
   * Scale design: nothing here is quadratic in the corpus.
   *   - exact/rolling dedup: one hash-groupBy (shuffle on a 16-byte key);
@@ -23,7 +24,9 @@ import graft.operators.BucketCap
   *     (band, key) with a bucket-size cap ([[BucketCap]]) — the canonical
   *     sub-quadratic near-dup path, robust to adversarial buckets;
   *   - SimHash: 64-bit sketch per doc, banded by 8-bit slices (complete
-  *     for hamming ≤ 7), capped the same way.
+  *     for hamming ≤ 7), capped the same way;
+  *   - clusters: iterative min-label propagation over the (sparse) pair
+  *     list — rounds bounded by component diameter.
   *
   * Oracle strategy for the xxhash64-based queries (dd3, dd4, dd6, dd7):
   * DuckDB cannot recompute the signatures, so Verify dumps the signature
@@ -59,6 +62,55 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
 
+  /** dd2's body (shared with dd8's cluster formation): one row per
+    * near-dup pair, (i, j, jac) with exact Jaccard ≥ 0.6. Candidate pairs
+    * share ≥1 *rare* shingle (df in [2, DocFreqCap] — singletons can't
+    * pair, hot shingles are the quadratic risk), then the exact
+    * J = |A∩B| / (|A|+|B|-|A∩B|) re-rank runs on the full arrays.
+    */
+  private def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // persisted: otherwise project-collapse inlines the shingle kernel
+    // into the explode AND the re-rank joins (multiple evaluations per
+    // row); explode_outer skips the implicit size>0 filter (shingle
+    // arrays are never empty — short docs yield one whole-text shingle)
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        shingles(tokens(col("text"))).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .persist()
+    val ex = docs.select(col("doc_id"), col("lang"),
+      explode_outer(col("sh")).as("shingle"))
+    // doc-frequency cut: candidates only through shingles 2..cap docs
+    // share. The groupBy and the semi-join shuffle on the same
+    // (lang, shingle) key the pair join uses — co-partitioned stages.
+    val rareKeys = ex.groupBy("lang", "shingle")
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq").between(2, DocFreqCap))
+      .select("lang", "shingle")
+    val rare = ex.join(rareKeys, Seq("lang", "shingle"), "left_semi")
+    val a = rare.alias("a")
+    val b = rare.alias("b")
+    val cand = a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    // exact re-rank: set intersection of the full (distinct) shingle
+    // arrays — the doc-freq cut above affects which pairs are *checked*,
+    // never the score a checked pair receives
+    cand
+      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i"),
+        col("nsh").as("na")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j"),
+        col("nsh").as("nb")), "j")
+      .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jac", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jac") >= 0.6)
+      .select("i", "j", "jac")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup keep-list: one survivor (min doc_id) per distinct text,
@@ -71,58 +123,27 @@ object Dedup {
         .select("doc_id", "n_copies")
     }),
 
-    // Word-trigram shingle Jaccard near-dup pairs (exact scores): candidate
-    // pairs share ≥1 *rare* shingle (df in [2, DocFreqCap] — singletons
-    // can't pair, hot shingles are the quadratic risk), then the exact
-    // J = |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.6 re-rank from the full arrays.
-    "dd2_shingle_jaccard" -> ((s, dir) => {
-      // persisted: otherwise project-collapse inlines the shingle kernel
-      // into the explode AND the re-rank joins (multiple evaluations per
-      // row); explode_outer skips the implicit size>0 filter (shingle
-      // arrays are never empty — short docs yield one whole-text shingle)
-      val docs = Tables.spread(Tables.documents(s, dir))
-        .select(col("doc_id"), col("lang"),
-          shingles(tokens(col("text"))).as("sh"))
-        .withColumn("nsh", size(col("sh")))
-        .persist()
-      val ex = docs.select(col("doc_id"), col("lang"),
-        explode_outer(col("sh")).as("shingle"))
-      // doc-frequency cut: candidates only through shingles 2..cap docs
-      // share. The groupBy and the semi-join shuffle on the same
-      // (lang, shingle) key the pair join uses — co-partitioned stages.
-      val rareKeys = ex.groupBy("lang", "shingle")
-        .agg(count(lit(1)).as("dfreq"))
-        .filter(col("dfreq").between(2, DocFreqCap))
-        .select("lang", "shingle")
-      val rare = ex.join(rareKeys, Seq("lang", "shingle"), "left_semi")
-      val a = rare.alias("a")
-      val b = rare.alias("b")
-      val cand = a.join(b,
-          col("a.shingle") === col("b.shingle") &&
-            col("a.lang") === col("b.lang") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
-      // exact re-rank: set intersection of the full (distinct) shingle
-      // arrays — the doc-freq cut above affects which pairs are *checked*,
-      // never the score a checked pair receives
-      cand
-        .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i"),
-          col("nsh").as("na")), "i")
-        .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j"),
-          col("nsh").as("nb")), "j")
-        .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
-        .withColumn("jac", col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")).cast("double"))
-        .filter(col("jac") >= 0.6)
-        .select("i", "j", "jac")
+    // Word-trigram shingle Jaccard near-dup pairs — see
+    // [[shingleJaccardPairs]] for the doc-freq-cut + exact-re-rank design.
+    "dd2_shingle_jaccard" -> ((s, dir) => shingleJaccardPairs(s, dir)),
+
+    // Near-dup cluster formation — the final dedup step: fold dd2's pair
+    // list into connected components ([[ConnectedComponents]]) and name
+    // each doc's cluster representative (the component's min doc_id), so
+    // "keep one doc per near-dup cluster" becomes a single filter
+    // (doc_id = cluster_rep). The oracle replays components with a
+    // recursive CTE over the same (exact, oracled) dd2 pairs.
+    "dd8_neardup_clusters" -> ((s, dir) => {
+      val pairs = shingleJaccardPairs(s, dir).select("i", "j").persist()
+      ConnectedComponents.components(pairs, "i", "j")
+        .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
     }),
 
     // MinHash (k=32) + LSH banding (16 bands × 2 rows): candidate pairs
     // from bucket collisions (bucket-size capped), scored by signature
     // agreement. Sub-quadratic: the join key is (band, bucket-hash), never
     // the document. Oracled via the side_doc_sigs dump replay; recall vs
-    // dd2's exact pairs is asserted by DedupSpec.
+    // dd2's exact pairs is asserted by DedupSimilaritySpec.
     "dd3_minhash_lsh" -> ((s, dir) => {
       // Signatures are persisted before the self-join: without the
       // materialization barrier, Catalyst's project-collapse would inline
@@ -155,7 +176,7 @@ object Dedup {
     // capped, then exact Hamming re-rank, 20 closest. The join key is
     // (band, 8-bit slice) — never doc×doc — so cost scales with band
     // bucket occupancy, not corpus². Oracled via the side_dd4_sketches
-    // dump replay; DedupSpec asserts true near-dups rank closest.
+    // dump replay; DedupSimilaritySpec asserts true near-dups rank closest.
     "dd4_simhash" -> ((s, dir) => {
       // persist: one 64-bit sketch per doc, computed once (not per pair)
       val docs = Tables.spread(Tables.documents(s, dir))
@@ -250,30 +271,52 @@ object Dedup {
     s"list_sum(list_transform(range(1, 33), " +
       s"x -> CASE WHEN $a[x] = $b[x] THEN 1 ELSE 0 END)) / 32.0"
 
+  /** dd2's oracle as a reusable CTE chain ending in `dd2res (i, j, jac)` —
+    * dd8's component oracle builds on the same pair list.
+    */
+  private val dd2CtesSql: String =
+    """docs AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                             for i in range(1, len(toks) - 1)])
+      |    END AS sh
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+      |),
+      |allpairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    len(list_intersect(a.sh, b.sh)) AS shared,
+      |    len(a.sh) AS na, len(b.sh) AS nb
+      |  FROM docs a JOIN docs b
+      |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |),
+      |dd2res AS (
+      |  SELECT i, j, shared::DOUBLE / (na + nb - shared) AS jac
+      |  FROM allpairs
+      |  WHERE shared::DOUBLE / (na + nb - shared) >= 0.6
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dd1_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "dd2_shingle_jaccard" ->
-      """WITH docs AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                             for i in range(1, len(toks) - 1)])
-        |    END AS sh
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-        |),
-        |pairs AS (
-        |  SELECT a.doc_id AS i, b.doc_id AS j,
-        |    len(list_intersect(a.sh, b.sh)) AS shared,
-        |    len(a.sh) AS na, len(b.sh) AS nb
-        |  FROM docs a JOIN docs b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |)
-        |SELECT i, j, shared::DOUBLE / (na + nb - shared) AS jac
-        |FROM pairs
-        |WHERE shared::DOUBLE / (na + nb - shared) >= 0.6""".stripMargin,
+      s"""WITH $dd2CtesSql
+         |SELECT i, j, jac FROM dd2res""".stripMargin,
+
+    // components of the dd2 pair graph via a recursive CTE: reach(node, r)
+    // enumerates every id reachable from node inside its component (UNION
+    // dedups, so it terminates); min reachable id == the propagated label.
+    "dd8_neardup_clusters" ->
+      s"""WITH RECURSIVE $dd2CtesSql,
+         |edges AS (SELECT i, j FROM dd2res UNION SELECT j, i FROM dd2res),
+         |reach(node, r) AS (
+         |  SELECT i, i FROM edges
+         |  UNION
+         |  SELECT e.i, reach.r FROM edges e JOIN reach ON e.j = reach.node)
+         |SELECT node AS doc_id, min(r) AS cluster_rep
+         |FROM reach GROUP BY node""".stripMargin,
 
     // replay of dd3 from the dumped signatures: band keys are the raw
     // 2-slot signature slices (Spark buckets on xxhash64 of the same

@@ -78,8 +78,45 @@ object Text {
           size(regexTokens(col("text"))).as("n_pieces"),
           tokenCount(col("text")).as("n_ws_tokens"))
         .filter(col("doc_id") < 200)
+    }),
+
+    // Deterministic hash split: reproducible train/validation/test
+    // assignment from the md5 of the stable key — the standard
+    // sampling/splitting primitive for corpus pipelines (any executor, any
+    // partitioning, any engine computes the same assignment; rates are hex
+    // prefix thresholds: 0x1999/0xFFFF ≈ 10% test, next ≈10% validation).
+    // Contrast with rand()/sample(): not reproducible across engines, and
+    // re-runs reshuffle documents between splits.
+    "t7_hash_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 4).as("h"))
+        .withColumn("split",
+          when(col("h") < "1999", "test")
+            .when(col("h") < "3333", "validation")
+            .otherwise("train"))
+    }),
+
+    // Redaction transform: regexp_replace token scrubbing + a count of
+    // redactions — the shape of a PII-scrub pass (emails, phone numbers,
+    // ids). The synthetic corpus carries no digits or emails, so the
+    // pattern redacts a stopword set instead — the plan (codegen'd
+    // regexp_replace + regexp_extract_all in one scan, no UDF) is
+    // identical for any pattern list.
+    "t8_scrub" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), ScrubPattern, "<STOP>").as("text_clean"),
+          size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(1)))
+            .as("n_redactions"))
+        .filter(col("doc_id") < 150)
     })
   )
+
+  /** Stand-in scrub pattern (see t8): \b-anchored alternation, identical
+    * semantics in Java regex and DuckDB's RE2.
+    */
+  private val ScrubPattern = "\\b(the|a|of|and|in|to|is)\\b"
 
   private val langCase: String = {
     val scores = LangProfiles.map { case (l, ws) =>
@@ -141,6 +178,20 @@ object Text {
         |  len(regexp_extract_all(text, '(\w+|[^\w\s])', 1)) AS n_pieces,
         |  len(string_split(text,' ')) AS n_ws_tokens
         |FROM documents
-        |WHERE doc_id < 200""".stripMargin
+        |WHERE doc_id < 200""".stripMargin,
+
+    "t7_hash_split" ->
+      """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' THEN 'test'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 'validation'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    "t8_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '\b(the|a|of|and|in|to|is)\b', '<STOP>', 'g') AS text_clean,
+        |  len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b', 1)) AS n_redactions
+        |FROM documents
+        |WHERE doc_id < 150""".stripMargin
   )
 }

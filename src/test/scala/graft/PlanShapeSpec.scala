@@ -70,6 +70,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(pairs.length == 2)
   }
 
+  test("connected components: transitive chains collapse to one label") {
+    import graft.operators.ConnectedComponents
+    import spark.implicits._
+    // path 1-2-3-4 (diameter 3 — needs >1 propagation round), pair 10-11,
+    // and a cross edge 4-10 merging both into one component at the end
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (4L, 10L))
+      .toDF("src", "dst")
+    val got = ConnectedComponents.components(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 1L, 11L -> 1L))
+    // two separate components keep separate min labels
+    val two = ConnectedComponents.components(
+      Seq((5L, 6L), (8L, 7L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("bucket cap is replay-consistent: kept buckets are untouched") {
     import spark.implicits._
     val keyed = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "bk")
