@@ -31,6 +31,11 @@ object ConnectedComponents {
       maxIter: Int = 12): DataFrame = {
     val p = pairs.select(col(src).as("i"), col(dst).as("j"))
     val edges = p.union(p.select(col("j").as("i"), col("i").as("j"))).persist()
+    // materialize before the loop: the union references `p` twice and the
+    // loop references `edges` every round — an unpopulated cache would let
+    // the first job race both union branches through the full upstream
+    // DAG (measured 3× the pair-computation cost on dd8)
+    edges.count()
     var labels = edges.select(col("i").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()

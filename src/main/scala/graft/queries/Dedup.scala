@@ -78,32 +78,67 @@ object Dedup {
         shingles(tokens(col("text"))).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .persist()
+    // shingles are hashed to 64-bit keys for everything before the exact
+    // re-rank: the doc-freq groupBy, the semi join, and the pair join then
+    // shuffle/compare 8-byte longs instead of ~25-byte strings. Equal
+    // shingles hash equal, so no candidate path disappears; a 64-bit
+    // collision (~|shingles|²/2⁶⁵) can add a spurious candidate (removed
+    // by the exact re-rank) or inflate one doc-freq count — both harmless
+    // at these odds.
     val ex = docs.select(col("doc_id"), col("lang"),
-      explode_outer(col("sh")).as("shingle"))
+      explode_outer(col("sh")).as("shingle_str"))
+      .select(col("doc_id"), col("lang"), xxhash64(col("shingle_str")).as("shingle"))
     // doc-frequency cut: candidates only through shingles 2..cap docs
     // share. The groupBy and the semi-join shuffle on the same
     // (lang, shingle) key the pair join uses — co-partitioned stages.
-    val rareKeys = ex.groupBy("lang", "shingle")
+    val dfreqs = ex.groupBy("lang", "shingle")
       .agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq").between(2, DocFreqCap))
+      .persist()
+    val rareKeys = dfreqs.filter(col("dfreq").between(2, DocFreqCap))
       .select("lang", "shingle")
+    val hotKeys = dfreqs.filter(col("dfreq") > DocFreqCap)
+      .select("lang", "shingle")
+    // per-doc count of hot (over-cap) shingles: bounds how much shared
+    // mass the candidate join can't see. Usually an empty frame — the cap
+    // is above every organic doc-freq at the test SFs.
+    val nhot = ex.join(hotKeys, Seq("lang", "shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("nhot"))
     val rare = ex.join(rareKeys, Seq("lang", "shingle"), "left_semi")
     val a = rare.alias("a")
     val b = rare.alias("b")
+    // candidate pairs carry their rare-shingle overlap for free (the same
+    // shuffle a DISTINCT would need): shared = shared_rare + shared_hot
     val cand = a.join(b,
         col("a.shingle") === col("b.shingle") &&
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared_rare"))
+    // upper-bound prefilter before touching any array: shared_hot ≤
+    // min(nhot_i, nhot_j) and jac is increasing in shared, so pairs whose
+    // bound can't reach the threshold are dropped using only integer
+    // columns — the exact set intersection below then runs on the ~true
+    // pairs, not on every candidate (sf0.1: ~10² array ops instead of
+    // ~10⁶). With no hot shingles the bound is exact and the re-rank
+    // confirms it.
+    val sizes = docs.select(col("doc_id"), col("nsh"))
+    val bounded = cand
+      .join(sizes.select(col("doc_id").as("i"), col("nsh").as("na")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("nsh").as("nb")), "j")
+      .join(nhot.select(col("doc_id").as("i"), col("nhot").as("nhot_i")),
+        Seq("i"), "left")
+      .join(nhot.select(col("doc_id").as("j"), col("nhot").as("nhot_j")),
+        Seq("j"), "left")
+      .withColumn("ub", col("shared_rare") +
+        least(coalesce(col("nhot_i"), lit(0L)), coalesce(col("nhot_j"), lit(0L))))
+      .filter(col("ub").cast("double") /
+        (col("na") + col("nb") - col("ub")).cast("double") >= 0.6)
     // exact re-rank: set intersection of the full (distinct) shingle
-    // arrays — the doc-freq cut above affects which pairs are *checked*,
-    // never the score a checked pair receives
-    cand
-      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i"),
-        col("nsh").as("na")), "i")
-      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j"),
-        col("nsh").as("nb")), "j")
+    // arrays — the doc-freq cut and the bound above affect which pairs are
+    // *checked*, never the score a checked pair receives
+    bounded.select("i", "j", "na", "nb")
+      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
       .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
       .withColumn("jac", col("shared").cast("double") /
         (col("na") + col("nb") - col("shared")).cast("double"))
@@ -135,6 +170,7 @@ object Dedup {
     // recursive CTE over the same (exact, oracled) dd2 pairs.
     "dd8_neardup_clusters" -> ((s, dir) => {
       val pairs = shingleJaccardPairs(s, dir).select("i", "j").persist()
+      pairs.count() // populate the cache before components() fans out
       ConnectedComponents.components(pairs, "i", "j")
         .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
     }),
