@@ -94,6 +94,26 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: provenance + index + frame payload. */
+  final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling as a batched generator op: each payload explodes into
+    * its kept frames (every `every`-th `frameSize`-chunk) — the
+    * video-frame-sampling shape, one output row per kept frame. Narrow
+    * (no shuffle); output cardinality is payload-bound, so downstream
+    * per-frame work parallelizes past the per-item row count.
+    */
+  def sampleFrameRows(media: Dataset[MediaRow], frameSize: Int, every: Int,
+      batchSize: Int = 64): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { m =>
+        FakeCodec.sampleFrames(m.payload, frameSize, every).zipWithIndex
+          .map { case (f, k) => MediaFrame(m.media_id, k, f) }
+      })
+    }
+  }
+
   /** Resize as a batched partition op, payload-in/payload-out. */
   def resize(media: Dataset[MediaRow], targetBytes: Int, batchSize: Int = 64): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

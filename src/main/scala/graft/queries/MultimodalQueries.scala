@@ -44,6 +44,18 @@ object MultimodalQueries {
       Multimodal.decodeMeta(resized).toDF()
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"))
         .filter(col("media_id") < 100)
+    }),
+
+    // Frame sampling (the video shape): every 2nd 64-byte frame, one row
+    // per kept frame, then per-item frame accounting — checks the
+    // generator op's cardinality and the exact bytes kept.
+    "mm4_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrameRows(
+          Multimodal.mediaFromDocuments(s, dir), frameSize = 64, every = 2)
+        .toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("kept_bytes"))
     })
   )
 
@@ -74,6 +86,17 @@ object MultimodalQueries {
         |  (least(octet_length(encode(text)), 128) % 256 + 1)::INT AS width,
         |  (least(octet_length(encode(text)), 128) // 256 + 1)::INT AS height
         |FROM documents
-        |WHERE doc_id < 100""".stripMargin
+        |WHERE doc_id < 100""".stripMargin,
+
+    // frames = ceil(n/64) chunks, kept = even indices; last chunk is
+    // short (n - i*64 bytes). Every doc is ≥1 byte, so no empty-item row
+    // divergence between the aggregate and this per-doc arithmetic.
+    "mm4_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  (((octet_length(encode(text)) + 63) // 64) + 1) // 2 AS n_frames,
+        |  CAST(list_sum([least(64, octet_length(encode(text)) - i * 64)
+        |                 for i in range(0, (octet_length(encode(text)) + 63) // 64)
+        |                 if i % 2 = 0]) AS BIGINT) AS kept_bytes
+        |FROM documents""".stripMargin
   )
 }
