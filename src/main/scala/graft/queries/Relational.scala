@@ -178,6 +178,17 @@ object Relational {
       Tables.events(s, dir).select("event_type").distinct()
     }),
 
+    // Cube (§2.5): all 2² grouping sets in one pass — Expand multiplies
+    // each row into its grouping-set shapes, then a single partial/final
+    // hash agg; no per-set rescan. Group keys kept low-cardinality so the
+    // Expand fan-out (4×) is the only cost multiplier.
+    "q22_cube" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("user_id") < 40)
+        .cube(col("event_type"), (col("user_id") % 4).as("user_band"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    }),
+
     // Exact interpolated percentiles (median/p90) per event type — Spark's
     // sort-based `percentile` and DuckDB's `quantile_cont` share the same
     // linear-interpolation definition, so values hash-match exactly.
@@ -406,6 +417,13 @@ object Relational {
 
     "q11_distinct" ->
       "SELECT DISTINCT event_type FROM events",
+
+    "q22_cube" ->
+      """SELECT event_type, user_id % 4 AS user_band,
+        |  count(*) AS n, sum(value) AS sum_value
+        |FROM events
+        |WHERE user_id < 40
+        |GROUP BY CUBE (event_type, user_id % 4)""".stripMargin,
 
     "q19_sessionize" ->
       """WITH e AS (
