@@ -80,7 +80,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist intermediates (materialization barriers); drop
-      // them so 44 queries don't accumulate cache
+      // them so successive queries don't accumulate cache
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
