@@ -107,10 +107,14 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.iterator.flatMap { m =>
-        FakeCodec.sampleFrames(m.payload, frameSize, every).zipWithIndex
-          .map { case (f, k) => MediaFrame(m.media_id, k, f) }
-      })
+      it.grouped(batchSize).flatMap { batch =>
+        // one "library call" per batch in a real codec (as in decodeMeta —
+        // a real video demuxer amortizes container parsing across a batch)
+        batch.iterator.flatMap { m =>
+          FakeCodec.sampleFrames(m.payload, frameSize, every).zipWithIndex
+            .map { case (f, k) => MediaFrame(m.media_id, k, f) }
+        }
+      }
     }
   }
 

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * edge list against the current labels and takes the per-node min of the
   * neighbors' labels; labels converge in ≤ component-diameter rounds.
   * Near-dup clusters are near-cliques (diameter 1-2), so the loop is
-  * short; the stop condition is an `isEmpty` convergence probe with a hard
-  * iteration cap as a backstop. Each round costs one shuffled equi-join +
+  * short; the stop condition is an `isEmpty` convergence probe, and
+  * exceeding `maxIter` throws rather than returning silently-truncated
+  * labels. Each round costs one shuffled equi-join +
   * one hash aggregation over the *edge list* — never the corpus — and the
   * per-round result is re-persisted so lineage stays flat across
   * iterations. For billion-edge, high-diameter graphs the
@@ -52,6 +53,12 @@ object ConnectedComponents {
           least(col("l.label"),
             coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
         .persist()
+      // fully materialize next BEFORE probing convergence and dropping the
+      // previous round's cache: the isEmpty probe can short-circuit after
+      // one differing row, leaving next partially cached — unpersisting
+      // labels then would make later rounds recompute through the whole
+      // chain of dropped prior rounds
+      next.count()
       converged = next.alias("a")
         .join(labels.alias("b"), col("a.node") === col("b.node"))
         .filter(col("a.label") =!= col("b.label"))
@@ -61,6 +68,12 @@ object ConnectedComponents {
       iter += 1
     }
     edges.unpersist()
+    // fail loudly: truncated propagation would silently mislabel every
+    // node of a deeper-than-maxIter component (and fail any exact check
+    // downstream in a way that looks like a different bug)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it for this graph")
     labels
   }
 }

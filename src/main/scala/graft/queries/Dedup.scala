@@ -134,8 +134,10 @@ object Dedup {
       .filter(col("ub").cast("double") /
         (col("na") + col("nb") - col("ub")).cast("double") >= 0.6)
     // exact re-rank: set intersection of the full (distinct) shingle
-    // arrays — the doc-freq cut and the bound above affect which pairs are
-    // *checked*, never the score a checked pair receives
+    // arrays — the doc-freq cut and the bound above affect which pairs
+    // are *reachable* (a pair sharing only over-cap shingles is not —
+    // the oracle replays the same cut), never the score a checked pair
+    // receives
     bounded.select("i", "j", "na", "nb")
       .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
       .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
@@ -309,9 +311,17 @@ object Dedup {
 
   /** dd2's oracle as a reusable CTE chain ending in `dd2res (i, j, jac)` —
     * dd8's component oracle builds on the same pair list.
+    *
+    * Replays the doc-frequency cut exactly (like every other capped
+    * oracle): candidates must share a shingle with df in [2, DocFreqCap],
+    * then the exact intersection re-rank scores them. This keeps the gate
+    * faithful on ANY corpus — a pair whose every shared shingle is hot is
+    * unreachable on both sides — and makes the oracle itself
+    * sub-quadratic (the former all-pairs list_intersect CTE was the
+    * slowest oracle at sf0.1).
     */
   private val dd2CtesSql: String =
-    """docs AS (
+    s"""docs AS (
       |  SELECT doc_id, lang,
       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -319,16 +329,25 @@ object Dedup {
       |    END AS sh
       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
       |),
-      |allpairs AS (
-      |  SELECT a.doc_id AS i, b.doc_id AS j,
-      |    len(list_intersect(a.sh, b.sh)) AS shared,
-      |    len(a.sh) AS na, len(b.sh) AS nb
-      |  FROM docs a JOIN docs b
-      |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |ex AS (SELECT doc_id, lang, unnest(sh) AS shingle FROM docs),
+      |dfreq AS (SELECT lang, shingle, count(*) AS df FROM ex GROUP BY 1, 2),
+      |rare AS (SELECT ex.* FROM ex JOIN dfreq USING (lang, shingle)
+      |         WHERE df BETWEEN 2 AND $DocFreqCap),
+      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |         FROM rare a JOIN rare b
+      |           ON a.lang = b.lang AND a.shingle = b.shingle
+      |              AND a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT i, j,
+      |    len(list_intersect(da.sh, db.sh)) AS shared,
+      |    len(da.sh) AS na, len(db.sh) AS nb
+      |  FROM cand
+      |  JOIN docs da ON da.doc_id = i
+      |  JOIN docs db ON db.doc_id = j
       |),
       |dd2res AS (
       |  SELECT i, j, shared::DOUBLE / (na + nb - shared) AS jac
-      |  FROM allpairs
+      |  FROM scored
       |  WHERE shared::DOUBLE / (na + nb - shared) >= 0.6
       |)""".stripMargin
 

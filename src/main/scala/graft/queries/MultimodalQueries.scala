@@ -89,14 +89,16 @@ object MultimodalQueries {
         |WHERE doc_id < 100""".stripMargin,
 
     // frames = ceil(n/64) chunks, kept = even indices; last chunk is
-    // short (n - i*64 bytes). Every doc is ≥1 byte, so no empty-item row
-    // divergence between the aggregate and this per-doc arithmetic.
+    // short (n - i*64 bytes). Zero-byte items yield no frames on the
+    // Spark side (the groupBy drops them), so the oracle excludes them
+    // too instead of emitting an (0, NULL) row the engine can't produce.
     "mm4_frame_sample" ->
       """SELECT doc_id AS media_id,
         |  (((octet_length(encode(text)) + 63) // 64) + 1) // 2 AS n_frames,
         |  CAST(list_sum([least(64, octet_length(encode(text)) - i * 64)
         |                 for i in range(0, (octet_length(encode(text)) + 63) // 64)
         |                 if i % 2 = 0]) AS BIGINT) AS kept_bytes
-        |FROM documents""".stripMargin
+        |FROM documents
+        |WHERE octet_length(encode(text)) > 0""".stripMargin
   )
 }

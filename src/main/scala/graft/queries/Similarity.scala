@@ -96,8 +96,12 @@ object Similarity {
     * them to sort each vec_id partition).
     */
   private[queries] def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    // persisted: referenced by both the centroid extraction and the
+    // assignment join — without the barrier each reference re-scans the
+    // corpus and re-normalizes every vector
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+      .persist()
     val cents = e.filter(col("vec_id") % 53 === 0)
       .select(col("vec_id").as("cent_id"), col("unit").as("cent"))
     // argmax by (sim, then smallest cent_id): max of the (sim, -cent_id)
