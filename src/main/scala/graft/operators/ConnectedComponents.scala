@@ -53,16 +53,16 @@ object ConnectedComponents {
           least(col("l.label"),
             coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
         .persist()
-      // fully materialize next BEFORE probing convergence and dropping the
-      // previous round's cache: the isEmpty probe can short-circuit after
-      // one differing row, leaving next partially cached — unpersisting
-      // labels then would make later rounds recompute through the whole
-      // chain of dropped prior rounds
-      next.count()
+      // full count (not isEmpty): the probe must consume every partition
+      // of next so the cache is fully populated BEFORE the previous
+      // round's cache is dropped — a short-circuiting probe would leave
+      // next partially cached and later rounds recomputing through the
+      // whole chain of dropped prior rounds. One job does both the
+      // materialization and the convergence decision.
       converged = next.alias("a")
         .join(labels.alias("b"), col("a.node") === col("b.node"))
         .filter(col("a.label") =!= col("b.label"))
-        .isEmpty
+        .count() == 0
       labels.unpersist()
       labels = next
       iter += 1
