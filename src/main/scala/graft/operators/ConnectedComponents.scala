@@ -27,19 +27,26 @@ object ConnectedComponents {
     * component's minimum node id. Returns (node, label). Only nodes
     * incident to an edge appear (isolated corpus docs are their own
     * trivial cluster by definition — callers left-join if they need them).
+    *
+    * Every round ends in an eager `localCheckpoint`: it materializes the
+    * round's labels (so the upstream pair DAG is computed exactly once —
+    * a lazily-cached frame referenced by multiple branches of one job
+    * gets recomputed per branch) AND truncates the plan lineage, which
+    * otherwise nests one join deeper per round until plan construction
+    * itself dominates (observed: OOM in plan stringification past ~20
+    * rounds). Checkpointed rounds are freed by the session's
+    * `clearCache`, which every caller of record (Verify/Bench/specs)
+    * performs per query — the frames are label-list-sized, not
+    * corpus-sized.
     */
   def components(pairs: DataFrame, src: String, dst: String,
       maxIter: Int = 12): DataFrame = {
     val p = pairs.select(col(src).as("i"), col(dst).as("j"))
-    val edges = p.union(p.select(col("j").as("i"), col("i").as("j"))).persist()
-    // materialize before the loop: the union references `p` twice and the
-    // loop references `edges` every round — an unpopulated cache would let
-    // the first job race both union branches through the full upstream
-    // DAG (measured 3× the pair-computation cost on dd8)
-    edges.count()
+    val edges = p.union(p.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint()
     var labels = edges.select(col("i").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -52,22 +59,14 @@ object ConnectedComponents {
         .select(col("l.node").as("node"),
           least(col("l.label"),
             coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
-        .persist()
-      // full count (not isEmpty): the probe must consume every partition
-      // of next so the cache is fully populated BEFORE the previous
-      // round's cache is dropped — a short-circuiting probe would leave
-      // next partially cached and later rounds recomputing through the
-      // whole chain of dropped prior rounds. One job does both the
-      // materialization and the convergence decision.
+        .localCheckpoint()
       converged = next.alias("a")
         .join(labels.alias("b"), col("a.node") === col("b.node"))
         .filter(col("a.label") =!= col("b.label"))
         .count() == 0
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     // fail loudly: truncated propagation would silently mislabel every
     // node of a deeper-than-maxIter component (and fail any exact check
     // downstream in a way that looks like a different bug)

@@ -70,6 +70,36 @@ class PlanShapeSpec extends SparkSuite {
     assert(pairs.length == 2)
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    import graft.operators.ConnectedComponents
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(e => e._1 != e._2)
+        .map { case (a, b) => (a.toLong, b.toLong) }
+      // in-memory union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOfComp = (0 until n).groupBy(find).map { case (r, ms) => r -> ms.min }
+      val got = ConnectedComponents.components(
+          edges.toDF("src", "dst"), "src", "dst", maxIter = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.foreach { case (node, label) =>
+        assert(label == minOfComp(find(node.toInt)).toLong,
+          s"node $node labeled $label, expected ${minOfComp(find(node.toInt))}")
+      }
+      // every node that touches an edge is labeled
+      assert(got.keySet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
+    }
+  }
+
   test("connected components: transitive chains collapse to one label") {
     import graft.operators.ConnectedComponents
     import spark.implicits._
