@@ -169,6 +169,26 @@ object Similarity {
         .limit(10)
     }),
 
+    // Batch kNN serving: many query vectors answered in ONE corpus scan —
+    // broadcast the (small) query set, fan out corpus × queries scored
+    // rows narrowly, then exact grouped top-k via TopKPerKey (bounded
+    // local heaps prune inside the scan's partitions; the global window
+    // sees only ≤ partitions × queries × k survivors — the window-only
+    // formulation would shuffle the whole fan-out onto |queries|
+    // partitions). The per-query result equals s1's single-query plan.
+    "s5_knn_batch" -> ((s, dir) => {
+      val e = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+        .persist()
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("unit").as("qu"))
+      val scored = e.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          dot(col("unit"), col("qu")).as("cos_sim"))
+      graft.operators.TopKPerKey.topK(
+        scored, keyCol = "qid", scoreCol = "cos_sim", tieCol = "vec_id", k = 5)
+    }),
+
     // IVF-flat ANN: nearest-centroid assignment (broadcast join + max_by
     // hash agg — see ivfAssign), then the query probes its nprobe=4
     // nearest cells and exact-ranks only those cells' vectors. At 100 TB
@@ -270,6 +290,19 @@ object Similarity {
          |JOIN sigs sb ON sb.vec_id = j
          |ORDER BY cos_sim DESC, i, j
          |LIMIT 10""".stripMargin,
+
+    "s5_knn_batch" ->
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id,
+         |    ${cosSql("c.embedding", "q.embedding")} AS cos_sim
+         |  FROM u c JOIN u q ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         |SELECT qid, vec_id, cos_sim FROM (
+         |  SELECT qid, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
 
     "s4_ivf_knn" ->
       """WITH assign AS (SELECT vec_id, cent_id, unit

@@ -97,6 +97,23 @@ object Text {
             .otherwise("train"))
     }),
 
+    // Bigram corpus statistics (the n-gram LM / BPE-merge counting shape):
+    // adjacent-token pairs per doc via zip_with of two slices (no UDF;
+    // empty for 1-token docs by construction), exploded and counted
+    // globally — partial+final hash agg then TakeOrderedAndProject.
+    "t9_bigram_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(tokens(col("text")).as("toks"))
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(25)
+    }),
+
     // Redaction transform: regexp_replace token scrubbing + a count of
     // redactions — the shape of a PII-scrub pass (emails, phone numbers,
     // ids). The synthetic corpus carries no digits or emails, so the
@@ -186,6 +203,15 @@ object Text {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 'validation'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+
+    "t9_bigram_stats" ->
+      """SELECT bigram, count(*) AS freq
+        |FROM (SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |                     for i in range(1, len(toks))]) AS bigram
+        |      FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+        |GROUP BY bigram
+        |ORDER BY freq DESC, bigram
+        |LIMIT 25""".stripMargin,
 
     "t8_scrub" ->
       """SELECT doc_id,

@@ -53,6 +53,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Aggregate"), "expected partial/final aggregation")
   }
 
+  test("TopKPerKey is exact: matches the all-shuffle window formulation") {
+    import graft.operators.TopKPerKey
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 2000L)
+      .map(i => (i % 7, rnd.nextInt(50) / 10.0, i)) // heavy score ties
+      .toDF("k", "score", "id")
+      .repartition(5)
+    val got = TopKPerKey.topK(df, "k", "score", "id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("k").orderBy(col("score").desc, col("id"))
+    val ref = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .drop("rn")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == ref)
+  }
+
   test("bucket cap drops a pathological flood but keeps organic buckets") {
     import spark.implicits._
     // 1000 members hash to one bucket (a boilerplate flood) + two organic
