@@ -70,11 +70,14 @@ object Multimodal {
     }
 
     /** "Frame sample": split payload into frameSize chunks, keep every
-      * k-th — the video-frame-sampling shape.
+      * k-th — the video-frame-sampling shape. Each kept frame carries its
+      * SOURCE chunk index (0, every, 2·every, …), not its ordinal among
+      * the kept frames, so position/timestamp provenance
+      * (index × frameSize bytes) stays correct downstream.
       */
-    def sampleFrames(payload: Array[Byte], frameSize: Int, every: Int): Seq[Array[Byte]] =
+    def sampleFrames(payload: Array[Byte], frameSize: Int, every: Int): Seq[(Int, Array[Byte])] =
       payload.grouped(frameSize).zipWithIndex
-        .collect { case (f, i) if i % every == 0 => f }.toSeq
+        .collect { case (f, i) if i % every == 0 => (i, f) }.toSeq
   }
 
   /** Batched decode: groups each partition's iterator into `batchSize`
@@ -94,7 +97,10 @@ object Multimodal {
     }
   }
 
-  /** One sampled frame: provenance + index + frame payload. */
+  /** One sampled frame: provenance + source chunk index + frame payload.
+    * `frame_idx` is the position in the ORIGINAL payload (byte offset =
+    * frame_idx × frameSize), not the ordinal among kept frames.
+    */
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling as a batched generator op: each payload explodes into
@@ -111,8 +117,8 @@ object Multimodal {
         // one "library call" per batch in a real codec (as in decodeMeta —
         // a real video demuxer amortizes container parsing across a batch)
         batch.iterator.flatMap { m =>
-          FakeCodec.sampleFrames(m.payload, frameSize, every).zipWithIndex
-            .map { case (f, k) => MediaFrame(m.media_id, k, f) }
+          FakeCodec.sampleFrames(m.payload, frameSize, every)
+            .map { case (srcIdx, f) => MediaFrame(m.media_id, srcIdx, f) }
         }
       }
     }

@@ -1,6 +1,9 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Connected components over an edge list — the cluster-formation
@@ -12,38 +15,49 @@ import org.apache.spark.sql.functions._
   * edge list against the current labels and takes the per-node min of the
   * neighbors' labels; labels converge in ≤ component-diameter rounds.
   * Near-dup clusters are near-cliques (diameter 1-2), so the loop is
-  * short; the stop condition is an `isEmpty` convergence probe, and
-  * exceeding `maxIter` throws rather than returning silently-truncated
-  * labels. Each round costs one shuffled equi-join +
-  * one hash aggregation over the *edge list* — never the corpus — and the
-  * per-round result is re-persisted so lineage stays flat across
-  * iterations. For billion-edge, high-diameter graphs the
-  * large-star/small-star formulation halves round counts; dedup pair
-  * graphs don't need it.
+  * short; the stop condition is a full count-join probe, and exceeding
+  * `maxIter` throws rather than returning silently-truncated labels.
+  *
+  * Every round ends in an eager `localCheckpoint` — this is the core of
+  * making iteration O(1) per round on BOTH axes that otherwise grow:
+  * it materializes the round exactly once (an unmaterialized frame
+  * referenced by several branches of one job is recomputed per branch),
+  * and it replaces the round's logical plan with a flat `LogicalRDD` —
+  * `persist` does neither for planning: the logical tree still nests one
+  * join deeper per round, and re-analysis/optimization of that growing
+  * tree came to dominate runtime (measured 2.5× on dd8) and eventually
+  * OOM'd plan stringification (~20+ rounds). Checkpoint blocks are NOT
+  * freed by `spark.catalog.clearCache` (they are RDD-level storage, not
+  * CacheManager entries), so intermediate rounds' backing RDDs are
+  * unpersisted explicitly before returning; only the returned frame's
+  * blocks remain, owned by the caller.
+  *
+  * For billion-edge, high-diameter graphs the large-star/small-star
+  * formulation halves round counts; dedup pair graphs don't need it.
   */
 object ConnectedComponents {
+
+  /** Free the block storage behind a localCheckpointed frame (its plan is
+    * a flat LogicalRDD over the materialized blocks).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Label every node of the undirected graph `pairs(src, dst)` with its
     * component's minimum node id. Returns (node, label). Only nodes
     * incident to an edge appear (isolated corpus docs are their own
     * trivial cluster by definition — callers left-join if they need them).
-    *
-    * Every round ends in an eager `localCheckpoint`: it materializes the
-    * round's labels (so the upstream pair DAG is computed exactly once —
-    * a lazily-cached frame referenced by multiple branches of one job
-    * gets recomputed per branch) AND truncates the plan lineage, which
-    * otherwise nests one join deeper per round until plan construction
-    * itself dominates (observed: OOM in plan stringification past ~20
-    * rounds). Checkpointed rounds are freed by the session's
-    * `clearCache`, which every caller of record (Verify/Bench/specs)
-    * performs per query — the frames are label-list-sized, not
-    * corpus-sized.
     */
   def components(pairs: DataFrame, src: String, dst: String,
       maxIter: Int = 12): DataFrame = {
     val p = pairs.select(col(src).as("i"), col(dst).as("j"))
+    val intermediates = mutable.Buffer.empty[DataFrame]
     val edges = p.union(p.select(col("j").as("i"), col("i").as("j")))
       .localCheckpoint()
+    intermediates += edges
     var labels = edges.select(col("i").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -64,6 +78,7 @@ object ConnectedComponents {
         .join(labels.alias("b"), col("a.node") === col("b.node"))
         .filter(col("a.label") =!= col("b.label"))
         .count() == 0
+      intermediates += labels
       labels = next
       iter += 1
     }
@@ -73,6 +88,8 @@ object ConnectedComponents {
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxIter rounds — " +
         "component diameter exceeds maxIter; raise it for this graph")
+    // deterministic cleanup: every round except the returned one
+    intermediates.foreach(freeCheckpoint)
     labels
   }
 }

@@ -27,22 +27,37 @@ import org.apache.spark.sql.functions._
 object TopKPerKey {
 
   /** Top `k` rows per distinct `keyCol`, "best" = highest `scoreCol`
-    * (double), ties broken by ascending `tieCol` (long, unique per row —
-    * makes the ordering total and the result deterministic).
+    * (double, non-null — null-scored rows are dropped up front, stated
+    * precondition), ties broken by ascending `tieCol` (long, unique per
+    * row — makes the ordering total and the result deterministic).
     */
   def topK(df: DataFrame, keyCol: String, scoreCol: String, tieCol: String,
       k: Int): DataFrame = {
     require(k > 0)
-    val schema = df.schema
+    val input = df.filter(col(scoreCol).isNotNull)
+    val schema = input.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val scoreIdx = schema.fieldIndex(scoreCol)
     val tieIdx = schema.fieldIndex(tieCol)
-    // min-heap ordering on (score asc, tie desc): the heap head is the
-    // WORST kept row, evicted when a better one arrives
-    val heapOrd: Ordering[Row] = Ordering.by { r: Row =>
-      (-r.getDouble(scoreIdx), r.getLong(tieIdx))
+    // Score comparison must match Spark SQL's DESC ordering exactly, or
+    // the local prune and the global window disagree on which rows
+    // survive: Spark ranks NaN greatest (first under DESC) and treats
+    // -0.0 == 0.0. java.lang.Double.compare gives the NaN rule; the
+    // explicit zero normalization gives the signed-zero rule.
+    def score(r: Row): Double = {
+      val v = r.getDouble(scoreIdx)
+      if (v == 0.0) 0.0 else v
     }
-    val pruned = df.mapPartitions { it =>
+    // max-heap whose head is the WORST kept row (lowest score under the
+    // Spark ordering, then largest tie), evicted when a better one arrives
+    val heapOrd: Ordering[Row] = new Ordering[Row] {
+      def compare(x: Row, y: Row): Int = {
+        val byScore = java.lang.Double.compare(score(y), score(x))
+        if (byScore != 0) byScore
+        else java.lang.Long.compare(x.getLong(tieIdx), y.getLong(tieIdx))
+      }
+    }
+    val pruned = input.mapPartitions { it =>
       val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[Row]]
       it.foreach { r =>
         val h = heaps.getOrElseUpdate(r.get(keyIdx),

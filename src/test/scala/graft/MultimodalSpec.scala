@@ -32,7 +32,9 @@ class MultimodalSpec extends SparkSuite {
     assert(FakeCodec.resize(Array[Byte](1, 2), 128).length == 2)
     val frames = FakeCodec.sampleFrames(payload, frameSize = 100, every = 3)
     assert(frames.length == 4) // frames 0,3,6,9
-    assert(frames.head.length == 100)
+    assert(frames.map(_._1) == Seq(0, 3, 6, 9)) // SOURCE chunk indices
+    assert(frames.head._2.length == 100)
+    assert(frames.head._2(0) == payload(0) && frames(1)._2(0) == payload(300))
   }
 
   test("channel means are per-channel byte means") {

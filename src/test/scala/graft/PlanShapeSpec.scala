@@ -58,16 +58,24 @@ class PlanShapeSpec extends SparkSuite {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    val df = (0L until 2000L)
-      .map(i => (i % 7, rnd.nextInt(50) / 10.0, i)) // heavy score ties
+    // heavy ties plus the Spark-ordering edge cases: NaN (ranks FIRST
+    // under DESC) and signed zeros (-0.0 == 0.0, tie decides)
+    val df = ((0L until 2000L)
+      .map(i => (i % 7, rnd.nextInt(50) / 10.0, i)) ++
+      Seq((0L, Double.NaN, 9001L), (1L, Double.NaN, 9002L),
+        (2L, -0.0, 9003L), (2L, 0.0, 9004L)))
       .toDF("k", "score", "id")
       .repartition(5)
+    // compare score bit patterns: NaN != NaN would make tuple-set
+    // equality fail on results that are in fact identical
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2))
     val got = TopKPerKey.topK(df, "k", "score", "id", k = 4)
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      .collect().map(canon).toSet
     val w = Window.partitionBy("k").orderBy(col("score").desc, col("id"))
     val ref = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
       .drop("rn")
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      .collect().map(canon).toSet
     assert(got == ref)
   }
 
