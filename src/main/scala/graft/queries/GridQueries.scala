@@ -23,6 +23,8 @@ object GridQueries {
     (0 until 10).map(i => i -> (0.05 + 0.1 * i))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g5_e2e_fetch" -> ((s, dir) => g5(s, dir)),
+
     "g1_interp_1d" -> ((s, dir) => {
       import s.implicits._
       // 10-min bucketed series = dense 1-D grid (t in epoch seconds)
@@ -123,6 +125,61 @@ object GridQueries {
     })
   )
 
+  /** End-to-end E1→E3 under the hash gate: the reference's WHOLE primary
+    * path — build a grid, write it as one file per timestep with the
+    * timestamp in the name (the reference's own layout,
+    * kamodo_dask.py:63-67), DISCOVER the timestep files by listing +
+    * timestamp parse (GridCatalog), PRUNE to a requested window that
+    * excludes the first timestep, fetch with snap-outward h widening
+    * (1.3..5.6 snaps to planes 1..6, dropping h=0 and h=7) and
+    * provenance-derived time (input_file_name), then bilinear-interpolate
+    * over the fetched window through the corner join. Previously each
+    * stage was spec-verified; this row makes the composed path
+    * hash-checked (the oracle recomputes the same window + snap + 4-corner
+    * arithmetic from the events table).
+    */
+  private def g5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.source.GridCatalog
+    val cad = 518400L
+    val series = Tables.events(s, dir)
+      .groupBy(
+        (floor(unix_timestamp(col("ts")) / cad) * cad).cast("long").as("t_s"),
+        (col("user_id") % 8).cast("double").as("h"))
+      .agg(avg("value").as("v"))
+      .persist()
+    val gridDir = s"${System.getProperty("java.io.tmpdir")}/graft_g5_" +
+      Integer.toHexString(dir.hashCode)
+    val tPlanes = series.select("t_s").distinct().orderBy("t_s")
+      .collect().map(_.getLong(0))
+    tPlanes.foreach { t =>
+      val name = GridCatalog.formatTs(java.time.Instant.ofEpochSecond(t))
+      series.filter(col("t_s") === t).select("h", "v")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$gridDir/data_$name.parquet")
+    }
+    val reader = new graft.source.GridReader(s, gridDir,
+      prefix = "data_", postfix = ".parquet",
+      cadence = java.time.Duration.ofSeconds(cad))
+    val files = reader.files()
+    require(files.length >= 2, s"expected multiple timesteps, got ${files.length}")
+    val fetched = reader.fetch(files(1).ts, files.last.ts, 1.3, 5.6)
+      .select(col("time").cast("double").as("tc"),
+        col("h").cast("double").as("h"), col("v"))
+      .persist()
+    def axis(c: String): Array[Double] =
+      fetched.select(c).distinct().orderBy(c).collect().map(_.getDouble(0))
+    val (tA, hA) = (axis("tc"), axis("h"))
+    val probes = fracs.map { case (i, f) =>
+      (i.toLong,
+        tA.head + f * (tA.last - tA.head),
+        hA.head + (1.0 - f) * (hA.last - hA.head))
+    }.toDF("id", "tc", "h")
+    JoinInterpolator.interpolate(
+      probes, "id", fetched, Array(tA, hA), valueCols = Seq("v"),
+      coordCols = Seq("tc", "h"))
+  }
+
   private val fracsSql =
     fracs.map { case (i, f) => s"($i, $f)" }.mkString(", ")
 
@@ -203,6 +260,45 @@ object GridQueries {
   val oracleSql: Map[String, String] = Map(
     "g1_interp_1d" -> interpOracle,
     "g4_interp_4d" -> g4Oracle,
+
+    // window = timestep planes 2..last (the fetch prunes the first file),
+    // h = snapped planes [1, 6]; then g3's bilinear corner arithmetic
+    "g5_e2e_fetch" ->
+      s"""WITH series AS (
+         |  SELECT CAST(floor(epoch(ts) / 518400) * 518400 AS BIGINT) AS t_s,
+         |         CAST(user_id % 8 AS DOUBLE) AS h,
+         |         avg(value) AS v
+         |  FROM events GROUP BY 1, 2),
+         |win AS (SELECT
+         |  (SELECT t_s FROM (SELECT DISTINCT t_s FROM series)
+         |   ORDER BY t_s LIMIT 1 OFFSET 1) AS w1,
+         |  (SELECT max(t_s) FROM series) AS w2),
+         |grid AS (SELECT CAST(t_s AS DOUBLE) AS tc, h, v
+         |         FROM series, win
+         |         WHERE t_s BETWEEN w1 AND w2 AND h BETWEEN 1 AND 6),
+         |hull AS (SELECT min(tc) AS tmin, max(tc) AS tmax,
+         |                min(h) AS hmin, max(h) AS hmax FROM grid),
+         |fr(id, f) AS (VALUES $fracsSql),
+         |probes AS (SELECT id, tmin + f * (tmax - tmin) AS tc,
+         |                  hmin + (1 - f) * (hmax - hmin) AS h
+         |           FROM fr, hull),
+         |br AS (
+         |  SELECT p.id, p.tc, p.h,
+         |    (SELECT max(g.tc) FROM grid g WHERE g.tc <= p.tc) AS tc1,
+         |    (SELECT min(g.tc) FROM grid g WHERE g.tc > p.tc) AS tc2,
+         |    (SELECT max(g.h) FROM grid g WHERE g.h <= p.h) AS h1,
+         |    (SELECT min(g.h) FROM grid g WHERE g.h > p.h) AS h2
+         |  FROM probes p),
+         |w AS (SELECT *, (tc - tc1) / (tc2 - tc1) AS ft,
+         |              (h - h1) / (h2 - h1) AS fh FROM br)
+         |SELECT w.id,
+         |  (1 - ft) * (1 - fh) * s11.v + ft * (1 - fh) * s21.v
+         |    + (1 - ft) * fh * s12.v + ft * fh * s22.v AS v
+         |FROM w
+         |JOIN grid s11 ON s11.tc = w.tc1 AND s11.h = w.h1
+         |JOIN grid s21 ON s21.tc = w.tc2 AND s21.h = w.h1
+         |JOIN grid s12 ON s12.tc = w.tc1 AND s12.h = w.h2
+         |JOIN grid s22 ON s22.tc = w.tc2 AND s22.h = w.h2""".stripMargin,
     // tiers 2 and 3 implement identical semantics → identical oracle
     "g2_interp_broadcast" -> interpOracle,
 
