@@ -50,46 +50,63 @@ object ConnectedComponents {
     * component's minimum node id. Returns (node, label). Only nodes
     * incident to an edge appear (isolated corpus docs are their own
     * trivial cluster by definition — callers left-join if they need them).
+    *
+    * `maxIter` must be ≥ propagation depth + 1: the loop can only detect
+    * the fixpoint by running one confirming no-change round, so a graph
+    * whose labels finish moving exactly at round `maxIter` still throws.
+    *
+    * Storage is O(1) rounds: the previous round's blocks are freed as
+    * soon as the convergence count over the new round completes; on any
+    * failure (non-convergence or a job error mid-loop) the finally block
+    * sweeps everything this call checkpointed except the returned frame.
     */
   def components(pairs: DataFrame, src: String, dst: String,
       maxIter: Int = 12): DataFrame = {
     val p = pairs.select(col(src).as("i"), col(dst).as("j"))
-    val intermediates = mutable.Buffer.empty[DataFrame]
-    val edges = p.union(p.select(col("j").as("i"), col("i").as("j")))
-      .localCheckpoint()
-    intermediates += edges
-    var labels = edges.select(col("i").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels, edges("j") === labels("node"))
-        .groupBy(edges("i").as("node"))
-        .agg(min("label").as("nbr_label"))
-      val next = labels.alias("l")
-        .join(nbrMin.alias("n"), col("l.node") === col("n.node"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.label"),
-            coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
+    val live = mutable.Set.empty[DataFrame]
+    try {
+      val edges = p.union(p.select(col("j").as("i"), col("i").as("j")))
         .localCheckpoint()
-      converged = next.alias("a")
-        .join(labels.alias("b"), col("a.node") === col("b.node"))
-        .filter(col("a.label") =!= col("b.label"))
-        .count() == 0
-      intermediates += labels
-      labels = next
-      iter += 1
+      live += edges
+      var labels = edges.select(col("i").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint()
+      live += labels
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels, edges("j") === labels("node"))
+          .groupBy(edges("i").as("node"))
+          .agg(min("label").as("nbr_label"))
+        val next = labels.alias("l")
+          .join(nbrMin.alias("n"), col("l.node") === col("n.node"), "left")
+          .select(col("l.node").as("node"),
+            least(col("l.label"),
+              coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
+          .localCheckpoint()
+        live += next
+        converged = next.alias("a")
+          .join(labels.alias("b"), col("a.node") === col("b.node"))
+          .filter(col("a.label") =!= col("b.label"))
+          .count() == 0
+        // the previous round is no longer referenced by anything
+        freeCheckpoint(labels)
+        live -= labels
+        labels = next
+        iter += 1
+      }
+      // fail loudly: truncated propagation would silently mislabel every
+      // node of a deeper-than-maxIter component (and fail any exact check
+      // downstream in a way that looks like a different bug)
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds — " +
+          s"maxIter must exceed the propagation depth by the one " +
+          s"confirming round; raise it for this graph")
+      live -= labels // the caller owns the returned frame's blocks
+      labels
+    } finally {
+      live.foreach(freeCheckpoint)
     }
-    // fail loudly: truncated propagation would silently mislabel every
-    // node of a deeper-than-maxIter component (and fail any exact check
-    // downstream in a way that looks like a different bug)
-    if (!converged) throw new IllegalStateException(
-      s"connected components did not converge within $maxIter rounds — " +
-        "component diameter exceeds maxIter; raise it for this graph")
-    // deterministic cleanup: every round except the returned one
-    intermediates.foreach(freeCheckpoint)
-    labels
   }
 }

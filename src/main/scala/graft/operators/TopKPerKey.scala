@@ -67,11 +67,14 @@ object TopKPerKey {
       }
       heaps.valuesIterator.flatMap(_.iterator)
     }(Encoders.row(schema))
-    // exact finalize over ≤ partitions × keys × k survivors
+    // exact finalize over ≤ partitions × keys × k survivors; the rank
+    // column name is collision-proofed against the input schema
+    val rn = Iterator.from(0).map(i => s"_rn$i")
+      .find(n => !schema.fieldNames.contains(n)).get
     val w = Window.partitionBy(keyCol)
       .orderBy(col(scoreCol).desc, col(tieCol))
-    pruned.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+    pruned.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
   }
 }

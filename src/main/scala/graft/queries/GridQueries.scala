@@ -150,8 +150,22 @@ object GridQueries {
       .persist()
     val gridDir = s"${System.getProperty("java.io.tmpdir")}/graft_g5_" +
       Integer.toHexString(dir.hashCode)
+    // start from an empty dir: stale timestep files from a previous run
+    // against different data would be rediscovered by the listing below
+    // and pollute the fetch window (per-plane overwrite only replaces
+    // planes that still exist)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(gridDir))
     val tPlanes = series.select("t_s").distinct().orderBy("t_s")
       .collect().map(_.getLong(0))
+    // loud guard for the dense-grid reference invariant this construction
+    // relies on (every timestep file carries the full h axis): a sparse
+    // cell would otherwise surface as a confusing interpolator/oracle
+    // mismatch. Verified dense at every driver SF (min cell count 2).
+    require(series.count() == tPlanes.length * 8L,
+      s"g5 grid not dense: ${series.count()} cells for ${tPlanes.length}×8")
     tPlanes.foreach { t =>
       val name = GridCatalog.formatTs(java.time.Instant.ofEpochSecond(t))
       series.filter(col("t_s") === t).select("h", "v")
