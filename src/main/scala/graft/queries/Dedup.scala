@@ -177,6 +177,22 @@ object Dedup {
         .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
     }),
 
+    // Character-level verification of the near-dup pairs: exact edit
+    // distance (codegen'd levenshtein) joined onto dd2's pair list — the
+    // "how different are they really" re-rank a human-review or
+    // keep-longest policy consumes. Runs on the ~|pairs| survivors only,
+    // never on the corpus (levenshtein is O(len²) per pair — exactly the
+    // kind of kernel you gate behind candidate generation).
+    "dd9_edit_distance" -> ((s, dir) => {
+      val pairs = shingleJaccardPairs(s, dir).select("i", "j", "jac")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      pairs
+        .join(docs.select(col("doc_id").as("i"), col("text").as("text_i")), "i")
+        .join(docs.select(col("doc_id").as("j"), col("text").as("text_j")), "j")
+        .select(col("i"), col("j"), col("jac"),
+          levenshtein(col("text_i"), col("text_j")).as("edit_dist"))
+    }),
+
     // MinHash (k=32) + LSH banding (16 bands × 2 rows): candidate pairs
     // from bucket collisions (bucket-size capped), scored by signature
     // agreement. Sub-quadratic: the join key is (band, bucket-hash), never
@@ -372,6 +388,14 @@ object Dedup {
          |  SELECT e.i, reach.r FROM edges e JOIN reach ON e.j = reach.node)
          |SELECT node AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY node""".stripMargin,
+
+    "dd9_edit_distance" ->
+      s"""WITH $dd2CtesSql
+         |SELECT i, j, jac,
+         |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+         |FROM dd2res
+         |JOIN documents da ON da.doc_id = i
+         |JOIN documents db ON db.doc_id = j""".stripMargin,
 
     // replay of dd3 from the dumped signatures: band keys are the raw
     // 2-slot signature slices (Spark buckets on xxhash64 of the same

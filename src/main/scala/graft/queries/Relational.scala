@@ -250,6 +250,26 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Unpivot/melt (§2.5 — the inverse of q18's pivot): wide measure
+    // columns to long (measure, value) rows via the native unpivot
+    // (Expand under the hood — one pass, rows × measures output, no
+    // shuffle before the aggregate).
+    "q23_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("quantity"), col("extendedprice"), col("discount")),
+          variableColumnName = "measure",
+          valueColumnName = "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
+          avg("value").as("avg_value"))
+    }),
+
     // Sessionization: gap > 30 min starts a new session; session id =
     // running count of gap flags per user. Two stacked windows over one
     // shuffle on user_id — the batch form of the streaming sessionizer.
@@ -424,6 +444,17 @@ object Relational {
         |FROM events
         |WHERE user_id < 40
         |GROUP BY CUBE (event_type, user_id % 4)""".stripMargin,
+
+    "q23_unpivot" ->
+      """SELECT measure, count(*) AS n, sum(value) AS sum_value,
+        |  avg(value) AS avg_value
+        |FROM (
+        |  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', l_discount FROM lineitem)
+        |GROUP BY measure""".stripMargin,
 
     "q19_sessionize" ->
       """WITH e AS (
