@@ -389,6 +389,10 @@ object Dedup {
          |SELECT node AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY node""".stripMargin,
 
+    // NOTE: DuckDB 1.0's levenshtein is byte-based while Spark's is
+    // character-based — identical on this corpus because it is pure ASCII
+    // (the same convention mm1's byte-arithmetic oracle relies on); a
+    // multi-byte corpus would need a char-level oracle.
     "dd9_edit_distance" ->
       s"""WITH $dd2CtesSql
          |SELECT i, j, jac,

@@ -256,12 +256,11 @@ object Relational {
     // shuffle before the aggregate).
     "q23_unpivot" -> ((s, dir) => {
       Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").as("quantity"),
+        .select(col("l_quantity").as("quantity"),
           col("l_extendedprice").as("extendedprice"),
           col("l_discount").as("discount"))
         .unpivot(
-          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          ids = Array.empty[org.apache.spark.sql.Column],
           values = Array(col("quantity"), col("extendedprice"), col("discount")),
           variableColumnName = "measure",
           valueColumnName = "value")
