@@ -90,8 +90,14 @@ final class GridReader(
     require(pruned.nonEmpty, s"no grid files in window [$s,$e]")
     val (snapLo, snapHi) =
       snapOutward(axisValuesFrom(all.head.path, hColumn), hLo, hHi)
-    withFileTime(read(pruned.map(_.path)))
-      .filter(col(hColumn).cast("double").between(snapLo, snapHi))
+    // filter BEFORE the provenance-time projection: input_file_name() is
+    // nondeterministic, and Catalyst refuses to push any predicate through
+    // a nondeterministic projection — filtering after withFileTime left
+    // the h BETWEEN predicate above the scan (no PushedFilters, every row
+    // group decompressed; caught by a plan audit, then pinned by
+    // GridEngineSpec's pushdown assertion)
+    withFileTime(read(pruned.map(_.path))
+      .filter(col(hColumn).cast("double").between(snapLo, snapHi)))
   }
 
   /** R1 reformulated: derive each row's timestep from the file it came

@@ -58,6 +58,14 @@ class GridEngineSpec extends SparkSuite {
       hLo = 260000.0, hHi = 390000.0)
     val hVals = df.select("h").distinct().collect().map(_.getDouble(0)).sorted
     assert(hVals.head == 250000.0 && hVals.last == 400000.0) // snapped outward
+    // the snapped h range must reach the parquet scan as PushedFilters —
+    // filtering after the (nondeterministic) input_file_name projection
+    // silently blocks pushdown and decompresses every row group
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(h,250000.0)") &&
+      plan.contains("LessThanOrEqual(h,400000.0)"),
+      s"h filter not pushed to the scan:\n$plan")
     val times = df.select("time").distinct().count()
     assert(times == 7)
     // every row's value matches the analytic field at its (file-derived) time
