@@ -216,10 +216,15 @@ object Relational {
 
     // Anti join (§2.6 join-type coverage): users with no purchase in the
     // first day. Plans as LeftAnti (broadcast or shuffled per AQE stats).
+    // The time bound is expressed on the raw nanos column so it reaches
+    // parquet row-group stats (`ts` is computed from nanos, so a predicate
+    // on it cannot push): µs < T ⇔ ns DIV 1000 < T ⇔ ns < T·1000.
     "q16_anti_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
+      val endNs = java.time.Instant.parse("2024-01-02T00:00:00Z")
+        .getEpochSecond * 1000000000L
       val earlyBuyers = e.filter(col("event_type") === "purchase" &&
-        col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+        col("ts_ns") < endNs)
       e.select("user_id").distinct()
         .join(earlyBuyers, Seq("user_id"), "left_anti")
         .orderBy("user_id")
