@@ -62,15 +62,18 @@ object HashFunctions {
   }
 
   /** Estimated Jaccard similarity from two MinHash signatures: fraction of
-    * matching slots.
+    * matching slots over the common length (symmetric even if the
+    * signatures were built with different k). Native codegen Expression
+    * ([[org.apache.spark.sql.graftexpr.SigAgree]]) — the HOF
+    * `size(filter(zip_with(…)))/least(…)` formulation of the same fold is
+    * interpreted per slot and breaks whole-stage codegen on the
+    * candidate-pair re-rank; equivalence (incl. the 0/0 → NaN empty edge
+    * and unequal lengths) is pinned by DotProductSpec.
     */
-  def minhashSimilarity(sigA: Column, sigB: Column): Column =
-    // denominator = common length, so the estimate is symmetric even if
-    // the signatures were built with different k (zip_with pads the short
-    // side with null slots that can never count as matches)
-    size(filter(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
-      x => x === 1)).cast("double") /
-      least(size(sigA), size(sigB)).cast("double")
+  def minhashSimilarity(sigA: Column, sigB: Column): Column = {
+    import org.apache.spark.sql.graftexpr.{GraftExprBridge => B, SigAgree}
+    B.column(SigAgree(B.expression(sigA), B.expression(sigB)))
+  }
 
   /** 64-bit SimHash of a token array: bit k of the result is 1 iff the
     * majority of token hashes have bit k set (weighted bit-vote).

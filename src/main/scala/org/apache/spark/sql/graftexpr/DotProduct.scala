@@ -145,6 +145,59 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signature agreement: fraction of equal slots of two `array<bigint>`
+  * signatures — the MinHash Jaccard estimator, ranked over every surviving
+  * candidate pair in dd3/dd6. The HOF formulation
+  * (`size(filter(zip_with(…)))/least(size,size)`) is interpreted per slot
+  * and breaks whole-stage codegen; this expression is one primitive loop
+  * inside the stage. Semantics are identical for non-empty inputs
+  * (common-prefix fold for unequal lengths; null if either side is null;
+  * elements assumed non-null — signatures are dense); on empty inputs the
+  * ANSI-mode HOF raises DIVIDE_BY_ZERO where this degrades to NaN.
+  */
+case class SigAgree(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_sig_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) m += 1
+      i += 1
+    }
+    m.toDouble / n.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |}
+         |${ev.value} = (double) $m / (double) $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgree =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Bridge exposing the `private[sql]` Column↔Expression converters to the
   * graft packages (this file lives under org.apache.spark.sql for access —
   * the standard pattern for Spark-native extensions).

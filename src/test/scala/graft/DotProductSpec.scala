@@ -69,4 +69,45 @@ class DotProductSpec extends SparkSuite {
       .collect()
     rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
+
+  test("SigAgree expression equals the HOF formulation slot-for-slot") {
+    import graft.functions.HashFunctions.minhashSimilarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(200) {
+      val n = 1 + rnd.nextInt(6)
+      val a = Seq.fill(n)(rnd.nextLong() % 4) // collisions on purpose
+      val b = if (rnd.nextBoolean()) a.take(1 + rnd.nextInt(n)) // unequal len
+        else Seq.fill(n)(rnd.nextLong() % 4)
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val hof = size(filter(zip_with(col("a"), col("b"),
+        (x, y) => when(x === y, 1).otherwise(0)), x => x === 1))
+      .cast("double") / least(size(col("a")), size(col("b"))).cast("double")
+    val got = df.select(
+        minhashSimilarity(col("a"), col("b")).as("e"), hof.as("h"))
+      .collect()
+    got.foreach { r =>
+      val (e, h) = (r.getDouble(0), r.getDouble(1))
+      assert(e == h, s"expr $e != hof $h")
+    }
+    // empty-signature edge: the ANSI-mode HOF would throw DIVIDE_BY_ZERO
+    // here; the expression degrades to NaN (Java double division)
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(minhashSimilarity(col("a"), col("b"))).head().getDouble(0)
+    assert(empty.isNaN)
+    // and it stays inside the codegen stage on the dd3 re-rank shape:
+    // parquet-backed scan (a literal frame constant-folds to a
+    // LocalTableScan with no codegen stage at all; an exchange would wrap
+    // the plan in a not-yet-finalized AQE node), `*(n)` marks the span
+    import graft.functions.HashFunctions.{minhash, shingles}
+    import graft.functions.TextFunctions.tokens
+    val sigs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(minhash(shingles(tokens(col("text"))), 32).as("sig"))
+    val plan = sigs.select(minhashSimilarity(col("sig"), col("sig")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_sig_agree"),
+      s"no codegen span:\n$plan")
+  }
 }
