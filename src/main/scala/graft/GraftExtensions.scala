@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftexpr.{CosineSim, DotProduct}
+import org.apache.spark.sql.graftexpr.{CosineSim, DotProduct, SigAgree}
 
 /** Session extension: registers the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) …")` reaches the
@@ -32,6 +32,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"graft_cosine expects 2 arguments, got ${children.length}")
         CosineSim(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_sig_agree"),
+      new ExpressionInfo(classOf[SigAgree].getName, "graft_sig_agree"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_sig_agree expects 2 arguments, got ${children.length}")
+        SigAgree(children.head, children(1))
       }))
 
   /** Register on an already-built session (tests, spark-shell). */

@@ -62,6 +62,14 @@ class DotProductSpec extends SparkSuite {
     assert(math.abs(v - 1.0) < 1e-15)
   }
 
+  test("graft_sig_agree SQL function") {
+    GraftExtensions.register(spark)
+    val v = spark.sql(
+      "SELECT graft_sig_agree(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS s")
+      .head().getDouble(0)
+    assert(v == 0.5)
+  }
+
   test("cosine via expression equals compiled-kernel cosine on embeddings") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
     val rows = e.select(
