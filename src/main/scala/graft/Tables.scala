@@ -51,6 +51,15 @@ object Tables {
     import org.apache.spark.sql.functions.col
     col("ts_ns").between(startMicros * 1000L, endMicros * 1000L + 999L)
   }
+
+  /** Strict-upper-bound sibling of [[eventsTsBetween]]:
+    * `µs < T ⇔ ns DIV 1000 < T ⇔ ns < T·1000` (integer division is
+    * monotone) — keeps the nanos-encoding invariant in one place.
+    */
+  def eventsTsBefore(endMicros: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col("ts_ns") < endMicros * 1000L
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

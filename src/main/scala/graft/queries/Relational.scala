@@ -218,13 +218,13 @@ object Relational {
     // first day. Plans as LeftAnti (broadcast or shuffled per AQE stats).
     // The time bound is expressed on the raw nanos column so it reaches
     // parquet row-group stats (`ts` is computed from nanos, so a predicate
-    // on it cannot push): µs < T ⇔ ns DIV 1000 < T ⇔ ns < T·1000.
+    // on it cannot push) — via the central Tables.eventsTsBefore helper.
     "q16_anti_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
-      val endNs = java.time.Instant.parse("2024-01-02T00:00:00Z")
-        .getEpochSecond * 1000000000L
+      val endUs = java.time.Instant.parse("2024-01-02T00:00:00Z")
+        .getEpochSecond * 1000000L
       val earlyBuyers = e.filter(col("event_type") === "purchase" &&
-        col("ts_ns") < endNs)
+        Tables.eventsTsBefore(endUs))
       e.select("user_id").distinct()
         .join(earlyBuyers, Seq("user_id"), "left_anti")
         .orderBy("user_id")

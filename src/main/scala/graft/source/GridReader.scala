@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * spark.read.parquet(prunedPaths: _*)
-  *   .withColumn("time", to_timestamp(regexp_extract(input_file_name(), TS, 1)))
-  *   .filter(col("h").between(snapLo, snapHi))
+  *   .filter(col("h").between(snapLo, snapHi))   // BEFORE the time column:
+  *   .withColumn("time",                         // input_file_name() is
+  *     to_timestamp(regexp_extract(              // nondeterministic and
+  *       input_file_name(), TS, 1)))             // blocks pushdown through it
   * }}}
   *
   * Deliberate, semantics-preserving divergences from the reference

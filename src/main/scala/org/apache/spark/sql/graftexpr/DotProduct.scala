@@ -150,10 +150,14 @@ case class CosineSim(left: Expression, right: Expression)
   * candidate pair in dd3/dd6. The HOF formulation
   * (`size(filter(zip_with(…)))/least(size,size)`) is interpreted per slot
   * and breaks whole-stage codegen; this expression is one primitive loop
-  * inside the stage. Semantics are identical for non-empty inputs
+  * inside the stage. Semantics match the HOF for the dense case
   * (common-prefix fold for unequal lengths; null if either side is null;
-  * elements assumed non-null — signatures are dense); on empty inputs the
-  * ANSI-mode HOF raises DIVIDE_BY_ZERO where this degrades to NaN.
+  * a null SLOT never counts as a match — the HOF's explicit guarantee,
+  * preserved here via isNullAt). Two deliberate edge divergences, both
+  * toward safety for a similarity score: empty inputs yield 0.0 (the
+  * ANSI-mode HOF raised DIVIDE_BY_ZERO; a NaN degrade would be worse —
+  * Spark orders NaN above every double, so NaN would silently PASS any
+  * `>= threshold` re-rank filter).
   */
 case class SigAgree(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -169,10 +173,12 @@ case class SigAgree(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) return 0.0
     var m = 0
     var i = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) m += 1
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        m += 1
       i += 1
     }
     m.toDouble / n.toDouble
@@ -187,9 +193,10 @@ case class SigAgree(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $m = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $m++;
          |}
-         |${ev.value} = (double) $m / (double) $n;
+         |${ev.value} = ($n == 0) ? 0.0 : (double) $m / (double) $n;
        """.stripMargin
     })
 

@@ -100,11 +100,17 @@ class DotProductSpec extends SparkSuite {
       val (e, h) = (r.getDouble(0), r.getDouble(1))
       assert(e == h, s"expr $e != hof $h")
     }
-    // empty-signature edge: the ANSI-mode HOF would throw DIVIDE_BY_ZERO
-    // here; the expression degrades to NaN (Java double division)
+    // empty-signature edge: the ANSI-mode HOF would throw DIVIDE_BY_ZERO;
+    // the expression yields 0.0 — NOT NaN, which Spark orders above every
+    // double and which would therefore pass any >= threshold filter
     val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
       .select(minhashSimilarity(col("a"), col("b"))).head().getDouble(0)
-    assert(empty.isNaN)
+    assert(empty == 0.0)
+    // a null slot never counts as a match (the HOF's guarantee)
+    val withNull = Seq((Seq[java.lang.Long](0L, null), Seq[java.lang.Long](0L, 0L)))
+      .toDF("a", "b")
+      .select(minhashSimilarity(col("a"), col("b"))).head().getDouble(0)
+    assert(withNull == 0.5)
     // and it stays inside the codegen stage on the dd3 re-rank shape:
     // parquet-backed scan (a literal frame constant-folds to a
     // LocalTableScan with no codegen stage at all; an exchange would wrap
