@@ -460,6 +460,12 @@ object Relational {
         |  SELECT 'discount', l_discount FROM lineitem)
         |GROUP BY measure""".stripMargin,
 
+    // All ts arithmetic below is BIGINT on epoch_ns(ts): the oracle engine
+    // may read the nanos parquet column as TIMESTAMP_NS (ns-native) or as
+    // TIMESTAMP (µs, ns-truncated by the reader) depending on its version —
+    // epoch_ns()//1000 yields the same truncated µs either way, and
+    // epoch_ns()//1e9 the same whole seconds, so no cast/round semantics of
+    // the ns→µs conversion can leak into the hashed values.
     "q19_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,
@@ -468,7 +474,7 @@ object Relational {
         |f AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN prev_ts IS NULL
-        |           OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+        |           OR epoch_ns(ts)//1000000000 - epoch_ns(prev_ts)//1000000000 > 1800
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM e),
         |g AS (
@@ -477,7 +483,7 @@ object Relational {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us
+        |  min(epoch_ns(ts))//1000 AS session_start_us
         |FROM g GROUP BY user_id, session_id""".stripMargin,
 
     // DuckDB 1.0 has no width_bucket; the arithmetic below is its exact
