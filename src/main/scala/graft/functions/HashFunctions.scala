@@ -67,8 +67,11 @@ object HashFunctions {
     * ([[org.apache.spark.sql.graftexpr.SigAgree]]) — the HOF
     * `size(filter(zip_with(…)))/least(…)` formulation of the same fold is
     * interpreted per slot and breaks whole-stage codegen on the
-    * candidate-pair re-rank; equivalence (incl. the 0/0 → NaN empty edge
-    * and unequal lengths) is pinned by DotProductSpec.
+    * candidate-pair re-rank. One deliberate divergence from that HOF: two
+    * empty signatures score 0.0, not the HOF's 0/0 → NaN/DIVIDE_BY_ZERO —
+    * a NaN similarity would pass every `>= threshold` filter (Spark orders
+    * NaN above all doubles). The divergence and the unequal-length
+    * behavior are pinned by DotProductSpec.
     */
   def minhashSimilarity(sigA: Column, sigB: Column): Column = {
     import org.apache.spark.sql.graftexpr.{GraftExprBridge => B, SigAgree}

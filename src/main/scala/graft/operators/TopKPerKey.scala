@@ -30,10 +30,19 @@ object TopKPerKey {
     * (double, non-null — null-scored rows are dropped up front, stated
     * precondition), ties broken by ascending `tieCol` (long, unique per
     * row — makes the ordering total and the result deterministic).
+    * `keyCol` must be a type with value-based `equals` (the local heaps
+    * group by the external key object in a HashMap): atomic types,
+    * structs, strings — NOT binary, whose `Array[Byte]` uses reference
+    * equality and would silently split groups. Rejected up front.
     */
   def topK(df: DataFrame, keyCol: String, scoreCol: String, tieCol: String,
       k: Int): DataFrame = {
     require(k > 0)
+    require(df.schema(keyCol).dataType !=
+        org.apache.spark.sql.types.BinaryType,
+      s"$keyCol is BinaryType: Array[Byte] has no value equality, the " +
+        "per-partition HashMap would split its groups; key by a hex/hash " +
+        "projection instead")
     val input = df.filter(col(scoreCol).isNotNull)
     val schema = input.schema
     val keyIdx = schema.fieldIndex(keyCol)

@@ -148,16 +148,13 @@ object GridQueries {
         (col("user_id") % 8).cast("double").as("h"))
       .agg(avg("value").as("v"))
       .persist()
-    val gridDir = s"${System.getProperty("java.io.tmpdir")}/graft_g5_" +
-      Integer.toHexString(dir.hashCode)
-    // start from an empty dir: stale timestep files from a previous run
-    // against different data would be rediscovered by the listing below
-    // and pollute the fetch window (per-plane overwrite only replaces
-    // planes that still exist)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(gridDir))
+    // per-invocation unique staging dir: a fixed path (or one keyed by a
+    // 32-bit hashCode) races concurrent runs — Bench and Verify on the
+    // same sfDir would delete/rewrite each other's timestep files while
+    // the other's GridReader lists them — and a fresh dir also means no
+    // stale planes from a previous run can pollute the fetch window
+    val gridDir = java.nio.file.Files
+      .createTempDirectory("graft_g5_").toString
     val tPlanes = series.select("t_s").distinct().orderBy("t_s")
       .collect().map(_.getLong(0))
     // loud guard for the dense-grid reference invariant this construction

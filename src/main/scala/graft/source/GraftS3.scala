@@ -38,14 +38,15 @@ object GraftS3 {
       "fs.s3a.retry.limit" -> "10") ++ creds.getOrElse(Map.empty)
   }
 
-  /** Apply the reference's S3 tuning to this session. Returns the applied
-    * keys (for logging/inspection).
+  /** Apply the reference's S3 tuning to this session. Returns only the
+    * applied key NAMES (safe for logging) — never the values, which may
+    * include `fs.s3a.secret.key`.
     */
   def configure(spark: SparkSession,
-      env: Map[String, String] = sys.env): Map[String, String] = {
+      env: Map[String, String] = sys.env): Set[String] = {
     val settings = s3aSettings(env)
     val hc = spark.sparkContext.hadoopConfiguration
     settings.foreach { case (k, v) => hc.set(k, v) }
-    settings
+    settings.keySet
   }
 }

@@ -25,9 +25,13 @@ class GraftS3Spec extends SparkSuite {
   }
 
   test("configure applies the keys to the live Hadoop configuration") {
-    val applied = GraftS3.configure(spark, Map("MAX_POOL_CONNECTIONS" -> "77"))
+    val applied =
+      GraftS3.configure(spark, Map("MAX_POOL_CONNECTIONS" -> "77",
+        "ACCESS_KEY" -> "AK", "SECRET_KEY" -> "SK"))
     val hc = spark.sparkContext.hadoopConfiguration
     assert(hc.get("fs.s3a.connection.maximum") == "77")
-    assert(applied.keySet.forall(k => hc.get(k) != null))
+    assert(applied.forall(k => hc.get(k) != null))
+    // the return value is loggable: key names only, no credential values
+    assert(applied.forall(v => !v.contains("AK") && !v.contains("SK")))
   }
 }
