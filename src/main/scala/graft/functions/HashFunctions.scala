@@ -23,6 +23,14 @@ object HashFunctions {
     */
   def shingles(toks: Column, n: Int = 3): Column = Sketches.shinglesUdf(n)(toks)
 
+  /** Distinct shingles pre-hashed to 64-bit keys (elementwise
+    * `xxhash64(shingle)`, computed in the same kernel pass) — for
+    * join/count/intersect-only consumers; see
+    * [[Sketches.hashedShinglesKernel]].
+    */
+  def hashedShingles(toks: Column, n: Int = 3): Column =
+    Sketches.hashedShinglesUdf(n)(toks)
+
   /** MinHash signature: k simulated permutations via double hashing;
     * signature element j = min over shingles. Compiled kernel
     * ([[Sketches.minhashKernel]]) — the HOF-lambda formulation of the same

@@ -58,6 +58,41 @@ object Sketches {
     c => f(c)
   }
 
+  /** Distinct word n-gram shingles hashed to 64-bit keys (xxhash64 with
+    * Spark's default seed 42 — elementwise identical to
+    * `xxhash64(shingle_string)`), without ever materializing the shingle
+    * strings in the row: `hash(shinglesKernel(toks))` as one pass. For
+    * pipelines that only ever join/count/intersect shingles (dd2), the
+    * ~25-byte strings would be hashed at first use anyway — emitting longs
+    * directly shrinks the persisted arrays ~3× and turns the exact
+    * set-intersection re-rank into long comparisons. Distinctness is
+    * per-hash: a 64-bit collision inside one doc merges two shingles
+    * (~|shingles|²/2⁶⁵ odds — the same tolerance the candidate join
+    * already documents).
+    */
+  def hashedShinglesKernel(toks0: Seq[String], n: Int): Array[Long] = {
+    val toks = if (toks0 == null) Seq.empty else toks0
+    if (toks.length < n) Array(hashString(toks.mkString(" "), 42L))
+    else {
+      val arr = toks.toArray
+      val seen = new scala.collection.mutable.LinkedHashSet[Long]
+      var i = 0
+      while (i + n <= arr.length) {
+        val sb = new StringBuilder(arr(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(arr(i + k)); k += 1 }
+        seen += hashString(sb.result(), 42L)
+        i += 1
+      }
+      seen.toArray
+    }
+  }
+
+  def hashedShinglesUdf(n: Int = 3): Column => Column = {
+    val f = udf((toks: Seq[String]) => hashedShinglesKernel(toks, n))
+    c => f(c)
+  }
+
   /** L2-normalize a float vector to a unit double vector (compiled).
     * Null in → null out; a zero vector normalizes to zeros (not NaNs), so
     * downstream dot/cosine read 0 similarity instead of silently dropping

@@ -72,22 +72,24 @@ object Dedup {
     // persisted: otherwise project-collapse inlines the shingle kernel
     // into the explode AND the re-rank joins (multiple evaluations per
     // row); explode_outer skips the implicit size>0 filter (shingle
-    // arrays are never empty — short docs yield one whole-text shingle)
+    // arrays are never empty — short docs yield one whole-text shingle).
+    // Shingles are hashed to 64-bit keys IN the kernel: every consumer —
+    // the doc-freq groupBy, the semi joins, the pair join, and the exact
+    // array_intersect re-rank — only ever compares shingles for equality,
+    // so persisting 8-byte longs instead of ~25-byte strings shrinks the
+    // cached arrays ~3× and makes the intersection long-typed. Equal
+    // shingles hash equal, so no candidate path disappears; a 64-bit
+    // collision (~|shingles|²/2⁶⁵) can add a spurious candidate or merge
+    // two shingles in one doc's set — harmless at these odds (and the
+    // oracle's string-shingle replay agrees unless a collision actually
+    // fires).
     val docs = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"),
-        shingles(tokens(col("text"))).as("sh"))
+        hashedShingles(tokens(col("text"))).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .persist()
-    // shingles are hashed to 64-bit keys for everything before the exact
-    // re-rank: the doc-freq groupBy, the semi join, and the pair join then
-    // shuffle/compare 8-byte longs instead of ~25-byte strings. Equal
-    // shingles hash equal, so no candidate path disappears; a 64-bit
-    // collision (~|shingles|²/2⁶⁵) can add a spurious candidate (removed
-    // by the exact re-rank) or inflate one doc-freq count — both harmless
-    // at these odds.
     val ex = docs.select(col("doc_id"), col("lang"),
-      explode_outer(col("sh")).as("shingle_str"))
-      .select(col("doc_id"), col("lang"), xxhash64(col("shingle_str")).as("shingle"))
+      explode_outer(col("sh")).as("shingle"))
     // doc-frequency cut: candidates only through shingles 2..cap docs
     // share. The groupBy and the semi-join shuffle on the same
     // (lang, shingle) key the pair join uses — co-partitioned stages.

@@ -163,11 +163,23 @@ object GridQueries {
     // mismatch. Verified dense at every driver SF (min cell count 2).
     require(series.count() == tPlanes.length * 8L,
       s"g5 grid not dense: ${series.count()} cells for ${tPlanes.length}×8")
+    // ONE write job for all planes (repartition on t_s → one file per
+    // plane), then driver-side renames of the partition dirs into the
+    // reference's flat `data_<ts>.parquet` layout — the per-plane
+    // write-loop this replaces launched |planes| sequential Spark jobs
+    // and dominated g5's bench cost. partitionBy would URL-encode the
+    // colons in the timestamp names, hence rename instead of direct
+    // naming; a same-tmpfs rename is a metadata move.
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_g5_stage_").toString
+    series.repartition(col("t_s")).write.partitionBy("t_s")
+      .mode("overwrite").parquet(staging)
     tPlanes.foreach { t =>
       val name = GridCatalog.formatTs(java.time.Instant.ofEpochSecond(t))
-      series.filter(col("t_s") === t).select("h", "v")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$gridDir/data_$name.parquet")
+      val src = new java.io.File(s"$staging/t_s=$t")
+      val dst = new java.io.File(s"$gridDir/data_$name.parquet")
+      require(src.isDirectory, s"staged plane missing: $src")
+      require(src.renameTo(dst), s"rename $src -> $dst failed")
     }
     val reader = new graft.source.GridReader(s, gridDir,
       prefix = "data_", postfix = ".parquet",
