@@ -111,6 +111,43 @@ object Sketches {
     }
   })
 
+  /** int8 scalar quantization of a unit vector: code = round(x · 127),
+    * rounding half away from zero (DuckDB/Spark SQL `round` semantics —
+    * NOT `Math.round`, whose half-up-toward-+∞ differs on negatives).
+    * Unit-vector components lie in [-1, 1], so the scale is the fixed
+    * constant 127 — no data-dependent calibration pass, every executor
+    * and every engine quantizes identically. Null in → null out.
+    * Codes are int8-VALUED ([-127, 127]) but carried as an int array:
+    * a UDF returning `Array[Byte]` maps to BinaryType (one opaque blob,
+    * not an array column), which neither the oracle's list arithmetic
+    * nor `getSeq` can address. A real deployment would store them
+    * byte-packed; the representation here keeps the pipeline exact and
+    * queryable.
+    */
+  val quantizeUnitUdf = udf((v: Seq[Double]) => {
+    if (v == null) null
+    else v.map { x =>
+      val y = x * 127.0
+      val r = if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+      r.toInt
+    }.toArray
+  })
+
+  /** Integer dot product of two int8-valued code arrays (compiled; exact
+    * — max |dim · 127²| ≈ 10⁶ per 64-dim pair, far inside Int).
+    * Null → null.
+    */
+  val intDotUdf = udf((a: Seq[Int], b: Seq[Int]) => {
+    if (a == null || b == null) null
+    else {
+      val n = math.min(a.length, b.length)
+      var acc = 0
+      var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      java.lang.Integer.valueOf(acc)
+    }
+  })
+
   /** Euclidean distance (compiled kernel; see VectorFunctions.l2). */
   val l2Udf = udf((a: Seq[Double], b: Seq[Double]) => {
     if (a == null || b == null) null

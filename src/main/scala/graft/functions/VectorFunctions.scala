@@ -49,6 +49,15 @@ object VectorFunctions {
     */
   def l2(a: Column, b: Column): Column = Sketches.l2Udf(d(a), d(b))
 
+  /** int8 scalar-quantized codes of a unit vector (fixed scale 127 —
+    * see [[Sketches.quantizeUnitUdf]]): the 8×-smaller representation an
+    * ANN first pass scans instead of the float corpus.
+    */
+  def quantize8(unit: Column): Column = Sketches.quantizeUnitUdf(unit)
+
+  /** Exact integer dot product of two int8 code arrays. */
+  def intDot(a: Column, b: Column): Column = Sketches.intDotUdf(a, b)
+
   /** Random-hyperplane LSH signature (`nBits` sign bits) for cosine
     * similarity. Hyperplane p's component in dimension i is ±1 derived from
     * `xxhash64(p, i)` — deterministic, seedless, identical on every

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join without a nested-loop scan.
+  *
+  * The naive formulation — `points JOIN intervals ON p BETWEEN lo AND hi`
+  * — has no equi-key, so Spark plans a BroadcastNestedLoopJoin:
+  * |points| × |intervals| comparisons, a scale-killer when both sides are
+  * large (the same trap dd7's all-pairs scan had). The standard fix is
+  * binning: pick a bucket width `w`, give every point its single bucket
+  * `floor(p / w)`, explode every interval to the buckets it covers
+  * (`sequence(floor(lo/w), floor(hi/w))`), equi-join on the bucket id, and
+  * keep the residual `BETWEEN` filter. Work becomes
+  * |points| + Σ intervals × (len/w) join-key rows hashed — linear, shuffled
+  * on a key Catalyst understands (AQE can re-plan/broadcast it), instead of
+  * quadratic.
+  *
+  * No dedup is needed: a point lies in exactly one bucket, so each
+  * (point, interval) pair can only meet once.
+  *
+  * `w` trades replication for bucket selectivity: the interval side
+  * explodes to ~`len/w + 1` rows. Choose `w` near the median interval
+  * length (replication ≈ 2×); a pathological mega-interval contributes
+  * `len/w` rows, never a cross product.
+  */
+object RangeJoin {
+
+  /** Inner join of `points` (column `pointCol`, one row per point) with
+    * `intervals` (columns `loCol`, `hiCol`; closed interval `[lo, hi]`),
+    * on `lo <= p <= hi`, via bucketed equi-join with bucket width
+    * `bucketWidth`. Intervals with `hi < lo` match nothing, same as
+    * BETWEEN — they are filtered before the explode (Spark's `sequence`
+    * infers a DESCENDING step when hi < lo rather than yielding empty, so
+    * an inverted interval would otherwise fan out junk bucket rows).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val bucketCol = "_range_bucket"
+    require(!points.columns.contains(bucketCol) &&
+        !intervals.columns.contains(bucketCol),
+      s"inputs must not contain a $bucketCol column")
+    def bucketOf(c: Column): Column =
+      floor(c / lit(bucketWidth)).cast("long")
+    val p = points.withColumn(bucketCol, bucketOf(col(pointCol)))
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn(bucketCol,
+        explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    p.join(iv, Seq(bucketCol))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop(bucketCol)
+  }
+}

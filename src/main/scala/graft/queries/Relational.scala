@@ -274,6 +274,46 @@ object Relational {
           avg("value").as("avg_value"))
     }),
 
+    // Point-in-interval range join (§2.6's "range join" row, as a
+    // first-class operator): each part defines a price window
+    // [retail-700, retail-700 + size/2] over the event-value domain; count
+    // and average the events falling in each window. Bucketed equi-join
+    // via [[graft.operators.RangeJoin]] — the naive BETWEEN join is a
+    // BroadcastNestedLoopJoin (|events| × |parts| comparisons); the
+    // bucketed plan shuffles on an equi-key instead (PlanShapeSpec pins
+    // the no-nested-loop shape). Bucket width 16 ≈ the median interval
+    // length (sizes are uniform 1..50, so len = size/2 ∈ [0.5, 25]) →
+    // ~2× interval replication.
+    "q24_range_join" -> ((s, dir) => {
+      val points = Tables.events(s, dir).select("event_id", "value")
+      val iv = Tables.part(s, dir)
+        .select(col("p_partkey"),
+          (col("p_retailprice") - 700.0).as("lo"),
+          ((col("p_retailprice") - 700.0) + col("p_size") / 2.0).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          points, iv, "value", "lo", "hi", bucketWidth = 16.0)
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_events"), avg("value").as("avg_value"))
+    }),
+
+    // Salted skew join (§2.6's skew row, now under the oracle gate):
+    // events keyed by event_type is the canonical hot-key layout — 5
+    // distinct values over the whole fact table, so a plain shuffle join
+    // lands each type's entire volume on one reducer. SaltedJoin spreads
+    // each hot key over 8 salt buckets (dim side replicated 8×); the
+    // salt cancels out of the result, so the oracle is the plain join.
+    // Flags events whose value exceeds their type's mean.
+    "q25_salted_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val dim = e.groupBy("event_type").agg(avg("value").as("type_avg"))
+      graft.operators.SaltedJoin.join(
+          e.select("event_type", "value"), dim, "event_type", saltBuckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value") > col("type_avg"), 1L).otherwise(0L))
+            .as("n_above_avg"))
+    }),
+
     // Sessionization: gap > 30 min starts a new session; session id =
     // running count of gap flags per user. Two stacked windows over one
     // shuffle on user_id — the batch form of the streaming sessionizer.
@@ -459,6 +499,27 @@ object Relational {
         |  UNION ALL
         |  SELECT 'discount', l_discount FROM lineitem)
         |GROUP BY measure""".stripMargin,
+
+    // the oracle states range-join semantics directly as BETWEEN (DuckDB
+    // plans its own IEJoin); lo/hi arithmetic is the same IEEE ops both
+    // sides
+    "q24_range_join" ->
+      """SELECT p_partkey, count(*) AS n_events, avg(value) AS avg_value
+        |FROM part
+        |JOIN events ON value >= p_retailprice - 700.0
+        |           AND value <= p_retailprice - 700.0 + p_size / 2.0
+        |GROUP BY p_partkey""".stripMargin,
+
+    // the salt cancels out of the salted join's result, so the oracle is
+    // the plain equi-join
+    "q25_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  sum(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_above_avg
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type""".stripMargin,
 
     // All ts arithmetic below is BIGINT on epoch_ns(ts): the oracle engine
     // may read the nanos parquet column as TIMESTAMP_NS (ns-native) or as

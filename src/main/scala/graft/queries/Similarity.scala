@@ -189,6 +189,32 @@ object Similarity {
         scored, keyCol = "qid", scoreCol = "cos_sim", tieCol = "vec_id", k = 5)
     }),
 
+    // Scalar-quantized (int8) kNN — the memory-bandwidth scale path: the
+    // first pass scans 8×-smaller int8 codes with an exact *integer* dot
+    // product (top-50 candidates via TakeOrderedAndProject), and only the
+    // 50 survivors touch float vectors for the exact cosine re-rank. At
+    // 100 TB the code table is what stays hot (64 B/vector instead of
+    // 512 B); the integer first pass is also oracle-exact by construction
+    // — no float-order concerns in the candidate cut. Quantization error
+    // only affects which 50 candidates are seen; the emitted scores are
+    // exact cosines (recall vs s1's exact top-10 asserted by
+    // DedupSimilaritySpec). Oracled via the side_sq_codes dump replay.
+    "s6_quantized_knn" -> ((s, dir) => {
+      val base = sqBase(s, dir).persist()
+      val q = base.filter(col("vec_id") === 0L)
+        .select("codes", "unit").head()
+      val qCodes = typedlit(q.getSeq[Int](0))
+      val qUnit = typedlit(q.getSeq[Double](1))
+      val cands = base.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), intDot(col("codes"), qCodes).as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id"))
+        .limit(50)
+      cands.join(base.select("vec_id", "unit"), "vec_id")
+        .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF-flat ANN: nearest-centroid assignment (broadcast join + max_by
     // hash agg — see ivfAssign), then the query probes its nprobe=4
     // nearest cells and exact-ranks only those cells' vectors. At 100 TB
@@ -225,10 +251,19 @@ object Similarity {
       .select(transform(col("embedding"), x => x.cast("double")))
       .head().getSeq[Double](0).toArray
 
+  /** Scalar-quantization frame (vec_id, unit, codes) — s6's base, dumped
+    * by Verify as `side_sq_codes` for the oracle replay.
+    */
+  private[queries] def sqBase(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+      .withColumn("codes", quantize8(col("unit")))
+
   /** Side-tables Verify dumps for the oracle replays (see class doc). */
   val sideDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "side_srp_sigs" -> ((s, dir) => srpBase(s, dir)),
-    "side_s4_assign" -> ((s, dir) => ivfAssign(s, dir))
+    "side_s4_assign" -> ((s, dir) => ivfAssign(s, dir)),
+    "side_sq_codes" -> ((s, dir) => sqBase(s, dir))
   )
 
   private def cosSql(a: String, b: String): String =
@@ -303,6 +338,23 @@ object Similarity {
          |                       ORDER BY cos_sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+
+    // replay of s6 from the dumped codes: the integer first pass is exact
+    // on both sides (int8 codes cast up for DuckDB's list arithmetic), so
+    // candidate cut and re-rank reproduce bit-for-bit
+    "s6_quantized_knn" ->
+      """WITH c AS (SELECT vec_id, unit, codes
+        |          FROM read_parquet('{VERIFY_DIR}/side_sq_codes.parquet')),
+        |q AS (SELECT codes AS qc, unit AS qu FROM c WHERE vec_id = 0),
+        |cand AS (SELECT vec_id,
+        |    CAST(list_dot_product(codes::INTEGER[], qc::INTEGER[]) AS BIGINT)
+        |      AS qscore
+        |  FROM c, q WHERE vec_id <> 0
+        |  ORDER BY qscore DESC, vec_id LIMIT 50)
+        |SELECT c.vec_id, list_dot_product(c.unit, q.qu) AS cos_sim
+        |FROM cand JOIN c USING (vec_id), q
+        |ORDER BY cos_sim DESC, c.vec_id
+        |LIMIT 10""".stripMargin,
 
     "s4_ivf_knn" ->
       """WITH assign AS (SELECT vec_id, cent_id, unit

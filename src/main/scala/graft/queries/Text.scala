@@ -114,6 +114,43 @@ object Text {
         .limit(25)
     }),
 
+    // BM25 retrieval (the inverted-index/search-scoring shape): rank docs
+    // for a fixed term query. tf comes from exploding ONLY the query
+    // terms (the isin filter runs before the groupBy, so the aggregate
+    // sees |matching tokens| rows, not the corpus vocabulary); df and the
+    // corpus stats are broadcast; scoring is one narrow projection + a
+    // per-doc sum + TakeOrderedAndProject. Uses the rational idf variant
+    // idf = (N - df + ½)/(df + ½) + 1 — a monotone transform of the
+    // classic log idf chosen because it keeps every score inside exact
+    // same-order IEEE arithmetic on both engines (ln() is the one
+    // operation whose last-ulp behavior differs across libm
+    // implementations); k1 = 1.2, b = 0.75 are the standard constants.
+    "t10_bm25" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("len", size(col("toks")))
+        .persist()
+      val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg("len").as("avg_len"))
+      val tf = d.select(col("doc_id"), col("len"),
+          explode(col("toks")).as("term"))
+        .filter(col("term").isin(Bm25QueryTerms: _*))
+        .groupBy("doc_id", "len", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)
+      val denom = col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("len") / col("avg_len")))
+      tf.join(broadcast(dfq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("tscore", idf * (col("tf") * lit(2.2)) / denom)
+        .groupBy("doc_id")
+        .agg(sum("tscore").as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Redaction transform: regexp_replace token scrubbing + a count of
     // redactions — the shape of a PII-scrub pass (emails, phone numbers,
     // ids). The synthetic corpus carries no digits or emails, so the
@@ -134,6 +171,11 @@ object Text {
     * semantics in Java regex and DuckDB's RE2.
     */
   private val ScrubPattern = "\\b(the|a|of|and|in|to|is)\\b"
+
+  /** t10's fixed retrieval query (terms present across the corpus with
+    * differing document frequencies, so idf actually discriminates).
+    */
+  private val Bm25QueryTerms = Seq("spark", "join", "stream")
 
   private val langCase: String = {
     val scores = LangProfiles.map { case (l, ws) =>
@@ -212,6 +254,33 @@ object Text {
         |GROUP BY bigram
         |ORDER BY freq DESC, bigram
         |LIMIT 25""".stripMargin,
+
+    // every arithmetic step parenthesized to match the Spark expression
+    // tree op-for-op (same-order IEEE; see the query comment on the
+    // rational idf choice). The per-doc sum's accumulation order is the
+    // one engine-dependent float op — ≤3 addends, tolerated by the
+    // compare like every other float aggregate.
+    "t10_bm25" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |          FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS len, toks FROM d),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len
+         |          FROM dl),
+         |tf AS (SELECT doc_id, len, term, count(*) AS tf
+         |       FROM (SELECT doc_id, len, unnest(toks) AS term FROM dl)
+         |       WHERE term IN (${Bm25QueryTerms.mkString("'", "', '", "'")})
+         |       GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    ((((s.n_docs - f.df) + 0.5) / (f.df + 0.5)) + 1.0)
+         |      * (t.tf * 2.2)
+         |      / (t.tf + 1.2 * (0.25 + 0.75 * (t.len / s.avg_len))) AS tscore
+         |  FROM tf t JOIN dfq f USING (term), stats s)
+         |SELECT doc_id, sum(tscore) AS bm25
+         |FROM scored GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 20""".stripMargin,
 
     "t8_scrub" ->
       """SELECT doc_id,

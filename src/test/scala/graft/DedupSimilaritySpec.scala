@@ -105,6 +105,38 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"IVF recall too low: $recall")
   }
 
+  test("int8-quantized kNN recovers nearly all of the exact query-0 top-10") {
+    val exact = SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val sq = SparkEntry.queries("s6_quantized_knn")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sq.size == 10)
+    // int8 codes of unit vectors carry ~0.4% per-component error on
+    // 64 dims; a 50-candidate cut before the exact re-rank should keep
+    // essentially all of the true top-10 — assert a floor a broken
+    // quantizer or candidate cut would breach
+    val recall = (exact intersect sq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"quantized recall too low: $recall")
+  }
+
+  test("int8 quantizer: codes bounded, reconstruction error within half-step") {
+    val rnd = new scala.util.Random(23)
+    val v = Array.fill(64)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    val unit = v.map(_ / n)
+    import spark.implicits._
+    val got = Seq(Tuple1(unit.toSeq)).toDF("u")
+      .select(graft.functions.VectorFunctions.quantize8(col("u")))
+      .head().getSeq[Int](0)
+    assert(got.length == 64)
+    got.zip(unit).foreach { case (c, x) =>
+      assert(c >= -127 && c <= 127)
+      // |c - 127x| ≤ 0.5 (round half away from zero)
+      assert(math.abs(c - 127.0 * x) <= 0.5 + 1e-12,
+        s"code $c vs ${127.0 * x}")
+    }
+  }
+
   test("MinHashMerge aggregator: merged sketch == sketch of unioned shingles") {
     import graft.functions.{MinHashAgg, Sketches}
     import spark.implicits._

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Bucketed range join: result equivalence with the naive BETWEEN join,
+  * interval edge cases, and the no-nested-loop plan guarantee that is the
+  * operator's whole point.
+  */
+class RangeJoinSpec extends SparkSuite {
+
+  test("bucketed join equals the naive BETWEEN join on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val points = Seq.fill(500)(rnd.nextDouble() * 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
+    val ivs = Seq.fill(80) {
+      val lo = rnd.nextDouble() * 100.0
+      (lo, lo + rnd.nextDouble() * 10.0)
+    }.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("iid", "lo", "hi")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = canon(RangeJoin.pointInInterval(
+      points, ivs, "p", "lo", "hi", bucketWidth = 7.0))
+    val naive = canon(points.join(ivs,
+      col("p") >= col("lo") && col("p") <= col("hi")))
+    assert(got == naive)
+  }
+
+  test("interval edges: boundary-inclusive, inverted intervals match nothing") {
+    import spark.implicits._
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 10.5)).toDF("pid", "p")
+    val ivs = Seq(
+      (10L, 5.0, 10.0),  // closed: both boundary points match
+      (11L, 8.0, 3.0),   // inverted: matches nothing (not a desc sequence)
+      (12L, 10.5, 10.5)) // degenerate single point
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, ivs, "p", "lo", "hi", 2.0)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 12L)))
+  }
+
+  test("q24 plans an equi-join, not a nested-loop scan") {
+    val p = SparkEntry.queries("q24_range_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
