@@ -27,6 +27,39 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Median interval length, for use as the bucket width: replication of
+    * the interval side is ~`len/w + 1` rows per interval, so `w` = median
+    * length bounds expected replication near 2× for ANY interval
+    * distribution — a hard-coded width only achieves that for the one
+    * distribution it was tuned on. Computed with `percentile_approx`
+    * (one tiny agg job over the interval side — a single-row driver
+    * lookup, same class as the grid-axis collects; the interval side of a
+    * range join is the dimension side, so the extra scan is cheap and the
+    * frame is typically already cached by the caller). Degenerate inputs
+    * (no valid intervals, or all zero-length) fall back to width 1.0 —
+    * any positive width is correct there, since each interval then spans
+    * at most 2 buckets.
+    */
+  def adaptiveWidth(intervals: DataFrame, loCol: String,
+      hiCol: String): Double = {
+    val row = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .agg(percentile_approx((col(hiCol) - col(loCol)).cast("double"),
+        lit(0.5), lit(1000)).as("med"))
+      .head()
+    val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    if (med > 0.0) med else 1.0
+  }
+
+  /** Adaptive-width variant: bucket width is derived from the intervals'
+    * median length (see [[adaptiveWidth]]), keeping the ~2× replication
+    * bound without a caller-tuned constant.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String): DataFrame =
+    pointInInterval(points, intervals, pointCol, loCol, hiCol,
+      adaptiveWidth(intervals, loCol, hiCol))
+
   /** Inner join of `points` (column `pointCol`, one row per point) with
     * `intervals` (columns `loCol`, `hiCol`; closed interval `[lo, hi]`),
     * on `lo <= p <= hi`, via bucketed equi-join with bucket width

@@ -280,10 +280,15 @@ object Relational {
     // and average the events falling in each window. Bucketed equi-join
     // via [[graft.operators.RangeJoin]] — the naive BETWEEN join is a
     // BroadcastNestedLoopJoin (|events| × |parts| comparisons); the
-    // bucketed plan shuffles on an equi-key instead (PlanShapeSpec pins
-    // the no-nested-loop shape). Bucket width 16 ≈ the median interval
-    // length (sizes are uniform 1..50, so len = size/2 ∈ [0.5, 25]) →
-    // ~2× interval replication.
+    // bucketed plan shuffles on an equi-key instead (RangeJoinSpec pins
+    // the no-nested-loop shape). Bucket width is derived from the median
+    // interval length (see RangeJoin.adaptiveWidth) so replication stays
+    // ~2× for any interval distribution.
+    // Emission is integer-exact: avg(value) folds doubles in shuffle
+    // order and diverged from DuckDB in the last ULP on ~45% of rows
+    // (r3 hash fail); sum of floor(value*1000) is a commutative integer
+    // fold — floor on the same IEEE double is bit-identical on both
+    // engines, with no round()-tie semantics to match.
     "q24_range_join" -> ((s, dir) => {
       val points = Tables.events(s, dir).select("event_id", "value")
       val iv = Tables.part(s, dir)
@@ -291,9 +296,11 @@ object Relational {
           (col("p_retailprice") - 700.0).as("lo"),
           ((col("p_retailprice") - 700.0) + col("p_size") / 2.0).as("hi"))
       graft.operators.RangeJoin.pointInInterval(
-          points, iv, "value", "lo", "hi", bucketWidth = 16.0)
+          points, iv, "value", "lo", "hi")
         .groupBy("p_partkey")
-        .agg(count(lit(1)).as("n_events"), avg("value").as("avg_value"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000.0).cast("long"))
+            .as("sum_value_milli"))
     }),
 
     // Salted skew join (§2.6's skew row, now under the oracle gate):
@@ -502,9 +509,11 @@ object Relational {
 
     // the oracle states range-join semantics directly as BETWEEN (DuckDB
     // plans its own IEJoin); lo/hi arithmetic is the same IEEE ops both
-    // sides
+    // sides. sum(BIGINT) is HUGEINT in DuckDB → ::BIGINT for dtype parity
+    // (same trap as q19/q25); floor(value*1000) is bit-exact both engines.
     "q24_range_join" ->
-      """SELECT p_partkey, count(*) AS n_events, avg(value) AS avg_value
+      """SELECT p_partkey, count(*) AS n_events,
+        |  sum(CAST(floor(value * 1000) AS BIGINT))::BIGINT AS sum_value_milli
         |FROM part
         |JOIN events ON value >= p_retailprice - 700.0
         |           AND value <= p_retailprice - 700.0 + p_size / 2.0
@@ -540,8 +549,13 @@ object Relational {
         |  FROM e),
         |g AS (
         |  SELECT user_id, ts,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    -- ::BIGINT: DuckDB's windowed sum(int) is HUGEINT, which pandas
+        |    -- materializes as float64 and the exact hash diverges from
+        |    -- Spark's int64 (the 3-round q19 failure; q25 guards the same
+        |    -- trap). Values are identical either way.
+        |    (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS session_id
         |  FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(epoch_ns(ts))//1000 AS session_start_us

@@ -44,6 +44,43 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == Set((1L, 10L), (2L, 10L), (3L, 12L)))
   }
 
+  test("adaptive width matches the naive join on skewed interval sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val points = Seq.fill(400)(rnd.nextDouble() * 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
+    // Heavily skewed lengths: many tiny intervals, a few mega-intervals,
+    // degenerate points, and one inverted interval — the distributions a
+    // hard-coded width gets wrong in one direction or the other.
+    val ivs = (
+      Seq.tabulate(60) { i =>           // tiny: len ~ 0.01
+        val lo = rnd.nextDouble() * 1000.0; (i.toLong, lo, lo + 0.01)
+      } ++ Seq.tabulate(5) { i =>       // mega: len ~ 900
+        val lo = rnd.nextDouble() * 100.0; (60L + i, lo, lo + 900.0)
+      } ++ Seq((65L, 500.0, 500.0),     // degenerate single point
+        (66L, 300.0, 200.0))            // inverted: matches nothing
+    ).toDF("iid", "lo", "hi")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = canon(RangeJoin.pointInInterval(points, ivs, "p", "lo", "hi"))
+    val naive = canon(points.join(ivs,
+      col("p") >= col("lo") && col("p") <= col("hi")))
+    assert(got == naive)
+  }
+
+  test("adaptive width is the median interval length; degenerate sets fall back") {
+    import spark.implicits._
+    val ivs = Seq((0L, 0.0, 4.0), (1L, 10.0, 16.0), (2L, 20.0, 30.0))
+      .toDF("iid", "lo", "hi")
+    val w = RangeJoin.adaptiveWidth(ivs, "lo", "hi")
+    assert(w >= 4.0 && w <= 10.0, s"median of {4,6,10} expected, got $w")
+    val degenerate = Seq((0L, 5.0, 5.0), (1L, 9.0, 9.0)).toDF("iid", "lo", "hi")
+    assert(RangeJoin.adaptiveWidth(degenerate, "lo", "hi") == 1.0)
+    val empty = Seq.empty[(Long, Double, Double)].toDF("iid", "lo", "hi")
+    assert(RangeJoin.adaptiveWidth(empty, "lo", "hi") == 1.0)
+  }
+
   test("q24 plans an equi-join, not a nested-loop scan") {
     val p = SparkEntry.queries("q24_range_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
