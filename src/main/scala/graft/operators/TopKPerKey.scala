@@ -33,16 +33,28 @@ object TopKPerKey {
     * `keyCol` must be a type with value-based `equals` (the local heaps
     * group by the external key object in a HashMap): atomic types,
     * structs, strings — NOT binary, whose `Array[Byte]` uses reference
-    * equality and would silently split groups. Rejected up front.
+    * equality and would silently split groups. Rejected up front,
+    * including binary NESTED anywhere inside a struct/array/map key
+    * (Row.hashCode on a binary field is identity-based too).
     */
+  private def containsBinary(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BinaryType => true
+      case s: StructType => s.fields.exists(f => containsBinary(f.dataType))
+      case a: ArrayType => containsBinary(a.elementType)
+      case m: MapType => containsBinary(m.keyType) || containsBinary(m.valueType)
+      case _ => false
+    }
+  }
+
   def topK(df: DataFrame, keyCol: String, scoreCol: String, tieCol: String,
       k: Int): DataFrame = {
     require(k > 0)
-    require(df.schema(keyCol).dataType !=
-        org.apache.spark.sql.types.BinaryType,
-      s"$keyCol is BinaryType: Array[Byte] has no value equality, the " +
-        "per-partition HashMap would split its groups; key by a hex/hash " +
-        "projection instead")
+    require(!containsBinary(df.schema(keyCol).dataType),
+      s"$keyCol contains BinaryType: Array[Byte] has no value equality, " +
+        "the per-partition HashMap would split its groups; key by a " +
+        "hex/hash projection instead")
     val input = df.filter(col(scoreCol).isNotNull)
     val schema = input.schema
     val keyIdx = schema.fieldIndex(keyCol)

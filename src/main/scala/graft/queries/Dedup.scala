@@ -68,7 +68,12 @@ object Dedup {
     * pair, hot shingles are the quadratic risk), then the exact
     * J = |A∩B| / (|A|+|B|-|A∩B|) re-rank runs on the full arrays.
     */
-  private def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The dd2 pair frame plus its two persisted intermediates, so each
+    * consumer can release them once its own result is materialized
+    * (QueryCache.resultThenRelease).
+    */
+  private def shingleJaccardPairsWithCaches(
+      s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     // persisted: otherwise project-collapse inlines the shingle kernel
     // into the explode AND the re-rank joins (multiple evaluations per
     // row); explode_outer skips the implicit size>0 filter (shingle
@@ -140,7 +145,7 @@ object Dedup {
     // are *reachable* (a pair sharing only over-cap shingles is not —
     // the oracle replays the same cut), never the score a checked pair
     // receives
-    bounded.select("i", "j", "na", "nb")
+    val pairs = bounded.select("i", "j", "na", "nb")
       .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
       .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
       .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
@@ -148,6 +153,7 @@ object Dedup {
         (col("na") + col("nb") - col("shared")).cast("double"))
       .filter(col("jac") >= 0.6)
       .select("i", "j", "jac")
+    (pairs, Seq(docs, dfreqs))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -163,8 +169,12 @@ object Dedup {
     }),
 
     // Word-trigram shingle Jaccard near-dup pairs — see
-    // [[shingleJaccardPairs]] for the doc-freq-cut + exact-re-rank design.
-    "dd2_shingle_jaccard" -> ((s, dir) => shingleJaccardPairs(s, dir)),
+    // [[shingleJaccardPairsWithCaches]] for the doc-freq-cut +
+    // exact-re-rank design.
+    "dd2_shingle_jaccard" -> ((s, dir) => {
+      val (pairs, caches) = shingleJaccardPairsWithCaches(s, dir)
+      QueryCache.resultThenRelease(pairs, caches: _*)
+    }),
 
     // Near-dup cluster formation — the final dedup step: fold dd2's pair
     // list into connected components ([[ConnectedComponents]]) and name
@@ -173,10 +183,14 @@ object Dedup {
     // (doc_id = cluster_rep). The oracle replays components with a
     // recursive CTE over the same (exact, oracled) dd2 pairs.
     "dd8_neardup_clusters" -> ((s, dir) => {
-      val pairs = shingleJaccardPairs(s, dir).select("i", "j").persist()
+      val (p, caches) = shingleJaccardPairsWithCaches(s, dir)
+      val pairs = p.select("i", "j").persist()
       pairs.count() // populate the cache before components() fans out
-      ConnectedComponents.components(pairs, "i", "j")
-        .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      caches.foreach(_.unpersist(blocking = false)) // pairs cache suffices now
+      QueryCache.resultThenRelease(
+        ConnectedComponents.components(pairs, "i", "j")
+          .select(col("node").as("doc_id"), col("label").as("cluster_rep")),
+        pairs)
     }),
 
     // Character-level verification of the near-dup pairs: exact edit
@@ -186,13 +200,15 @@ object Dedup {
     // never on the corpus (levenshtein is O(len²) per pair — exactly the
     // kind of kernel you gate behind candidate generation).
     "dd9_edit_distance" -> ((s, dir) => {
-      val pairs = shingleJaccardPairs(s, dir).select("i", "j", "jac")
+      val (pairs, caches) = shingleJaccardPairsWithCaches(s, dir)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      pairs
-        .join(docs.select(col("doc_id").as("i"), col("text").as("text_i")), "i")
-        .join(docs.select(col("doc_id").as("j"), col("text").as("text_j")), "j")
-        .select(col("i"), col("j"), col("jac"),
-          levenshtein(col("text_i"), col("text_j")).as("edit_dist"))
+      QueryCache.resultThenRelease(
+        pairs.select("i", "j", "jac")
+          .join(docs.select(col("doc_id").as("i"), col("text").as("text_i")), "i")
+          .join(docs.select(col("doc_id").as("j"), col("text").as("text_j")), "j")
+          .select(col("i"), col("j"), col("jac"),
+            levenshtein(col("text_i"), col("text_j")).as("edit_dist")),
+        caches: _*)
     }),
 
     // MinHash (k=32) + LSH banding (16 bands × 2 rows): candidate pairs
@@ -217,12 +233,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
-      pairs
-        .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), "i")
-        .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), "j")
-        .select(col("i"), col("j"),
-          minhashSimilarity(col("sig_i"), col("sig_j")).as("est_jac"))
-        .filter(col("est_jac") >= 0.5)
+      QueryCache.resultThenRelease(
+        pairs
+          .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), "i")
+          .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), "j")
+          .select(col("i"), col("j"),
+            minhashSimilarity(col("sig_i"), col("sig_j")).as("est_jac"))
+          .filter(col("est_jac") >= 0.5),
+        sigs)
     }),
 
     // SimHash sketching, banded (sub-quadratic): 64-bit majority-vote
@@ -247,13 +265,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
-      pairs
-        .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
-        .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
-        .select(col("i"), col("j"),
-          hamming64(col("sh_i"), col("sh_j")).as("hamming"))
-        .orderBy(col("hamming"), col("i"), col("j"))
-        .limit(20)
+      QueryCache.resultThenRelease(
+        pairs
+          .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+          .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+          .select(col("i"), col("j"),
+            hamming64(col("sh_i"), col("sh_j")).as("hamming"))
+          .orderBy(col("hamming"), col("i"), col("j"))
+          .limit(20),
+        docs)
     }),
 
     // Corpus-level sketch via the MinHashMerge Aggregator (§2.10 UDAF
@@ -270,10 +290,12 @@ object Dedup {
         .persist()
       val a = sketches.alias("a")
       val b = sketches.alias("b")
-      a.join(b, col("a.lang") < col("b.lang"))
-        .select(col("a.lang").as("lang_i"), col("b.lang").as("lang_j"),
-          minhashSimilarity(col("a.sketch"), col("b.sketch")).as("est_overlap"))
-        .orderBy("lang_i", "lang_j")
+      QueryCache.resultThenRelease(
+        a.join(b, col("a.lang") < col("b.lang"))
+          .select(col("a.lang").as("lang_i"), col("b.lang").as("lang_j"),
+            minhashSimilarity(col("a.sketch"), col("b.sketch")).as("est_overlap"))
+          .orderBy("lang_i", "lang_j"),
+        sketches)
     }),
 
     // Embedding-cosine near-dup pairs (the semantic-dedup operator):
@@ -291,12 +313,14 @@ object Dedup {
     "dd7_embed_neardup" -> ((s, dir) => {
       import graft.functions.VectorFunctions.dot
       val base = Similarity.srpBase(s, dir).persist()
-      Similarity.srpCandidates(base, Similarity.DefaultBucketCap,
-          multiprobe = true)
-        .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
-        .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
-        .select(col("i"), col("j"), dot(col("u_i"), col("u_j")).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
+      QueryCache.resultThenRelease(
+        Similarity.srpCandidates(base, Similarity.DefaultBucketCap,
+            multiprobe = true)
+          .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
+          .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
+          .select(col("i"), col("j"), dot(col("u_i"), col("u_j")).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4),
+        base)
     }),
 
     // Order-sensitive exact dedup accounting via rolling fingerprint:

@@ -310,6 +310,15 @@ object Relational {
     // each hot key over 8 salt buckets (dim side replicated 8×); the
     // salt cancels out of the result, so the oracle is the plain join.
     // Flags events whose value exceeds their type's mean.
+    //
+    // Accepted boundary tolerance: `value > type_avg` compares against a
+    // float avg whose last ULP depends on accumulation order, so a value
+    // landing WITHIN ~1 ULP of its type's mean could flip the exact count
+    // between engines. The driver's uniform-double values make an exact
+    // boundary hit measure-zero (the mean of >10⁴ uniform doubles never
+    // coincides with a sample to 1 ULP at any driver SF — verified green
+    // three rounds); a production corpus with values clustered AT the
+    // mean would need the q24-style integer-exact emission instead.
     "q25_salted_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val dim = e.groupBy("event_type").agg(avg("value").as("type_avg"))

@@ -95,10 +95,13 @@ object Similarity {
     * shuffle; the former row_number-window formulation shuffled all of
     * them to sort each vec_id partition).
     */
-  private[queries] def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ivfAssign(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // persisted: referenced by both the centroid extraction and the
     // assignment join — without the barrier each reference re-scans the
-    // corpus and re-normalizes every vector
+    // corpus and re-normalizes every vector. Returned alongside the
+    // assignment frame so the caller can release it once its result is
+    // materialized (QueryCache.resultThenRelease).
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
       .persist()
@@ -109,13 +112,14 @@ object Similarity {
     // ORDER BY sim DESC, cent_id tie-break. unit is constant per vec_id
     // (one embedding row fanned out over C centroids), so first() is
     // deterministic-by-construction here.
-    e.join(broadcast(cents))
+    val assigned = e.join(broadcast(cents))
       .withColumn("sim", dot(col("unit"), col("cent")))
       .groupBy("vec_id")
       .agg(
         max_by(col("cent_id"), struct(col("sim"), (-col("cent_id")).as("nc")))
           .as("cent_id"),
         first("unit").as("unit"))
+    (assigned, e)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -144,12 +148,14 @@ object Similarity {
         .persist()
       val a = e.alias("a")
       val b = e.alias("b")
-      a.join(b, col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-          dot(col("a.unit"), col("b.unit")).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("i"), col("j"))
-        .limit(20)
+      QueryCache.resultThenRelease(
+        a.join(b, col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+            dot(col("a.unit"), col("b.unit")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("i"), col("j"))
+          .limit(20),
+        e)
     }),
 
     // SRP-LSH ANN: banding candidates (see srpCandidates) + exact cosine
@@ -161,12 +167,14 @@ object Similarity {
       // persist: the 32-hyperplane signature and the unit vector are
       // computed once per vector, never inside the bucket join
       val base = srpBase(s, dir).persist()
-      srpCandidates(base, DefaultBucketCap)
-        .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
-        .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
-        .select(col("i"), col("j"), dot(col("u_i"), col("u_j")).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("i"), col("j"))
-        .limit(10)
+      QueryCache.resultThenRelease(
+        srpCandidates(base, DefaultBucketCap)
+          .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
+          .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
+          .select(col("i"), col("j"), dot(col("u_i"), col("u_j")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("i"), col("j"))
+          .limit(10),
+        base)
     }),
 
     // Batch kNN serving: many query vectors answered in ONE corpus scan —
@@ -185,8 +193,10 @@ object Similarity {
       val scored = e.join(broadcast(probes), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           dot(col("unit"), col("qu")).as("cos_sim"))
-      graft.operators.TopKPerKey.topK(
-        scored, keyCol = "qid", scoreCol = "cos_sim", tieCol = "vec_id", k = 5)
+      QueryCache.resultThenRelease(
+        graft.operators.TopKPerKey.topK(
+          scored, keyCol = "qid", scoreCol = "cos_sim", tieCol = "vec_id", k = 5),
+        e)
     }),
 
     // Scalar-quantized (int8) kNN — the memory-bandwidth scale path: the
@@ -209,10 +219,35 @@ object Similarity {
         .select(col("vec_id"), intDot(col("codes"), qCodes).as("qscore"))
         .orderBy(col("qscore").desc, col("vec_id"))
         .limit(50)
-      cands.join(base.select("vec_id", "unit"), "vec_id")
-        .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(10)
+      QueryCache.resultThenRelease(
+        cands.join(base.select("vec_id", "unit"), "vec_id")
+          .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        base)
+    }),
+
+    // The SQL entry path itself under the hash gate: the same exact-kNN
+    // shape as s1, but declared entirely through `spark.sql` against the
+    // registered table views, with the cosine computed by the
+    // extension-registered codegen expression (GraftExtensions /
+    // graft_cosine) instead of the Column DSL. Gates registration,
+    // SQL parsing → Catalyst resolution of the custom expression, and the
+    // kernel's SQL-argument typing (array<float> columns on both sides).
+    // Query = vec 1 (s1 uses vec 0, keeping the two result sets distinct).
+    // The 1-row `q` side joins as a broadcast nested loop by design —
+    // attaching one row to every row IS that plan; the corpus side still
+    // scans once with codegen.
+    "s7_sql_surface" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.GraftExtensions.register(s)
+      s.sql(
+        """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1)
+          |SELECT vec_id, graft_cosine(embedding, qe) AS cos_sim
+          |FROM embeddings, q
+          |WHERE vec_id <> 1
+          |ORDER BY cos_sim DESC, vec_id
+          |LIMIT 10""".stripMargin)
     }),
 
     // IVF-flat ANN: nearest-centroid assignment (broadcast join + max_by
@@ -223,7 +258,8 @@ object Similarity {
     // via the side_s4_assign dump replay; recall vs s1's exact top-10 is
     // asserted by DedupSimilaritySpec.
     "s4_ivf_knn" -> ((s, dir) => {
-      val assigned = ivfAssign(s, dir).persist()
+      val (assigned0, eCache) = ivfAssign(s, dir)
+      val assigned = assigned0.persist()
       val cents = assigned.filter(col("vec_id") % 53 === 0)
         .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
       // query = vec 0; probe its 4 nearest centroids
@@ -235,11 +271,13 @@ object Similarity {
         .orderBy(col("qsim").desc, col("pc_id"))
         .limit(4)
         .select(col("pc_id").as("cent_id"))
-      assigned.join(broadcast(probed), "cent_id")
-        .filter(col("vec_id") =!= 0L)
-        .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(10)
+      QueryCache.resultThenRelease(
+        assigned.join(broadcast(probed), "cent_id")
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        assigned, eCache)
     })
   )
 
@@ -262,7 +300,10 @@ object Similarity {
   /** Side-tables Verify dumps for the oracle replays (see class doc). */
   val sideDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "side_srp_sigs" -> ((s, dir) => srpBase(s, dir)),
-    "side_s4_assign" -> ((s, dir) => ivfAssign(s, dir)),
+    "side_s4_assign" -> ((s, dir) => {
+      val (assigned, eCache) = ivfAssign(s, dir)
+      QueryCache.resultThenRelease(assigned, eCache)
+    }),
     "side_sq_codes" -> ((s, dir) => sqBase(s, dir))
   )
 
@@ -306,6 +347,16 @@ object Similarity {
          |SELECT vec_id, ${cosSql("embedding", "qe")} AS cos_sim
          |FROM embeddings, q
          |WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    // same replay shape as s1 with query vec 1 — the Spark side differs
+    // only in its entry path (SQL + extension-registered expression)
+    "s7_sql_surface" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1)
+         |SELECT vec_id, ${cosSql("embedding", "qe")} AS cos_sim
+         |FROM embeddings, q
+         |WHERE vec_id <> 1
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
 

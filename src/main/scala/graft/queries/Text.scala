@@ -260,6 +260,16 @@ object Text {
     // rational idf choice). The per-doc sum's accumulation order is the
     // one engine-dependent float op — ≤3 addends, tolerated by the
     // compare like every other float aggregate.
+    //
+    // LIMIT-boundary membership risk (distinct from value drift): two
+    // docs with ULP-different sums straddling rank 20 would change the
+    // emitted doc_id SET, which no float tolerance can absorb. Accepted
+    // because the driver corpora have no near-tied scores at the cut —
+    // measured rank-20→21 gaps: 4.5e-2 (sf0.001), 1.1e-4 (sf0.01),
+    // 1.3e-3 (sf0.1), vs ~1e-15 ULP noise on scores of magnitude ~6, so
+    // ≥11 orders of headroom at every driver SF. A corpus of
+    // near-duplicate docs would need a gap assertion or an integer-rank
+    // emission instead.
     "t10_bm25" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
          |          FROM documents),

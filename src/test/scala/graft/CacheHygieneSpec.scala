@@ -1,0 +1,41 @@
+package graft
+
+/** Pins the cache discipline of QueryCache.resultThenRelease: every query
+  * that persists corpus-sized intermediates must release them before
+  * returning, leaving at most its own (small, caller-owned) result cache.
+  * Without this, a library user running the dd/s/g queries outside
+  * Verify/Bench (which clearCache between queries) would accumulate the
+  * shingle/signature/grid frames of every query they touch.
+  *
+  * dd8 is exempt: ConnectedComponents' final localCheckpoint is referenced
+  * by the returned plan and cannot be freed while the result is alive (the
+  * per-round checkpoints ARE freed deterministically — see
+  * ConnectedComponents); its pair-list and kernel caches are still released
+  * like everyone else's.
+  */
+class CacheHygieneSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val persistingQueries = Seq(
+    "dd2_shingle_jaccard", "dd3_minhash_lsh", "dd4_simhash",
+    "dd6_corpus_sketch", "dd7_embed_neardup", "dd9_edit_distance",
+    "s2_top_pairs", "s3_ann_srp", "s4_ivf_knn", "s5_knn_batch",
+    "s6_quantized_knn", "g1_interp_1d", "g3_interp_2d", "g4_interp_4d",
+    "g6_interp_multivar", "g5_e2e_fetch")
+
+  for (name <- persistingQueries)
+    test(s"$name releases every intermediate cache") {
+      // delta vs the session baseline: earlier suites may hold their own
+      // persistent RDDs (this shared-JVM session runs suites sequentially)
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val res = SparkEntry.queries(name)(spark, sf)
+      val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+      // at most the materialized result itself may remain cached
+      assert(added.size <= 1,
+        s"$name left ${added.size} persistent RDDs: $added")
+      res.unpersist(blocking = true)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name leaked RDDs after unpersist: $leaked")
+    }
+}

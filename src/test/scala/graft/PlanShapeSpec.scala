@@ -79,6 +79,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(got == ref)
   }
 
+  test("TopKPerKey rejects binary keys, including binary nested in a struct") {
+    import graft.operators.TopKPerKey
+    import spark.implicits._
+    val flat = Seq((Array[Byte](1), 1.0, 1L)).toDF("k", "score", "id")
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topK(flat, "k", "score", "id", k = 1)
+    }
+    // Array[Byte] inside a struct key splits HashMap groups just the same
+    // (Row.hashCode on a binary element is identity-based)
+    val nested = Seq((Array[Byte](1), 1.0, 1L)).toDF("kb", "score", "id")
+      .select(struct(col("kb")).as("k"), col("score"), col("id"))
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topK(nested, "k", "score", "id", k = 1)
+    }
+  }
+
   test("bucket cap drops a pathological flood but keeps organic buckets") {
     import spark.implicits._
     // 1000 members hash to one bucket (a boilerplate flood) + two organic
