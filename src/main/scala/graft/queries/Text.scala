@@ -142,13 +142,48 @@ object Text {
         (col("df") + lit(0.5)) + lit(1.0)
       val denom = col("tf") + lit(1.2) *
         (lit(0.25) + lit(0.75) * (col("len") / col("avg_len")))
-      tf.join(broadcast(dfq), "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("tscore", idf * (col("tf") * lit(2.2)) / denom)
-        .groupBy("doc_id")
-        .agg(sum("tscore").as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(20)
+      QueryCache.resultThenRelease(
+        tf.join(broadcast(dfq), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("tscore", idf * (col("tf") * lit(2.2)) / denom)
+          .groupBy("doc_id")
+          .agg(sum("tscore").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20),
+        d)
+    }),
+
+    // End-to-end corpus-preparation pipeline under ONE hash gate — the
+    // documents-side analogue of g5's composed fetch path: quality filter
+    // (t2's rule) → exact dedup keep-list (dd1's md5 groupBy, min-doc_id
+    // survivor) → deterministic train/validation/test assignment (t7's md5
+    // prefix rule) → per-(split, lang) doc/token accounting. A regression
+    // in any stage OR in their composition surfaces as an oracle mismatch.
+    // Scale shape: the full text never crosses a shuffle — the dedup key
+    // is the 16-byte md5 and the payload is struct(doc_id, lang,
+    // n_tokens); min(struct) picks the min-doc_id row's payload (doc_id
+    // is unique and compared first). Every emitted column is an integer
+    // or a categorical string — nothing order-sensitive reaches the hash.
+    "p1_pipeline_e2e" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tokens"),
+          md5(col("text")).as("text_key"),
+          qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)
+      val kept = scored
+        .groupBy("text_key")
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
+          col("d.n_tokens").as("n_tokens"))
+      kept
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
+        .withColumn("split",
+          when(col("h") < "1999", "test")
+            .when(col("h") < "3333", "validation")
+            .otherwise("train"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
     }),
 
     // Redaction transform: regexp_replace token scrubbing + a count of
@@ -291,6 +326,40 @@ object Text {
          |FROM scored GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id
          |LIMIT 20""".stripMargin,
+
+    // stage-for-stage replay of the composed pipeline; the quality
+    // expression is t2's verbatim (op-for-op IEEE parity), the dedup
+    // survivor join replays min(struct)'s min-doc_id choice, and the
+    // split rule is t7's
+    "p1_pipeline_e2e" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, md5(text) AS text_key,
+         |    len(string_split(text,' ')) AS n_tokens,
+         |    len(list_filter(string_split(text,' '),
+         |        t -> list_contains($stopList, t)))::DOUBLE
+         |      / len(string_split(text,' ')) AS stopword_ratio,
+         |    len(list_distinct(string_split(text,' ')))::DOUBLE
+         |      / len(string_split(text,' ')) AS ttr
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang, text_key, n_tokens
+         |  FROM q
+         |  WHERE (least(stopword_ratio * 10.0, 1.0)
+         |         + least(n_tokens / 100.0, 1.0) + ttr) / 3.0 >= 0.5),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text_key),
+         |kept AS (SELECT f.doc_id, f.lang, f.n_tokens
+         |         FROM f JOIN surv USING (doc_id)),
+         |sp AS (
+         |  SELECT lang, n_tokens,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,4) < '1999'
+         |           THEN 'test'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,4) < '3333'
+         |           THEN 'validation'
+         |         ELSE 'train' END AS split
+         |  FROM kept)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  sum(n_tokens)::BIGINT AS sum_tokens
+         |FROM sp GROUP BY 1, 2""".stripMargin,
 
     "t8_scrub" ->
       """SELECT doc_id,
