@@ -46,15 +46,25 @@ object Bench {
       val times = (1 to runs).map { _ =>
         spark.catalog.clearCache() // each run pays its own materialization
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            nFailed += 1 // counted per failing RUN: a flaky query shows up
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch {
+            case e: Throwable =>
+              nFailed += 1 // counted per failing RUN: a flaky query shows up
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only: a fast-failing run must not stand in
+      // for the query's cost (a 0.3 s crash would otherwise beat a 15 s
+      // success). If every run failed there is no real cost to report —
+      // take the failures' min and let the nonzero "failures" field mark
+      // the whole number as untrustworthy.
+      val okTimes = times.collect { case (true, t) => t }
+      name -> (if (okTimes.nonEmpty) okTimes.min else times.map(_._2).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -56,10 +56,7 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[verify] side dump $key failed: ${e.getMessage}")
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(new java.io.File(tmp))
+          graft.util.Fs.rmTree(new java.io.File(tmp))
           spark.catalog.clearCache()
         }
       }
@@ -68,12 +65,7 @@ object Verify {
       // delete any previous result first: a failure below must not leave a
       // stale directory that the driver's compare would hash as current
       val target = new java.io.File(s"$outDir/$name")
-      if (target.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(target)
-      }
+      if (target.exists()) graft.util.Fs.rmTree(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -248,9 +248,7 @@ object GridQueries {
       series, fetched)
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-  }
+  private def rmTree(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
 
   /** One shutdown hook for all g5 grid dirs of this JVM (idempotent set —
     * a hook per invocation would grow the JVM's hook list unboundedly in a

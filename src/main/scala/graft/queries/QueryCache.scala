@@ -34,7 +34,17 @@ private[graft] object QueryCache {
     */
   def resultThenRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val out = result.persist()
-    out.count()
+    // failure path: if materialization dies (task failure, OOM, cancel),
+    // release BOTH the half-built result cache and the intermediates before
+    // rethrowing — otherwise a failed query leaks exactly the corpus-sized
+    // caches this class exists to free
+    try out.count()
+    catch {
+      case e: Throwable =>
+        out.unpersist(blocking = false)
+        intermediates.foreach(_.unpersist(blocking = false))
+        throw e
+    }
     intermediates.foreach(_.unpersist(blocking = false))
     out
   }

@@ -300,10 +300,11 @@ object Similarity {
   /** Side-tables Verify dumps for the oracle replays (see class doc). */
   val sideDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "side_srp_sigs" -> ((s, dir) => srpBase(s, dir)),
-    "side_s4_assign" -> ((s, dir) => {
-      val (assigned, eCache) = ivfAssign(s, dir)
-      QueryCache.resultThenRelease(assigned, eCache)
-    }),
+    // the unit-vector cache stays persisted here: Verify clearCache()s
+    // after every side dump, and wrapping in resultThenRelease would
+    // materialize a corpus-sized result cache — violating its
+    // bounded-result contract — just to free it one step earlier
+    "side_s4_assign" -> ((s, dir) => ivfAssign(s, dir)._1),
     "side_sq_codes" -> ((s, dir) => sqBase(s, dir))
   )
 
