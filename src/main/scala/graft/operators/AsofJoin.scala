@@ -32,8 +32,16 @@ object AsofJoin {
     * @param leftTime  event-time column on `left`
     * @param rightTime event-time column on `right`
     * @param payload   right-side columns to carry (renamed as given)
+    * @param tolerance max staleness: a carried row older than this (left
+    *                  time − right time, strictly greater) is masked to
+    *                  null, exactly like an absent match — the
+    *                  merge_asof-style bound that keeps a feature-pipeline
+    *                  lookup from serving arbitrarily stale state. None =
+    *                  unbounded (classic as-of). The comparison runs on
+    *                  integer microseconds (never float seconds — see the
+    *                  repo's ts-precision rule).
     * @return left rows + carried payload columns (null when no right row
-    *         precedes the left row)
+    *         precedes the left row, or none within tolerance)
     */
   def asof(
       left: DataFrame,
@@ -41,22 +49,32 @@ object AsofJoin {
       key: String,
       leftTime: String,
       rightTime: String,
-      payload: Map[String, String]): DataFrame = {
+      payload: Map[String, String],
+      tolerance: Option[java.time.Duration] = None): DataFrame = {
 
     val leftCols = left.columns
     val internal = Seq("_t", "_side", "_p")
     require(!(left.columns ++ right.columns).exists(internal.contains),
       s"inputs must not contain reserved columns ${internal.mkString(",")}")
+    require(!payload.values.exists(_ == "_rt"),
+      "payload destination _rt is reserved for the carried right time")
+    tolerance.foreach(d => require(!d.isNegative, "tolerance must be >= 0"))
 
     // The whole right payload rides in ONE struct per row: carrying each
     // payload column independently with last(ignoreNulls) would tear rows —
     // a null payload VALUE in the newest right row must win over an older
-    // non-null one, and per-column carry would skip it.
+    // non-null one, and per-column carry would skip it. The right time
+    // rides in the same struct (field _rt) so the tolerance mask sees the
+    // time of the row whose payload was carried. _rt leads the struct, but
+    // ordering is unchanged: within equal (key, _t, _side=0), _rt == _t,
+    // so ties still break on the payload fields.
     val taggedRight = right.select(
       col(key).as(key),
       col(rightTime).cast("timestamp").as("_t"),
       lit(0).as("_side"),
-      struct(payload.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+      struct(
+        (col(rightTime).cast("timestamp").as("_rt") +:
+          payload.map { case (src, dst) => col(src).as(dst) }.toSeq): _*)
         .as("_p"))
     val taggedLeft = left.select(
       Seq(col(key), col(leftTime).cast("timestamp").as("_t"),
@@ -79,10 +97,18 @@ object AsofJoin {
     val carried = unioned
       .withColumn("_c", last(col("_p"), ignoreNulls = true).over(w))
 
+    // tolerance mask: carried-but-too-old behaves exactly like no match
+    val withinTol: Column = tolerance match {
+      case None => lit(true)
+      case Some(d) =>
+        unix_micros(col("_t")) - unix_micros(col("_c").getField("_rt")) <=
+          lit(d.toNanos / 1000L)
+    }
     carried.filter(col("_side") === 1)
       .select(
         Seq(col(key)) ++
           leftCols.filterNot(_ == key).map(c => col(s"_l_$c").as(c)) ++
-          payload.values.map(dst => col("_c").getField(dst).as(dst)): _*)
+          payload.values.map(dst =>
+            when(withinTol, col("_c").getField(dst)).as(dst)): _*)
   }
 }

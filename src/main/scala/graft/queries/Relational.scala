@@ -400,6 +400,28 @@ object Relational {
         .select("event_id", "user_id", "value", "signup_value")
     }),
 
+    // As-of with a staleness bound (§2.6): q13's join, but a signup older
+    // than 2 days counts as absent — the merge_asof(tolerance=…) shape a
+    // feature-store lookup needs so it never serves arbitrarily stale
+    // state. Masked rows KEEP the left row with a null payload (left-join
+    // semantics), so the coverage drop is explicit, and the staleness
+    // comparison runs on integer microseconds. At sf0.01 the mask splits
+    // 1981 purchases into 1140 within / 651 beyond / 190 no-match — all
+    // three outcomes exercised at every driver SF.
+    "q26_asof_tolerance" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.asof(
+          purchases, signups, key = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Map("value" -> "signup_value"),
+          tolerance = Some(java.time.Duration.ofDays(2)))
+        .select("event_id", "user_id", "value", "signup_value")
+    }),
+
     // R1 — provenance time-stamping: every row tagged with the timestamp
     // parsed back out of a filename-shaped string built with the
     // reference's `<prefix>%Y-%m-%dT%H:%M:%S<postfix>` template
@@ -636,6 +658,21 @@ object Relational {
 
     "q13_asof" ->
       """SELECT l.event_id, l.user_id, l.value, r.value AS signup_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // q13's ASOF join with the 2-day mask applied on integer microseconds
+    // (epoch_us both sides — the ts-precision rule); CASE with no ELSE
+    // nulls the payload exactly like Spark's when(withinTol, …)
+    "q26_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id, l.value,
+        |  CASE WHEN r.ts IS NOT NULL
+        |        AND epoch_us(CAST(l.ts AS TIMESTAMP))
+        |            - epoch_us(CAST(r.ts AS TIMESTAMP))
+        |            <= 172800000000 THEN r.value END AS signup_value
         |FROM (SELECT event_id, user_id, ts, value FROM events
         |      WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events

@@ -64,6 +64,29 @@ class AsofJoinSpec extends SparkSuite {
     assert(df.count() == 2) // no NPE; null text → deterministic sketches
   }
 
+  test("tolerance masks stale matches like an absent match") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(100), "fresh"),  // match at t=90: 10 s old, within
+      (1L, ts(200), "stale"),  // match at t=90: 110 s old, beyond
+      (2L, ts(50), "none"))    // no preceding right row at all
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(90), 9.0)).toDF("k", "rt", "v")
+    val out = AsofJoin.asof(left, right, "k", "t", "rt",
+      Map("v" -> "lv"), tolerance = Some(java.time.Duration.ofSeconds(60)))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out("fresh") == 9.0)
+    assert(out("stale") == null) // carried row exists but is too old
+    assert(out("none") == null)
+    // boundary is inclusive: exactly tolerance-old still matches
+    val edge = AsofJoin.asof(
+      Seq((1L, ts(150), "edge")).toDF("k", "t", "tag"), right,
+      "k", "t", "rt", Map("v" -> "lv"),
+      tolerance = Some(java.time.Duration.ofSeconds(60))).head()
+    assert(edge.getDouble(3) == 9.0)
+  }
+
   test("multiple payload columns carry together") {
     import spark.implicits._
     val left = Seq((1L, ts(100), 0)).toDF("k", "t", "x")
