@@ -24,6 +24,30 @@ class CacheHygieneSpec extends SparkSuite {
     "s6_quantized_knn", "g1_interp_1d", "g3_interp_2d", "g4_interp_4d",
     "g6_interp_multivar", "g5_e2e_fetch", "t10_bm25", "q24_range_join")
 
+  test("resultThenRelease frees result and intermediates when the job fails") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val boom = udf((i: Long) => {
+      if (i >= 0) throw new RuntimeException("boom"); i
+    })
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val inter = Seq(1L, 2L, 3L).toDF("x").persist()
+    inter.count()
+    intercept[Exception] {
+      graft.queries.QueryCache.resultThenRelease(
+        inter.select(boom(col("x")).as("y")), inter)
+    }
+    // async unpersist: poll briefly before declaring a leak
+    val deadline = System.nanoTime() + 5e9.toLong
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    }
+    assert(leaked.isEmpty,
+      s"failure path leaked persistent RDDs: $leaked")
+  }
+
   for (name <- persistingQueries)
     test(s"$name releases every intermediate cache") {
       // delta vs the session baseline: earlier suites may hold their own
