@@ -186,6 +186,22 @@ object Text {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
     }),
 
+    // Corpus mix control: deterministic stratified sampling
+    // ([[graft.operators.DeterministicSample]]) — en down-weighted to
+    // 0.25, zh kept in full (exercising the exact keep-all path), every
+    // other language at the 0.5 default — then per-language doc/token
+    // accounting. Membership is a pure function of doc_id, so the oracle
+    // replays the identical kept set; integer emissions only.
+    "p2_stratified_sample" -> ((s, dir) => {
+      graft.operators.DeterministicSample.stratified(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+            tokenCount(col("text")).as("n_tokens")),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.25, "zh" -> 1.0), default = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
     // Redaction transform: regexp_replace token scrubbing + a count of
     // redactions — the shape of a PII-scrub pass (emails, phone numbers,
     // ids). The synthetic corpus carries no digits or emails, so the
@@ -360,6 +376,20 @@ object Text {
          |SELECT split, lang, count(*) AS n_docs,
          |  sum(n_tokens)::BIGINT AS sum_tokens
          |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    // same md5-prefix membership rule; printf('%04x') matches Spark's
+    // format_string, and both engines emit lowercase hex
+    "p2_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT lang, len(string_split(text,' ')) AS n_tokens,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+        |    CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 1.0
+        |         ELSE 0.5 END AS f
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+        |FROM s
+        |WHERE f >= 1.0 OR h < printf('%04x', CAST(floor(f * 65536) AS INTEGER))
+        |GROUP BY lang""".stripMargin,
 
     "t8_scrub" ->
       """SELECT doc_id,

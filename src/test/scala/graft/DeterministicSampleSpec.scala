@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DeterministicSample
+
+class DeterministicSampleSpec extends SparkSuite {
+
+  private def keys(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+  }
+
+  test("fraction 1.0 keeps everything exactly; 0.0 drops everything") {
+    val df = keys(512)
+    assert(DeterministicSample.stratified(df, col("id"), col("stratum"),
+      Map("a" -> 1.0, "b" -> 1.0)).count() == 512)
+    assert(DeterministicSample.stratified(df, col("id"), col("stratum"),
+      Map("a" -> 0.0), default = 0.0).count() == 0)
+  }
+
+  test("kept sets are nested: raising a fraction only adds rows") {
+    val df = keys(4096)
+    def kept(f: Double): Set[Long] =
+      DeterministicSample.stratified(df, col("id"), col("stratum"),
+        Map("a" -> f, "b" -> f))
+        .select("id").collect().map(_.getLong(0)).toSet
+    val k25 = kept(0.25)
+    val k50 = kept(0.5)
+    assert(k25.subsetOf(k50), "raising the fraction must never swap rows")
+    // and the realized rates are near the requested ones (md5 uniformity)
+    assert(math.abs(k25.size / 4096.0 - 0.25) < 0.05)
+    assert(math.abs(k50.size / 4096.0 - 0.5) < 0.05)
+  }
+
+  test("strata sample independently at their own fractions") {
+    val df = keys(4096) // 2048 per stratum
+    val out = DeterministicSample.stratified(df, col("id"), col("stratum"),
+        Map("a" -> 0.1, "b" -> 0.9))
+      .groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("a") / 2048.0 - 0.1) < 0.05)
+    assert(math.abs(out("b") / 2048.0 - 0.9) < 0.05)
+  }
+
+  test("membership is partitioning-invariant") {
+    val df = keys(1024)
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      DeterministicSample.stratified(d, col("id"), col("stratum"),
+        Map("a" -> 0.3, "b" -> 0.7))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(df.repartition(1)) == ids(df.repartition(13, col("id"))))
+  }
+}
