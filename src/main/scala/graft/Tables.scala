@@ -84,4 +84,28 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Byte-targeted repartitioning — the reference's
+    * `repartition(partition_size='200MB')` surface (dask_config.py /
+    * kamodo_dask.py:233-244, SURVEY §2 P2) as a real operator, not a conf
+    * mapping: partition count = ceil(plan-estimated bytes / target).
+    *
+    * The size source is Catalyst's own statistics (file sizes for scans,
+    * propagated through the operator tree — the same numbers AQE and the
+    * broadcast planner trust), so the estimate costs no extra job. It is
+    * an ESTIMATE: post-filter sizes use Catalyst's selectivity guesses,
+    * and decompression can grow data beyond its on-disk footprint — the
+    * same caveats the reference's byte targeting has on compressed
+    * parquet. For scan-side sizing prefer
+    * `spark.sql.files.maxPartitionBytes` (no shuffle at all); use this
+    * where the reference used it — to fix up pathological partitioning
+    * mid-pipeline before expensive per-partition work.
+    */
+  def repartitionBySize(df: DataFrame,
+      targetBytes: Long = 200L << 20): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + targetBytes - 1) / targetBytes).min(1 << 20).toInt
+    df.repartition(math.max(n, 1))
+  }
 }

@@ -79,6 +79,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(got == ref)
   }
 
+  test("repartitionBySize derives the partition count from plan statistics") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.01")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(bytes > 0)
+    val target = (bytes / BigInt(7)).toLong.max(1L)
+    val expected = ((bytes + target - 1) / target).toInt
+    assert(Tables.repartitionBySize(df, target).rdd.getNumPartitions
+      == expected)
+    // a frame smaller than the target still gets one partition, never zero
+    assert(Tables.repartitionBySize(df, Long.MaxValue)
+      .rdd.getNumPartitions == 1)
+  }
+
   test("TopKPerKey rejects binary keys, including binary nested in a struct") {
     import graft.operators.TopKPerKey
     import spark.implicits._
