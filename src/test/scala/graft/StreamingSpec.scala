@@ -117,6 +117,34 @@ class StreamingSpec extends SparkSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("deterministic sampling keeps the same rows on a stream as in batch") {
+    import graft.operators.DeterministicSample
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // membership is a pure function of the key, so online ingest sampling
+    // and a later batch re-run select the SAME rows — the property that
+    // makes a streamed corpus mix reproducible (sample() cannot run on a
+    // stream at all, and would not be stable if it could)
+    val events = (0L until 512L).map(i =>
+      EventStream.Event(i, new Timestamp(1700000000000L + i), i % 7, "e", 1.0))
+    val mem = MemoryStream[EventStream.Event]
+    val sampled = DeterministicSample.stratified(
+      mem.toDS().toDF(), col("event_id"), col("event_type"),
+      Map("e" -> 0.3))
+    val q = sampled.writeStream.format("memory").queryName("sampled_stream")
+      .outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sampled_stream")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val batch = DeterministicSample.stratified(
+        events.toDF(), col("event_id"), col("event_type"), Map("e" -> 0.3))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < 512)
+  }
+
   test("GridFields.withUnitsMetadata attaches units to StructFields") {
     val dir = GridFixtures.ensure(spark, "units-meta", n = 2)
     val df = new GridReader(spark, dir).fetch(
