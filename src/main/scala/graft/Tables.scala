@@ -105,7 +105,15 @@ object Tables {
       targetBytes: Long = 200L << 20): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = ((bytes + targetBytes - 1) / targetBytes).min(1 << 20).toInt
-    df.repartition(math.max(n, 1))
+    // stats-less lineages (LogicalRDD, JDBC, streaming) report Catalyst's
+    // defaultSizeInBytes sentinel (Long.MaxValue by default) — sizing from
+    // it would shuffle into the million-partition cap; with no reliable
+    // estimate the honest move is a no-op (any real plan is nowhere near
+    // 4 EiB)
+    if (bytes >= BigInt(Long.MaxValue) / 2) df
+    else {
+      val n = ((bytes + targetBytes - 1) / targetBytes).min(1 << 20).toInt
+      df.repartition(math.max(n, 1))
+    }
   }
 }

@@ -63,19 +63,25 @@ object AsofJoin {
     // The whole right payload rides in ONE struct per row: carrying each
     // payload column independently with last(ignoreNulls) would tear rows —
     // a null payload VALUE in the newest right row must win over an older
-    // non-null one, and per-column carry would skip it. The right time
-    // rides in the same struct (field _rt) so the tolerance mask sees the
-    // time of the row whose payload was carried. _rt leads the struct, but
-    // ordering is unchanged: within equal (key, _t, _side=0), _rt == _t,
-    // so ties still break on the payload fields.
+    // non-null one, and per-column carry would skip it. When a tolerance
+    // is set, the right time rides in the same struct (field _rt) so the
+    // mask sees the time of the row whose payload was carried — and ONLY
+    // then: the no-tolerance path keeps its original struct, paying
+    // nothing extra through the union shuffle and window sort. _rt leads
+    // the struct, but ordering is unchanged: within equal
+    // (key, _t, _side=0), _rt == _t, so ties still break on the payload
+    // fields.
+    val payloadFields = payload.map { case (src, dst) => col(src).as(dst) }
+      .toSeq
+    val structFields =
+      if (tolerance.isDefined)
+        col(rightTime).cast("timestamp").as("_rt") +: payloadFields
+      else payloadFields
     val taggedRight = right.select(
       col(key).as(key),
       col(rightTime).cast("timestamp").as("_t"),
       lit(0).as("_side"),
-      struct(
-        (col(rightTime).cast("timestamp").as("_rt") +:
-          payload.map { case (src, dst) => col(src).as(dst) }.toSeq): _*)
-        .as("_p"))
+      struct(structFields: _*).as("_p"))
     val taggedLeft = left.select(
       Seq(col(key), col(leftTime).cast("timestamp").as("_t"),
         lit(1).as("_side"),
@@ -97,12 +103,19 @@ object AsofJoin {
     val carried = unioned
       .withColumn("_c", last(col("_p"), ignoreNulls = true).over(w))
 
-    // tolerance mask: carried-but-too-old behaves exactly like no match
+    // tolerance mask: carried-but-too-old behaves exactly like no match.
+    // Bound in integer MICROseconds computed overflow-safely — toNanos
+    // throws past ~292 years; a saturated bound is simply unbounded, the
+    // same behavior as None.
     val withinTol: Column = tolerance match {
       case None => lit(true)
       case Some(d) =>
+        val tolMicros =
+          try Math.addExact(Math.multiplyExact(d.getSeconds, 1000000L),
+            d.getNano / 1000L)
+          catch { case _: ArithmeticException => Long.MaxValue }
         unix_micros(col("_t")) - unix_micros(col("_c").getField("_rt")) <=
-          lit(d.toNanos / 1000L)
+          lit(tolMicros)
     }
     carried.filter(col("_side") === 1)
       .select(

@@ -27,10 +27,15 @@ object DeterministicSample {
     */
   def stratified(df: DataFrame, keyCol: Column, stratumCol: Column,
       fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
-    val frac: Column = fractions.foldLeft(lit(default)) {
+    val raw: Column = fractions.foldLeft(lit(default)) {
       case (acc, (stratum, f)) => when(stratumCol === stratum, lit(f))
         .otherwise(acc)
     }
+    // clamp BEFORE the threshold math: floor(negative·65536) formats as an
+    // 8-char two's-complement hex string that every 4-char prefix sorts
+    // below — an unclamped -0.1 would silently keep ALL rows, the
+    // opposite of the intended drop-all
+    val frac = least(greatest(raw, lit(0.0)), lit(1.0))
     val h = substring(md5(keyCol.cast("string")), 1, 4)
     // threshold = floor(frac·2¹⁶) as a 4-digit hex string; the f >= 1
     // clause covers keep-all exactly ("%04x" of 65536 is the 5-char

@@ -18,6 +18,13 @@ class DeterministicSampleSpec extends SparkSuite {
       Map("a" -> 1.0, "b" -> 1.0)).count() == 512)
     assert(DeterministicSample.stratified(df, col("id"), col("stratum"),
       Map("a" -> 0.0), default = 0.0).count() == 0)
+    // out-of-range fractions clamp: negative means drop-all (an unclamped
+    // negative would format as 8-char two's-complement hex and keep ALL),
+    // >1 means keep-all
+    assert(DeterministicSample.stratified(df, col("id"), col("stratum"),
+      Map("a" -> -0.1), default = -5.0).count() == 0)
+    assert(DeterministicSample.stratified(df, col("id"), col("stratum"),
+      Map("a" -> 2.0, "b" -> 2.0)).count() == 512)
   }
 
   test("kept sets are nested: raising a fraction only adds rows") {

@@ -80,7 +80,7 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("repartitionBySize derives the partition count from plan statistics") {
-    val df = Tables.documents(spark, "/root/testdata/sf0.01")
+    val df = Tables.documents(spark, sf)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     assert(bytes > 0)
     val target = (bytes / BigInt(7)).toLong.max(1L)
