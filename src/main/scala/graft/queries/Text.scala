@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -183,6 +184,49 @@ object Text {
             .when(col("h") < "3333", "validation")
             .otherwise("train"))
         .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
+    // Context-window chunking (the UDTF/generator shape of corpus prep):
+    // split each document into 50-token windows with stride 40 (10-token
+    // overlap) — one explode of the stride sequence + a slice per chunk,
+    // all codegen builtins, no UDF. The last chunk may be short (slice
+    // past the end truncates identically on both engines). Row-per-chunk
+    // generators are the canonical pre-tokenization fan-out; bounded here
+    // to doc_id < 50 to keep the oracle result small.
+    "t11_chunking" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1) // sequence(0,-1,40) would DESCEND
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(40)))
+            .as("start"),
+          col("toks"))
+        .select(col("doc_id"),
+          expr("start DIV 40").as("chunk_id"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(50)))
+            .as("chunk"))
+    }),
+
+    // Sequence packing (concat-and-chunk): documents streamed in a
+    // deterministic order into fixed 2048-token context windows; a doc
+    // belongs to the pack where its first token lands (cumulative tokens
+    // BEFORE it, integer-divided by the window). Partitioned by lang —
+    // the scale shape: packing is inherently sequential, so production
+    // packs per shard/stratum in parallel, never over one global order
+    // (a global ORDER BY is a single-reducer sort). Window cumsum +
+    // integer division — exact on both engines.
+    "t12_packing" -> ((s, dir) => {
+      val win = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum_before",
+          coalesce(sum("n_tokens").over(win), lit(0L)))
+        .withColumn("pack_id", expr("cum_before DIV 2048"))
+        .groupBy("lang", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
     }),
 
@@ -376,6 +420,34 @@ object Text {
          |SELECT split, lang, count(*) AS n_docs,
          |  sum(n_tokens)::BIGINT AS sum_tokens
          |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    // lateral unnest(range) is exclusive of len like Spark's
+    // sequence(0, n-1, 40); DuckDB's 1-based end-inclusive slice
+    // [start+1 : start+50] == Spark slice(toks, start+1, 50), both
+    // truncating past the end
+    "t11_chunking" ->
+      """SELECT doc_id, (start // 40) AS chunk_id,
+        |  array_to_string(toks[start+1 : start+50], ' ') AS chunk
+        |FROM (SELECT doc_id, string_split(text,' ') AS toks
+        |      FROM documents WHERE doc_id < 50),
+        |     unnest(range(0, len(toks), 40)) AS t(start)""".stripMargin,
+
+    // the windowed sum casts ::BIGINT immediately — DuckDB window sums
+    // return HUGEINT, which pandas reads as float64 and the exact hash
+    // rejects (the q19 lesson)
+    "t12_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)::BIGINT,
+        |      0) AS cum_before
+        |  FROM d)
+        |SELECT lang, cum_before // 2048 AS pack_id, count(*) AS n_docs,
+        |  sum(n_tokens)::BIGINT AS sum_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     // same md5-prefix membership rule; printf('%04x') matches Spark's
     // format_string, and both engines emit lowercase hex
