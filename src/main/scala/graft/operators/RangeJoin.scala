@@ -87,4 +87,57 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(bucketCol)
   }
+
+  /** Adaptive-width interval-interval overlap join: width from the median
+    * length over BOTH sides' intervals pooled (each side's replication is
+    * its own len/w + 1, so the pooled median balances the two explode
+    * costs).
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      loA: String, hiA: String, loB: String, hiB: String): DataFrame = {
+    val lens = a.filter(col(loA) <= col(hiA))
+      .select((col(hiA) - col(loA)).cast("double").as("len"))
+      .unionAll(b.filter(col(loB) <= col(hiB))
+        .select((col(hiB) - col(loB)).cast("double").as("len")))
+    val row = lens
+      .agg(percentile_approx(col("len"), lit(0.5), lit(1000)).as("med"))
+      .head()
+    val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    intervalOverlap(a, b, loA, hiA, loB, hiB, if (med > 0.0) med else 1.0)
+  }
+
+  /** Interval-interval overlap join (closed intervals, `loA <= hiB AND
+    * loB <= hiA`) via the same binning, extended to two exploded sides.
+    *
+    * Both sides explode over the buckets they cover and equi-join on the
+    * bucket id — but a wide pair can now meet in MANY buckets, and a
+    * `distinct()` to dedup would shuffle the full candidate set again.
+    * Instead each pair is emitted exactly once by keeping it only in its
+    * FIRST common bucket, `floor(max(loA, loB) / w)`: for a truly
+    * overlapping pair `max(lo) <= min(hi)`, so that bucket lies inside
+    * both ranges and both sides emitted it — one deterministic meeting
+    * point, zero dedup cost. Input frames must have disjoint column names
+    * (the join keeps both sides' columns).
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      loA: String, hiA: String, loB: String, hiB: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val bucketCol = "_range_bucket"
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(shared.isEmpty,
+      s"input column names must be disjoint, both have: ${shared.mkString(",")}")
+    require(!a.columns.contains(bucketCol) && !b.columns.contains(bucketCol),
+      s"inputs must not contain a $bucketCol column")
+    def bucketOf(c: Column): Column =
+      floor(c / lit(bucketWidth)).cast("long")
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(col(lo) <= col(hi))
+        .withColumn(bucketCol,
+          explode(sequence(bucketOf(col(lo)), bucketOf(col(hi)))))
+    exploded(a, loA, hiA).join(exploded(b, loB, hiB), Seq(bucketCol))
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA))
+      .filter(col(bucketCol) === bucketOf(greatest(col(loA), col(loB))))
+      .drop(bucketCol)
+  }
 }

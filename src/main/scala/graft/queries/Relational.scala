@@ -311,6 +311,30 @@ object Relational {
         iv)
     }),
 
+    // Interval-interval overlap join: part price-bands × supplier
+    // account-bands — the two-exploded-sides extension of q24's binning
+    // ([[graft.operators.RangeJoin.intervalOverlap]]); each overlapping
+    // pair meets exactly once (first-common-bucket rule), so no dedup
+    // shuffle. Counts per supplier: integer emission, order-insensitive.
+    "q27_interval_overlap" -> ((s, dir) => {
+      val pa = Tables.part(s, dir).select(col("p_partkey"),
+        (col("p_retailprice") - 700.0).as("a_lo"),
+        ((col("p_retailprice") - 700.0) + col("p_size") / 2.0).as("a_hi"))
+      // supplier bands derive from the key, not acctbal: part bands live
+      // in [200, 325] at every driver SF (retailprice 900-1000, size ≤
+      // 50) while acctbal spans [-1000, 10000] — a band from acctbal
+      // finds zero overlaps at sf0.001. s_suppkey % 100 lands every
+      // supplier inside the part range, and integer-derived doubles are
+      // bit-identical on both engines (no float-mod parity risk).
+      val sb = Tables.supplier(s, dir).select(col("s_suppkey"),
+        (lit(200.0) + (col("s_suppkey") % 100).cast("double")).as("b_lo"),
+        (lit(205.0) + (col("s_suppkey") % 100).cast("double")).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          pa, sb, "a_lo", "a_hi", "b_lo", "b_hi")
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_parts"))
+    }),
+
     // Salted skew join (§2.6's skew row, now under the oracle gate):
     // events keyed by event_type is the canonical hot-key layout — 5
     // distinct values over the whole fact table, so a plain shuffle join
@@ -557,6 +581,17 @@ object Relational {
         |JOIN events ON value >= p_retailprice - 700.0
         |           AND value <= p_retailprice - 700.0 + p_size / 2.0
         |GROUP BY p_partkey""".stripMargin,
+
+    // naive overlap join (DuckDB plans IEJoin); the engine's bucketed
+    // first-common-bucket form must produce the identical pair set
+    "q27_interval_overlap" ->
+      """SELECT s_suppkey, count(*) AS n_parts
+        |FROM (SELECT p_partkey, p_retailprice - 700.0 AS a_lo,
+        |        (p_retailprice - 700.0) + p_size / 2.0 AS a_hi FROM part) a
+        |JOIN (SELECT s_suppkey, 200.0 + (s_suppkey % 100) AS b_lo,
+        |        205.0 + (s_suppkey % 100) AS b_hi FROM supplier) b
+        |  ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+        |GROUP BY 1""".stripMargin,
 
     // the salt cancels out of the salted join's result, so the oracle is
     // the plain equi-join

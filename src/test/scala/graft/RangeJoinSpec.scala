@@ -81,6 +81,53 @@ class RangeJoinSpec extends SparkSuite {
     assert(RangeJoin.adaptiveWidth(empty, "lo", "hi") == 1.0)
   }
 
+  test("interval overlap equals the naive join, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val as = Seq.fill(120) {
+      val lo = rnd.nextDouble() * 100.0
+      (lo, lo + rnd.nextDouble() * 20.0) // wide: spans many buckets
+    }.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("aid", "a_lo", "a_hi")
+    val bs = (Seq.fill(80) {
+      val lo = rnd.nextDouble() * 100.0
+      (lo, lo + rnd.nextDouble() * 5.0)
+    } ++ Seq((50.0, 40.0))) // inverted: matches nothing
+      .zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("bid", "b_lo", "b_hi")
+    // tiny width FORCES wide pairs to meet in many buckets — the
+    // first-common-bucket rule must still emit each pair exactly once
+    val got = RangeJoin.intervalOverlap(
+        as, bs, "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 0.5)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "a pair was emitted more than once")
+    // the naive reference needs the empty-interval rule made explicit:
+    // the raw overlap formula can "match" an inverted interval (lo=50,
+    // hi=40 satisfies a_lo <= 40 && 50 <= a_hi for a wide a), while the
+    // operator's declared semantics are BETWEEN-like — inverted is empty
+    val naive = as.filter(col("a_lo") <= col("a_hi"))
+      .join(bs.filter(col("b_lo") <= col("b_hi")),
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == naive)
+    // adaptive-width overload agrees too
+    val adaptive = RangeJoin.intervalOverlap(
+        as, bs, "a_lo", "a_hi", "b_lo", "b_hi")
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive == naive)
+  }
+
+  test("q27 plans an equi-join, not a nested-loop scan") {
+    val p = SparkEntry.queries("q27_interval_overlap")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q24 plans an equi-join, not a nested-loop scan") {
     val p = SparkEntry.queries("q24_range_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
