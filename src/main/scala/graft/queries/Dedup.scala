@@ -323,6 +323,29 @@ object Dedup {
         base)
     }),
 
+    // The APPLY step of embedding dedup: dd7 finds near-dup pairs, this
+    // produces the surviving corpus a pipeline actually trains on — drop
+    // every vector that has a smaller-id near-duplicate (the j side of
+    // every i<j pair), keep the rest. The drop-set join is a left_anti on
+    // vec_id (no pair expansion survives past the candidate stage), and
+    // the emission is a corpus summary (count + id checksum) so the hash
+    // gate certifies the exact kept SET without shipping vectors.
+    "p3_embed_keeplist" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val base = Similarity.srpBase(s, dir).persist()
+      val dropped = Similarity.srpCandidates(base, Similarity.DefaultBucketCap,
+          multiprobe = true)
+        .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
+        .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
+        .filter(dot(col("u_i"), col("u_j")) >= 0.4)
+        .select(col("j").as("vec_id"))
+        .distinct()
+      QueryCache.resultThenRelease(
+        base.join(dropped, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_ids")),
+        base)
+    }),
+
     // Order-sensitive exact dedup accounting via rolling fingerprint:
     // corpus summary of sequence-identical copies. (The fingerprint value
     // itself is xxhash64-based, so only the counts are emitted — they
@@ -501,6 +524,23 @@ object Dedup {
          |  FROM pairs
          |  JOIN sigs sa ON sa.vec_id = i
          |  JOIN sigs sb ON sb.vec_id = j)
-         |WHERE cos_sim >= 0.4""".stripMargin
+         |WHERE cos_sim >= 0.4""".stripMargin,
+
+    // dd7's pair replay + the anti-join apply; sigs carries every vector
+    // of the corpus (the side dump is the whole SRP base)
+    "p3_embed_keeplist" ->
+      s"""WITH ${Similarity.srpCandidatesSql(Similarity.DefaultBucketCap,
+             multiprobe = true)},
+         |dd7 AS (
+         |  SELECT i, j FROM (
+         |    SELECT i, j, list_dot_product(sa.unit, sb.unit) AS cos_sim
+         |    FROM pairs
+         |    JOIN sigs sa ON sa.vec_id = i
+         |    JOIN sigs sb ON sb.vec_id = j)
+         |  WHERE cos_sim >= 0.4),
+         |dropped AS (SELECT DISTINCT j AS vec_id FROM dd7)
+         |SELECT count(*) AS n_kept, sum(vec_id)::BIGINT AS sum_ids
+         |FROM sigs
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
   )
 }
