@@ -335,6 +335,32 @@ object Relational {
         .agg(count(lit(1)).as("n_parts"))
     }),
 
+    // Z-order (Morton) layout keys ([[graft.functions.LayoutFunctions]]):
+    // the file-clustering primitive for multi-dimensional scan pruning at
+    // scale. Each event maps to an 8-bit day bucket × 8-bit value bucket;
+    // the interleaved 16-bit key is the sort/partition key a z-clustered
+    // writer would range-shuffle on, and `zfile` models the resulting
+    // file id (64 key slots per file). The emission is each z-file's row
+    // count + per-dimension min/max — exactly the parquet footer stats
+    // that drive pruning, so the gate certifies the tile bounds
+    // themselves. ZorderSpec quantifies the payoff (a 2-D box query
+    // touches 4 z-tiles where a 1-D-sorted layout touches 16). All
+    // integer arithmetic (truncating div, shifts, masks) — exact on both
+    // engines; the ns→µs read difference cannot move a day bucket (q19's
+    // epoch rule).
+    "q28_zorder_layout" -> ((s, dir) => {
+      import graft.functions.LayoutFunctions.morton8
+      val b = Tables.events(s, dir).select(
+        expr("(unix_micros(ts) DIV 86400000000) % 256").as("db"),
+        expr("CAST(least(floor(value / 2.0), 255.0) AS BIGINT)").as("vb"))
+      b.withColumn("z", morton8(col("vb"), col("db")))
+        .withColumn("zfile", expr("z DIV 64"))
+        .groupBy("zfile")
+        .agg(count(lit(1)).as("n_events"),
+          min("db").as("db_min"), max("db").as("db_max"),
+          min("vb").as("vb_min"), max("vb").as("vb_max"))
+    }),
+
     // Salted skew join (§2.6's skew row, now under the oracle gate):
     // events keyed by event_type is the canonical hot-key layout — 5
     // distinct values over the whole fact table, so a plain shuffle join
@@ -466,6 +492,16 @@ object Relational {
     })
   )
 
+  /** DuckDB text of LayoutFunctions.spread8 (bit i → bit 2i for an 8-bit
+    * input): same shift/mask chain as the Column version, so the q28
+    * morton keys replay exactly.
+    */
+  private def spreadSql(e: String): String = {
+    val a = s"(($e | ($e << 4)) & 3855)"
+    val b = s"(($a | ($a << 2)) & 13107)"
+    s"(($b | ($b << 1)) & 21845)"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -592,6 +628,22 @@ object Relational {
         |        205.0 + (s_suppkey % 100) AS b_hi FROM supplier) b
         |  ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
         |GROUP BY 1""".stripMargin,
+
+    // the bit-spread chains below are LayoutFunctions.spread8 op-for-op
+    // (same shifts, same masks — pure integer bitwise, exact everywhere)
+    "q28_zorder_layout" ->
+      s"""WITH b AS (
+         |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 256
+         |           AS db,
+         |         CAST(least(floor(value / 2.0), 255.0) AS BIGINT) AS vb
+         |  FROM events),
+         |z AS (SELECT db, vb,
+         |        (${spreadSql("vb")} | (${spreadSql("db")} << 1)) AS z
+         |      FROM b)
+         |SELECT z // 64 AS zfile, count(*) AS n_events,
+         |  min(db) AS db_min, max(db) AS db_max,
+         |  min(vb) AS vb_min, max(vb) AS vb_max
+         |FROM z GROUP BY 1""".stripMargin,
 
     // the salt cancels out of the salted join's result, so the oracle is
     // the plain equi-join

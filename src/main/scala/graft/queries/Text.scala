@@ -259,6 +259,75 @@ object Text {
           size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(1)))
             .as("n_redactions"))
         .filter(col("doc_id") < 150)
+    }),
+
+    // Per-source quota (corpus mix enforcement): keep at most 5 docs per
+    // source, best-quality-first — the "cap any one domain's share" rule
+    // every web-scale corpus applies. Uses TopKPerKey's bounded per-
+    // partition heaps, so the full frame never shuffles on source (the
+    // window formulation would concentrate each source's whole volume on
+    // one reducer — the s5 lesson). Rank-cut exactness: quality derives
+    // from integer token counts through identical-order IEEE divisions
+    // and least/add — bit-identical cross-engine, so the quota boundary
+    // cannot flip (contrast q25's documented avg-boundary tolerance).
+    "p4_source_quota" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("quality"))
+      graft.operators.TopKPerKey.topK(
+          scored, keyCol = "source", scoreCol = "quality",
+          tieCol = "doc_id", k = 5)
+        .select(col("source"), col("doc_id"), col("quality"))
+    }),
+
+    // Deterministic training-order shuffle WITHOUT a global sort: the
+    // order key is md5(doc_id) (uniform, reproducible on any engine /
+    // partitioning / retry), shards are hex-prefix ranges of that key
+    // (first hex digit DIV 2 → 8 shards), and ordering is only ever
+    // needed WITHIN a shard — each shard sorts in parallel; a training
+    // job reads shards in id order and rows in key order, which is a
+    // fixed global permutation with no single-reducer ORDER BY anywhere.
+    // Emits each shard's size + token mass + its first 3 docs in
+    // training order (certifying assignment, order, and balance under
+    // one hash). All window frames are per-shard — 8 bounded partitions.
+    "p5_shard_order" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"),
+          tokenCount(col("text")).as("n_tokens"))
+        .withColumn("shard", expr(
+          "CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) DIV 2" +
+            " AS BIGINT)"))
+      val byShard = Window.partitionBy("shard")
+      base
+        .withColumn("pos", row_number().over(byShard.orderBy("h"))
+          .cast("long"))
+        .withColumn("n_in_shard", count(lit(1)).over(byShard))
+        .withColumn("shard_tokens", sum("n_tokens").over(byShard))
+        .filter(col("pos") <= 3)
+        .select("shard", "pos", "doc_id", "n_in_shard", "shard_tokens")
+    }),
+
+    // Inverted-index construction (the retrieval-side index build): per
+    // term, document frequency + the posting list head (sorted doc_ids).
+    // One explode → distinct (term, doc_id) — partial-agg'd before the
+    // shuffle, so duplicate in-doc occurrences never travel — then a hash
+    // aggregate per term. At scale the full postings are written
+    // partitioned by term hash with the same plan (delta-encoding is a
+    // sink concern); the gate emission caps each list at 100 ids and
+    // joins them to a CSV string because the driver hash compares scalar
+    // cells. collect_list order is partition-dependent — sort_array
+    // makes the emission deterministic BEFORE the cap slices it.
+    "t13_inverted_index" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(IndexTerms: _*))
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", transform(
+            slice(sort_array(collect_list(col("doc_id"))), 1, 100),
+            x => x.cast("string"))).as("postings_head"))
     })
   )
 
@@ -271,6 +340,13 @@ object Text {
     * differing document frequencies, so idf actually discriminates).
     */
   private val Bm25QueryTerms = Seq("spark", "join", "stream")
+
+  /** t13's indexed vocabulary slice (mid-frequency corpus terms — enough
+    * postings to exercise the sort/cap, bounded output).
+    */
+  private val IndexTerms =
+    Seq("spark", "join", "stream", "vector", "window", "sort", "query",
+      "merge")
 
   private val langCase: String = {
     val scores = LangProfiles.map { case (l, ws) =>
@@ -468,6 +544,68 @@ object Text {
         |  regexp_replace(text, '\b(the|a|of|and|in|to|is)\b', '<STOP>', 'g') AS text_clean,
         |  len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b', 1)) AS n_redactions
         |FROM documents
-        |WHERE doc_id < 150""".stripMargin
+        |WHERE doc_id < 150""".stripMargin,
+
+    // quality is t2's expression verbatim (op-for-op IEEE parity), the
+    // quota cut is the window replay of TopKPerKey's (quality DESC,
+    // doc_id) total order
+    "p4_source_quota" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    len(list_filter(string_split(text,' '),
+         |        t -> list_contains($stopList, t)))::DOUBLE
+         |      / len(string_split(text,' ')) AS stopword_ratio,
+         |    len(string_split(text,' ')) AS n_tokens,
+         |    len(list_distinct(string_split(text,' ')))::DOUBLE
+         |      / len(string_split(text,' ')) AS ttr
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    (least(stopword_ratio * 10.0, 1.0)
+         |     + least(n_tokens / 100.0, 1.0) + ttr) / 3.0 AS quality
+         |  FROM q),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id) AS rn
+         |  FROM sc)
+         |SELECT source, doc_id, quality FROM r WHERE rn <= 5""".stripMargin,
+
+    // every windowed integer casts ::BIGINT on emission (row_number is
+    // BIGINT already but Spark's is INT — both sides land on int64; the
+    // windowed sum is the q19 HUGEINT trap)
+    "p5_shard_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    len(string_split(text,' ')) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h, n_tokens,
+        |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 2)::BIGINT
+        |      AS shard
+        |  FROM d),
+        |r AS (
+        |  SELECT shard, doc_id,
+        |    (row_number() OVER (PARTITION BY shard ORDER BY h))::BIGINT
+        |      AS pos,
+        |    (count(*) OVER (PARTITION BY shard))::BIGINT AS n_in_shard,
+        |    (sum(n_tokens) OVER (PARTITION BY shard))::BIGINT AS shard_tokens
+        |  FROM s)
+        |SELECT shard, pos, doc_id, n_in_shard, shard_tokens
+        |FROM r WHERE pos <= 3""".stripMargin,
+
+    // DuckDB's 1-based end-inclusive list slice [1:100] == Spark
+    // slice(_, 1, 100), both truncating past the end
+    "t13_inverted_index" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text,' ')) AS term
+         |  FROM documents),
+         |d AS (
+         |  SELECT DISTINCT doc_id, term FROM tok
+         |  WHERE term IN (${IndexTerms.mkString("'", "', '", "'")}))
+         |SELECT term, count(*) AS df,
+         |  array_to_string(list_transform(
+         |    (list_sort(list(doc_id)))[1:100],
+         |    x -> CAST(x AS VARCHAR)), ',') AS postings_head
+         |FROM d GROUP BY term""".stripMargin
   )
 }
