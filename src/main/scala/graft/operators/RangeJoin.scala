@@ -95,15 +95,10 @@ object RangeJoin {
     */
   def intervalOverlap(a: DataFrame, b: DataFrame,
       loA: String, hiA: String, loB: String, hiB: String): DataFrame = {
-    val lens = a.filter(col(loA) <= col(hiA))
-      .select((col(hiA) - col(loA)).cast("double").as("len"))
-      .unionAll(b.filter(col(loB) <= col(hiB))
-        .select((col(hiB) - col(loB)).cast("double").as("len")))
-    val row = lens
-      .agg(percentile_approx(col("len"), lit(0.5), lit(1000)).as("med"))
-      .head()
-    val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    intervalOverlap(a, b, loA, hiA, loB, hiB, if (med > 0.0) med else 1.0)
+    val pooled = a.select(col(loA).as("lo"), col(hiA).as("hi"))
+      .unionAll(b.select(col(loB).as("lo"), col(hiB).as("hi")))
+    intervalOverlap(a, b, loA, hiA, loB, hiB,
+      adaptiveWidth(pooled, "lo", "hi"))
   }
 
   /** Interval-interval overlap join (closed intervals, `loA <= hiB AND

@@ -329,10 +329,17 @@ object Relational {
       val sb = Tables.supplier(s, dir).select(col("s_suppkey"),
         (lit(200.0) + (col("s_suppkey") % 100).cast("double")).as("b_lo"),
         (lit(205.0) + (col("s_suppkey") % 100).cast("double")).as("b_hi"))
-      graft.operators.RangeJoin.intervalOverlap(
-          pa, sb, "a_lo", "a_hi", "b_lo", "b_hi")
-        .groupBy("s_suppkey")
-        .agg(count(lit(1)).as("n_parts"))
+        .persist()
+      // persisted like q24's interval frame: the pooled-median width scan
+      // and the join's explode each read both band frames — one
+      // materialization per side instead of two scans + band arithmetic
+      pa.persist()
+      QueryCache.resultThenRelease(
+        graft.operators.RangeJoin.intervalOverlap(
+            pa, sb, "a_lo", "a_hi", "b_lo", "b_hi")
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_parts")),
+        pa, sb)
     }),
 
     // Z-order (Morton) layout keys ([[graft.functions.LayoutFunctions]]):
@@ -350,9 +357,14 @@ object Relational {
     // epoch rule).
     "q28_zorder_layout" -> ((s, dir) => {
       import graft.functions.LayoutFunctions.morton8
+      // the value bucket clamps BOTH ends: spread8 requires 0..255, and a
+      // negative value would otherwise hand it a negative long whose mask
+      // chain aliases unrelated tiles — identically on both engines, so
+      // the gate could not catch it
       val b = Tables.events(s, dir).select(
         expr("(unix_micros(ts) DIV 86400000000) % 256").as("db"),
-        expr("CAST(least(floor(value / 2.0), 255.0) AS BIGINT)").as("vb"))
+        expr("CAST(least(greatest(floor(value / 2.0), 0.0), 255.0)" +
+          " AS BIGINT)").as("vb"))
       b.withColumn("z", morton8(col("vb"), col("db")))
         .withColumn("zfile", expr("z DIV 64"))
         .groupBy("zfile")
@@ -635,7 +647,8 @@ object Relational {
       s"""WITH b AS (
          |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 256
          |           AS db,
-         |         CAST(least(floor(value / 2.0), 255.0) AS BIGINT) AS vb
+         |         CAST(least(greatest(floor(value / 2.0), 0.0), 255.0)
+         |              AS BIGINT) AS vb
          |  FROM events),
          |z AS (SELECT db, vb,
          |        (${spreadSql("vb")} | (${spreadSql("db")} << 1)) AS z
