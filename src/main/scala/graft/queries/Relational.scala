@@ -373,6 +373,48 @@ object Relational {
           min("vb").as("vb_min"), max("vb").as("vb_max"))
     }),
 
+    // Bucketed co-located fact-fact join ([[graft.source.Bucketed]], the
+    // SURVEY §4 physical design): orders and lineitem are written
+    // bucketed on the order key into the same bucket count, then joined
+    // through the catalog — the join plans bucket-aligned with ZERO
+    // Exchange (BucketingSpec pins the property; at 100 TB the one-off
+    // layout shuffle amortizes over every downstream join of the two
+    // facts). The layout write happens inside the query at a
+    // per-invocation temp path so the gate covers the full
+    // write → catalog → co-located read path; the bounded result is
+    // materialized before the tables are dropped (resultThenRelease),
+    // and floor(l_quantity) sums as an exact integer.
+    "q29_bucketed_join" -> ((s, dir) => {
+      import graft.source.Bucketed
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q29_")
+        .toFile
+      try {
+        Bucketed.write(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          "q29_orders", "o_orderkey", 8, s"$tmp/orders")
+        Bucketed.write(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+          "q29_lineitem", "l_orderkey", 8, s"$tmp/lineitem")
+        val agg = Bucketed.table(s, "q29_orders")
+          .join(Bucketed.table(s, "q29_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
+        // lineage must CUT here, not cache: DROP TABLE cascades an
+        // uncache of every plan referencing the table, so a persisted
+        // result would silently recompute from the deleted files. The
+        // aggregate is bounded by |priorities| (5 rows) — driver
+        // materialization is the cheap, dependency-free cut.
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+      } finally {
+        s.sql("DROP TABLE IF EXISTS q29_orders")
+        s.sql("DROP TABLE IF EXISTS q29_lineitem")
+        graft.util.Fs.rmTree(tmp)
+      }
+    }),
+
     // Salted skew join (§2.6's skew row, now under the oracle gate):
     // events keyed by event_type is the canonical hot-key layout — 5
     // distinct values over the whole fact table, so a plain shuffle join
@@ -657,6 +699,14 @@ object Relational {
          |  min(db) AS db_min, max(db) AS db_max,
          |  min(vb) AS vb_min, max(vb) AS vb_max
          |FROM z GROUP BY 1""".stripMargin,
+
+    // the bucketed layout cancels out of the result: the oracle is the
+    // plain join
+    "q29_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  sum(CAST(floor(l_quantity) AS BIGINT))::BIGINT AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // the salt cancels out of the salted join's result, so the oracle is
     // the plain equi-join

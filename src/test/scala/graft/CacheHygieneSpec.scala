@@ -23,7 +23,7 @@ class CacheHygieneSpec extends SparkSuite {
     "s2_top_pairs", "s3_ann_srp", "s4_ivf_knn", "s5_knn_batch",
     "s6_quantized_knn", "g1_interp_1d", "g3_interp_2d", "g4_interp_4d",
     "g6_interp_multivar", "g5_e2e_fetch", "t10_bm25", "q24_range_join",
-    "p3_embed_keeplist", "q27_interval_overlap")
+    "p3_embed_keeplist", "q27_interval_overlap", "q29_bucketed_join")
 
   test("resultThenRelease frees result and intermediates when the job fails") {
     import org.apache.spark.sql.functions._
