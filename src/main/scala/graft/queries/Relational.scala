@@ -415,6 +415,41 @@ object Relational {
       }
     }),
 
+    // Upsert/compaction (the CDC merge shape): apply a changelog —
+    // updates + tombstone deletes — onto a base snapshot by
+    // last-writer-wins per key. The merge is ONE hash aggregate:
+    // `max_by(payload, version)` per key (partial/final with map-side
+    // combine — never a per-key window sort over the unioned frame),
+    // which is exactly the storage-compaction job a 100 TB table runs to
+    // fold its delta log into the base. The changelog here is derived
+    // deterministically from the base (value bump on id % 7, tombstone
+    // on id % 13) so the oracle replays it; live rows aggregate to
+    // integer-exact emissions.
+    "q30_upsert_compact" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit(1L).as("version"), lit(false).as("deleted"))
+      val updates = Tables.events(s, dir)
+        .filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value") + 1000.0).as("value"),
+          lit(2L).as("version"), lit(false).as("deleted"))
+      val deletes = Tables.events(s, dir)
+        .filter(col("event_id") % 13 === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit(3L).as("version"), lit(true).as("deleted"))
+      base.unionAll(updates).unionAll(deletes)
+        .groupBy("event_id")
+        .agg(
+          max_by(struct(col("event_type"), col("value"), col("deleted")),
+            col("version")).as("w"))
+        .filter(!col("w.deleted"))
+        .groupBy(col("w.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_live"),
+          sum(floor(col("w.value") * 1000.0).cast("long"))
+            .as("sum_value_milli"))
+    }),
+
     // Salted skew join (§2.6's skew row, now under the oracle gate):
     // events keyed by event_type is the canonical hot-key layout — 5
     // distinct values over the whole fact table, so a plain shuffle join
@@ -707,6 +742,30 @@ object Relational {
         |  sum(CAST(floor(l_quantity) AS BIGINT))::BIGINT AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // last-writer-wins replay: version 3 tombstones > version 2 updates
+    // > the base; floor(value*1000) folds as exact integers
+    "q30_upsert_compact" ->
+      """WITH log AS (
+        |  SELECT event_id, event_type, value, 1 AS version, false AS deleted
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, value + 1000.0, 2, false
+        |  FROM events WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, value, 3, true
+        |  FROM events WHERE event_id % 13 = 0),
+        |live AS (
+        |  SELECT event_id,
+        |    arg_max(event_type, version) AS event_type,
+        |    arg_max(value, version) AS value,
+        |    arg_max(deleted, version) AS deleted
+        |  FROM log GROUP BY event_id)
+        |SELECT event_type, count(*) AS n_live,
+        |  sum(CAST(floor(value * 1000.0) AS BIGINT))::BIGINT
+        |    AS sum_value_milli
+        |FROM live WHERE NOT deleted
+        |GROUP BY event_type""".stripMargin,
 
     // the salt cancels out of the salted join's result, so the oracle is
     // the plain equi-join

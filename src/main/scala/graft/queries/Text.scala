@@ -318,6 +318,37 @@ object Text {
     // joins them to a CSV string because the driver hash compares scalar
     // cells. collect_list order is partition-dependent — sort_array
     // makes the emission deterministic BEFORE the cap slices it.
+    // JSONL ingest (the wire format LLM corpora actually arrive in):
+    // write the documents out as JSON-lines, read them back through the
+    // schema'd distributed JSON reader, and aggregate with per-lang
+    // content checksums (count, byte mass, min/max md5) — the round trip
+    // cancels out, so the oracle is the plain parquet query and any
+    // serialization infidelity (escaping, encoding, truncation, schema
+    // drift) breaks the hash. Reading uses an EXPLICIT schema: at 100 TB
+    // schema inference is a full extra pass over the data. The bounded
+    // per-lang aggregate is driver-materialized so the temp files can be
+    // deleted before the frame is consumed (the q29 lineage-cut rule).
+    "t14_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+        .toFile
+      try {
+        Tables.documents(s, dir).select("doc_id", "lang", "text")
+          .write.mode("overwrite").json(s"$tmp/docs")
+        val back = s.read
+          .schema("doc_id LONG, lang STRING, text STRING")
+          .json(s"$tmp/docs")
+        val agg = back.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(octet_length(col("text"))).as("sum_bytes"),
+            min(md5(col("text"))).as("h_lo"),
+            max(md5(col("text"))).as("h_hi"))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+      } finally {
+        graft.util.Fs.rmTree(tmp)
+      }
+    }),
+
     "t13_inverted_index" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -592,6 +623,16 @@ object Text {
         |  FROM s)
         |SELECT shard, pos, doc_id, n_in_shard, shard_tokens
         |FROM r WHERE pos <= 3""".stripMargin,
+
+    // the JSONL round trip cancels out: the oracle reads the parquet
+    // originals (the corpus is ASCII, so octet_length == length and the
+    // JSON escape round trip is exact)
+    "t14_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(octet_length(encode(text)))::BIGINT AS sum_bytes,
+        |  min(md5(text)) AS h_lo, max(md5(text)) AS h_hi
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
 
     // DuckDB's 1-based end-inclusive list slice [1:100] == Spark
     // slice(_, 1, 100), both truncating past the end
