@@ -450,6 +450,26 @@ object Relational {
             .as("sum_value_milli"))
     }),
 
+    // Ranking-function pack (the rest of the §2.6 window surface under
+    // one gate): ntile quartiles, percent_rank, cume_dist, dense_rank
+    // over one per-user frame. The ORDER BY (value, event_id) is total,
+    // so every rank is deterministic; percent_rank = (rank-1)/(N-1) and
+    // cume_dist = rows≤/N are ratios of exact integers — bit-identical
+    // division on both engines. ntile/dense_rank cast to long (Spark
+    // emits int32, DuckDB BIGINT — the p5 rule).
+    "q31_window_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("prank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .withColumn("drank", dense_rank().over(w).cast("long"))
+        .drop("value")
+    }),
+
     // Salted skew join (§2.6's skew row, now under the oracle gate):
     // events keyed by event_type is the canonical hot-key layout — 5
     // distinct values over the whole fact table, so a plain shuffle join
@@ -766,6 +786,16 @@ object Relational {
         |    AS sum_value_milli
         |FROM live WHERE NOT deleted
         |GROUP BY event_type""".stripMargin,
+
+    "q31_window_pack" ->
+      """SELECT event_id, user_id,
+        |  (ntile(4) OVER w)::BIGINT AS quartile,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  (dense_rank() OVER w)::BIGINT AS drank
+        |FROM events
+        |WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
 
     // the salt cancels out of the salted join's result, so the oracle is
     // the plain equi-join

@@ -318,6 +318,29 @@ object Text {
     // joins them to a CSV string because the driver hash compares scalar
     // cells. collect_list order is partition-dependent — sort_array
     // makes the emission deterministic BEFORE the cap slices it.
+    // Exact-N stratified sampling (the reservoir-sample replacement):
+    // exactly 10 docs per language, chosen as the N smallest values of a
+    // Knuth multiplicative hash of doc_id — deterministic on any engine /
+    // partitioning / retry (rand()-reservoirs are neither), and nested
+    // like p2's fractions (the 10-sample is a prefix of the 20-sample).
+    // Selection runs through TopKPerKey's bounded per-partition heaps on
+    // the negated score — the corpus never shuffles on lang, ≤ partitions
+    // × langs × 10 survivors reach the finalize (the same scale shape as
+    // p4; contrast a per-lang window sort, which is one reducer per
+    // stratum). The hash is pure BIGINT arithmetic, so the oracle
+    // replays it exactly.
+    "p6_exact_sample" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          ((col("doc_id") * lit(2654435761L)) % lit(2147483648L))
+            .as("score"))
+        .withColumn("score_neg", -col("score").cast("double"))
+      graft.operators.TopKPerKey.topK(
+          scored, keyCol = "lang", scoreCol = "score_neg",
+          tieCol = "doc_id", k = 10)
+        .select(col("lang"), col("doc_id"), col("score"))
+    }),
+
     // JSONL ingest (the wire format LLM corpora actually arrive in):
     // write the documents out as JSON-lines, read them back through the
     // schema'd distributed JSON reader, and aggregate with per-lang
@@ -623,6 +646,19 @@ object Text {
         |  FROM s)
         |SELECT shard, pos, doc_id, n_in_shard, shard_tokens
         |FROM r WHERE pos <= 3""".stripMargin,
+
+    // TopKPerKey on the negated hash == the N smallest scores; the
+    // replay orders (score ASC, doc_id) — the same total order
+    "p6_exact_sample" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id * 2654435761) % 2147483648 AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY score, doc_id) AS rn
+        |  FROM sc)
+        |SELECT lang, doc_id, score FROM r WHERE rn <= 10""".stripMargin,
 
     // the JSONL round trip cancels out: the oracle reads the parquet
     // originals (the corpus is ASCII, so octet_length == length and the
