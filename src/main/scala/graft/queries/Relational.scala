@@ -450,6 +450,28 @@ object Relational {
             .as("sum_value_milli"))
     }),
 
+    // Data profiling (the pre-training data-quality pass): per-column
+    // row/non-null/distinct counts for the whole table in ONE scan — a
+    // single wide aggregate (Catalyst plans the multi-distinct via
+    // Expand: one pass over the parquet, ×|columns| intermediate rows,
+    // partial-agg'd map-side), then a stack() unpivot of the result row.
+    // Exact countDistinct gates the plumbing; at 100 TB swap in
+    // approx_count_distinct (HLL) per column — same plan shape minus the
+    // Expand. Integer-only emission.
+    "q32_profile" -> ((s, dir) => {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+      val stackArgs = cols
+        .map(c => s"'$c', n_rows, nn_$c, nd_$c").mkString(", ")
+      Tables.events(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.length}, $stackArgs)" +
+          " AS (col_name, n_rows, n_nonnull, n_distinct)"))
+    }),
+
     // Ranking-function pack (the rest of the §2.6 window surface under
     // one gate): ntile quartiles, percent_rank, cume_dist, dense_rank
     // over one per-user frame. The ORDER BY (value, event_id) is total,
@@ -786,6 +808,23 @@ object Relational {
         |    AS sum_value_milli
         |FROM live WHERE NOT deleted
         |GROUP BY event_type""".stripMargin,
+
+    "q32_profile" -> {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      // ts distinct-counts on the µs value (epoch_ns//1000): the engine's
+      // public ts IS µs-truncated (Tables.events), and the raw column may
+      // read as ns or µs depending on the oracle reader — two events
+      // inside one µs must merge identically on both sides
+      val wide = cols.map { c =>
+        val d = if (c == "ts") "epoch_ns(ts)//1000" else c
+        s"count($c) AS nn_$c, count(DISTINCT $d) AS nd_$c"
+      }.mkString(",\n  ")
+      val arms = cols.map(c =>
+        s"SELECT '$c' AS col_name, n_rows, nn_$c AS n_nonnull, " +
+          s"nd_$c AS n_distinct FROM s").mkString("\nUNION ALL\n")
+      s"WITH s AS (SELECT count(*) AS n_rows,\n  $wide\nFROM events)\n$arms"
+    },
 
     "q31_window_pack" ->
       """SELECT event_id, user_id,
