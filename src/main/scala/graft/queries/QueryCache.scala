@@ -48,4 +48,19 @@ private[graft] object QueryCache {
     intermediates.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Lineage CUT for bounded results computed from storage that is about
+    * to disappear (temp catalog tables, temp files): collect to the
+    * driver and rebuild as a local frame. A `persist()` would NOT be
+    * safe here — DROP TABLE cascades an uncache of every dependent plan,
+    * and a later action would silently recompute from the deleted files.
+    * Only for results bounded by construction (group-by over a small
+    * categorical domain); never corpus-sized frames.
+    */
+  def materializeLocal(result: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    result.sparkSession
+      .createDataFrame(result.collect().toSeq.asJava, result.schema)
+  }
 }

@@ -382,8 +382,9 @@ object Relational {
     // facts). The layout write happens inside the query at a
     // per-invocation temp path so the gate covers the full
     // write → catalog → co-located read path; the bounded result is
-    // materialized before the tables are dropped (resultThenRelease),
-    // and floor(l_quantity) sums as an exact integer.
+    // driver-materialized before the tables are dropped
+    // (QueryCache.materializeLocal — a cache would NOT survive the
+    // drop), and floor(l_quantity) sums as an exact integer.
     "q29_bucketed_join" -> ((s, dir) => {
       import graft.source.Bucketed
       val tmp = java.nio.file.Files.createTempDirectory("graft_q29_")
@@ -401,13 +402,9 @@ object Relational {
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_items"),
             sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
-        // lineage must CUT here, not cache: DROP TABLE cascades an
-        // uncache of every plan referencing the table, so a persisted
-        // result would silently recompute from the deleted files. The
-        // aggregate is bounded by |priorities| (5 rows) — driver
-        // materialization is the cheap, dependency-free cut.
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+        // bounded by |priorities| (5 rows); see materializeLocal on why
+        // a cache would not survive the DROP TABLE below
+        QueryCache.materializeLocal(agg)
       } finally {
         s.sql("DROP TABLE IF EXISTS q29_orders")
         s.sql("DROP TABLE IF EXISTS q29_lineitem")
@@ -478,10 +475,14 @@ object Relational {
     // so every rank is deterministic; percent_rank = (rank-1)/(N-1) and
     // cume_dist = rows≤/N are ratios of exact integers — bit-identical
     // division on both engines. ntile/dense_rank cast to long (Spark
-    // emits int32, DuckDB BIGINT — the p5 rule).
+    // emits int32, DuckDB BIGINT — the p5 rule). asc_nulls_last pins the
+    // one defaults divergence: Spark ASC is NULLS FIRST, DuckDB's NULLS
+    // LAST — a null value would silently shift every rank in its
+    // partition (no nulls in the driver data, but the query pair must
+    // not depend on that).
     "q31_window_pack" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
-        .orderBy(col("value"), col("event_id"))
+        .orderBy(col("value").asc_nulls_last, col("event_id"))
       Tables.events(s, dir)
         .filter(col("user_id") < 20)
         .select(col("event_id"), col("user_id"), col("value"))

@@ -308,16 +308,6 @@ object Text {
         .select("shard", "pos", "doc_id", "n_in_shard", "shard_tokens")
     }),
 
-    // Inverted-index construction (the retrieval-side index build): per
-    // term, document frequency + the posting list head (sorted doc_ids).
-    // One explode → distinct (term, doc_id) — partial-agg'd before the
-    // shuffle, so duplicate in-doc occurrences never travel — then a hash
-    // aggregate per term. At scale the full postings are written
-    // partitioned by term hash with the same plan (delta-encoding is a
-    // sink concern); the gate emission caps each list at 100 ids and
-    // joins them to a CSV string because the driver hash compares scalar
-    // cells. collect_list order is partition-dependent — sort_array
-    // makes the emission deterministic BEFORE the cap slices it.
     // Exact-N stratified sampling (the reservoir-sample replacement):
     // exactly 10 docs per language, chosen as the N smallest values of a
     // Knuth multiplicative hash of doc_id — deterministic on any engine /
@@ -328,12 +318,15 @@ object Text {
     // × langs × 10 survivors reach the finalize (the same scale shape as
     // p4; contrast a per-lang window sort, which is one reducer per
     // stratum). The hash is pure BIGINT arithmetic, so the oracle
-    // replays it exactly.
+    // replays it exactly; the pre-mod keeps the product under 2^63
+    // for ANY doc_id (2^31 × 2654435761 ≈ 5.7e18 < Long.Max — without
+    // it, a doc_id ≥ ~3.5e9 would wrap in Spark but ERROR in DuckDB's
+    // checked arithmetic).
     "p6_exact_sample" -> ((s, dir) => {
       val scored = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
-          ((col("doc_id") * lit(2654435761L)) % lit(2147483648L))
-            .as("score"))
+          (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+            % lit(2147483648L)).as("score"))
         .withColumn("score_neg", -col("score").cast("double"))
       graft.operators.TopKPerKey.topK(
           scored, keyCol = "lang", scoreCol = "score_neg",
@@ -365,13 +358,22 @@ object Text {
             sum(octet_length(col("text"))).as("sum_bytes"),
             min(md5(col("text"))).as("h_lo"),
             max(md5(col("text"))).as("h_hi"))
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+        QueryCache.materializeLocal(agg)
       } finally {
         graft.util.Fs.rmTree(tmp)
       }
     }),
 
+    // Inverted-index construction (the retrieval-side index build): per
+    // term, document frequency + the posting list head (sorted doc_ids).
+    // One explode → distinct (term, doc_id) — partial-agg'd before the
+    // shuffle, so duplicate in-doc occurrences never travel — then a hash
+    // aggregate per term. At scale the full postings are written
+    // partitioned by term hash with the same plan (delta-encoding is a
+    // sink concern); the gate emission caps each list at 100 ids and
+    // joins them to a CSV string because the driver hash compares scalar
+    // cells. collect_list order is partition-dependent — sort_array
+    // makes the emission deterministic BEFORE the cap slices it.
     "t13_inverted_index" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -652,7 +654,7 @@ object Text {
     "p6_exact_sample" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,
-        |    (doc_id * 2654435761) % 2147483648 AS score
+        |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS score
         |  FROM documents),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY lang
