@@ -60,18 +60,22 @@ object Bench {
       }
       // min over SUCCESSFUL runs only: a fast-failing run must not stand in
       // for the query's cost (a 0.3 s crash would otherwise beat a 15 s
-      // success). If every run failed there is no real cost to report —
-      // take the failures' min and let the nonzero "failures" field mark
-      // the whole number as untrustworthy.
+      // success). If every run failed there is NO real cost to report —
+      // the query gets `null` and stays out of the headline total, so a
+      // broken suite can never under-report itself as fast by summing
+      // crash latencies; "failed_queries" names the holes.
       val okTimes = times.collect { case (true, t) => t }
-      name -> (if (okTimes.nonEmpty) okTimes.min else times.map(_._2).min)
+      name -> (if (okTimes.nonEmpty) Some(okTimes.min) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val failedQueries = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     // "failures" makes a broken run visibly broken instead of reporting an
     // artificially fast success-shaped total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$nFailed,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$nFailed,"failed_queries":$failedQueries,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

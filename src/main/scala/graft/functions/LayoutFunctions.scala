@@ -36,4 +36,17 @@ object LayoutFunctions {
     */
   def morton8(x: Column, y: Column): Column =
     spread8(x).bitwiseOR(shiftleft(spread8(y), 1))
+
+  /** SQL text of a TOTAL day bucket in [0,255] from a µs-epoch
+    * expression: floor-div to the UTC day, then positive wrap. Truncating
+    * `DIV` alone goes negative before the epoch and hands [[morton8]]'s
+    * bit spread a value outside its 0..255 precondition (the mask chain
+    * would alias unrelated tiles); the pmod-subtraction floor-div stays
+    * integer-exact at any epoch distance (a double-division floor loses
+    * exactness past 2^53 µs, year ~2255) and matches the oracle's
+    * floor-semantics `//` for pre-1970 inputs, so both engines bucket
+    * old data identically.
+    */
+  def dayBucket256Sql(usExpr: String): String =
+    s"pmod((($usExpr) - pmod($usExpr, 86400000000)) DIV 86400000000, 256)"
 }

@@ -22,38 +22,62 @@ import org.apache.spark.sql.functions._
   *
   * `w` trades replication for bucket selectivity: the interval side
   * explodes to ~`len/w + 1` rows. Choose `w` near the median interval
-  * length (replication ≈ 2×); a pathological mega-interval contributes
-  * `len/w` rows, never a cross product.
+  * length (the MEDIAN interval then replicates ≈ 2×); a pathological
+  * mega-interval still contributes `len/w` rows — bounded by
+  * [[RangeJoin.MaxBucketsPerInterval]] under [[RangeJoin.adaptiveWidth]] —
+  * never a cross product.
   */
 object RangeJoin {
 
-  /** Median interval length, for use as the bucket width: replication of
-    * the interval side is ~`len/w + 1` rows per interval, so `w` = median
-    * length bounds expected replication near 2× for ANY interval
-    * distribution — a hard-coded width only achieves that for the one
-    * distribution it was tuned on. Computed with `percentile_approx`
-    * (one tiny agg job over the interval side — a single-row driver
-    * lookup, same class as the grid-axis collects; the interval side of a
-    * range join is the dimension side, so the extra scan is cheap and the
-    * frame is typically already cached by the caller). Degenerate inputs
-    * (no valid intervals, or all zero-length) fall back to width 1.0 —
-    * any positive width is correct there, since each interval then spans
-    * at most 2 buckets.
+  /** Hard cap on the bucket count any single interval may explode into
+    * under [[adaptiveWidth]]. Median-based width alone bounds the MEDIAN
+    * interval's replication (~2×) but not the expectation: each interval
+    * fans out to ~`len/w` rows, so expected replication is
+    * `avg(len)/median(len)` — unbounded for heavy-tailed inputs (many
+    * tiny intervals plus a few huge ones), where one mega-interval's
+    * `sequence()` can build an enormous per-row array (executor OOM, or
+    * Spark's sequence length limit as a runtime error). Clamping the
+    * width to `maxLen / MaxBucketsPerInterval` caps the worst interval's
+    * fan-out at 4096 rows (~32 KB of bucket ids) while leaving the median
+    * width in charge whenever the tail is tame. The price of a raised
+    * width is a looser bucket (more residual-filter work per probe),
+    * never a correctness change — the residual BETWEEN keeps semantics
+    * exact at any positive width.
+    */
+  val MaxBucketsPerInterval = 4096
+
+  /** Bucket width derived from the interval-length distribution:
+    * `max(median(len), max(len) / MaxBucketsPerInterval)`. The median
+    * term keeps the TYPICAL interval's replication near 2× (a hard-coded
+    * width only achieves that for the one distribution it was tuned on);
+    * the max term bounds the WORST interval's fan-out — see
+    * [[MaxBucketsPerInterval]] for why median alone is not a bound.
+    * Computed with one `percentile_approx`+`max` agg over the interval
+    * side (a single-row driver lookup, same class as the grid-axis
+    * collects; the interval side of a range join is the dimension side,
+    * so the extra scan is cheap and the frame is typically already cached
+    * by the caller). Degenerate inputs (no valid intervals, or all
+    * zero-length) fall back to width 1.0 — any positive width is correct
+    * there, since each interval then spans at most 2 buckets.
     */
   def adaptiveWidth(intervals: DataFrame, loCol: String,
       hiCol: String): Double = {
+    val len = (col(hiCol) - col(loCol)).cast("double")
     val row = intervals
       .filter(col(loCol) <= col(hiCol))
-      .agg(percentile_approx((col(hiCol) - col(loCol)).cast("double"),
-        lit(0.5), lit(1000)).as("med"))
+      .agg(percentile_approx(len, lit(0.5), lit(1000)).as("med"),
+        max(len).as("mx"))
       .head()
     val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    if (med > 0.0) med else 1.0
+    val mx = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    val base = if (med > 0.0) med else 1.0
+    math.max(base, mx / MaxBucketsPerInterval)
   }
 
   /** Adaptive-width variant: bucket width is derived from the intervals'
-    * median length (see [[adaptiveWidth]]), keeping the ~2× replication
-    * bound without a caller-tuned constant.
+    * length distribution (see [[adaptiveWidth]]) — median replication
+    * ≈ 2×, worst interval capped at [[MaxBucketsPerInterval]] buckets —
+    * without a caller-tuned constant.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String): DataFrame =

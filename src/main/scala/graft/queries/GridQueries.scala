@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.interp.JoinInterpolator
+import graft.util.Fs
 
 /** The core grid-engine operator under the oracle gate: join-mode
   * multilinear interpolation (SURVEY §2.8 tier 3) exercised end-to-end on
@@ -184,13 +185,17 @@ object GridQueries {
         (col("user_id") % 8).cast("double").as("h"))
       .agg(avg("value").as("v"))
       .persist()
-    // per-invocation unique staging dir: a fixed path (or one keyed by a
-    // 32-bit hashCode) races concurrent runs — Bench and Verify on the
-    // same sfDir would delete/rewrite each other's timestep files while
-    // the other's GridReader lists them — and a fresh dir also means no
-    // stale planes from a previous run can pollute the fetch window
-    val gridDir = java.nio.file.Files
-      .createTempDirectory("graft_g5_").toString
+    // per-invocation unique staging dir (Fs.mkStagingDir): a fixed path
+    // (or one keyed by a 32-bit hashCode) races concurrent runs — Bench
+    // and Verify on the same sfDir would delete/rewrite each other's
+    // timestep files while the other's GridReader lists them — and a
+    // fresh dir also means no stale planes from a previous run can
+    // pollute the fetch window. All staging I/O below goes through the
+    // Hadoop FileSystem of the dir's scheme, so pointing
+    // `graft.staging.dir` at `s3a://…` runs the identical flow against
+    // the object store GraftS3 configures (the reference stages its
+    // planes on live S3).
+    val gridDir = Fs.mkStagingDir(s, "graft_g5_")
     val tPlanes = series.select("t_s").distinct().orderBy("t_s")
       .collect().map(_.getLong(0))
     // loud guard for the dense-grid reference invariant this construction
@@ -205,25 +210,24 @@ object GridQueries {
     // write-loop this replaces launched |planes| sequential Spark jobs
     // and dominated g5's bench cost. partitionBy would URL-encode the
     // colons in the timestamp names, hence rename instead of direct
-    // naming; a same-tmpfs rename is a metadata move.
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_g5_stage_").toString
+    // naming; a same-FS rename is a metadata move (file:/hdfs:) or the
+    // store's copy envelope (s3a:). The colon-bearing plane names must
+    // build their Path from the FULL string (FsSpec pins it): Hadoop's
+    // relative-child Path constructor rejects colons.
+    val staging = Fs.mkStagingDir(s, "graft_g5_stage_")
     series.repartition(col("t_s")).write.partitionBy("t_s")
       .mode("overwrite").parquet(staging)
     tPlanes.foreach { t =>
       val name = GridCatalog.formatTs(java.time.Instant.ofEpochSecond(t))
-      val src = new java.io.File(s"$staging/t_s=$t")
-      val dst = new java.io.File(s"$gridDir/data_$name.parquet")
-      require(src.isDirectory, s"staged plane missing: $src")
-      require(src.renameTo(dst), s"rename $src -> $dst failed")
+      Fs.rename(s, s"$staging/t_s=$t", s"$gridDir/data_$name.parquet")
     }
-    // tmpdir hygiene: the emptied staging dir goes now; gridDir must
+    // staging hygiene: the emptied staging dir goes now; gridDir must
     // outlive this call (the returned plan's fetch scan re-reads it if the
     // result cache is ever evicted), so it is removed at JVM exit instead
     // — repeated Bench/Verify/test invocations each run in their own JVM,
     // so grid copies cannot accumulate across runs on tmpfs hosts.
-    rmTree(new java.io.File(staging))
-    removeAtExit(gridDir)
+    Fs.rmTree(s, staging)
+    removeAtExit(s, gridDir)
     val reader = new graft.source.GridReader(s, gridDir,
       prefix = "data_", postfix = ".parquet",
       cadence = java.time.Duration.ofSeconds(cad))
@@ -248,18 +252,27 @@ object GridQueries {
       series, fetched)
   }
 
-  private def rmTree(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
-
-  /** One shutdown hook for all g5 grid dirs of this JVM (idempotent set —
+  /** One shutdown hook for all g5 grid dirs of this JVM (idempotent map —
     * a hook per invocation would grow the JVM's hook list unboundedly in a
-    * long spec session).
+    * long spec session). Each dir keeps the Hadoop conf captured at
+    * registration (with any `fs.s3a.*` credentials), and the hook runs
+    * through Hadoop's ShutdownHookManager ABOVE the FileSystem cache's
+    * close priority — a plain `Runtime.addShutdownHook` races
+    * `FileSystem.closeAll` and can find every FS already closed.
     */
-  private val exitDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
-    new Thread(() => exitDirs.forEach(d => rmTree(new java.io.File(d)))))
-  private def removeAtExit(dir: String): Unit = {
-    exitHook; exitDirs.add(dir); ()
+  private val exitDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.hadoop.conf.Configuration]()
+  private lazy val exitHook: Unit =
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        def run(): Unit = exitDirs.forEach { (d, conf) =>
+          try Fs.rmTree(conf, d)
+          catch { case _: Exception => () } // best-effort tmp hygiene
+        }
+      },
+      org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 30)
+  private def removeAtExit(s: SparkSession, dir: String): Unit = {
+    exitHook; exitDirs.put(dir, s.sessionState.newHadoopConf()); ()
   }
 
   private val fracsSql =

@@ -356,13 +356,16 @@ object Relational {
     // engines; the ns→µs read difference cannot move a day bucket (q19's
     // epoch rule).
     "q28_zorder_layout" -> ((s, dir) => {
-      import graft.functions.LayoutFunctions.morton8
-      // the value bucket clamps BOTH ends: spread8 requires 0..255, and a
-      // negative value would otherwise hand it a negative long whose mask
-      // chain aliases unrelated tiles — identically on both engines, so
-      // the gate could not catch it
+      import graft.functions.LayoutFunctions.{dayBucket256Sql, morton8}
+      // BOTH buckets are total on their full input range: the value
+      // bucket clamps both ends, and the day bucket floor-divs + wraps
+      // (dayBucket256Sql) — spread8 requires 0..255, and a negative
+      // value/pre-1970 timestamp would otherwise hand it a negative long
+      // whose mask chain aliases unrelated tiles — identically on both
+      // engines, so the gate could not catch it (ZorderSpec pins the
+      // pre-1970 case)
       val b = Tables.events(s, dir).select(
-        expr("(unix_micros(ts) DIV 86400000000) % 256").as("db"),
+        expr(dayBucket256Sql("unix_micros(ts)")).as("db"),
         expr("CAST(least(greatest(floor(value / 2.0), 0.0), 255.0)" +
           " AS BIGINT)").as("vb"))
       b.withColumn("z", morton8(col("vb"), col("db")))
@@ -387,8 +390,9 @@ object Relational {
     // drop), and floor(l_quantity) sums as an exact integer.
     "q29_bucketed_join" -> ((s, dir) => {
       import graft.source.Bucketed
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q29_")
-        .toFile
+      // staging resolved through the Hadoop FS of graft.staging.dir's
+      // scheme (default file:) — the identical flow runs against s3a://
+      val tmp = graft.util.Fs.mkStagingDir(s, "graft_q29_")
       try {
         Bucketed.write(
           Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
@@ -408,20 +412,28 @@ object Relational {
       } finally {
         s.sql("DROP TABLE IF EXISTS q29_orders")
         s.sql("DROP TABLE IF EXISTS q29_lineitem")
-        graft.util.Fs.rmTree(tmp)
+        graft.util.Fs.rmTree(s, tmp)
       }
     }),
 
     // Upsert/compaction (the CDC merge shape): apply a changelog —
     // updates + tombstone deletes — onto a base snapshot by
     // last-writer-wins per key. The merge is ONE hash aggregate:
-    // `max_by(payload, version)` per key (partial/final with map-side
-    // combine — never a per-key window sort over the unioned frame),
-    // which is exactly the storage-compaction job a 100 TB table runs to
-    // fold its delta log into the base. The changelog here is derived
-    // deterministically from the base (value bump on id % 7, tombstone
-    // on id % 13) so the oracle replays it; live rows aggregate to
-    // integer-exact emissions.
+    // `max(struct(version, payload…))` per key (partial/final with
+    // map-side combine — never a per-key window sort over the unioned
+    // frame; the struct buffer plans as ObjectHashAggregate, same as the
+    // max_by form it replaces), which is exactly the storage-compaction
+    // job a 100 TB table runs to fold its delta log into the base. The
+    // ordering key is the FULL struct — (version, event_type, value,
+    // deleted), lexicographic on both engines — not version alone:
+    // version-only ordering assumes event_id is unique in the base
+    // snapshot, and a duplicated key would let Spark's max_by and
+    // DuckDB's arg_max break the version tie differently (hash-gate
+    // flip). Under the total key, a tie implies an identical payload,
+    // so the winner is engine-invariant by construction. The changelog
+    // here is derived deterministically from the base (value bump on
+    // id % 7, tombstone on id % 13) so the oracle replays it; live rows
+    // aggregate to integer-exact emissions.
     "q30_upsert_compact" -> ((s, dir) => {
       val base = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("value"),
@@ -438,8 +450,8 @@ object Relational {
       base.unionAll(updates).unionAll(deletes)
         .groupBy("event_id")
         .agg(
-          max_by(struct(col("event_type"), col("value"), col("deleted")),
-            col("version")).as("w"))
+          max(struct(col("version"), col("event_type"), col("value"),
+            col("deleted"))).as("w"))
         .filter(!col("w.deleted"))
         .groupBy(col("w.event_type").as("event_type"))
         .agg(count(lit(1)).as("n_live"),
@@ -763,10 +775,14 @@ object Relational {
 
     // the bit-spread chains below are LayoutFunctions.spread8 op-for-op
     // (same shifts, same masks — pure integer bitwise, exact everywhere)
+    // day bucket mirrors dayBucket256Sql: DuckDB's `//` is already a
+    // floor-div (Spark's DIV truncates, hence the pmod subtraction
+    // there), and `% + 256 %` is pmod — identical [0,255] buckets on
+    // both engines even for pre-1970 timestamps
     "q28_zorder_layout" ->
       s"""WITH b AS (
-         |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 256
-         |           AS db,
+         |  SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+         |           % 256 + 256) % 256 AS db,
          |         CAST(least(greatest(floor(value / 2.0), 0.0), 255.0)
          |              AS BIGINT) AS vb
          |  FROM events),
@@ -787,7 +803,12 @@ object Relational {
         |GROUP BY 1""".stripMargin,
 
     // last-writer-wins replay: version 3 tombstones > version 2 updates
-    // > the base; floor(value*1000) folds as exact integers
+    // > the base; the winner per key is max over the SAME total-order
+    // struct the engine uses — (version, event_type, value, deleted),
+    // lexicographic in both engines — so a duplicated base key cannot be
+    // tie-broken differently (per-column arg_max(x, version) could also
+    // TEAR a duplicate: each column picked from a different row);
+    // floor(value*1000) folds as exact integers
     "q30_upsert_compact" ->
       """WITH log AS (
         |  SELECT event_id, event_type, value, 1 AS version, false AS deleted
@@ -800,15 +821,14 @@ object Relational {
         |  FROM events WHERE event_id % 13 = 0),
         |live AS (
         |  SELECT event_id,
-        |    arg_max(event_type, version) AS event_type,
-        |    arg_max(value, version) AS value,
-        |    arg_max(deleted, version) AS deleted
+        |    max(struct_pack(version := version, event_type := event_type,
+        |                    value := value, deleted := deleted)) AS w
         |  FROM log GROUP BY event_id)
-        |SELECT event_type, count(*) AS n_live,
-        |  sum(CAST(floor(value * 1000.0) AS BIGINT))::BIGINT
+        |SELECT (w).event_type AS event_type, count(*) AS n_live,
+        |  sum(CAST(floor((w).value * 1000.0) AS BIGINT))::BIGINT
         |    AS sum_value_milli
-        |FROM live WHERE NOT deleted
-        |GROUP BY event_type""".stripMargin,
+        |FROM live WHERE NOT (w).deleted
+        |GROUP BY 1""".stripMargin,
 
     "q32_profile" -> {
       val cols = Seq("event_id", "ts", "user_id", "event_type", "value",

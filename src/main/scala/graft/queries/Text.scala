@@ -345,8 +345,9 @@ object Text {
     // per-lang aggregate is driver-materialized so the temp files can be
     // deleted before the frame is consumed (the q29 lineage-cut rule).
     "t14_jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_")
-        .toFile
+      // staging resolved through the Hadoop FS of graft.staging.dir's
+      // scheme (default file:) — the identical flow runs against s3a://
+      val tmp = graft.util.Fs.mkStagingDir(s, "graft_jsonl_")
       try {
         Tables.documents(s, dir).select("doc_id", "lang", "text")
           .write.mode("overwrite").json(s"$tmp/docs")
@@ -360,7 +361,7 @@ object Text {
             max(md5(col("text"))).as("h_hi"))
         QueryCache.materializeLocal(agg)
       } finally {
-        graft.util.Fs.rmTree(tmp)
+        graft.util.Fs.rmTree(s, tmp)
       }
     }),
 

@@ -81,6 +81,33 @@ class RangeJoinSpec extends SparkSuite {
     assert(RangeJoin.adaptiveWidth(empty, "lo", "hi") == 1.0)
   }
 
+  test("adaptive width caps the worst interval's fan-out on heavy tails") {
+    import spark.implicits._
+    // 500 tiny intervals (len 0.01) plus one mega interval (len 1e7):
+    // median-only width (0.01) would explode the mega interval into 1e9
+    // bucket rows — sequence-limit / executor-OOM territory. The clamp
+    // must raise the width so no interval spans more than
+    // MaxBucketsPerInterval buckets, without changing the join result.
+    val ivs = (Seq.tabulate(500) { i =>
+      val lo = i * 10.0; (i.toLong, lo, lo + 0.01)
+    } :+ ((500L, 0.0, 1.0e7))).toDF("iid", "lo", "hi")
+    val w = RangeJoin.adaptiveWidth(ivs, "lo", "hi")
+    assert(w >= 1.0e7 / RangeJoin.MaxBucketsPerInterval,
+      s"width $w lets the mega interval exceed the bucket cap")
+    val points = Seq(
+      (0L, 4990.005), // inside tiny iid=499 AND the mega interval
+      (1L, 5.0),      // inside the mega interval only
+      (2L, 2.0e7))    // outside everything
+      .toDF("pid", "p")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = canon(RangeJoin.pointInInterval(points, ivs, "p", "lo", "hi"))
+    val naive = canon(points.join(ivs,
+      col("p") >= col("lo") && col("p") <= col("hi")))
+    assert(got == naive && got.contains((0L, 499L)) && got.contains((1L, 500L)))
+  }
+
   test("interval overlap equals the naive join, each pair exactly once") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

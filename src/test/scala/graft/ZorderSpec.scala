@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.LayoutFunctions.morton8
+import graft.functions.LayoutFunctions.{dayBucket256Sql, morton8}
 
 /** Z-order layout keys: bijectivity of the interleave and the actual
   * pruning payoff — a 2-D box query must touch far fewer z-clustered
@@ -44,5 +44,33 @@ class ZorderSpec extends SparkSuite {
       .count()
     assert(touched("zfile") == 4L)
     assert(touched("linfile") == 16L)
+  }
+
+  test("day bucket is total: pre-1970 timestamps stay inside [0,255]") {
+    val s = spark
+    import s.implicits._
+    // truncating DIV would give 1969-12-31 a NEGATIVE bucket and violate
+    // spread8's precondition; the floor-div + wrap must land every epoch
+    // distance in [0,255] and keep the morton key inside 16 bits
+    val ts = Seq(
+      "1969-12-31 23:59:59", // day -1 → 255 (floor-div, not trunc-to-0)
+      "1969-12-31 00:00:01",
+      "1955-03-14 12:00:00",
+      "1901-06-05 07:08:09", // far pre-epoch
+      "1970-01-01 00:00:00", // day 0
+      "2024-01-03 04:05:06") // the driver corpus era, unchanged
+      .toDF("s")
+      .select(col("s"), to_timestamp(col("s")).as("ts"))
+      .withColumn("db", expr(dayBucket256Sql("unix_micros(ts)")))
+      .withColumn("z", morton8(lit(0L), col("db")))
+    val rows = ts.select("s", "db", "z").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    rows.foreach { case (sv, db, z) =>
+      assert(db >= 0L && db <= 255L, s"$sv bucketed to $db")
+      assert(z >= 0L && z <= 65535L, s"$sv morton key $z out of 16 bits")
+    }
+    // floor semantics pin: the last second of 1969 is day -1 ≡ 255, not
+    // day 0 — exactly where truncating DIV and floor-div disagree
+    assert(rows.find(_._1.startsWith("1969-12-31 23")).get._2 == 255L)
   }
 }
