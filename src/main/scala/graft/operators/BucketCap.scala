@@ -35,7 +35,7 @@ object BucketCap {
   /** Keep only rows whose bucket (all `keyCols` equal) has ≤ `cap`
     * members.
     */
-  def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+  def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
     require(cap >= 2, s"cap $cap would drop every pair-producing bucket")
     val oversize = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
@@ -45,5 +45,28 @@ object BucketCap {
     // caller's column order so the cap is a transparent filter
     df.join(oversize, keyCols, "left_anti")
       .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** [[capBuckets]] with the cap derived from the bucket-size
+    * distribution itself: `max(floor, p99.9 of bucket sizes)`
+    * ([[AdaptiveCap.permilleCap]] — exact, oracle-replayable). Returns
+    * `(capped frame, chosen cap, sizes frame)`: the sizes frame is
+    * persisted here because the cap derivation is an ACTION over it and
+    * the oversize anti-join reads it again — the caller must hand it to
+    * `QueryCache.resultThenRelease` (or unpersist it) once the result is
+    * materialized.
+    */
+  def capBucketsAdaptive(df: DataFrame, keyCols: Seq[String], floor: Long)
+      : (DataFrame, Long, DataFrame) = {
+    require(floor >= 2, s"floor $floor would drop every pair-producing bucket")
+    val sizes = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .persist()
+    val cap = AdaptiveCap.permilleCap(sizes, "_bsz", floor)
+    val oversize = sizes.filter(col("_bsz") > cap)
+      .select(keyCols.map(col): _*)
+    val out = df.join(oversize, keyCols, "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+    (out, cap, sizes)
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HashFunctions._
 import graft.functions.TextFunctions.tokens
-import graft.operators.{BucketCap, ConnectedComponents}
+import graft.operators.{AdaptiveCap, BucketCap, ConnectedComponents}
 
 /** Deduplication operator family over the `documents` table — the first
   * stage of any 100 TB training-corpus pipeline: exact dedup, n-gram
@@ -16,7 +16,7 @@ import graft.operators.{BucketCap, ConnectedComponents}
   * Scale design: nothing here is quadratic in the corpus.
   *   - exact/rolling dedup: one hash-groupBy (shuffle on a 16-byte key);
   *   - shingle Jaccard: candidate pairs from an equi-join on *rare*
-  *     shingles (doc-frequency cut: shingles in more than [[DocFreqCap]]
+  *     shingles (doc-frequency cut: shingles in more than the adaptive cap
   *     docs never generate candidates — one hot shingle would otherwise
   *     create a quadratic bucket), then an exact set-intersection re-rank
   *     from the full shingle arrays, so the cut changes cost, not scores;
@@ -38,20 +38,29 @@ import graft.operators.{BucketCap, ConnectedComponents}
   */
 object Dedup {
 
-  /** dd2 doc-frequency cut: shingles appearing in more than this many docs
-    * (per language) are excluded from candidate generation. Measured on the
-    * driver corpora: true pairs (J ≥ 0.6) always share a shingle with
-    * doc-freq ≤ 4, and the global max doc-freq is 14 at sf0.1 — 32 keeps
-    * every true pair reachable at test SFs while bounding any hot shingle's
-    * join contribution to cap²/2 pairs at 100 TB.
+  /** dd2 doc-frequency cut FLOOR: the effective cap is
+    * `max(this, p99.9 of the per-(lang,shingle) doc-freq distribution)`
+    * ([[AdaptiveCap.permilleCap]]) — shingles above the cap are excluded
+    * from candidate generation. Measured on the driver corpora: true
+    * pairs (J ≥ 0.6) always share a shingle with doc-freq ≤ 4, and the
+    * global max doc-freq is 14 at sf0.1, so the floor is the effective
+    * cap at every test SF; on a hotter corpus the cap rises with the
+    * distribution instead of silently cutting recall, while any hot
+    * shingle's join contribution stays bounded at cap²/2 pairs. The
+    * chosen cap is emitted as dd2's `cap_df` column, so the oracle —
+    * which derives the same integer from the same counts — certifies the
+    * derivation itself.
     */
-  private[queries] val DocFreqCap = 32
+  private[graft] val DocFreqFloor = 32L
 
-  /** LSH bucket-size cap for dd3/dd4 (see [[BucketCap]]): far above any
-    * organic bucket at the test SFs; engages only on pathological
-    * exact-dup floods, whose pairs dd1 already accounts for.
+  /** LSH bucket-size cap FLOOR for dd3/dd4: effective cap =
+    * `max(this, p99.9 of bucket occupancy)`
+    * ([[BucketCap.capBucketsAdaptive]]). The floor is far above any
+    * organic bucket at the test SFs, so it is the effective cap there;
+    * it engages only on pathological exact-dup floods, whose pairs dd1
+    * already accounts for. Emitted as `cap_bucket` under the gate.
     */
-  private[queries] val LshBucketCap = 1000
+  private[graft] val LshBucketFloor = 1000L
 
   /** Per-document MinHash signature frame (doc_id, lang, sig) — shared by
     * dd3 (signatures) and dd6 (per-language merge), and dumped by Verify
@@ -64,16 +73,18 @@ object Dedup {
 
   /** dd2's body (shared with dd8's cluster formation): one row per
     * near-dup pair, (i, j, jac) with exact Jaccard ≥ 0.6. Candidate pairs
-    * share ≥1 *rare* shingle (df in [2, DocFreqCap] — singletons can't
+    * share ≥1 *rare* shingle (df in [2, cap] — singletons can't
     * pair, hot shingles are the quadratic risk), then the exact
     * J = |A∩B| / (|A|+|B|-|A∩B|) re-rank runs on the full arrays.
     */
-  /** The dd2 pair frame plus its two persisted intermediates, so each
-    * consumer can release them once its own result is materialized
-    * (QueryCache.resultThenRelease).
+  /** The dd2 pair frame, the doc-freq cap it used (adaptive unless
+    * `capOverride` pins it — AdaptiveCapSpec's monotonicity probe), plus
+    * its two persisted intermediates, so each consumer can release them
+    * once its own result is materialized (QueryCache.resultThenRelease).
     */
-  private def shingleJaccardPairsWithCaches(
-      s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def shingleJaccardPairsWithCaches(
+      s: SparkSession, dir: String,
+      capOverride: Option[Long] = None): (DataFrame, Long, Seq[DataFrame]) = {
     // persisted: otherwise project-collapse inlines the shingle kernel
     // into the explode AND the re-rank joins (multiple evaluations per
     // row); explode_outer skips the implicit size>0 filter (shingle
@@ -101,9 +112,14 @@ object Dedup {
     val dfreqs = ex.groupBy("lang", "shingle")
       .agg(count(lit(1)).as("dfreq"))
       .persist()
-    val rareKeys = dfreqs.filter(col("dfreq").between(2, DocFreqCap))
+    // the adaptive-cap histogram is a tiny agg over the ALREADY-persisted
+    // dfreq frame, so deriving the cap costs one extra driver lookup, not
+    // a corpus scan
+    val cap = capOverride.getOrElse(
+      AdaptiveCap.permilleCap(dfreqs, "dfreq", DocFreqFloor))
+    val rareKeys = dfreqs.filter(col("dfreq").between(2, cap))
       .select("lang", "shingle")
-    val hotKeys = dfreqs.filter(col("dfreq") > DocFreqCap)
+    val hotKeys = dfreqs.filter(col("dfreq") > cap)
       .select("lang", "shingle")
     // per-doc count of hot (over-cap) shingles: bounds how much shared
     // mass the candidate join can't see. Usually an empty frame — the cap
@@ -153,7 +169,7 @@ object Dedup {
         (col("na") + col("nb") - col("shared")).cast("double"))
       .filter(col("jac") >= 0.6)
       .select("i", "j", "jac")
-    (pairs, Seq(docs, dfreqs))
+    (pairs, cap, Seq(docs, dfreqs))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -170,10 +186,14 @@ object Dedup {
 
     // Word-trigram shingle Jaccard near-dup pairs — see
     // [[shingleJaccardPairsWithCaches]] for the doc-freq-cut +
-    // exact-re-rank design.
+    // exact-re-rank design. Every row carries the data-derived cap the
+    // cut used (`cap_df`): the oracle computes the same integer from the
+    // same counts, so the hash gate certifies the cap DERIVATION, not
+    // just the pair list it produced.
     "dd2_shingle_jaccard" -> ((s, dir) => {
-      val (pairs, caches) = shingleJaccardPairsWithCaches(s, dir)
-      QueryCache.resultThenRelease(pairs, caches: _*)
+      val (pairs, cap, caches) = shingleJaccardPairsWithCaches(s, dir)
+      QueryCache.resultThenRelease(
+        pairs.withColumn("cap_df", lit(cap)), caches: _*)
     }),
 
     // Near-dup cluster formation — the final dedup step: fold dd2's pair
@@ -183,7 +203,7 @@ object Dedup {
     // (doc_id = cluster_rep). The oracle replays components with a
     // recursive CTE over the same (exact, oracled) dd2 pairs.
     "dd8_neardup_clusters" -> ((s, dir) => {
-      val (p, caches) = shingleJaccardPairsWithCaches(s, dir)
+      val (p, _, caches) = shingleJaccardPairsWithCaches(s, dir)
       val pairs = p.select("i", "j").persist()
       pairs.count() // populate the cache before components() fans out
       caches.foreach(_.unpersist(blocking = false)) // pairs cache suffices now
@@ -200,7 +220,7 @@ object Dedup {
     // never on the corpus (levenshtein is O(len²) per pair — exactly the
     // kind of kernel you gate behind candidate generation).
     "dd9_edit_distance" -> ((s, dir) => {
-      val (pairs, caches) = shingleJaccardPairsWithCaches(s, dir)
+      val (pairs, _, caches) = shingleJaccardPairsWithCaches(s, dir)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       QueryCache.resultThenRelease(
         pairs.select("i", "j", "jac")
@@ -226,7 +246,8 @@ object Dedup {
       val sigs = docSigs(s, dir).select("doc_id", "sig").persist()
       val banded = sigs.select(col("doc_id"),
         explode(lshBands(col("sig"), bands = 16, rows = 2)).as("band"))
-      val capped = BucketCap.capBuckets(banded, Seq("band"), LshBucketCap)
+      val (capped, cap, sizes) =
+        BucketCap.capBucketsAdaptive(banded, Seq("band"), LshBucketFloor)
       val a = capped.alias("a")
       val b = capped.alias("b")
       val pairs = a.join(b, col("a.band") === col("b.band") &&
@@ -239,8 +260,9 @@ object Dedup {
           .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), "j")
           .select(col("i"), col("j"),
             minhashSimilarity(col("sig_i"), col("sig_j")).as("est_jac"))
-          .filter(col("est_jac") >= 0.5),
-        sigs)
+          .filter(col("est_jac") >= 0.5)
+          .withColumn("cap_bucket", lit(cap)),
+        sigs, sizes)
     }),
 
     // SimHash sketching, banded (sub-quadratic): 64-bit majority-vote
@@ -258,7 +280,8 @@ object Dedup {
         .persist()
       val banded = docs.select(col("doc_id"),
         explode(longBands(col("sh"), bands = 8, bitsPerBand = 8)).as("bk"))
-      val capped = BucketCap.capBuckets(banded, Seq("bk"), LshBucketCap)
+      val (capped, cap, sizes) =
+        BucketCap.capBucketsAdaptive(banded, Seq("bk"), LshBucketFloor)
       val a = capped.alias("a")
       val b = capped.alias("b")
       val pairs = a.join(b, col("a.bk") === col("b.bk") &&
@@ -272,8 +295,9 @@ object Dedup {
           .select(col("i"), col("j"),
             hamming64(col("sh_i"), col("sh_j")).as("hamming"))
           .orderBy(col("hamming"), col("i"), col("j"))
-          .limit(20),
-        docs)
+          .limit(20)
+          .withColumn("cap_bucket", lit(cap)),
+        docs, sizes)
     }),
 
     // Corpus-level sketch via the MinHashMerge Aggregator (§2.10 UDAF
@@ -374,11 +398,24 @@ object Dedup {
     s"list_sum(list_transform(range(1, 33), " +
       s"x -> CASE WHEN $a[x] = $b[x] THEN 1 ELSE 0 END)) / 32.0"
 
+  /** DuckDB scalar replay of [[AdaptiveCap.permilleCap]] over a histogram
+    * relation `hist(v, c)` (count value → frequency): smallest v whose
+    * windowed cumsum reaches the exact ceil-rank `(999·n + 999) // 1000`,
+    * floored — the identical integer arithmetic, so the emitted cap
+    * column hash-matches the engine's.
+    */
+  private def permilleCapSql(hist: String, floor: Long): String =
+    s"CAST(GREATEST($floor, COALESCE((SELECT min(v) FROM " +
+      s"(SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM $hist) " +
+      s"WHERE cum >= (SELECT (999 * sum(c) + 999) // 1000 FROM $hist)), " +
+      s"$floor)) AS BIGINT)"
+
   /** dd2's oracle as a reusable CTE chain ending in `dd2res (i, j, jac)` —
     * dd8's component oracle builds on the same pair list.
     *
     * Replays the doc-frequency cut exactly (like every other capped
-    * oracle): candidates must share a shingle with df in [2, DocFreqCap],
+    * oracle): candidates must share a shingle with df in [2, cap] (the cap
+    * re-derived from the same counts — permilleCapSql),
     * then the exact intersection re-rank scores them. This keeps the gate
     * faithful on ANY corpus — a pair whose every shared shingle is hot is
     * unreachable on both sides — and makes the oracle itself
@@ -396,8 +433,10 @@ object Dedup {
       |),
       |ex AS (SELECT doc_id, lang, unnest(sh) AS shingle FROM docs),
       |dfreq AS (SELECT lang, shingle, count(*) AS df FROM ex GROUP BY 1, 2),
+      |dfhist AS (SELECT df AS v, count(*) AS c FROM dfreq GROUP BY 1),
+      |capdf AS (SELECT ${permilleCapSql("dfhist", DocFreqFloor)} AS cap),
       |rare AS (SELECT ex.* FROM ex JOIN dfreq USING (lang, shingle)
-      |         WHERE df BETWEEN 2 AND $DocFreqCap),
+      |         WHERE df BETWEEN 2 AND (SELECT cap FROM capdf)),
       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       |         FROM rare a JOIN rare b
       |           ON a.lang = b.lang AND a.shingle = b.shingle
@@ -423,7 +462,8 @@ object Dedup {
 
     "dd2_shingle_jaccard" ->
       s"""WITH $dd2CtesSql
-         |SELECT i, j, jac FROM dd2res""".stripMargin,
+         |SELECT i, j, jac, (SELECT cap FROM capdf) AS cap_df
+         |FROM dd2res""".stripMargin,
 
     // components of the dd2 pair graph via a recursive CTE: reach(node, r)
     // enumerates every id reachable from node inside its component (UNION
@@ -461,12 +501,14 @@ object Dedup {
          |          FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS b
          |                FROM sigs)),
          |szs AS (SELECT b, k1, k2, count(*) AS bsz FROM keyed GROUP BY 1, 2, 3),
+         |bh AS (SELECT bsz AS v, count(*) AS c FROM szs GROUP BY 1),
+         |capq AS (SELECT ${permilleCapSql("bh", LshBucketFloor)} AS cap),
          |ok AS (SELECT keyed.* FROM keyed JOIN szs USING (b, k1, k2)
-         |       WHERE bsz <= $LshBucketCap),
+         |       WHERE bsz <= (SELECT cap FROM capq)),
          |pairs AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
          |          FROM ok a JOIN ok b2 USING (b, k1, k2)
          |          WHERE a.doc_id < b2.doc_id)
-         |SELECT i, j, est_jac FROM (
+         |SELECT i, j, est_jac, (SELECT cap FROM capq) AS cap_bucket FROM (
          |  SELECT i, j, ${sigAgreeSql("sa.sig", "sb.sig")} AS est_jac
          |  FROM pairs
          |  JOIN sigs sa ON sa.doc_id = i
@@ -482,12 +524,15 @@ object Dedup {
          |keyed AS (SELECT doc_id, b, (sh >> (8 * b)) & 255 AS k
          |          FROM (SELECT doc_id, sh, unnest(range(0, 8)) AS b FROM sk)),
          |szs AS (SELECT b, k, count(*) AS bsz FROM keyed GROUP BY 1, 2),
+         |bh AS (SELECT bsz AS v, count(*) AS c FROM szs GROUP BY 1),
+         |capq AS (SELECT ${permilleCapSql("bh", LshBucketFloor)} AS cap),
          |ok AS (SELECT keyed.* FROM keyed JOIN szs USING (b, k)
-         |       WHERE bsz <= $LshBucketCap),
+         |       WHERE bsz <= (SELECT cap FROM capq)),
          |pairs AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
          |          FROM ok a JOIN ok b2 USING (b, k)
          |          WHERE a.doc_id < b2.doc_id)
-         |SELECT i, j, CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming
+         |SELECT i, j, CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming,
+         |  (SELECT cap FROM capq) AS cap_bucket
          |FROM pairs
          |JOIN sk sa ON sa.doc_id = i
          |JOIN sk sb ON sb.doc_id = j

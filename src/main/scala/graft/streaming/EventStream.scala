@@ -53,6 +53,93 @@ object EventStream {
       }
   }
 
+  /** Per-user sessionizer state: O(1) — (1-based session index, session
+    * start µs, last event µs, event count). Never buffers events.
+    * `n == 0` is the IDLE tombstone: no open session, but the index of
+    * the last closed one is retained — a timeout that simply removed the
+    * state would restart session numbering at the user's next event and
+    * silently diverge from the batch form's per-user running count.
+    */
+  final case class SessionState(sessionIdx: Long, startUs: Long,
+      lastUs: Long, n: Long)
+
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+      session_start_us: Long)
+
+  private def usOf(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Streaming sessionizer — the stateful twin of the batch q19 window
+    * form (lag gap-flag + running count over one user_id shuffle): a gap
+    * of more than `gapSec` between consecutive events starts a new
+    * session. Sessions CLOSE in-stream when the closing gap is observed;
+    * still-open sessions flush when the event-time watermark passes
+    * `last event + gapSec` (EventTimeTimeout), so emitted rows are final
+    * (Append mode) and the state store holds one O(1) record per user —
+    * never |events|, the property that lets 100 TB/day of events
+    * sessionize on state proportional to the user population. (The
+    * record outlives idleness as a tombstone carrying the session
+    * counter — see [[SessionState]]; a deployment that must evict cold
+    * users entirely would use the session START time as the session
+    * identity instead of a counter, trading q19's id scheme for strict
+    * active-users-only state.)
+    *
+    * Gap arithmetic mirrors q19 exactly: whole-second floors
+    * (`unix_timestamp` semantics) compared with `> gapSec`, ties on ts
+    * processed in (ts, event_id) order, `session_start_us` = µs of the
+    * session's first event. StreamingSpec pins batch == stream on the
+    * driver fixture. Assumes per-user event-time-ordered delivery ACROSS
+    * micro-batches (the cadence file source's order; re-deliveries are
+    * dropped upstream by [[dedupedEvents]]); the in-batch iterator is
+    * unordered and sorted here.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: the open session is final;
+            // the state degrades to the idle tombstone (counter kept)
+            val s = state.get
+            state.update(s.copy(n = 0L))
+            Iterator.single(Session(userId, s.sessionIdx, s.n, s.startUs))
+          } else {
+            val evs = batch.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = usOf(e.ts)
+              cur match {
+                case Some(s) if s.n == 0L => // idle tombstone: next index
+                  cur = Some(SessionState(s.sessionIdx + 1, t, t, 1L))
+                case Some(s)
+                    if t / 1000000L - s.lastUs / 1000000L <= gapSec =>
+                  cur = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.sessionIdx, s.n, s.startUs)
+                  cur = Some(SessionState(s.sessionIdx + 1, t, t, 1L))
+                case None =>
+                  cur = Some(SessionState(1L, t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush when the watermark proves no event can extend it
+              if (s.n > 0L)
+                state.setTimeoutTimestamp(s.lastUs / 1000L + gapSec * 1000L + 1L)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same `event_id`
     * within the watermark horizon — state is bounded by (events/horizon),
     * the standard at-least-once → effectively-once repair for 100 TB/day

@@ -77,6 +77,49 @@ class StreamingSpec extends SparkSuite {
     assert(rows(2L) == ((1L, 7.0)))
   }
 
+  test("sessionize parity: flatMapGroupsWithState == q19's batch windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the batch truth: q19's stacked lag/running-count windows
+    val batch = canon(SparkEntry.queries("q19_sessionize")(spark, dir)
+      .select("user_id", "session_id", "n_events", "session_start_us")
+      .collect())
+    // the same events delivered as a chronological stream in micro-batches
+    // (µs-exact order, so per-user cross-batch delivery is event-time
+    // ordered — the sessionizer's documented precondition)
+    val evs = Tables.events(spark, dir).filter(col("user_id") < 10)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+      .collect()
+      .sortBy(e =>
+        (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(mem.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // two far-future sentinel batches on a dummy user: the first raises
+    // max event time (the watermark updates at batch END), the second
+    // runs with the advanced watermark so EventTimeTimeout fires and the
+    // real users' still-open sessions flush as final rows
+    val far = evs.last.ts.toInstant.plusSeconds(86400)
+    def sentinel(id: Long, plus: Long) = EventStream.Event(
+      id, Timestamp.from(far.plusSeconds(plus)), 9999L, "flush", 0.0)
+    mem.addData(sentinel(1000001L, 0)); q.processAllAvailable()
+    mem.addData(sentinel(1000002L, 3600)); q.processAllAvailable()
+    val stream = canon(spark.table("sessions")
+      .filter(col("user_id") < 10)
+      .select("user_id", "session_id", "n_events", "session_start_us")
+      .collect())
+    q.stop()
+    assert(stream == batch, "stream sessions differ from the batch form: " +
+      s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+  }
+
   test("stream-static join enriches the event stream with a dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
