@@ -636,6 +636,30 @@ object Relational {
     })
   )
 
+  /** q32's 100 TB drop-in: the same one-scan wide profile with
+    * `approx_count_distinct` (HLL++, rsd 2%) per column instead of exact
+    * `countDistinct`. Exact multi-distinct plans through Expand —
+    * |columns| × rows intermediate rows partial-agg'd map-side — while
+    * HLL sketches for ALL columns aggregate in one pass with NO Expand
+    * and constant-size buffers; ProfilingSpec pins the plan shape and
+    * the ≤5 % per-column error envelope at sf0.1. Not under the hash
+    * gate: HLL estimates are engine-specific by construction (the exact
+    * q32 gates the shared plumbing instead).
+    */
+  def profileApprox(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"nd_$c")))
+    val stackArgs = cols
+      .map(c => s"'$c', n_rows, nn_$c, nd_$c").mkString(", ")
+    Tables.events(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.length}, $stackArgs)" +
+        " AS (col_name, n_rows, n_nonnull, n_distinct)"))
+  }
+
   /** DuckDB text of LayoutFunctions.spread8 (bit i → bit 2i for an 8-bit
     * input): same shift/mask chain as the Column version, so the q28
     * morton keys replay exactly.
