@@ -77,6 +77,72 @@ final class GridFields(
     */
   def midpoint(name: String): Map[String, Double] =
     axisNames.zip(grid(name).midpoint).toMap
+
+  /** Re-express a registered variable in compatible units — the unit
+    * algebra the reference gets from kamodo-core's `@kamodofy(units=…)`
+    * registration (`kamodo_dask.py:339,345`): kamodo inserts the
+    * multiplicative factor when a function is re-registered in different
+    * units. Returns a new registry (immutable, like the grid itself) with
+    * that variable's grid values AND fill value scaled by
+    * [[Units.factor]]; every other variable is untouched. Throws on
+    * dimensionally-incompatible units.
+    */
+  def convert(name: String, toUnits: String): GridFields = {
+    val (meta, g) = fields(name)
+    val c = Units.factor(meta.units, toUnits)
+    val scaled = new RegularGrid(
+      g.axes, g.values.map(_ * c), g.fillValue * c)
+    new GridFields(
+      fields.updated(name, (meta.copy(units = toUnits), scaled)), axisNames)
+  }
+
+  /** LaTeX of one registered function, kamodo-notebook style:
+    * `\rho{\left(t,lon,lat,h \right)}[\frac{kg}{m^{3}}]`.
+    */
+  def latex(name: String): String =
+    Latex.func(name, axisNames, units(name))
+
+  /** LaTeX of the whole registry (kamodo's `_repr_latex_`): one
+    * begin/end `equation` per registered function, sorted by name.
+    */
+  def reprLatex: String =
+    names.map(n => s"\\begin{equation}${latex(n)}\\end{equation}")
+      .mkString("\n")
+
+  /** Slice data for plotting — the reference's
+    * `kd.plot('rho_ijkl', plot_partial=dict(rho_ijkl=dict(lon=200, …)))`
+    * (`docs/interpolator.md:352-386`) minus the plotly render: pin some
+    * axes to scalar values, interpolate on the cartesian product of the
+    * remaining full grid axes, and return a DataFrame of the free axis
+    * columns plus the (unit-carrying) value column, C-order flattened.
+    * Bounded by the registered grid size — this is the driver tier by
+    * construction, same as the reference's in-memory interpolator.
+    */
+  def plotSlice(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      partial: Map[String, Double]): DataFrame = {
+    val overrides = partial.map { case (ax, v) => ax -> Array(v) }
+    val (effAxes, vals) = gridEval(name, overrides)
+    val free = axisNames.zipWithIndex.filterNot { case (an, _) =>
+      partial.contains(an)
+    }
+    // C-order unflatten: row r's index on effective axis i
+    val lens = effAxes.map(_.length)
+    val strides = lens.scanRight(1)(_ * _).tail
+    val rows = vals.zipWithIndex.map { case (v, r) =>
+      org.apache.spark.sql.Row.fromSeq(
+        free.map { case (_, i) => effAxes(i)((r / strides(i)) % lens(i)) } :+ v)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      free.map { case (an, _) =>
+        org.apache.spark.sql.types.StructField(
+          an, org.apache.spark.sql.types.DoubleType, nullable = false)
+      } :+ org.apache.spark.sql.types.StructField(
+        name, org.apache.spark.sql.types.DoubleType, nullable = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
 }
 
 object GridFields {

@@ -76,6 +76,37 @@ object GridQueries {
         series)
     }),
 
+    // Units algebra under the hash gate — the registration step the
+    // reference delegates to kamodo-core: `@kamodofy(units=units)` parses
+    // the bracketed unit string and inserts a multiplicative factor when
+    // the variable is re-expressed in compatible units
+    // (kamodo_dask.py:329-345). g7 runs the whole native path: long-form
+    // window → `name[units]` column registration (GridFields) →
+    // Units.factor("kg/m^3", "g/cm^3") → scaled grid → driver-tier
+    // interpolation. The factor reduces to an integer power of ten
+    // ((mantissa, pow10) carried separately — Units.pow10 emits the
+    // correctly-rounded decimal double), so it is bit-identical to the
+    // oracle's 0.001 literal, and the oracle scales each corner value
+    // BEFORE the weighted blend exactly where the engine does (at grid
+    // construction) — the hash certifies operation order, not just the
+    // factor.
+    "g7_unit_convert" -> ((s, dir) => {
+      import s.implicits._
+      val series = Tables.events(s, dir)
+        .groupBy((floor(unix_timestamp(col("ts")) / 600) * 600)
+          .cast("double").as("t"))
+        .agg(avg("value").as("rho[kg/m^3]"))
+      val gf = graft.api.GridFields.fromDataFrame(series, axisCols = Seq("t"))
+      val conv = gf.convert("rho", "g/cm^3")
+      require(conv.units("rho") == "g/cm^3", "conversion must retag units")
+      val g = conv.grid("rho")
+      val axis = g.axes(0)
+      val (tMin, tMax) = (axis.head, axis.last)
+      fracs.map { case (i, f) =>
+        (i.toLong, g.interpolate(Array(tMin + f * (tMax - tMin))))
+      }.toDF("id", "v")
+    }),
+
     // Same probes through tier 2 (broadcast grid + UDF) — identical
     // semantics, so it shares g1's oracle arithmetic. Exercises
     // RegularGrid + BroadcastInterpolator under the hash gate.
@@ -422,6 +453,30 @@ object GridQueries {
          |JOIN grid s22 ON s22.tc = w.tc2 AND s22.h = w.h2""".stripMargin,
     // tiers 2 and 3 implement identical semantics → identical oracle
     "g2_interp_broadcast" -> interpOracle,
+
+    // g1's interpolation with each corner value scaled kg/m^3 → g/cm^3
+    // BEFORE the blend — the engine scales at grid construction, so the
+    // oracle must round the product first too (scaling the blended result
+    // instead would differ in the last ulp)
+    "g7_unit_convert" ->
+      s"""WITH series AS (
+         |  SELECT CAST(floor(epoch(ts) / 600) * 600 AS DOUBLE) AS t,
+         |         avg(value) AS v
+         |  FROM events GROUP BY 1),
+         |hull AS (SELECT min(t) AS tmin, max(t) AS tmax FROM series),
+         |fr(id, f) AS (VALUES $fracsSql),
+         |probes AS (SELECT id, tmin + f * (tmax - tmin) AS t FROM fr, hull),
+         |br AS (
+         |  SELECT p.id, p.t,
+         |    (SELECT max(s.t) FROM series s WHERE s.t <= p.t) AS t1,
+         |    (SELECT min(s.t) FROM series s WHERE s.t > p.t) AS t2
+         |  FROM probes p)
+         |SELECT b.id,
+         |  (1 - (b.t - b.t1) / (b.t2 - b.t1)) * (s1.v * 0.001)
+         |    + ((b.t - b.t1) / (b.t2 - b.t1)) * (s2.v * 0.001) AS v
+         |FROM br b
+         |JOIN series s1 ON s1.t = b.t1
+         |JOIN series s2 ON s2.t = b.t2""".stripMargin,
 
     // bilinear: four bracketing corners, product weights
     "g3_interp_2d" ->

@@ -183,6 +183,73 @@ class GridEngineSpec extends SparkSuite {
     }
   }
 
+  test("convert: unit algebra rescales one variable, exactly, immutably") {
+    val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      250000.0, 400000.0)
+    val kd = GridFields.fromDataFrame(df, fillValue = -7.0)
+    val conv = kd.convert("rho", "g/cm^3")
+    assert(conv.units("rho") == "g/cm^3")
+    assert(conv.units("T") == "K") // other variables untouched
+    // conversion scales CORNER values at grid construction, so at a grid
+    // node (weight 1 on one corner) the result is exactly value*factor …
+    val node = Array(t0s, GridFixtures.lonAxis(3), GridFixtures.latAxis(2),
+      GridFixtures.hAxis(4))
+    assert(conv.eval("rho", node) == kd.eval("rho", node) * 0.001)
+    // … while an interior blend of pre-scaled corners may differ from the
+    // post-scaled blend in the last ulp (the g7 oracle mirrors the
+    // corner-first order for exactly this reason)
+    val p = Array(t0s + 1234.0, 123.4, -15.6, 301234.0)
+    val rel = math.abs(conv.eval("rho", p) - kd.eval("rho", p) * 0.001) /
+      math.abs(kd.eval("rho", p) * 0.001)
+    assert(rel < 1e-14)
+    assert(conv.eval("T", p) == kd.eval("T", p))
+    // the fill value converts with the variable (it is in its units)
+    val oob = Array(t0s - 1e9, 0.0, 0.0, 300000.0)
+    assert(kd.eval("rho", oob) == -7.0 && conv.eval("rho", oob) == -7.0 * 0.001)
+    // original registry is untouched (immutability)
+    assert(kd.units("rho") == "kg/m^3")
+    intercept[IllegalArgumentException](kd.convert("rho", "s"))
+  }
+
+  test("latex: registry renders kamodo-notebook notation") {
+    val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      250000.0, 400000.0)
+    val kd = GridFields.fromDataFrame(df)
+    assert(kd.latex("rho") ==
+      "\\rho{\\left(time,lon,lat,h \\right)}[\\frac{kg}{m^{3}}]")
+    assert(kd.latex("T") == "T{\\left(time,lon,lat,h \\right)}[K]")
+    val repr = kd.reprLatex
+    assert(repr.startsWith("\\begin{equation}T{\\left("))
+    assert(repr.contains("\\end{equation}\n\\begin{equation}\\rho"))
+    // conversion retags the rendered units too
+    assert(kd.convert("rho", "g/cm^3").latex("rho").endsWith(
+      "[\\frac{g}{cm^{3}}]"))
+  }
+
+  test("plotSlice: plot_partial data — pinned axes out, free axis + value in") {
+    val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      250000.0, 400000.0)
+    val kd = GridFields.fromDataFrame(df)
+    // reference: kd.plot('rho_ijkl', plot_partial=dict(rho_ijkl=dict(
+    //   time=…, lon=…, lat=…))) → 1-D profile over h
+    val slice = kd.plotSlice(spark, "T",
+      Map("time" -> (t0s + 300.0), "lon" -> 0.0, "lat" -> 0.0))
+    assert(slice.columns.toSeq == Seq("h", "T"))
+    val rows = slice.orderBy("h").collect()
+    assert(rows.length == GridFixtures.hAxis.length)
+    rows.zip(GridFixtures.hAxis).foreach { case (r, h) =>
+      assert(r.getDouble(0) == h)
+      assert(math.abs(r.getDouble(1) -
+        GridFixtures.temperature(t0s + 300.0, 0.0, 0.0, h)) < 1e-6)
+    }
+    // 2-D slice: pin two axes → (lat, h) surface, C-order respected
+    val surf = kd.plotSlice(spark, "T",
+      Map("time" -> (t0s + 300.0), "lon" -> 0.0))
+    assert(surf.columns.toSeq == Seq("lat", "h", "T"))
+    assert(surf.count() ==
+      GridFixtures.latAxis.length.toLong * GridFixtures.hAxis.length)
+  }
+
   test("broadcast-mode equals driver-mode on a distributed point set") {
     import spark.implicits._
     val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
