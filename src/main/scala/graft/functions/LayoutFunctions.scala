@@ -37,6 +37,42 @@ object LayoutFunctions {
   def morton8(x: Column, y: Column): Column =
     spread8(x).bitwiseOR(shiftleft(spread8(y), 1))
 
+  /** Spread the low 10 bits of `c` (precondition: 0 ≤ c ≤ 1023) to
+    * stride-3 positions (bit i → bit 3i) — the classic 4-step magic-mask
+    * chain for three-way interleave. Still 4 shifts + 4 masks of builtin
+    * bitwise ops, fully codegen'd.
+    */
+  private def spread3(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 16)).bitwiseAND(lit(0x030000FFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x0300F00FL))
+    val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x030C30C3L))
+    d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x09249249L))
+  }
+
+  /** 30-bit Morton key of three 10-bit coordinates — the reference-shaped
+    * (time, lon, lat) 3-D layout: x on bit positions ≡0 (mod 3), y on ≡1,
+    * z on ≡2. Bijective on [0,1023]³ ↔ [0,2^30), and consecutive key
+    * ranges are ~cubic tiles of the coordinate space. The wider 10-bit
+    * coordinate budget (vs morton8's 8) exists because 3-D tiles shrink
+    * per-dimension at the same file count — finer buckets keep per-file
+    * min/max spans tight enough to prune on.
+    */
+  def morton10x3(x: Column, y: Column, z: Column): Column =
+    spread3(x)
+      .bitwiseOR(shiftleft(spread3(y), 1))
+      .bitwiseOR(shiftleft(spread3(z), 2))
+
+  /** DuckDB text of [[morton10x3]]'s spread (bit i → bit 3i, 10-bit
+    * input): identical shift/mask chain, decimal mask literals, so a
+    * 3-D z-key replays exactly in the oracle.
+    */
+  def spread3Sql(e: String): String = {
+    val a = s"(($e | ($e << 16)) & 50331903)"   // 0x030000FF
+    val b = s"(($a | ($a << 8)) & 50393103)"    // 0x0300F00F
+    val c = s"(($b | ($b << 4)) & 51130563)"    // 0x030C30C3
+    s"(($c | ($c << 2)) & 153391689)"           // 0x09249249
+  }
+
   /** SQL text of a TOTAL day bucket in [0,255] from a µs-epoch
     * expression: floor-div to the UTC day, then positive wrap. Truncating
     * `DIV` alone goes negative before the epoch and hands [[morton8]]'s

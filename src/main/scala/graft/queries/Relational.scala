@@ -376,6 +376,33 @@ object Relational {
           min("vb").as("vb_min"), max("vb").as("vb_max"))
     }),
 
+    // 3-D Z-order layout — the reference-shaped (time, lon, lat) case
+    // generalized from q28's 2-D key: three 10-bit total buckets (hour
+    // wrap, clamped value, user wrap) interleaved by
+    // [[graft.functions.LayoutFunctions.morton10x3]] (stride-3
+    // magic-mask spread, still all builtin bitwise ops). Emission is
+    // per-z-file row count + per-dimension min/max — the parquet footer
+    // stats that decide pruning — so the gate certifies the 3-D tile
+    // bounds. ZorderSpec quantifies the 3-D payoff and pins bijectivity
+    // of the 30-bit key.
+    "q33_zorder3_layout" -> ((s, dir) => {
+      import graft.functions.LayoutFunctions.morton10x3
+      val b = Tables.events(s, dir).select(
+        expr("pmod((unix_micros(ts) - pmod(unix_micros(ts), 3600000000))" +
+          " DIV 3600000000, 1024)").as("hb"),
+        expr("CAST(least(greatest(floor(value * 2.0), 0.0), 1023.0)" +
+          " AS BIGINT)").as("vb"),
+        expr("pmod(user_id, 1024)").as("ub"))
+      b.withColumn("z", morton10x3(col("vb"), col("hb"), col("ub")))
+        // 64 file slots over the 2^30 key space, like q28's DIV 64 over 2^16
+        .withColumn("zfile", expr("z DIV 16777216"))
+        .groupBy("zfile")
+        .agg(count(lit(1)).as("n_events"),
+          min("hb").as("hb_min"), max("hb").as("hb_max"),
+          min("vb").as("vb_min"), max("vb").as("vb_max"),
+          min("ub").as("ub_min"), max("ub").as("ub_max"))
+    }),
+
     // Bucketed co-located fact-fact join ([[graft.source.Bucketed]], the
     // SURVEY §4 physical design): orders and lineitem are written
     // bucketed on the order key into the same bucket count, then joined
@@ -817,6 +844,28 @@ object Relational {
          |  min(db) AS db_min, max(db) AS db_max,
          |  min(vb) AS vb_min, max(vb) AS vb_max
          |FROM z GROUP BY 1""".stripMargin,
+
+    // same decimal-literal shift/mask chain as the engine's stride-3
+    // spread; hour/user buckets use the //-plus-double-% total wrap
+    "q33_zorder3_layout" -> {
+      import graft.functions.LayoutFunctions.spread3Sql
+      s"""WITH b AS (
+         |  SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+         |           % 1024 + 1024) % 1024 AS hb,
+         |         CAST(least(greatest(floor(value * 2.0), 0.0), 1023.0)
+         |              AS BIGINT) AS vb,
+         |         ((user_id % 1024) + 1024) % 1024 AS ub
+         |  FROM events),
+         |z AS (SELECT hb, vb, ub,
+         |        (${spread3Sql("vb")} | (${spread3Sql("hb")} << 1)
+         |          | (${spread3Sql("ub")} << 2)) AS z
+         |      FROM b)
+         |SELECT z // 16777216 AS zfile, count(*) AS n_events,
+         |  min(hb) AS hb_min, max(hb) AS hb_max,
+         |  min(vb) AS vb_min, max(vb) AS vb_max,
+         |  min(ub) AS ub_min, max(ub) AS ub_max
+         |FROM z GROUP BY 1""".stripMargin
+    },
 
     // the bucketed layout cancels out of the result: the oracle is the
     // plain join
