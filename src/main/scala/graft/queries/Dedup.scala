@@ -231,6 +231,31 @@ object Dedup {
         caches: _*)
     }),
 
+    // Benchmark decontamination — the train/eval n-gram-overlap scan
+    // every serious LLM corpus runs before training (the GPT-3 paper's
+    // 13-gram filter; Dolma/FineWeb ship the same op): flag training
+    // docs sharing ≥ 3 distinct shingles with any held-out eval doc.
+    // The eval set here is the deterministic doc_id % 97 slice standing
+    // in for a benchmark suite. Plan at 100 TB: benchmarks are MBs while
+    // the corpus is TBs, so the eval shingle set BROADCASTS and the
+    // corpus-side explode is scan-local — one hash agg on the
+    // (train, eval) pairs that actually collide, never a corpus shuffle.
+    // Same hashed-shingle kernel as dd2 (equality-only comparisons; the
+    // oracle replays string shingles — identical unless a 64-bit
+    // collision actually fires).
+    "dd10_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), hashedShingles(tokens(col("text"))).as("sh"))
+      val evalSh = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
+      val trainSh = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_id"), explode(col("sh")).as("shingle"))
+      trainSh.join(broadcast(evalSh), Seq("shingle"))
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    }),
+
     // MinHash (k=32) + LSH banding (16 bands × 2 rows): candidate pairs
     // from bucket collisions (bucket-size capped), scored by signature
     // agreement. Sub-quadratic: the join key is (band, bucket-hash), never
@@ -464,6 +489,27 @@ object Dedup {
       s"""WITH $dd2CtesSql
          |SELECT i, j, jac, (SELECT cap FROM capdf) AS cap_df
          |FROM dd2res""".stripMargin,
+
+    // string-shingle replay of the hashed-shingle overlap join (shingle
+    // sets are built distinct on both sides, so count(*) of the
+    // equi-join == |intersection|)
+    "dd10_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle
+        |       FROM docs WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_id, unnest(sh) AS shingle
+        |       FROM docs WHERE doc_id % 97 <> 0)
+        |SELECT train_id, eval_id, count(*) AS n_shared
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3""".stripMargin,
 
     // components of the dd2 pair graph via a recursive CTE: reach(node, r)
     // enumerates every id reachable from node inside its component (UNION

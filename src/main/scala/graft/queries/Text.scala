@@ -115,6 +115,47 @@ object Text {
         .limit(25)
     }),
 
+    // Repetition-quality metrics (the Gopher repetition rules — Rae et
+    // al. 2021 §A1.2: fraction of the doc covered by its most frequent
+    // word / bigram, type-token ratio — the filters every LLM corpus
+    // pipeline applies between langid and dedup). Per doc: word count,
+    // distinct count, top-word and top-bigram multiplicities, and the
+    // keep decision with INTEGERIZED thresholds (top_word_n*5 < n_words
+    // is "top word < 20%") so the gate compares integers and booleans
+    // only — no float ratio can drift. Plan shape at 100 TB: the text
+    // column dies at the scan (split → explode); everything after is two
+    // (doc_id, token)-keyed partial+final hash aggs and one per-doc
+    // equi-join — no global sort, fan-out bounded by tokens-per-doc.
+    "t15_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val ws = docs
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_word_n"))
+      // t9's zip_with-slice bigrams, kept per-doc; a 1-word doc has no
+      // bigrams, drops out of the explode, and re-enters as NULL→0
+      // through the left join
+      val bg = docs
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+      ws.join(bg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          col("top_word_n"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          (col("top_word_n") * 5 < col("n_words") &&
+            col("n_distinct") * 10 > col("n_words") * 3 &&
+            coalesce(col("top_bigram_n"), lit(0L)) * 10 < col("n_words"))
+            .as("keep"))
+    }),
+
     // BM25 retrieval (the inverted-index/search-scoring shape): rank docs
     // for a fixed term query. tf comes from exploding ONLY the query
     // terms (the isin filter runs before the groupBy, so the aggregate
@@ -244,6 +285,40 @@ object Text {
           Map("en" -> 0.25, "zh" -> 1.0), default = 0.5)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
+    // Temperature-weighted mixture sampling — the corpus-mix primitive
+    // behind multilingual/multi-source training sets (XLM-R's α<1
+    // temperature sampling, the Pile/LLaMA source mixtures): flatten the
+    // natural distribution by keeping stratum s with fraction
+    // f_s = min(1, K/√N_s), i.e. the kept count grows as K·√N_s — big
+    // strata are down-weighted, small ones survive whole (the en 218 →
+    // ~27% vs fr 64 → 50% spread on the driver corpus). √ is the one
+    // power IEEE 754 rounds exactly, so the per-stratum threshold
+    // floor(65536·K/√N_s) is the identical integer on both engines —
+    // pow(x, α) for general α would differ in the last ulp across libms
+    // and flip rows at the boundary. Membership then rides the same
+    // md5-prefix scheme as p2 (engine/partition/retry-invariant, nested
+    // in K). The threshold integer is emitted under the gate, so the
+    // hash certifies the derivation, not just the kept set. Plan at
+    // 100 TB: the stats agg is |strata| rows broadcast back onto the
+    // corpus; the filter is scan-local; one final hash agg — the corpus
+    // never shuffles.
+    "p7_mixture_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"))
+      val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      docs.join(broadcast(stats), "lang")
+        // 262144 = 65536·K with K=4 target-kept ≈ 4·√N_s docs per stratum
+        .withColumn("thr_i",
+          floor(least(lit(65536.0),
+            lit(262144.0) / sqrt(col("n_lang").cast("double")))).cast("int"))
+        .filter(col("thr_i") >= 65536 ||
+          substring(md5(col("doc_id").cast("string")), 1, 4) <
+            format_string("%04x", col("thr_i")))
+        .groupBy("lang")
+        .agg(max("n_lang").as("n_lang"), max("thr_i").as("threshold"),
+          count(lit(1)).as("n_kept"), sum("n_tokens").as("sum_tokens"))
     }),
 
     // Redaction transform: regexp_replace token scrubbing + a count of
@@ -483,6 +558,31 @@ object Text {
         |ORDER BY freq DESC, bigram
         |LIMIT 25""".stripMargin,
 
+    // integer counts and integerized threshold comparisons only — the
+    // boolean keep flag folds from the same BIGINT arithmetic on both
+    // engines
+    "t15_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        |       GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |              count(*) AS n_distinct, max(c) AS top_word_n
+        |       FROM wc GROUP BY 1),
+        |bc AS (SELECT doc_id, b, count(*) AS c
+        |       FROM (SELECT doc_id,
+        |               unnest([t[i] || ' ' || t[i+1]
+        |                       for i in range(1, len(t))]) AS b
+        |             FROM toks)
+        |       GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1)
+        |SELECT ws.doc_id, n_words, n_distinct, top_word_n,
+        |  coalesce(top_bigram_n, 0) AS top_bigram_n,
+        |  (top_word_n * 5 < n_words AND n_distinct * 10 > n_words * 3
+        |   AND coalesce(top_bigram_n, 0) * 10 < n_words) AS keep
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin,
+
     // every arithmetic step parenthesized to match the Spark expression
     // tree op-for-op (same-order IEEE; see the query comment on the
     // rational idf choice). The per-doc sum's accumulation order is the
@@ -594,6 +694,26 @@ object Text {
         |SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
         |FROM s
         |WHERE f >= 1.0 OR h < printf('%04x', CAST(floor(f * 65536) AS INTEGER))
+        |GROUP BY lang""".stripMargin,
+
+    // sqrt is exactly rounded (IEEE) and the division is one correctly-
+    // rounded op, so floor(least(…)) folds to the same INTEGER threshold
+    // the engine derives; sum_tokens matches Spark's long sum of ints
+    "p7_mixture_sample" ->
+      """WITH st AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |      FROM documents),
+        |j AS (SELECT d.doc_id, d.lang, d.n_tokens, st.n_lang,
+        |        CAST(floor(least(65536.0,
+        |          262144.0 / sqrt(CAST(st.n_lang AS DOUBLE)))) AS INTEGER)
+        |          AS thr_i
+        |      FROM d JOIN st USING (lang))
+        |SELECT lang, max(n_lang) AS n_lang, max(thr_i) AS threshold,
+        |  count(*) AS n_kept, sum(n_tokens)::BIGINT AS sum_tokens
+        |FROM j
+        |WHERE thr_i >= 65536
+        |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |        < printf('%04x', thr_i)
         |GROUP BY lang""".stripMargin,
 
     "t8_scrub" ->
