@@ -687,6 +687,26 @@ object Relational {
         " AS (col_name, n_rows, n_nonnull, n_distinct)"))
   }
 
+  /** q14's 100 TB drop-in: `approx_percentile` instead of exact
+    * `percentile`. The exact aggregate buffers EVERY distinct value per
+    * group (its state is a value→count map, memory ∝ group cardinality —
+    * the aggregate that OOMs first on a skewed 100 TB group); the approx
+    * sketch is bounded by the accuracy parameter regardless of group
+    * size, with a guaranteed rank error ≤ n/accuracy. Cross-engine
+    * hash-matching a sketch is impossible (like profileApprox's HLL), so
+    * the drop-in is certified by QuantileSpec instead: the rank-error
+    * envelope is asserted against q14's exact answers at sf0.1.
+    */
+  def percentileApprox(s: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+        count(lit(1)).as("n"))
+  }
+
   /** DuckDB text of LayoutFunctions.spread8 (bit i → bit 2i for an 8-bit
     * input): same shift/mask chain as the Column version, so the q28
     * morton keys replay exactly.
