@@ -92,8 +92,10 @@ final class GridFields(
     val c = Units.factor(meta.units, toUnits)
     val scaled = new RegularGrid(
       g.axes, g.values.map(_ * c), g.fillValue * c)
-    new GridFields(
-      fields.updated(name, (meta.copy(units = toUnits), scaled)), axisNames)
+    // column is re-derived so the `name[units]` invariant holds: the old
+    // source-frame column name would contradict the registry's units
+    val newMeta = meta.copy(units = toUnits, column = s"$name[$toUnits]")
+    new GridFields(fields.updated(name, (newMeta, scaled)), axisNames)
   }
 
   /** LaTeX of one registered function, kamodo-notebook style:

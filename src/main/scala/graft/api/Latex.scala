@@ -34,31 +34,27 @@ object Latex {
   }
 
   /** Unit expression → LaTeX: `kg/m^3 → \frac{kg}{m^{3}}`, `m/s →
-    * \frac{m}{s}`, `nT → nT`, `1/cm^3 → \frac{1}{cm^{3}}`. Uses the same
-    * left-associative `*`/`/` split as [[Units.parse]], so anything the
-    * algebra accepts renders.
+    * \frac{m}{s}`, `nT → nT`, `1/cm^3 → \frac{1}{cm^{3}}`. Consumes
+    * [[Units.tokenize]] — the SAME tokenizer the conversion algebra
+    * uses, so the two cannot drift on what counts as well-formed. A
+    * string the tokenizer rejects (VarMeta's bracket regex accepts
+    * anything, e.g. `kg//m`) renders verbatim instead of throwing:
+    * display must not crash where `convert` would error loudly.
     */
   def unitsLatex(expr: String): String = {
-    val text = expr.replaceAll("\\s+", "")
-    if (text.isEmpty) return ""
+    if (expr.trim.isEmpty) return ""
+    val toks =
+      try Units.tokenize(expr)
+      catch { case _: IllegalArgumentException => return expr.trim }
     val num = scala.collection.mutable.ArrayBuffer.empty[String]
     val den = scala.collection.mutable.ArrayBuffer.empty[String]
-    var start = 0
-    var divide = false
-    var i = 0
-    while (i <= text.length) {
-      if (i == text.length || text(i) == '*' || text(i) == '/') {
-        val tok = text.substring(start, i)
-        val rendered = tok.split('^') match {
-          case Array(n) => n
-          case Array(n, e) => s"$n^{$e}"
-          case _ => tok
-        }
-        (if (divide) den else num) += rendered
-        if (i < text.length) divide = text(i) == '/'
-        start = i + 1
+    toks.foreach { case (divide, tok) =>
+      val rendered = tok.split('^') match {
+        case Array(n) => n
+        case Array(n, e) => s"$n^{$e}"
+        case _ => tok
       }
-      i += 1
+      (if (divide) den else num) += rendered
     }
     val n = if (num.isEmpty || num == Seq("1")) "1" else num.mkString(" \\, ")
     if (den.isEmpty) n

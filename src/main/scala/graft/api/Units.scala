@@ -5,9 +5,10 @@ package graft.api
   * (`kamodo_dask/kamodo_dask.py:339,345`): kamodo parses the bracketed
   * unit string and auto-inserts multiplicative conversion factors when a
   * user re-expresses a variable in compatible units. The engine implements
-  * the same algebra natively so `GridFields.convert` and the Column-level
-  * [[UnitFunctions.convertUnits]] work without any symbolic-math
-  * dependency.
+  * the same algebra natively, without any symbolic-math dependency:
+  * `GridFields.convert` rescales a registered grid on the driver, and the
+  * Column-level [[Units.convertColumn]] folds the same factor into a
+  * distributed projection.
   *
   * Representation: a unit expression is reduced to
   * `(mantissa, pow10, dims)` where `dims` is the SI dimension exponent
@@ -142,13 +143,14 @@ object Units {
 
   private val factorRe = """([\p{L}0-9]+)(?:\^(-?\d+))?""".r
 
-  /** Parse a unit expression to its reduced value. Throws
-    * IllegalArgumentException on an unknown unit or malformed syntax.
+  /** Split a unit expression into (isDenominator, factor-text) tokens —
+    * the ONE tokenizer both the algebra ([[parse]]) and the renderer
+    * ([[Latex.unitsLatex]]) consume, so they cannot drift on what counts
+    * as well-formed. Throws on empty factors (`kg//m`) and empty input.
     */
-  def parse(expr: String): UnitVal = {
+  private[api] def tokenize(expr: String): Seq[(Boolean, String)] = {
     val text = expr.replaceAll("\\s+", "")
     require(text.nonEmpty, "empty unit expression")
-    // tokenize: factors separated by * or /, remembering each sign
     val parts = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
     var start = 0
     var divide = false
@@ -162,7 +164,14 @@ object Units {
       }
       i += 1
     }
-    parts.foldLeft(one) { case (acc, (div, tok)) =>
+    parts.toSeq
+  }
+
+  /** Parse a unit expression to its reduced value. Throws
+    * IllegalArgumentException on an unknown unit or malformed syntax.
+    */
+  def parse(expr: String): UnitVal =
+    tokenize(expr).foldLeft(one) { case (acc, (div, tok)) =>
       val u = tok match {
         case factorRe(name, null) => resolveName(name)
         case factorRe(name, e) => resolveName(name).pow(e.toInt)
@@ -171,7 +180,6 @@ object Units {
       }
       if (div) acc / u else acc * u
     }
-  }
 
   /** Exactly-rounded decimal power of ten (both signs) — the same double a
     * SQL engine parses from the literal `1e<p>`, which is what keeps
@@ -198,4 +206,15 @@ object Units {
   /** True iff the two unit expressions have the same dimension vector. */
   def compatible(from: String, to: String): Boolean =
     parse(from).dims == parse(to).dims
+
+  /** Column-level conversion — the distributed counterpart of
+    * `GridFields.convert` for frames that never pass through the
+    * registry: multiplies by the [[factor]] as a folded literal, so the
+    * conversion stays a codegen'd scalar multiply inside the scan's
+    * projection (no UDF, no shuffle impact). Dimension checking happens
+    * at plan-build time on the driver, exactly once.
+    */
+  def convertColumn(c: org.apache.spark.sql.Column,
+      from: String, to: String): org.apache.spark.sql.Column =
+    c * org.apache.spark.sql.functions.lit(factor(from, to))
 }

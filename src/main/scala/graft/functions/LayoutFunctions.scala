@@ -62,6 +62,30 @@ object LayoutFunctions {
       .bitwiseOR(shiftleft(spread3(y), 1))
       .bitwiseOR(shiftleft(spread3(z), 2))
 
+  /** Spread the low 8 bits of `c` (precondition: 0 ≤ c ≤ 255) to
+    * stride-4 positions (bit i → bit 4i): nibbles apart, then pairs,
+    * then singles — 3 shifts + 3 masks.
+    */
+  private def spread4(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 12)).bitwiseAND(lit(0x000F000FL))
+    val b = a.bitwiseOR(shiftleft(a, 6)).bitwiseAND(lit(0x03030303L))
+    b.bitwiseOR(shiftleft(b, 3)).bitwiseAND(lit(0x11111111L))
+  }
+
+  /** 32-bit Morton key of four 8-bit coordinates — the reference's real
+    * arity: a (time, lon, lat, h) layout where every file is a ~4-cube
+    * tile of the key space. With the per-dimension budget back at 8 bits
+    * (morton8's), the three spreads cover the 2/3/4-dim layouts a
+    * gridded-plus-events store actually needs; beyond 4 dims the tiles
+    * get so shallow per dimension that Z-order stops out-pruning a plain
+    * compound sort, so no wider variant is offered.
+    */
+  def morton8x4(w: Column, x: Column, y: Column, z: Column): Column =
+    spread4(w)
+      .bitwiseOR(shiftleft(spread4(x), 1))
+      .bitwiseOR(shiftleft(spread4(y), 2))
+      .bitwiseOR(shiftleft(spread4(z), 3))
+
   /** DuckDB text of [[morton10x3]]'s spread (bit i → bit 3i, 10-bit
     * input): identical shift/mask chain, decimal mask literals, so a
     * 3-D z-key replays exactly in the oracle.

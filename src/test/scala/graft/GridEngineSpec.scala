@@ -208,7 +208,18 @@ class GridEngineSpec extends SparkSuite {
     assert(kd.eval("rho", oob) == -7.0 && conv.eval("rho", oob) == -7.0 * 0.001)
     // original registry is untouched (immutability)
     assert(kd.units("rho") == "kg/m^3")
+    // metadata stays self-consistent: column re-renders as name[units]
+    assert(conv.fields("rho")._1.column == "rho[g/cm^3]")
     intercept[IllegalArgumentException](kd.convert("rho", "s"))
+  }
+
+  test("convertColumn: the distributed conversion path scales exactly") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.5, -3.25).toDF("rho")
+    val out = df.select(
+      graft.api.Units.convertColumn($"rho", "kg/m^3", "g/cm^3").as("v"))
+      .as[Double].collect()
+    assert(out.toSeq == Seq(1.0 * 0.001, 2.5 * 0.001, -3.25 * 0.001))
   }
 
   test("latex: registry renders kamodo-notebook notation") {

@@ -77,6 +77,14 @@ class UnitsSpec extends AnyFunSuite {
     assert(Units.compatible("erg/cm^3", "nPa"))
   }
 
+  test("latex falls back to verbatim on strings the tokenizer rejects") {
+    // VarMeta's bracket regex accepts anything; display must not crash
+    // where convert errors loudly — same tokenizer, different severity
+    assert(Latex.unitsLatex("kg//m") == "kg//m")
+    assert(Latex.unitsLatex("") == "")
+    intercept[IllegalArgumentException](Units.parse("kg//m"))
+  }
+
   test("latex: greek names, subscripts, unit fractions (kamodo style)") {
     assert(Latex.symbol("rho") == "\\rho")
     assert(Latex.symbol("rho_ijkl") == "\\rho_{ijkl}")

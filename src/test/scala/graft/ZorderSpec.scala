@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.LayoutFunctions.{dayBucket256Sql, morton8, morton10x3}
+import graft.functions.LayoutFunctions.{dayBucket256Sql, morton8, morton10x3, morton8x4}
 
 /** Z-order layout keys: bijectivity of the interleave and the actual
   * pruning payoff — a 2-D box query must touch far fewer z-clustered
@@ -107,6 +107,36 @@ class ZorderSpec extends SparkSuite {
     // each spans the full z range, so z stats never prune it
     assert(touched("zfile") == 1L)
     assert(touched("linfile") == 8L)
+  }
+
+  test("morton8x4 equals the bit-by-bit interleave at the reference arity") {
+    val s = spark
+    import s.implicits._
+    def ref(w: Long, x: Long, y: Long, z: Long): Long =
+      (0 until 8).foldLeft(0L) { (acc, i) =>
+        acc |
+          (((w >> i) & 1L) << (4 * i)) |
+          (((x >> i) & 1L) << (4 * i + 1)) |
+          (((y >> i) & 1L) << (4 * i + 2)) |
+          (((z >> i) & 1L) << (4 * i + 3))
+      }
+    val coords = (0 until 2000).map { i =>
+      val h = (i * 2654435761L) & 0xFFFFFFFFL
+      (h & 255L, (h >> 8) & 255L, (h >> 16) & 255L, (h >> 24) & 255L)
+    } ++ Seq((0L, 0L, 0L, 0L), (255L, 255L, 255L, 255L),
+      (255L, 0L, 0L, 0L), (0L, 0L, 0L, 255L))
+    val rows = coords.toDF("w", "x", "y", "z")
+      .withColumn("m",
+        morton8x4(col("w"), col("x"), col("y"), col("z")))
+      .collect()
+    rows.foreach { r =>
+      val exp = ref(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(r.getLong(4) == exp,
+        s"(${r.getLong(0)},${r.getLong(1)},${r.getLong(2)},${r.getLong(3)})" +
+          s": got ${r.getLong(4)}, want $exp")
+      assert(r.getLong(4) >= 0L && r.getLong(4) < (1L << 32))
+    }
+    assert(rows.map(_.getLong(4)).distinct.length == coords.distinct.length)
   }
 
   test("day bucket is total: pre-1970 timestamps stay inside [0,255]") {
