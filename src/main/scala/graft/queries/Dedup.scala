@@ -82,6 +82,25 @@ object Dedup {
     * its two persisted intermediates, so each consumer can release them
     * once its own result is materialized (QueryCache.resultThenRelease).
     */
+  /** The dd10 operator body, factored so it runs on a STREAM unchanged:
+    * `train` may be a streaming DataFrame (the join side against a
+    * static broadcast eval set is stream-legal, and the pair aggregation
+    * is an ordinary streaming agg), while `evalDocs` — benchmarks, MBs —
+    * is always static. Both need (doc_id, text). StreamingSpec pins
+    * stream == batch on the same fixture.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+      minShared: Long): DataFrame = {
+    def sh(df: DataFrame, idAs: String): DataFrame = df.select(
+      col("doc_id").as(idAs),
+      explode(hashedShingles(tokens(col("text")))).as("shingle"))
+    sh(train, "train_id")
+      .join(broadcast(sh(evalDocs, "eval_id")), Seq("shingle"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   private[graft] def shingleJaccardPairsWithCaches(
       s: SparkSession, dir: String,
       capOverride: Option[Long] = None): (DataFrame, Long, Seq[DataFrame]) = {
@@ -244,16 +263,11 @@ object Dedup {
     // oracle replays string shingles — identical unless a 64-bit
     // collision actually fires).
     "dd10_decontaminate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), hashedShingles(tokens(col("text"))).as("sh"))
-      val evalSh = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
-      val trainSh = docs.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id").as("train_id"), explode(col("sh")).as("shingle"))
-      trainSh.join(broadcast(evalSh), Seq("shingle"))
-        .groupBy("train_id", "eval_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        minShared = 3)
     }),
 
     // MinHash (k=32) + LSH banding (16 bands × 2 rows): candidate pairs

@@ -188,6 +188,36 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty && streamed.size < 512)
   }
 
+  test("decontamination joins a doc stream against the static eval set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // incoming docs screened online against the (static, broadcast)
+    // benchmark shingles — the ingest-time form of dd10; stream and a
+    // later batch re-run must flag the identical pairs
+    val evalDocs = Seq((1000L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon eta"), // 3 shared shingles
+      (2L, "alpha beta gamma theta iota kappa"),  // 1 shared
+      (3L, "unrelated words entirely here now"))  // 0 shared
+    val mem = MemoryStream[(Long, String)]
+    val flagged = graft.queries.Dedup.decontaminate(
+      mem.toDS().toDF("doc_id", "text"), evalDocs, minShared = 3)
+    val q = flagged.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("complete").start()
+    mem.addData(train: _*)
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("train_id", "eval_id", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = canon(spark.table("decon_stream"))
+    val batch = canon(graft.queries.Dedup.decontaminate(
+      train.toDF("doc_id", "text"), evalDocs, minShared = 3))
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 1000L, 3L)))
+  }
+
   test("GridFields.withUnitsMetadata attaches units to StructFields") {
     val dir = GridFixtures.ensure(spark, "units-meta", n = 2)
     val df = new GridReader(spark, dir).fetch(
