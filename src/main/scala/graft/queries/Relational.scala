@@ -376,6 +376,39 @@ object Relational {
           min("vb").as("vb_min"), max("vb").as("vb_max"))
     }),
 
+    // Resample-to-cadence with last-observation-carried-forward — the
+    // "regularize an irregular series" operator the reference's whole
+    // world implies (its grids exist because something upstream put
+    // observations on a 10-minute cadence): per user, a 6-hour slot
+    // spine spans the observed range (ceil on integer µs — both engines
+    // fold the same BIGINT arithmetic) and each slot carries the latest
+    // reading at-or-before it via [[graft.operators.AsofJoin]] (one
+    // shuffle + one window — never a slot×events join). Simultaneous
+    // readings collapse to max(value) first, so the as-of match is
+    // tie-free by construction on both engines (DuckDB's native ASOF
+    // JOIN replays it). locf_value is never null: the first slot ceils
+    // to at-or-after the user's first event.
+    "q34_resample_locf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 8)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("value").as("value"))
+      val spine = ev.groupBy("user_id")
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          expr("((unix_micros(t0) + 21599999999) DIV 21600000000)" +
+            " * 21600000000").as("s0"),
+          expr("unix_micros(t1)").as("s1"))
+        .filter(col("s0") <= col("s1")) // single-event user: empty spine
+        .select(col("user_id"),
+          explode(expr("sequence(s0, s1, 21600000000)")).as("u"))
+        .select(col("user_id"), expr("timestamp_micros(u)").as("slot"))
+      graft.operators.AsofJoin.asof(
+          spine, ev, key = "user_id",
+          leftTime = "slot", rightTime = "ts",
+          payload = Map("value" -> "locf_value"))
+        .select("user_id", "slot", "locf_value")
+    }),
+
     // 3-D Z-order layout — the reference-shaped (time, lon, lat) case
     // generalized from q28's 2-D key: three 10-bit total buckets (hour
     // wrap, clamped value, user wrap) interleaved by
@@ -864,6 +897,25 @@ object Relational {
          |  min(db) AS db_min, max(db) AS db_max,
          |  min(vb) AS vb_min, max(vb) AS vb_max
          |FROM z GROUP BY 1""".stripMargin,
+
+    // native ASOF JOIN replays the union-and-carry; the 6-hour ceil is
+    // the same BIGINT fold; spine slots regenerate from integer µs
+    "q34_resample_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, max(value) AS value
+        |  FROM events WHERE user_id < 8 GROUP BY 1, 2),
+        |rng AS (SELECT user_id,
+        |          ((epoch_us(CAST(min(ts) AS TIMESTAMP)) + 21599999999)
+        |            // 21600000000) * 21600000000 AS s0,
+        |          epoch_us(CAST(max(ts) AS TIMESTAMP)) AS s1
+        |        FROM ev GROUP BY 1),
+        |spine AS (SELECT user_id, make_timestamp(t.u) AS slot
+        |          FROM rng, unnest(generate_series(s0, s1, 21600000000))
+        |            AS t(u)
+        |          WHERE s0 <= s1)
+        |SELECT s.user_id, s.slot, e.value AS locf_value
+        |FROM spine s ASOF LEFT JOIN ev e
+        |  ON s.user_id = e.user_id AND s.slot >= e.ts""".stripMargin,
 
     // same decimal-literal shift/mask chain as the engine's stride-3
     // spread; hour/user buckets use the //-plus-double-% total wrap
