@@ -228,6 +228,65 @@ object Text {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
     }),
 
+    // The FULL modern pre-training pipeline composed end-to-end under one
+    // hash gate — every stage is an operator this engine gates
+    // individually: quality score (t2) → repetition filter (t15's
+    // word-level rules) → benchmark decontamination (dd10, eval slice
+    // excluded from the corpus) → exact dedup (dd1/p1's min-doc_id
+    // survivor) → temperature mixture (p7, thresholds derived from the
+    // DEDUPED corpus) → train/val/test split → per-(split, lang)
+    // accounting. Two deliberate design points the composition forces:
+    // (a) the mixture membership and the split use PURPOSE-SALTED hash
+    // keys ('mix:'/'split:' prefixes) — sharing p2's raw-doc_id prefix
+    // for both would correlate them and skew every kept stratum's split
+    // proportions (a real pipeline bug the salting rule prevents);
+    // (b) mixture thresholds come from post-dedup counts, because
+    // pre-dedup counts would let duplicate-heavy strata down-weight
+    // their own survivors. Plan shape: the text column dies after the
+    // shingle/word explodes; every join is either broadcast (eval set,
+    // lang stats) or doc_id-keyed; one final tiny agg.
+    "p8_full_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          tokenCount(col("text")).as("n_tokens"),
+          qualityScore(col("text")).as("quality"))
+      val q = docs.filter(col("quality") >= 0.5)
+      val repKeep = q
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").cast("long").as("n_words"),
+          count(lit(1)).as("n_distinct"), max("c").as("top_word_n"))
+        .filter(col("top_word_n") * 5 < col("n_words") &&
+          col("n_distinct") * 10 > col("n_words") * 3)
+        .select("doc_id")
+      val rep = q.join(repKeep, "doc_id")
+      val train = rep.filter(col("doc_id") % 97 =!= 0)
+      val evalDocs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val flagged = graft.queries.Dedup
+        .decontaminate(train.select("doc_id", "text"), evalDocs, 3)
+        .select(col("train_id").as("doc_id")).distinct()
+      val clean = train.join(flagged, Seq("doc_id"), "left_anti")
+      val deduped = clean.groupBy(md5(col("text")).as("tk"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
+          col("d.n_tokens").as("n_tokens"))
+      val stats = deduped.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val mixed = deduped.join(broadcast(stats), "lang")
+        .withColumn("thr_i", floor(least(lit(65536.0),
+          lit(262144.0) / sqrt(col("n_lang").cast("double")))).cast("int"))
+        .filter(col("thr_i") >= 65536 ||
+          substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+            1, 4) < format_string("%04x", col("thr_i")))
+      mixed
+        .withColumn("h", substring(
+          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4))
+        .withColumn("split", when(col("h") < "1999", "test")
+          .when(col("h") < "3333", "validation").otherwise("train"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
     // Context-window chunking (the UDTF/generator shape of corpus prep):
     // split each document into 50-token windows with stride 40 (10-token
     // overlap) — one explode of the stride sequence + a slice per chunk,
@@ -650,6 +709,70 @@ object Text {
          |           THEN 'validation'
          |         ELSE 'train' END AS split
          |  FROM kept)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  sum(n_tokens)::BIGINT AS sum_tokens
+         |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    // stage-for-stage replay: quality → repetition → decontamination →
+    // dedup → mixture (post-dedup counts, 'mix:'-salted key) → split
+    // ('split:'-salted key) → accounting
+    "p8_full_pipeline" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text,
+         |    len(string_split(text,' ')) AS n_tokens,
+         |    len(list_filter(string_split(text,' '),
+         |        t -> list_contains($stopList, t)))::DOUBLE
+         |      / len(string_split(text,' ')) AS stopword_ratio,
+         |    len(list_distinct(string_split(text,' ')))::DOUBLE
+         |      / len(string_split(text,' ')) AS ttr
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, text, n_tokens FROM q
+         |      WHERE (least(stopword_ratio * 10.0, 1.0)
+         |             + least(n_tokens / 100.0, 1.0) + ttr) / 3.0 >= 0.5),
+         |wc AS (SELECT doc_id, w, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+         |             FROM f) GROUP BY 1, 2),
+         |reps AS (SELECT doc_id FROM (
+         |    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |           count(*) AS n_distinct, max(c) AS top_word_n
+         |    FROM wc GROUP BY 1)
+         |  WHERE top_word_n * 5 < n_words AND n_distinct * 10 > n_words * 3),
+         |rep AS (SELECT f.* FROM f JOIN reps USING (doc_id)),
+         |tr AS (SELECT * FROM rep WHERE doc_id % 97 <> 0),
+         |shd AS (SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                             for i in range(1, len(toks) - 1)])
+         |    END AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents)),
+         |evp AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle
+         |        FROM shd WHERE doc_id % 97 = 0),
+         |trp AS (SELECT s.doc_id AS train_id, unnest(s.sh) AS shingle
+         |        FROM shd s JOIN tr ON s.doc_id = tr.doc_id),
+         |cont AS (SELECT DISTINCT train_id AS doc_id FROM (
+         |    SELECT train_id, eval_id, count(*) AS n
+         |    FROM trp JOIN evp USING (shingle)
+         |    GROUP BY 1, 2 HAVING count(*) >= 3)),
+         |clean AS (SELECT tr.* FROM tr ANTI JOIN cont USING (doc_id)),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+         |ded AS (SELECT c.doc_id, c.lang, c.n_tokens
+         |        FROM clean c JOIN surv USING (doc_id)),
+         |st AS (SELECT lang, count(*) AS n_lang FROM ded GROUP BY 1),
+         |mix AS (SELECT ded.*, CAST(floor(least(65536.0,
+         |          262144.0 / sqrt(CAST(st.n_lang AS DOUBLE))))
+         |          AS INTEGER) AS thr_i
+         |        FROM ded JOIN st USING (lang)),
+         |keptm AS (SELECT * FROM mix WHERE thr_i >= 65536
+         |          OR substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |               < printf('%04x', thr_i)),
+         |sp AS (SELECT lang, n_tokens,
+         |         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+         |                1, 4) < '1999' THEN 'test'
+         |              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+         |                1, 4) < '3333' THEN 'validation'
+         |              ELSE 'train' END AS split
+         |       FROM keptm)
          |SELECT split, lang, count(*) AS n_docs,
          |  sum(n_tokens)::BIGINT AS sum_tokens
          |FROM sp GROUP BY 1, 2""".stripMargin,
