@@ -71,23 +71,19 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
 
-  /** dd2's body (shared with dd8's cluster formation): one row per
-    * near-dup pair, (i, j, jac) with exact Jaccard ≥ 0.6. Candidate pairs
-    * share ≥1 *rare* shingle (df in [2, cap] — singletons can't
-    * pair, hot shingles are the quadratic risk), then the exact
-    * J = |A∩B| / (|A|+|B|-|A∩B|) re-rank runs on the full arrays.
-    */
-  /** The dd2 pair frame, the doc-freq cap it used (adaptive unless
-    * `capOverride` pins it — AdaptiveCapSpec's monotonicity probe), plus
-    * its two persisted intermediates, so each consumer can release them
-    * once its own result is materialized (QueryCache.resultThenRelease).
-    */
-  /** The dd10 operator body, factored so it runs on a STREAM unchanged:
-    * `train` may be a streaming DataFrame (the join side against a
-    * static broadcast eval set is stream-legal, and the pair aggregation
-    * is an ordinary streaming agg), while `evalDocs` — benchmarks, MBs —
-    * is always static. Both need (doc_id, text). StreamingSpec pins
-    * stream == batch on the same fixture.
+  /** The dd10 operator body, factored so the same code runs on a doc
+    * STREAM: `train` may be a streaming DataFrame (the join against the
+    * static broadcast eval set is stream-legal), `evalDocs` —
+    * benchmarks, MBs — is always static. Both need (doc_id, text).
+    *
+    * Streaming deployment note: a doc's contamination depends only on
+    * its OWN shingles, so the production ingest form is per-micro-batch
+    * via `foreachBatch` (stateless across batches, no watermark needed).
+    * Running this plan directly as a streaming aggregation works but
+    * needs complete/update output mode and keeps one state row per
+    * colliding pair — fine for a bounded backfill, unbounded on a
+    * long-lived ingest stream. StreamingSpec pins stream == batch on a
+    * fixture.
     */
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
       minShared: Long): DataFrame = {
@@ -101,6 +97,18 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** dd2's body (shared with dd8's cluster formation): one row per
+    * near-dup pair, (i, j, jac) with exact Jaccard ≥ 0.6. Candidate pairs
+    * share ≥1 *rare* shingle (df in [2, cap] — singletons can't
+    * pair, hot shingles are the quadratic risk), then the exact
+    * J = |A∩B| / (|A|+|B|-|A∩B|) re-rank runs on the full arrays.
+    *
+    * Returns the dd2 pair frame, the doc-freq cap it used (adaptive
+    * unless `capOverride` pins it — AdaptiveCapSpec's monotonicity
+    * probe), plus its two persisted intermediates, so each consumer can
+    * release them once its own result is materialized
+    * (QueryCache.resultThenRelease).
+    */
   private[graft] def shingleJaccardPairsWithCaches(
       s: SparkSession, dir: String,
       capOverride: Option[Long] = None): (DataFrame, Long, Seq[DataFrame]) = {

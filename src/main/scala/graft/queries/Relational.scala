@@ -392,15 +392,20 @@ object Relational {
       val ev = Tables.events(s, dir).filter(col("user_id") < 8)
         .groupBy(col("user_id"), col("ts"))
         .agg(max("value").as("value"))
+      // spine end is greatest(ceil(t0), t1): a user whose whole observed
+      // range sits inside one 6-hour slot (short-span OR single-event)
+      // still gets exactly one slot — the first boundary after their
+      // data, carrying their latest value — instead of silently
+      // vanishing from the resampled output
       val spine = ev.groupBy("user_id")
         .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
         .select(col("user_id"),
           expr("((unix_micros(t0) + 21599999999) DIV 21600000000)" +
             " * 21600000000").as("s0"),
           expr("unix_micros(t1)").as("s1"))
-        .filter(col("s0") <= col("s1")) // single-event user: empty spine
         .select(col("user_id"),
-          explode(expr("sequence(s0, s1, 21600000000)")).as("u"))
+          explode(expr(
+            "sequence(s0, greatest(s1, s0), 21600000000)")).as("u"))
         .select(col("user_id"), expr("timestamp_micros(u)").as("slot"))
       graft.operators.AsofJoin.asof(
           spine, ev, key = "user_id",
@@ -910,9 +915,8 @@ object Relational {
         |          epoch_us(CAST(max(ts) AS TIMESTAMP)) AS s1
         |        FROM ev GROUP BY 1),
         |spine AS (SELECT user_id, make_timestamp(t.u) AS slot
-        |          FROM rng, unnest(generate_series(s0, s1, 21600000000))
-        |            AS t(u)
-        |          WHERE s0 <= s1)
+        |          FROM rng, unnest(generate_series(s0, greatest(s1, s0),
+        |            21600000000)) AS t(u))
         |SELECT s.user_id, s.slot, e.value AS locf_value
         |FROM spine s ASOF LEFT JOIN ev e
         |  ON s.user_id = e.user_id AND s.slot >= e.ts""".stripMargin,

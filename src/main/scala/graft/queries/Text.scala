@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,12 +90,8 @@ object Text {
     // re-runs reshuffle documents between splits.
     "t7_hash_split" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          substring(md5(col("doc_id").cast("string")), 1, 4).as("h"))
-        .withColumn("split",
-          when(col("h") < "1999", "test")
-            .when(col("h") < "3333", "validation")
-            .otherwise("train"))
+        .select(col("doc_id"), hexPrefix(col("doc_id")).as("h"))
+        .withColumn("split", splitOf(col("h")))
     }),
 
     // Bigram corpus statistics (the n-gram LM / BPE-merge counting shape):
@@ -219,11 +215,8 @@ object Text {
         .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
           col("d.n_tokens").as("n_tokens"))
       kept
-        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
-        .withColumn("split",
-          when(col("h") < "1999", "test")
-            .when(col("h") < "3333", "validation")
-            .otherwise("train"))
+        .withColumn("h", hexPrefix(col("doc_id")))
+        .withColumn("split", splitOf(col("h")))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
     }),
@@ -273,16 +266,13 @@ object Text {
           col("d.n_tokens").as("n_tokens"))
       val stats = deduped.groupBy("lang").agg(count(lit(1)).as("n_lang"))
       val mixed = deduped.join(broadcast(stats), "lang")
-        .withColumn("thr_i", floor(least(lit(65536.0),
-          lit(262144.0) / sqrt(col("n_lang").cast("double")))).cast("int"))
+        .withColumn("thr_i", mixtureThreshold(col("n_lang")))
         .filter(col("thr_i") >= 65536 ||
-          substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
-            1, 4) < format_string("%04x", col("thr_i")))
+          hexPrefix(col("doc_id"), "mix:") <
+            format_string("%04x", col("thr_i")))
       mixed
-        .withColumn("h", substring(
-          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4))
-        .withColumn("split", when(col("h") < "1999", "test")
-          .when(col("h") < "3333", "validation").otherwise("train"))
+        .withColumn("h", hexPrefix(col("doc_id"), "split:"))
+        .withColumn("split", splitOf(col("h")))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
     }),
@@ -368,13 +358,10 @@ object Text {
         tokenCount(col("text")).as("n_tokens"))
       val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
       docs.join(broadcast(stats), "lang")
-        // 262144 = 65536·K with K=4 target-kept ≈ 4·√N_s docs per stratum
-        .withColumn("thr_i",
-          floor(least(lit(65536.0),
-            lit(262144.0) / sqrt(col("n_lang").cast("double")))).cast("int"))
+        // K = 4 target-kept ≈ 4·√N_s docs per stratum (mixtureThreshold)
+        .withColumn("thr_i", mixtureThreshold(col("n_lang")))
         .filter(col("thr_i") >= 65536 ||
-          substring(md5(col("doc_id").cast("string")), 1, 4) <
-            format_string("%04x", col("thr_i")))
+          hexPrefix(col("doc_id")) < format_string("%04x", col("thr_i")))
         .groupBy("lang")
         .agg(max("n_lang").as("n_lang"), max("thr_i").as("threshold"),
           count(lit(1)).as("n_kept"), sum("n_tokens").as("sum_tokens"))
@@ -525,6 +512,32 @@ object Text {
   /** Stand-in scrub pattern (see t8): \b-anchored alternation, identical
     * semantics in Java regex and DuckDB's RE2.
     */
+  /** 4-hex-digit md5 prefix of a (salted) key — the membership/split
+    * primitive every sampling stage shares. A non-empty `salt` makes the
+    * resulting hash independent of any other stage's hash of the same
+    * key (p8's mixture-vs-split correlation rule).
+    */
+  private def hexPrefix(key: Column, salt: String = ""): Column = {
+    val k = if (salt.isEmpty) key.cast("string")
+      else concat(lit(salt), key.cast("string"))
+    substring(md5(k), 1, 4)
+  }
+
+  /** p7/p8's temperature threshold: floor(65536·K/√N) with K = 4, the
+    * one derivation (√ is IEEE-exact; see p7's comment) — change the
+    * constant HERE and both gated queries move together.
+    */
+  private def mixtureThreshold(nCol: Column): Column =
+    floor(least(lit(65536.0),
+      lit(262144.0) / sqrt(nCol.cast("double")))).cast("int")
+
+  /** t7/p1/p8's split rule from a 4-hex-digit prefix: ~10% test
+    * (< 0x1999), ~10% validation (< 0x3333), rest train. */
+  private def splitOf(h: Column): Column =
+    when(h < "1999", "test")
+      .when(h < "3333", "validation")
+      .otherwise("train")
+
   private val ScrubPattern = "\\b(the|a|of|and|in|to|is)\\b"
 
   /** t10's fixed retrieval query (terms present across the corpus with
