@@ -376,6 +376,27 @@ object Relational {
           min("vb").as("vb_min"), max("vb").as("vb_max"))
     }),
 
+    // Full-outer join — the reconciliation shape (two independently
+    // produced daily aggregates merged so that days present on EITHER
+    // side survive, the other side null): high-value purchase days vs
+    // high-value error days. The completing join type next to the gated
+    // inner/semi/anti/as-of family; nulls and integer-exact sums on both
+    // engines. At scale this is the same shuffle as an inner join — the
+    // outer-ness only changes what the merge emits, not the exchange.
+    "q35_full_outer" -> ((s, dir) => {
+      def daily(t: String, nAs: String, vAs: String) =
+        Tables.events(s, dir)
+          .filter(col("event_type") === t && col("value") > 200.0)
+          // day as an ISO STRING: a DATE round-trips as date vs
+          // datetime across the two engines' parquet/pandas paths and
+          // breaks the value compare; the string is unambiguous
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as(nAs),
+            sum(floor(col("value")).cast("long")).as(vAs))
+      daily("purchase", "n_purch", "v_purch")
+        .join(daily("error", "n_err", "v_err"), Seq("day"), "full_outer")
+    }),
+
     // Resample-to-cadence with last-observation-carried-forward — the
     // "regularize an irregular series" operator the reference's whole
     // world implies (its grids exist because something upstream put
@@ -902,6 +923,23 @@ object Relational {
          |  min(db) AS db_min, max(db) AS db_max,
          |  min(vb) AS vb_min, max(vb) AS vb_max
          |FROM z GROUP BY 1""".stripMargin,
+
+    // USING(day) coalesces the join key like Spark's Seq("day") form
+    "q35_full_outer" ->
+      """WITH p AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    count(*) AS n_purch,
+        |    sum(CAST(floor(value) AS BIGINT))::BIGINT AS v_purch
+        |  FROM events WHERE event_type = 'purchase' AND value > 200.0
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    count(*) AS n_err,
+        |    sum(CAST(floor(value) AS BIGINT))::BIGINT AS v_err
+        |  FROM events WHERE event_type = 'error' AND value > 200.0
+        |  GROUP BY 1)
+        |SELECT day, n_purch, v_purch, n_err, v_err
+        |FROM p FULL JOIN e USING (day)""".stripMargin,
 
     // native ASOF JOIN replays the union-and-carry; the 6-hour ceil is
     // the same BIGINT fold; spine slots regenerate from integer µs

@@ -252,7 +252,11 @@ object Text {
         .filter(col("top_word_n") * 5 < col("n_words") &&
           col("n_distinct") * 10 > col("n_words") * 3)
         .select("doc_id")
-      val rep = q.join(repKeep, "doc_id")
+      // materialization barrier: rep feeds BOTH the decontamination
+      // train side and the left_anti survivor join — without the persist
+      // Catalyst instantiates the scan + quality filter + word-stats agg
+      // subtree twice (PlanShapeSpec pins the resulting Exchange bound)
+      val rep = q.join(repKeep, "doc_id").persist()
       val train = rep.filter(col("doc_id") % 97 =!= 0)
       val evalDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 97 === 0).select("doc_id", "text")
@@ -260,21 +264,27 @@ object Text {
         .decontaminate(train.select("doc_id", "text"), evalDocs, 3)
         .select(col("train_id").as("doc_id")).distinct()
       val clean = train.join(flagged, Seq("doc_id"), "left_anti")
+      // second barrier: deduped feeds the lang-stats agg AND the mixture
+      // join — doc-level metadata only (no text), tiny to cache, and it
+      // cuts the whole upstream pipeline to exactly one execution
       val deduped = clean.groupBy(md5(col("text")).as("tk"))
         .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("d"))
         .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
           col("d.n_tokens").as("n_tokens"))
+        .persist()
       val stats = deduped.groupBy("lang").agg(count(lit(1)).as("n_lang"))
       val mixed = deduped.join(broadcast(stats), "lang")
         .withColumn("thr_i", mixtureThreshold(col("n_lang")))
         .filter(col("thr_i") >= 65536 ||
           hexPrefix(col("doc_id"), "mix:") <
             format_string("%04x", col("thr_i")))
-      mixed
-        .withColumn("h", hexPrefix(col("doc_id"), "split:"))
-        .withColumn("split", splitOf(col("h")))
-        .groupBy("split", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      QueryCache.resultThenRelease(
+        mixed
+          .withColumn("h", hexPrefix(col("doc_id"), "split:"))
+          .withColumn("split", splitOf(col("h")))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens")),
+        rep, deduped)
     }),
 
     // Context-window chunking (the UDTF/generator shape of corpus prep):

@@ -26,6 +26,41 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("p8 composition stays shuffle-bounded: no BNLJ, bounded Exchanges") {
+    // the full-pipeline composition must not quietly multiply shuffles:
+    // its stages are scan-local filters, doc_id/token-keyed aggs, and
+    // broadcast joins (eval shingles, lang stats). The Exchange bound is
+    // a tripwire — a regression that re-shuffles the corpus per stage
+    // (e.g. losing a broadcast) blows past it
+    val p = plan("p8_full_pipeline")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // count DISTINCT exchanges by plan_id: the persist barriers make
+    // InMemoryRelation subtrees print once per reference, so a raw line
+    // count would multiply every upstream Exchange by its reader count.
+    // 13 = one per logical stage in the STATIC plan (AQE converts the
+    // small-side SMJ exchanges to broadcasts at runtime); the bound is a
+    // tripwire for a stage-recomputation regression, which adds 2+
+    val idRe = "\\[plan_id=(\\d+)\\]".r
+    def distinctExchanges(pred: String => Boolean): Set[String] = p
+      .linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .filter(pred)
+      .flatMap(l => idRe.findFirstMatchIn(l).map(_.group(1)))
+      .toSet
+    val all = distinctExchanges(_ => true)
+    assert(all.size <= 14,
+      s"p8 plans ${all.size} distinct non-broadcast Exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // the barriers themselves must be present: without the rep/deduped
+    // persists the quality+word-stats subtree is instantiated once per
+    // consumer and the distinct-Exchange count regresses past the bound
+    // (a plan_id-exact "appears once" pin is not expressible here — AQE
+    // prints a cached exchange twice, as result stage and template)
+    assert(p.contains("InMemoryRelation"),
+      "p8's materialization barriers are gone from the plan")
+  }
+
   test("dd7: exact precision, measured recall vs the exact pair set") {
     import graft.functions.VectorFunctions.cosine
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
