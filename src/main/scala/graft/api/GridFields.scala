@@ -98,6 +98,39 @@ final class GridFields(
     new GridFields(fields.updated(name, (newMeta, scaled)), axisNames)
   }
 
+  /** Register a DERIVED variable — kamodo's compose-new-functions-from-
+    * registered-ones workflow (`kd['p_total'] = 'p1 + p2'` in
+    * kamodo-core; the reference inherits it through KamodoDask): a
+    * pointwise combination of existing variables over their SHARED axes.
+    * The inputs must be registered on identical axes (the reference's
+    * variables always are — one window, one grid); the combined grid is
+    * built eagerly, cell by cell, so evaluation cost afterwards is
+    * identical to a fetched variable's. `units` is validated through the
+    * unit algebra at registration (a malformed unit string fails HERE,
+    * not at a later convert).
+    */
+  def derived(name: String, units: String, inputs: Seq[String])(
+      f: Seq[Double] => Double): GridFields = {
+    require(!fields.contains(name), s"variable '$name' already registered")
+    require(inputs.nonEmpty, "derived variable needs at least one input")
+    Units.parse(units) // validate eagerly
+    val grids = inputs.map(grid)
+    val axes0 = grids.head.axes
+    grids.zip(inputs).tail.foreach { case (g, in) =>
+      require(g.axes.length == axes0.length &&
+        g.axes.zip(axes0).forall { case (a, b) => a.sameElements(b) },
+        s"input '$in' is not on the same axes as '${inputs.head}'")
+    }
+    val values = Array.tabulate(grids.head.values.length) { i =>
+      f(grids.map(_.values(i)))
+    }
+    val fillValue = f(grids.map(_.fillValue))
+    val meta = VarMeta(name, units, s"$name[$units]")
+    new GridFields(
+      fields.updated(name, (meta, new RegularGrid(axes0, values, fillValue))),
+      axisNames)
+  }
+
   /** LaTeX of one registered function, kamodo-notebook style:
     * `\rho{\left(t,lon,lat,h \right)}[\frac{kg}{m^{3}}]`.
     */

@@ -213,6 +213,40 @@ class GridEngineSpec extends SparkSuite {
     intercept[IllegalArgumentException](kd.convert("rho", "s"))
   }
 
+  test("derived: compose a new registered function from existing ones") {
+    val df = reader.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),
+      250000.0, 400000.0)
+    val kd = GridFields.fromDataFrame(df, fillValue = -3.0)
+    // kamodo's kd['ratio'] = 'rho / T' composition, pointwise on the
+    // shared window axes
+    val kd2 = kd.derived("ratio", "kg/m^3/K", Seq("rho", "T")) {
+      case Seq(r, t) => r / t
+    }
+    val p = Array(t0s + 1234.0, 123.4, -15.6, 301234.0)
+    // grid-node exactness: the derived grid holds f(cell values)
+    val node = Array(t0s, GridFixtures.lonAxis(3), GridFixtures.latAxis(2),
+      GridFixtures.hAxis(4))
+    assert(kd2.eval("ratio", node) ==
+      kd.eval("rho", node) / kd.eval("T", node))
+    // interior: interpolation of the combined grid (NOT the combination
+    // of interpolations — the quotient of linear fields is not linear);
+    // on the analytic fixture they agree to interpolation error
+    val approx = kd.eval("rho", p) / kd.eval("T", p)
+    assert(math.abs(kd2.eval("ratio", p) - approx) / approx < 1e-2)
+    // derived units participate in the algebra + rendering
+    assert(kd2.units("ratio") == "kg/m^3/K")
+    assert(kd2.latex("ratio").endsWith("[\\frac{kg}{m^{3} \\, K}]"))
+    // fill value composes; originals untouched
+    val oob = Array(t0s - 1e9, 0.0, 0.0, 300000.0)
+    assert(kd2.eval("ratio", oob) == 1.0) // -3/-3
+    assert(kd.names == Seq("T", "rho"))
+    // guards: duplicate name, mismatched axes impossible here, bad units
+    intercept[IllegalArgumentException](
+      kd2.derived("ratio", "1", Seq("rho"))(_.head))
+    intercept[IllegalArgumentException](
+      kd.derived("x", "florps", Seq("rho"))(_.head))
+  }
+
   test("convertColumn: the distributed conversion path scales exactly") {
     import spark.implicits._
     val df = Seq(1.0, 2.5, -3.25).toDF("rho")
