@@ -107,6 +107,40 @@ object GridQueries {
       }.toDF("id", "v")
     }),
 
+    // Distributed meshgrid evaluation ("gridify" at scale) under the
+    // hash gate — the reference's `kd.rho_ijkl(time=…, lon=…)` cartesian
+    // evaluation (kamodo_dask.py:345-348), previously spec-only: the
+    // probe meshgrid is a crossJoin of two 10-row axis frames (a
+    // bounded, deliberate fan-out — at scale the axis frames stay tiny
+    // while the GRID broadcasts), evaluated through tier 2's broadcast
+    // RegularGrid. Hash-exactness holds because RegularGrid's corner
+    // enumeration (bit d of corner c selects the upper plane of axis d,
+    // summed in c-order with per-axis left-to-right weight products)
+    // is precisely the s11, s21, s12, s22 order and association the
+    // bilinear oracle writes out.
+    "g8_gridify_distributed" -> ((s, dir) => {
+      import s.implicits._
+      val series = Tables.events(s, dir)
+        .groupBy(
+          (floor(unix_timestamp(col("ts")) / 518400) * 518400)
+            .cast("double").as("t"),
+          (col("user_id") % 4).cast("double").as("u"))
+        .agg(avg("value").as("v"))
+      val grid = graft.interp.GridBuilder
+        .fromLongForm(series, Seq("v"), Seq("t", "u"))("v")
+      val bi = graft.interp.BroadcastInterpolator(s, grid)
+      val (tA, uA) = (grid.axes(0), grid.axes(1))
+      val tProbes = fracs.map { case (i, f) =>
+        (i.toLong, tA.head + f * (tA.last - tA.head))
+      }.toDF("ti", "t")
+      val uProbes = fracs.map { case (i, f) =>
+        (i.toLong, uA.head + (1.0 - f) * (uA.last - uA.head))
+      }.toDF("ui", "u")
+      tProbes.crossJoin(uProbes)
+        .select(col("ti"), col("ui"),
+          bi.applySeq(Seq(col("t"), col("u"))).as("v"))
+    }),
+
     // Same probes through tier 2 (broadcast grid + UDF) — identical
     // semantics, so it shares g1's oracle arithmetic. Exercises
     // RegularGrid + BroadcastInterpolator under the hash gate.
@@ -477,6 +511,39 @@ object GridQueries {
          |FROM br b
          |JOIN series s1 ON s1.t = b.t1
          |JOIN series s2 ON s2.t = b.t2""".stripMargin,
+
+    // g3's bilinear corner arithmetic over the 10×10 probe meshgrid
+    // (fr × fr cartesian), same weight order and association
+    "g8_gridify_distributed" ->
+      s"""WITH series AS (
+         |  SELECT CAST(floor(epoch(ts) / 518400) * 518400 AS DOUBLE) AS t,
+         |         CAST(user_id % 4 AS DOUBLE) AS u,
+         |         avg(value) AS v
+         |  FROM events GROUP BY 1, 2),
+         |hull AS (SELECT min(t) AS tmin, max(t) AS tmax,
+         |                min(u) AS umin, max(u) AS umax FROM series),
+         |fr(id, f) AS (VALUES $fracsSql),
+         |probes AS (SELECT f1.id AS ti, f2.id AS ui,
+         |                  tmin + f1.f * (tmax - tmin) AS t,
+         |                  umin + (1 - f2.f) * (umax - umin) AS u
+         |           FROM fr f1, fr f2, hull),
+         |br AS (
+         |  SELECT p.ti, p.ui, p.t, p.u,
+         |    (SELECT max(s.t) FROM series s WHERE s.t <= p.t) AS t1,
+         |    (SELECT min(s.t) FROM series s WHERE s.t > p.t) AS t2,
+         |    (SELECT max(s.u) FROM series s WHERE s.u <= p.u) AS u1,
+         |    (SELECT min(s.u) FROM series s WHERE s.u > p.u) AS u2
+         |  FROM probes p),
+         |w AS (SELECT *, (t - t1) / (t2 - t1) AS ft,
+         |              (u - u1) / (u2 - u1) AS fu FROM br)
+         |SELECT w.ti, w.ui,
+         |  (1 - ft) * (1 - fu) * s11.v + ft * (1 - fu) * s21.v
+         |    + (1 - ft) * fu * s12.v + ft * fu * s22.v AS v
+         |FROM w
+         |JOIN series s11 ON s11.t = w.t1 AND s11.u = w.u1
+         |JOIN series s21 ON s21.t = w.t2 AND s21.u = w.u1
+         |JOIN series s12 ON s12.t = w.t1 AND s12.u = w.u2
+         |JOIN series s22 ON s22.t = w.t2 AND s22.u = w.u2""".stripMargin,
 
     // bilinear: four bracketing corners, product weights
     "g3_interp_2d" ->
