@@ -113,6 +113,9 @@ final class GridFields(
       f: Seq[Double] => Double): GridFields = {
     require(!fields.contains(name), s"variable '$name' already registered")
     require(inputs.nonEmpty, "derived variable needs at least one input")
+    val missing = inputs.filterNot(fields.contains)
+    require(missing.isEmpty,
+      s"unregistered input variable(s): ${missing.mkString(",")}")
     Units.parse(units) // validate eagerly
     val grids = inputs.map(grid)
     val axes0 = grids.head.axes
@@ -124,6 +127,15 @@ final class GridFields(
     val values = Array.tabulate(grids.head.values.length) { i =>
       f(grids.map(_.values(i)))
     }
+    // refuse NaN cells loudly: RegularGrid construction rewrites NaN to
+    // the fill value (correct for FETCHED grids — the reference's
+    // fillna-at-build), which here would silently blend an arbitrary
+    // sentinel into in-hull results (e.g. a 0/0 from a zero denominator)
+    val nanAt = values.indexWhere(_.isNaN)
+    require(nanAt < 0,
+      s"combiner produced NaN at cell $nanAt — an in-hull NaN would be " +
+        "silently replaced by the fill value; fix the combiner or mask " +
+        "the inputs first")
     val fillValue = f(grids.map(_.fillValue))
     val meta = VarMeta(name, units, s"$name[$units]")
     new GridFields(

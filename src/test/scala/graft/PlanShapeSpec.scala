@@ -49,16 +49,32 @@ class PlanShapeSpec extends SparkSuite {
       .flatMap(l => idRe.findFirstMatchIn(l).map(_.group(1)))
       .toSet
     val all = distinctExchanges(_ => true)
+    // non-empty first: if a Spark upgrade stops printing [plan_id=N] on
+    // Exchange lines, the extraction yields an empty set and the bound
+    // below would pass vacuously — fail loudly on format drift instead
+    assert(all.nonEmpty, "no [plan_id=N]-tagged Exchange lines found — " +
+      "the plan print format changed; update the extraction")
+    // 13 distinct ids in the current static plan; 14 leaves one id of
+    // headroom for print-format jitter while still firing on a stage
+    // recomputation, which adds 2+ (measured: removing one barrier → 16)
     assert(all.size <= 14,
       s"p8 plans ${all.size} distinct non-broadcast Exchanges:\n" +
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
-    // the barriers themselves must be present: without the rep/deduped
-    // persists the quality+word-stats subtree is instantiated once per
-    // consumer and the distinct-Exchange count regresses past the bound
-    // (a plan_id-exact "appears once" pin is not expressible here — AQE
-    // prints a cached exchange twice, as result stage and template)
-    assert(p.contains("InMemoryRelation"),
-      "p8's materialization barriers are gone from the plan")
+    // the barriers themselves: the plan must reference ≥3 DISTINCT
+    // cached relations — rep, deduped, and resultThenRelease's result
+    // cache. (result alone would make a bare contains() check vacuous:
+    // the persisted result frame always renders one InMemoryRelation.)
+    // toString prints `InMemoryRelation [cols...], StorageLevel(...)`;
+    // a re-referenced cache can reprint with fresh expression ids, so
+    // dedupe by the id-stripped column signature, not the raw text
+    val imrSigs = "InMemoryRelation \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p)
+      .map(_.group(1).replaceAll("#\\d+L?", ""))
+      .toSet
+    assert(imrSigs.size >= 3,
+      s"expected ≥3 distinct cached relations (rep, deduped, result), " +
+        s"saw ${imrSigs.size}: ${imrSigs.mkString(" | ")} — a p8 " +
+        "materialization barrier is gone")
   }
 
   test("dd7: exact precision, measured recall vs the exact pair set") {
