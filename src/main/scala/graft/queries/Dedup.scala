@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HashFunctions._
 import graft.functions.TextFunctions.tokens
-import graft.operators.{AdaptiveCap, BucketCap, ConnectedComponents}
+import graft.operators.{AdaptiveCap, BucketCap, ConnectedComponents,
+  IncrementalDedup}
 
 /** Deduplication operator family over the `documents` table — the first
   * stage of any 100 TB training-corpus pipeline: exact dedup, n-gram
@@ -417,6 +418,31 @@ object Dedup {
         base)
     }),
 
+    // Incremental ingest dedup ([[IncrementalDedup]]): screen a new batch
+    // (doc_id % 10 = 7 — "today's crawl") against the already-deduped
+    // corpus (the rest): batch-internal winners (min doc_id per md5) that
+    // no corpus doc already has. The Bloom pre-filter (sized from the
+    // corpus count, 1% fpp) cuts the anti-join's shuffle to the
+    // true-duplicate sliver; the exact join clears its false positives,
+    // so the gated result is identical with the filter on or off
+    // (IncrementalDedupSpec pins this). Emits per-lang batch/kept counts
+    // + a kept-id checksum so the hash gate certifies the exact kept set.
+    "p9_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      val corpusKeys = docs.filter(col("doc_id") % 10 =!= 7).select("h")
+      val kept = IncrementalDedup(batch, corpusKeys, key = "h",
+        winner = "doc_id", bloomItems = corpusKeys.count())
+      batch.groupBy("lang").agg(count(lit(1)).as("n_batch"))
+        .join(kept.groupBy("lang")
+            .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_batch"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+    }),
+
     // Order-sensitive exact dedup accounting via rolling fingerprint:
     // corpus summary of sequence-identical copies. (The fingerprint value
     // itself is xxhash64-based, so only the counts are emitted — they
@@ -426,6 +452,38 @@ object Dedup {
         .select(rollingFingerprint(tokens(col("text"))).as("fp"))
         .agg(count(lit(1)).as("n_docs"),
           count_distinct(col("fp")).as("n_distinct_seq"))
+    }),
+
+    // Duplicated-span coverage (the Spark reformulation of substring-level
+    // dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    // Models Better"): instead of a cross-doc suffix array — inherently
+    // sequential, memory-bound, not shardable without super-linear merge —
+    // score each doc by the fraction of its shingles that occur in ≥2
+    // documents. A doc made of copied spans has high coverage even when no
+    // WHOLE-doc near-dup exists, which is exactly the boilerplate/mirror
+    // case whole-doc dedup (dd2/dd3) misses.
+    //
+    // Scale shape: explode to (doc_id, shingle-hash) — text dies at the
+    // scan, the exploded frame carries two 8-byte columns; one hash agg
+    // keyed on the shingle computes doc-frequency; the join back is keyed
+    // on the SAME column so it reuses that exchange (co-partitioned, no
+    // third shuffle); a final doc_id agg folds per-doc coverage. Nothing
+    // is quadratic — hot shingles cost one counter here, not cap² pairs.
+    // Emission is the per-decile histogram of coverage (bounded output at
+    // any corpus size) in pure integer arithmetic (DIV both engines).
+    "dd11_span_coverage" -> ((s, dir) => {
+      val sh = Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          explode(hashedShingles(tokens(col("text")))).as("shingle"))
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("permille", expr("(1000 * n_dup) DIV n_shingles"))
+        .groupBy(expr("permille DIV 100").as("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_dup").as("sum_dup"),
+          sum("n_shingles").as("sum_shingles"))
     })
   )
 
@@ -626,6 +684,51 @@ object Dedup {
 
     "dd5_rolling_fp" ->
       "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_seq FROM documents",
+
+    // exact replay of the incremental screen (the Bloom pre-filter is
+    // result-invariant by construction, so the oracle needs only the
+    // winner cut + anti-join)
+    "p9_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+        |b AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+        |c AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 <> 7),
+        |w AS (SELECT h, min(doc_id) AS doc_id FROM b GROUP BY 1),
+        |kept AS (
+        |  SELECT b.lang, b.doc_id FROM b JOIN w USING (h, doc_id)
+        |  WHERE b.h NOT IN (SELECT h FROM c)),
+        |bs AS (SELECT lang, count(*) AS n_batch FROM b GROUP BY 1),
+        |ks AS (SELECT lang, count(*) AS n_kept,
+        |         sum(doc_id)::BIGINT AS id_sum FROM kept GROUP BY 1)
+        |SELECT bs.lang, n_batch, coalesce(n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(id_sum, 0)::BIGINT AS id_sum
+        |FROM bs LEFT JOIN ks USING (lang)""".stripMargin,
+
+    // string-shingle replay of the hashed-shingle coverage computation
+    // (same doc-frequency + coverage pipeline on the un-hashed shingles;
+    // the sets are distinct on both sides). Integer-only arithmetic: DIV
+    // on the Spark side mirrors // here, and every sum is ::BIGINT to
+    // avoid DuckDB's HUGEINT widening (the q19 lesson).
+    "dd11_span_coverage" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |cov AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        |  FROM sh JOIN df USING (shingle) GROUP BY 1),
+        |p AS (SELECT doc_id, n_shingles, n_dup,
+        |        (1000 * n_dup) // n_shingles AS permille FROM cov)
+        |SELECT permille // 100 AS decile, count(*) AS n_docs,
+        |  sum(n_dup)::BIGINT AS sum_dup,
+        |  sum(n_shingles)::BIGINT AS sum_shingles
+        |FROM p GROUP BY 1""".stripMargin,
 
     // replay of dd7 from the dumped SRP signatures (shared with s3): same
     // banding/cap/multiprobe CTEs, exact cosine re-rank at threshold 0.4.

@@ -189,6 +189,26 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
     }),
 
+    // Explicit GROUPING SETS (§2.5 — the general form rollup/cube are
+    // sugar for): exactly the requested shapes, no 2ᵏ blow-up. Same
+    // execution as q10/q22 — one Expand (3 replicas here, vs cube's 4)
+    // into a single partial/final hash agg; at 100 TB you enumerate only
+    // the shapes you report on. NULL disambiguates the sets (event_type
+    // and user_band are non-null in the data), so no engine-specific
+    // grouping_id bit order is under the hash.
+    "q36_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("user_id") < 40)
+        // computed grouping keys must be projected BEFORE groupingSets:
+        // an Alias inside the sets gets a fresh exprId that never matches
+        // the output column, which then renders null in every set
+        .withColumn("user_band", col("user_id") % 4)
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("user_band")), Seq()),
+          col("event_type"), col("user_band"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    }),
+
     // Exact interpolated percentiles (median/p90) per event type — Spark's
     // sort-based `percentile` and DuckDB's `quantile_cont` share the same
     // linear-interpolation definition, so values hash-match exactly.
@@ -868,6 +888,13 @@ object Relational {
         |FROM events
         |WHERE user_id < 40
         |GROUP BY CUBE (event_type, user_id % 4)""".stripMargin,
+
+    "q36_grouping_sets" ->
+      """SELECT event_type, user_id % 4 AS user_band,
+        |  count(*) AS n, sum(value) AS sum_value
+        |FROM events
+        |WHERE user_id < 40
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 4), ())""".stripMargin,
 
     "q23_unpivot" ->
       """SELECT measure, count(*) AS n, sum(value) AS sum_value,
