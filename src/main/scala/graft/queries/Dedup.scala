@@ -464,19 +464,22 @@ object Dedup {
     // case whole-doc dedup (dd2/dd3) misses.
     //
     // Scale shape: explode to (doc_id, shingle-hash) — text dies at the
-    // scan, the exploded frame carries two 8-byte columns; one hash agg
-    // keyed on the shingle computes doc-frequency; the join back is keyed
-    // on the SAME column so it reuses that exchange (co-partitioned, no
-    // third shuffle); a final doc_id agg folds per-doc coverage. Nothing
-    // is quadratic — hot shingles cost one counter here, not cap² pairs.
-    // Emission is the per-decile histogram of coverage (bounded output at
-    // any corpus size) in pure integer arithmetic (DIV both engines).
+    // scan, the exploded frame carries two 8-byte columns; doc-frequency
+    // is a COUNT window over the shingle partition, so the corpus is
+    // scanned and shingled ONCE and shuffled once on the shingle key (the
+    // groupBy-then-join-back form plans two full scans + two shingle
+    // exchanges — Spark reuses only identical exchanges, and a partial-agg
+    // exchange never matches a join exchange); a doc_id agg then folds
+    // per-doc coverage. Nothing is quadratic — a hot shingle costs one
+    // counter, not cap² pairs. Emission is the per-decile histogram of
+    // coverage (bounded output at any corpus size) in pure integer
+    // arithmetic (DIV both engines).
     "dd11_span_coverage" -> ((s, dir) => {
-      val sh = Tables.spread(Tables.documents(s, dir))
+      import org.apache.spark.sql.expressions.Window
+      Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"),
           explode(hashedShingles(tokens(col("text")))).as("shingle"))
-      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      sh.join(df, "shingle")
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
