@@ -496,6 +496,38 @@ object Text {
       }
     }),
 
+    // CSV ingest round-trip (t14's flow for the other raw-dump format):
+    // write → schema'd read back → per-lang checksums. Explicit schema —
+    // inference samples a full extra pass; single-line records keep the
+    // files SPLITTABLE (a multiline-quoted CSV forces one task per file
+    // at 100 TB). Whitespace preservation is pinned explicitly: the
+    // univocity reader's trim defaults would silently alter text
+    // payloads. The round trip cancels out under the gate (oracle reads
+    // the parquet), so any write/read asymmetry — quoting, null/empty
+    // coercion, trim — breaks the hash.
+    "t16_csv_roundtrip" -> ((s, dir) => {
+      val tmp = graft.util.Fs.mkStagingDir(s, "graft_csv_")
+      try {
+        Tables.documents(s, dir).select("doc_id", "lang", "text")
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"$tmp/docs")
+        val back = s.read
+          .schema("doc_id LONG, lang STRING, text STRING")
+          .option("header", "true")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(s"$tmp/docs")
+        val agg = back.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(octet_length(col("text"))).as("sum_bytes"),
+            min(md5(col("text"))).as("h_lo"),
+            max(md5(col("text"))).as("h_hi"))
+        QueryCache.materializeLocal(agg)
+      } finally {
+        graft.util.Fs.rmTree(s, tmp)
+      }
+    }),
+
     // Inverted-index construction (the retrieval-side index build): per
     // term, document frequency + the posting list head (sorted doc_ids).
     // One explode → distinct (term, doc_id) — partial-agg'd before the
@@ -939,6 +971,15 @@ object Text {
         |FROM documents
         |GROUP BY lang""".stripMargin,
 
+    // same cancellation as t14: the CSV round trip must reproduce the
+    // parquet truth byte-for-byte
+    "t16_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(octet_length(encode(text)))::BIGINT AS sum_bytes,
+        |  min(md5(text)) AS h_lo, max(md5(text)) AS h_hi
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
+
     // DuckDB's 1-based end-inclusive list slice [1:100] == Spark
     // slice(_, 1, 100), both truncating past the end
     "t13_inverted_index" ->
@@ -954,4 +995,26 @@ object Text {
          |    x -> CAST(x AS VARCHAR)), ',') AS postings_head
          |FROM d GROUP BY term""".stripMargin
   )
+
+  /** t5's 100 TB drop-in for frequency questions over an UNBOUNDED
+    * vocabulary: a Count-Min sketch over the token stream. The exact
+    * groupBy's state is one counter per distinct token — fine for words,
+    * unbounded for n-grams/URLs at corpus scale; the sketch is fixed
+    * memory (depth × width counters from eps/confidence) regardless of
+    * vocabulary, built distributed by `stat.countMinSketch` (per-partition
+    * sketches, merged — CMS is linear, so the merge is counter addition
+    * and the result is byte-identical to a single-pass build; ProfilingSpec
+    * pins this). Guarantee: estimate ∈ [true, true + eps·N] with
+    * probability ≥ confidence — one-sided, so a heavy-hitter screen never
+    * FALSE-NEGATIVES. Cross-engine hash-matching a sketch is impossible
+    * (like profileApprox's HLL), so the drop-in is certified by
+    * ProfilingSpec against t5's exact counts at sf0.1.
+    */
+  def vocabSketch(s: SparkSession, dir: String, eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      docFilter: Column = lit(true)): org.apache.spark.util.sketch.CountMinSketch =
+    Tables.documents(s, dir)
+      .filter(docFilter)
+      .select(explode(tokens(col("text"))).as("token"))
+      .stat.countMinSketch("token", eps, confidence, seed = 42)
 }

@@ -41,6 +41,46 @@ class IncrementalDedupSpec extends SparkSuite {
     }
   }
 
+  test("ingest stream == batch: per-micro-batch screen with key feedback") {
+    // the production deployment: each micro-batch of "today's crawl" is
+    // screened via foreachBatch against the corpus key table, and the
+    // admitted keys are APPENDED to that table before the next batch (in
+    // production a Delta/parquet append; here a growing union). With
+    // id-ordered delivery the first-seen winner equals the batch form's
+    // global min-winner, so the admitted set must match p9's kept set
+    // exactly.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7).select("h")
+    val expected = IncrementalDedup(batch, corpus, "h", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    var corpusKeys = corpus
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDS().toDF("doc_id", "h").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = IncrementalDedup(b, corpusKeys, "h", "doc_id")
+          .select("doc_id", "h").persist()
+        admitted ++= kept.select("doc_id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect()
+        corpusKeys = corpusKeys.unionByName(kept.select("h"))
+        ()
+      }
+      .start()
+    val rows = batch.select("doc_id", "h").as[(Long, String)]
+      .collect().sortBy(_._1)
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    assert(admitted.sorted.toSeq == expected)
+  }
+
   test("bloom on the real corpus shape: p9's query is filter-invariant") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)

@@ -25,6 +25,36 @@ class ProfilingSpec extends SparkSuite {
         "stopped needing it, q32's docs and this trade-off are stale")
   }
 
+  test("count-min sketch bounds the exact top-term counts; merge is exact") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Text
+    val eps = 1e-4
+    val exact = SparkEntry.queries("t5_vocab_topk")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalTokens = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .count()
+    val cms = Text.vocabSketch(spark, dir, eps)
+    exact.foreach { case (t, n) =>
+      val est = cms.estimateCount(t)
+      assert(est >= n, s"$t: CMS under-counted ($est < $n) — impossible " +
+        "for a correct CMS; the sketch is broken")
+      assert(est <= n + (eps * totalTokens).toLong + 1,
+        s"$t: $est exceeds exact $n + eps*N")
+    }
+    // CMS is linear: sketches of disjoint halves merged counter-wise must
+    // equal the single-pass sketch exactly (same seed → same hash plane)
+    val even = Text.vocabSketch(spark, dir, eps,
+      docFilter = col("doc_id") % 2 === 0)
+    val odd = Text.vocabSketch(spark, dir, eps,
+      docFilter = col("doc_id") % 2 =!= 0)
+    even.mergeInPlace(odd)
+    exact.keys.foreach { t =>
+      assert(even.estimateCount(t) == cms.estimateCount(t),
+        s"$t: merged-halves estimate diverged from single-pass")
+    }
+  }
+
   test("approx distinct counts are within 5% of exact per column at sf0.1") {
     def byCol(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
       df.collect()
