@@ -227,6 +227,52 @@ object Similarity {
         base)
     }),
 
+    // Product-quantization ADC kNN — the remaining canonical ANN memory
+    // tier after IVF (s4) and scalar int8 (s6): each vector is PqM code
+    // ids (32 B here; 1 B/code with a trained 256-entry codebook) instead
+    // of 64 doubles — a 16-64× memory-bandwidth cut on the first pass.
+    // Query path is asymmetric distance computation: the per-subspace
+    // dot(query_sub, codebook entry) lookup tables are computed ONCE
+    // (M·K dots, driver-side, broadcast as map literals), then the scan
+    // scores each vector with M map lookups + a fixed-order sum — no
+    // join, no shuffle, one TakeOrderedAndProject for the candidate cut.
+    // The 50 survivors re-rank on exact float cosine (s6's discipline:
+    // quantization error moves only WHICH candidates are seen, emitted
+    // scores are exact). Oracled via the side_s8_codes dump replay —
+    // LUT, fixed-order ADC sum, cut, and re-rank all replayed in SQL;
+    // encode correctness + recall pinned in DedupSimilaritySpec.
+    "s8_pq_knn" -> ((s, dir) => {
+      val base = pqBase(s, dir).persist()
+      val qUnit = base.filter(col("vec_id") === 0L)
+        .select("unit").head().getSeq[Double](0)
+      val cbRows = base.filter(col("vec_id") % 53 === 0)
+        .select("vec_id", "unit").collect()
+      // LUT per subspace: cb_id -> dot(q_m, c_m), both slices walked in
+      // ascending index order (matches the kernel and list_dot_product)
+      val luts: Seq[Map[Long, Double]] = (0 until PqM).map { m =>
+        cbRows.map { r =>
+          val c = r.getSeq[Double](1)
+          val d = (0 until PqD).foldLeft(0.0)((acc, i) =>
+            acc + qUnit(m * PqD + i) * c(m * PqD + i))
+          r.getLong(0) -> d
+        }.toMap
+      }
+      val adc = (0 until PqM)
+        .map(m => element_at(typedlit(luts(m)), col("codes")(m)))
+        .reduce(_ + _)
+      val cands = base.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), adc.as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id"))
+        .limit(50)
+      QueryCache.resultThenRelease(
+        cands.join(base.select("vec_id", "unit"), "vec_id")
+          .select(col("vec_id"),
+            dot(col("unit"), typedlit(qUnit)).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        base)
+    }),
+
     // The SQL entry path itself under the hash gate: the same exact-kNN
     // shape as s1, but declared entirely through `spark.sql` against the
     // registered table views, with the cosine computed by the
@@ -297,6 +343,48 @@ object Similarity {
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
       .withColumn("codes", quantize8(col("unit")))
 
+  /** Product-quantization geometry: 64-dim embeddings split into PqM
+    * subspaces of PqD dims. The codebook per subspace is the subvectors
+    * of every 53rd vector — the same deterministic stand-in for trained
+    * k-means the IVF coarse quantizer uses ([[ivfAssign]]): the Spark
+    * plumbing (broadcast codebook, argmin assignment, ADC scan) is
+    * identical to the trained case, and determinism is what lets the
+    * DuckDB oracle replay the whole pipeline.
+    */
+  private[graft] val PqM = 4
+  private[graft] val PqD = 16
+
+  /** PQ frame (vec_id, unit, codes) — codes(m) = id of the subspace-m
+    * codebook entry nearest the vector's m-th subvector (min L2, realized
+    * as argmax of 2·dot − ‖c‖², ties to the smallest id). Encode shape:
+    * one explode into (vec_id, m, sub) — a single corpus pass — then a
+    * broadcast join against the M·K-row codebook with partial/final
+    * max_by aggregation, so the N×K fan-out never shuffles (ivfAssign's
+    * lesson); codes re-assemble per vector via a sorted collect_list.
+    * Dumped by Verify as `side_s8_codes` for the oracle replay.
+    */
+  private[graft] def pqBase(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+    val subs = e.select(col("vec_id"), col("unit"),
+      explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("unit"), m * PqD + 1, PqD).as("sub"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sub").as("sub"))
+    val cb = subs.filter(col("vec_id") % 53 === 0)
+      .select(col("m"), col("vec_id").as("cb_id"), col("sub").as("cvec"))
+      .withColumn("cnorm", dot(col("cvec"), col("cvec")))
+    val codes = subs.join(broadcast(cb), "m")
+      .withColumn("score", lit(2.0) * dot(col("sub"), col("cvec")) - col("cnorm"))
+      .groupBy("vec_id", "m")
+      .agg(max_by(col("cb_id"),
+        struct(col("score"), (-col("cb_id")).as("nc"))).as("code"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x("code")).as("codes"))
+    e.join(codes, "vec_id")
+  }
+
   /** Side-tables Verify dumps for the oracle replays (see class doc). */
   val sideDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "side_srp_sigs" -> ((s, dir) => srpBase(s, dir)),
@@ -305,7 +393,8 @@ object Similarity {
     // materialize a corpus-sized result cache — violating its
     // bounded-result contract — just to free it one step earlier
     "side_s4_assign" -> ((s, dir) => ivfAssign(s, dir)._1),
-    "side_sq_codes" -> ((s, dir) => sqBase(s, dir))
+    "side_sq_codes" -> ((s, dir) => sqBase(s, dir)),
+    "side_s8_codes" -> ((s, dir) => pqBase(s, dir))
   )
 
   private def cosSql(a: String, b: String): String =
@@ -403,6 +492,35 @@ object Similarity {
         |      AS qscore
         |  FROM c, q WHERE vec_id <> 0
         |  ORDER BY qscore DESC, vec_id LIMIT 50)
+        |SELECT c.vec_id, list_dot_product(c.unit, q.qu) AS cos_sim
+        |FROM cand JOIN c USING (vec_id), q
+        |ORDER BY cos_sim DESC, c.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // full ADC replay from the dumped codes: the codebook is re-derived
+    // from the dump itself (% 53 rows), the LUT joins are pinned one per
+    // subspace so the ADC sum is the same fixed-order d0+d1+d2+d3 the
+    // Spark side folds, and the re-rank is the exact-cosine discipline
+    // shared with s6
+    "s8_pq_knn" ->
+      """WITH c AS (SELECT vec_id, unit, codes
+        |          FROM read_parquet('{VERIFY_DIR}/side_s8_codes.parquet')),
+        |q AS (SELECT unit AS qu FROM c WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT t.m, vec_id AS cb_id,
+        |    list_dot_product(unit[t.m*16+1 : t.m*16+16],
+        |                     qu[t.m*16+1 : t.m*16+16]) AS d
+        |  FROM c, range(0, 4) t(m), q
+        |  WHERE vec_id % 53 = 0),
+        |cand AS (
+        |  SELECT c.vec_id, l0.d + l1.d + l2.d + l3.d AS qscore
+        |  FROM c
+        |  JOIN lut l0 ON l0.m = 0 AND l0.cb_id = c.codes[1]
+        |  JOIN lut l1 ON l1.m = 1 AND l1.cb_id = c.codes[2]
+        |  JOIN lut l2 ON l2.m = 2 AND l2.cb_id = c.codes[3]
+        |  JOIN lut l3 ON l3.m = 3 AND l3.cb_id = c.codes[4]
+        |  WHERE c.vec_id <> 0
+        |  ORDER BY qscore DESC, c.vec_id LIMIT 50)
         |SELECT c.vec_id, list_dot_product(c.unit, q.qu) AS cos_sim
         |FROM cand JOIN c USING (vec_id), q
         |ORDER BY cos_sim DESC, c.vec_id

@@ -119,6 +119,44 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.7, s"quantized recall too low: $recall")
   }
 
+  test("PQ encode: codes are the true per-subspace argmin-L2 codebook ids") {
+    import graft.queries.Similarity
+    val base = Similarity.pqBase(spark, sf)
+    val rows = base.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getSeq[Long](2).toArray)).sortBy(_._1)
+    val cb = rows.filter(_._1 % 53 == 0)
+    assert(cb.nonEmpty && rows.forall(_._3.length == Similarity.PqM))
+    def l2(a: Array[Double], b: Array[Double], off: Int, len: Int): Double =
+      (0 until len).map(i => { val d = a(off + i) - b(off + i); d * d }).sum
+    // brute-force reference on a deterministic sample of vectors
+    rows.filter(_._1 % 29 == 0).foreach { case (id, unit, codes) =>
+      (0 until Similarity.PqM).foreach { m =>
+        val off = m * Similarity.PqD
+        // min L2, ties to the smallest codebook id — the operator's rule
+        val want = cb.minBy { case (cid, cu, _) =>
+          (l2(unit, cu, off, Similarity.PqD), cid)
+        }._1
+        assert(codes(m) == want,
+          s"vec $id subspace $m: code ${codes(m)}, brute-force $want")
+      }
+    }
+  }
+
+  test("PQ ADC kNN recovers a fair share of the exact query-0 top-10") {
+    val exact = SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = SparkEntry.queries("s8_pq_knn")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pq.size == 10)
+    // 4×16 PQ against an untrained (sampled) codebook on near-random
+    // vectors is the coarsest sketch in the family; the 50-candidate cut
+    // + exact re-rank must still clear a floor a broken LUT/encode would
+    // breach
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ recall too low: $recall")
+  }
+
   test("int8 quantizer: codes bounded, reconstruction error within half-step") {
     val rnd = new scala.util.Random(23)
     val v = Array.fill(64)(rnd.nextGaussian())
