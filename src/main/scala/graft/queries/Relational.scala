@@ -638,6 +638,45 @@ object Relational {
             .as("n_above_avg"))
     }),
 
+    // Time-RANGE window frame (§2.6 completeness beyond q15's row frame):
+    // per-user trailing 1-hour aggregates ordered by event time. The
+    // frame key is the raw integer µs (ts_ns DIV 1000) — RANGE frames
+    // need a numeric order column in Spark, and integer bounds are
+    // engine-exact. The windowed sum is integerized (floor(value·1000))
+    // because a RANGE frame's peer rows (equal ts_us) have no defined
+    // accumulation order — float addition would be partition-dependent,
+    // integer addition is commutative. One shuffle on user_id; the frame
+    // is evaluated with a sliding accumulator over the sorted partition,
+    // O(n) per user at any frame width.
+    "q37_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          sum(expr("CAST(floor(value * 1000) AS BIGINT)")).over(w)
+            .as("hour_sum_milli"),
+          count(lit(1)).over(w).as("n_in_hour"))
+    }),
+
+    // Native session windows (§2.5/§2.9 bridge): Spark's session_window
+    // groupBy — the SAME operator Structured Streaming uses for stateful
+    // sessionization — run in batch and gated against the lag-island
+    // oracle. Boundary semantics pinned by the oracle: a gap of EXACTLY
+    // the timeout starts a new session (windows are half-open — an event
+    // at prev_end does not overlap [prev, prev_end)), hence >= in the
+    // replay where q19's second-truncated rule uses >. Plans as one
+    // shuffle on user_id + sorted session merge, then the final agg.
+    "q38_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("user_id") < 10)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min("ts")).as("session_start_us"))
+        .select("user_id", "session_start_us", "n_events")
+    }),
+
     // Sessionization: gap > 30 min starts a new session; session id =
     // running count of gap flags per user. Two stacked windows over one
     // shuffle on user_id — the batch form of the streaming sessionizer.
@@ -1088,6 +1127,43 @@ object Relational {
     // epoch_ns()//1000 yields the same truncated µs either way, and
     // epoch_ns()//1e9 the same whole seconds, so no cast/round semantics of
     // the ns→µs conversion can leak into the hashed values.
+    // RANGE frame replay on the same integer µs key; the sum is already
+    // integerized on both sides so peer-row order cannot matter
+    "q37_range_frame" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events WHERE user_id < 20)
+        |SELECT user_id, event_id, ts_us,
+        |  (sum(vm) OVER (PARTITION BY user_id ORDER BY ts_us
+        |     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS hour_sum_milli,
+        |  (count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS n_in_hour
+        |FROM e""".stripMargin,
+
+    // lag-island replay of session_window at full µs precision; >= pins
+    // the half-open boundary (an exact-gap event starts a NEW session)
+    "q38_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us
+        |  FROM events WHERE user_id < 10),
+        |m AS (
+        |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |         OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM m),
+        |g AS (
+        |  SELECT *, (sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
     "q19_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

@@ -528,6 +528,34 @@ object Text {
       }
     }),
 
+    // Schema-evolution read (the lakehouse drift case: a 100 TB table
+    // written over months accretes columns): two parquet generations —
+    // v1 without n_chars, v2 with it — read through ONE scan with
+    // mergeSchema, old files surfacing null for the added column. The
+    // per-lang accounting distinguishes physical-null (schema gap) from
+    // value rows. mergeSchema costs a footer pass over file schemas (not
+    // data) at planning; at scale you pin the merged schema in a catalog
+    // instead and get the same null-fill semantics for free.
+    "t17_schema_evolution" -> ((s, dir) => {
+      val tmp = graft.util.Fs.mkStagingDir(s, "graft_evo_")
+      try {
+        val docs = Tables.documents(s, dir)
+        docs.select("doc_id", "lang")
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        docs.select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").parquet(s"$tmp/gen=2")
+        val merged = s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+        val agg = merged.groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("n_chars")).as("n_with_chars"),
+            sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+        QueryCache.materializeLocal(agg)
+      } finally {
+        graft.util.Fs.rmTree(s, tmp)
+      }
+    }),
+
     // Inverted-index construction (the retrieval-side index build): per
     // term, document frequency + the posting list head (sorted doc_ids).
     // One explode → distinct (term, doc_id) — partial-agg'd before the
@@ -970,6 +998,18 @@ object Text {
         |  min(md5(text)) AS h_lo, max(md5(text)) AS h_hi
         |FROM documents
         |GROUP BY lang""".stripMargin,
+
+    // the two generations replay as a UNION ALL of the same table with
+    // and without the evolved column
+    "t17_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT lang, NULL::BIGINT AS n_chars FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents)
+        |SELECT lang, count(*) AS n_rows,
+        |  count(n_chars)::BIGINT AS n_with_chars,
+        |  sum(coalesce(n_chars, 0))::BIGINT AS sum_chars
+        |FROM m GROUP BY lang""".stripMargin,
 
     // same cancellation as t14: the CSV round trip must reproduce the
     // parquet truth byte-for-byte
