@@ -120,6 +120,52 @@ class StreamingSpec extends SparkSuite {
       s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
   }
 
+  test("session_window stream == q38 batch: the native sessionizer agrees") {
+    // q38 gates Spark's session_window operator in BATCH against the
+    // DuckDB lag-island oracle; this pins the STREAMING deployment of the
+    // same operator (watermark + append mode) to the q38 result, closing
+    // the loop: oracle == batch == stream.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q38_session_window")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val evs = Tables.events(spark, dir).filter(col("user_id") < 10)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+      .collect()
+      .sortBy(e =>
+        (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+    val mem = MemoryStream[EventStream.Event]
+    val q = mem.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min("ts")).as("session_start_us"))
+      .select("user_id", "session_start_us", "n_events")
+      .writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("append").start()
+    evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // sentinel pair on a dummy user: first advances max event time (the
+    // watermark updates at batch end), second runs under the advanced
+    // watermark so all real sessions close and emit
+    val far = evs.last.ts.toInstant.plusSeconds(86400)
+    mem.addData(EventStream.Event(2000001L,
+      Timestamp.from(far), 9999L, "flush", 0.0))
+    q.processAllAvailable()
+    mem.addData(EventStream.Event(2000002L,
+      Timestamp.from(far.plusSeconds(3600)), 9999L, "flush", 0.0))
+    q.processAllAvailable()
+    val stream = spark.table("sw_sessions")
+      .filter(col("user_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(stream == batch, "streaming session_window diverged from q38: " +
+      s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+  }
+
   test("stream-static join enriches the event stream with a dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
