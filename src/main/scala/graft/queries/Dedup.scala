@@ -432,15 +432,17 @@ object Dedup {
         .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
       val batch = docs.filter(col("doc_id") % 10 === 7)
       val corpusKeys = docs.filter(col("doc_id") % 10 =!= 7).select("h")
-      val kept = IncrementalDedup(batch, corpusKeys, key = "h",
-        winner = "doc_id", bloomItems = corpusKeys.count())
-      batch.groupBy("lang").agg(count(lit(1)).as("n_batch"))
-        .join(kept.groupBy("lang")
-            .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum")),
-          Seq("lang"), "left")
-        .select(col("lang"), col("n_batch"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+      val (kept, caches) = IncrementalDedup.withCaches(batch, corpusKeys,
+        key = "h", winner = "doc_id", bloomItems = corpusKeys.count())
+      QueryCache.resultThenRelease(
+        batch.groupBy("lang").agg(count(lit(1)).as("n_batch"))
+          .join(kept.groupBy("lang")
+              .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum")),
+            Seq("lang"), "left")
+          .select(col("lang"), col("n_batch"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("id_sum"), lit(0L)).as("id_sum")),
+        caches: _*)
     }),
 
     // Order-sensitive exact dedup accounting via rolling fingerprint:
@@ -464,29 +466,33 @@ object Dedup {
     // case whole-doc dedup (dd2/dd3) misses.
     //
     // Scale shape: explode to (doc_id, shingle-hash) — text dies at the
-    // scan, the exploded frame carries two 8-byte columns; doc-frequency
-    // is a COUNT window over the shingle partition, so the corpus is
-    // scanned and shingled ONCE and shuffled once on the shingle key (the
-    // groupBy-then-join-back form plans two full scans + two shingle
-    // exchanges — Spark reuses only identical exchanges, and a partial-agg
-    // exchange never matches a join exchange); a doc_id agg then folds
-    // per-doc coverage. Nothing is quadratic — a hot shingle costs one
-    // counter, not cap² pairs. Emission is the per-decile histogram of
+    // scan, the exploded frame carries two 8-byte columns and is PERSISTED
+    // (the dd2/dd3 signature-barrier discipline) so the corpus is scanned
+    // and shingled once; doc-frequency is then a map-side-combinable hash
+    // agg on the shingle key — a Zipfian-hot shingle costs one partial
+    // counter per partition, where the window formulation (count over
+    // partitionBy(shingle), no partial aggregation) would buffer every
+    // occurrence of the hot shingle in ONE task's spill — and the join
+    // back lands on the same key. A doc_id agg folds per-doc coverage.
+    // Nothing is quadratic. Emission is the per-decile histogram of
     // coverage (bounded output at any corpus size) in pure integer
     // arithmetic (DIV both engines).
     "dd11_span_coverage" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables.spread(Tables.documents(s, dir))
+      val sh = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"),
           explode(hashedShingles(tokens(col("text")))).as("shingle"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
-        .withColumn("permille", expr("(1000 * n_dup) DIV n_shingles"))
-        .groupBy(expr("permille DIV 100").as("decile"))
-        .agg(count(lit(1)).as("n_docs"), sum("n_dup").as("sum_dup"),
-          sum("n_shingles").as("sum_shingles"))
+        .persist()
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      QueryCache.resultThenRelease(
+        sh.join(df, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("permille", expr("(1000 * n_dup) DIV n_shingles"))
+          .groupBy(expr("permille DIV 100").as("decile"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_dup").as("sum_dup"),
+            sum("n_shingles").as("sum_shingles")),
+        sh)
     })
   )
 
@@ -530,6 +536,22 @@ object Dedup {
     * sub-quadratic (the former all-pairs list_intersect CTE was the
     * slowest oracle at sf0.1).
     */
+  /** Shared string-shingle CTE (no lang) — the oracle-side counterpart of
+    * `hashedShingles(tokens(text))`: 3-gram word shingles, whole-doc
+    * fallback under 3 tokens, distinct per doc. Used by dd10 and dd11 so
+    * the shingle-construction rule lives once (dd2CtesSql carries the
+    * same rule plus lang for its per-language cap derivation).
+    */
+  private val docShinglesCteSql: String =
+    """docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                             for i in range(1, len(toks) - 1)])
+      |    END AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents))""".stripMargin
+
   private val dd2CtesSql: String =
     s"""docs AS (
       |  SELECT doc_id, lang,
@@ -577,14 +599,7 @@ object Dedup {
     // sets are built distinct on both sides, so count(*) of the
     // equi-join == |intersection|)
     "dd10_decontaminate" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                             for i in range(1, len(toks) - 1)])
-        |    END AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |        FROM documents)),
+      s"""WITH $docShinglesCteSql,
         |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle
         |       FROM docs WHERE doc_id % 97 = 0),
         |tr AS (SELECT doc_id AS train_id, unnest(sh) AS shingle
@@ -712,14 +727,7 @@ object Dedup {
     // on the Spark side mirrors // here, and every sum is ::BIGINT to
     // avoid DuckDB's HUGEINT widening (the q19 lesson).
     "dd11_span_coverage" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                             for i in range(1, len(toks) - 1)])
-        |    END AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |        FROM documents)),
+      s"""WITH $docShinglesCteSql,
         |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
         |cov AS (

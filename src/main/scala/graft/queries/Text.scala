@@ -500,16 +500,23 @@ object Text {
     // write → schema'd read back → per-lang checksums. Explicit schema —
     // inference samples a full extra pass; single-line records keep the
     // files SPLITTABLE (a multiline-quoted CSV forces one task per file
-    // at 100 TB). Whitespace preservation is pinned explicitly: the
-    // univocity reader's trim defaults would silently alter text
-    // payloads. The round trip cancels out under the gate (oracle reads
+    // at 100 TB). Whitespace preservation is pinned explicitly on both
+    // directions: univocity trims on WRITE by default (and not on read),
+    // which would silently alter payloads before the reader ever saw
+    // them. The round trip cancels out under the gate (oracle reads
     // the parquet), so any write/read asymmetry — quoting, null/empty
     // coercion, trim — breaks the hash.
     "t16_csv_roundtrip" -> ((s, dir) => {
       val tmp = graft.util.Fs.mkStagingDir(s, "graft_csv_")
       try {
+        // trim must be pinned off on BOTH sides: the univocity defaults
+        // differ per direction (write trims by default, read does not),
+        // so an unpinned writer silently strips edge whitespace from
+        // payloads before the reader ever sees them
         Tables.documents(s, dir).select("doc_id", "lang", "text")
           .write.mode("overwrite").option("header", "true")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
           .csv(s"$tmp/docs")
         val back = s.read
           .schema("doc_id LONG, lang STRING, text STRING")

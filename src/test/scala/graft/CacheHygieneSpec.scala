@@ -21,9 +21,10 @@ class CacheHygieneSpec extends SparkSuite {
     "dd2_shingle_jaccard", "dd3_minhash_lsh", "dd4_simhash",
     "dd6_corpus_sketch", "dd7_embed_neardup", "dd9_edit_distance",
     "s2_top_pairs", "s3_ann_srp", "s4_ivf_knn", "s5_knn_batch",
-    "s6_quantized_knn", "g1_interp_1d", "g3_interp_2d", "g4_interp_4d",
-    "g6_interp_multivar", "g5_e2e_fetch", "t10_bm25", "q24_range_join",
-    "p3_embed_keeplist", "q27_interval_overlap", "q29_bucketed_join")
+    "s6_quantized_knn", "s8_pq_knn", "g1_interp_1d", "g3_interp_2d",
+    "g4_interp_4d", "g6_interp_multivar", "g5_e2e_fetch", "t10_bm25",
+    "q24_range_join", "p3_embed_keeplist", "q27_interval_overlap",
+    "q29_bucketed_join", "p9_incremental_dedup", "dd11_span_coverage")
 
   test("resultThenRelease frees result and intermediates when the job fails") {
     import org.apache.spark.sql.functions._
