@@ -166,6 +166,55 @@ class StreamingSpec extends SparkSuite {
       s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
   }
 
+  test("stream-stream interval join == batch: errors within 6 h of a purchase") {
+    // the funnel/attribution shape: two event streams joined on key + a
+    // time interval. Stream-stream inner joins need BOTH sides
+    // watermarked and a time-bounded condition (that bound is what lets
+    // Spark expire join state — without it state grows forever); the
+    // batch truth is the identical join on the static frame.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir).filter(col("user_id") < 40)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def side(df: org.apache.spark.sql.DataFrame, kind: String, p: String) =
+      df.filter(col("event_type") === kind).select(
+        col("event_id").as(s"${p}_id"), col("ts").as(s"${p}_ts"),
+        col("user_id").as(s"${p}_user"))
+    val joinCond = expr("a_user = b_user AND " +
+      "b_ts >= a_ts AND b_ts <= a_ts + interval 6 hours")
+    val batch = side(evs, "purchase", "a").join(side(evs, "error", "b"), joinCond)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture has no purchase→error pairs; widen the filter")
+
+    val memA = MemoryStream[EventStream.Event]
+    val memB = MemoryStream[EventStream.Event]
+    def streamSide(m: MemoryStream[EventStream.Event], kind: String, p: String) =
+      side(m.toDS().toDF(), kind, p).withWatermark(s"${p}_ts", "0 seconds")
+    val q = streamSide(memA, "purchase", "a")
+      .join(streamSide(memB, "error", "b"), joinCond)
+      .select("a_id", "b_id")
+      .writeStream.format("memory").queryName("ss_pairs")
+      .outputMode("append").start()
+    val rows = evs.as[EventStream.Event].collect().sortBy(e =>
+      (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      memA.addData(chunk.toSeq); memB.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // advance both watermarks so buffered matches flush
+    val far = Timestamp.from(rows.last.ts.toInstant.plusSeconds(86400))
+    memA.addData(EventStream.Event(3000001L, far, 9999L, "flush", 0.0))
+    memB.addData(EventStream.Event(3000002L, far, 9999L, "flush", 0.0))
+    q.processAllAvailable()
+    val stream = spark.table("ss_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(stream == batch, "stream-stream pairs diverged from batch: " +
+      s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+  }
+
   test("stream-static join enriches the event stream with a dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
