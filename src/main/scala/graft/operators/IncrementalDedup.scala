@@ -67,7 +67,10 @@ object IncrementalDedup {
         "non-string key would crash only the bloom-on path")
     val winners0 = batch
       .join(batch.groupBy(key).agg(min(winner).as(winner)), Seq(key, winner))
-    if (bloomItems <= 0L)
+    // empty corpus: stat.bloomFilter aggregates zero partials into a null
+    // buffer and the probe NPEs — the exact path handles the degenerate
+    // case for free (anti-join against nothing keeps every winner)
+    if (bloomItems <= 0L || corpusKeys.isEmpty)
       (winners0.join(corpusKeys, Seq(key), "left_anti"), Nil)
     else {
       val winners = if (persistWinners) winners0.persist() else winners0

@@ -81,6 +81,36 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(admitted.sorted.toSeq == expected)
   }
 
+  test("property: kept set == plain-Scala reference over random batches") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small key alphabet forces heavy in-batch and cross-set collisions
+    val keyGen = Gen.oneOf((1 to 12).map(i => s"k$i"))
+    val caseGen = for {
+      n <- Gen.choose(0, 30)
+      keys <- Gen.listOfN(n, keyGen)
+      m <- Gen.choose(0, 12)
+      corpus <- Gen.listOfN(m, keyGen)
+      bloom <- Gen.oneOf(0L, 8L)
+    } yield (keys.zipWithIndex.map { case (k, i) => (i.toLong, k) },
+      corpus, bloom)
+    val prop = Prop.forAll(caseGen) { case (batchRows, corpus, bloom) =>
+      val batch = batchRows.toDF("doc_id", "h")
+      val corpusDf = corpus.toDF("h")
+      val got = IncrementalDedup(batch, corpusDf, "h", "doc_id",
+        bloomItems = bloom)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      // reference: first (min-id) occurrence per key, minus corpus keys
+      val want = batchRows.groupBy(_._2).view
+        .mapValues(_.map(_._1).min).toSeq
+        .collect { case (k, id) if !corpus.contains(k) => id }
+        .sorted
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bloom on the real corpus shape: p9's query is filter-invariant") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
