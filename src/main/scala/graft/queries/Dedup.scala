@@ -110,9 +110,23 @@ object Dedup {
     * release them once its own result is materialized
     * (QueryCache.resultThenRelease).
     */
-  private[graft] def shingleJaccardPairsWithCaches(
+  /** Shared candidate machinery for the shingle-overlap family (dd2's
+    * Jaccard, dd12's containment): hashed-shingle frame, adaptive
+    * doc-freq cut, rare-shingle pair join, and the integer upper bound
+    * `ub ≥ shared` each consumer prefilters on with its own score
+    * formula. Returns (candBounds(i, j, na, nb, ub), docs, cap, caches).
+    */
+  private def shingleCandidatesWithCaches(
       s: SparkSession, dir: String,
-      capOverride: Option[Long] = None): (DataFrame, Long, Seq[DataFrame]) = {
+      capOverride: Option[Long])
+      : (DataFrame, DataFrame, Long, Seq[DataFrame]) =
+    shingleCandidatesFromDocs(
+      Tables.spread(Tables.documents(s, dir)), capOverride)
+
+  private[graft] def shingleCandidatesFromDocs(
+      docs0: DataFrame,
+      capOverride: Option[Long] = None)
+      : (DataFrame, DataFrame, Long, Seq[DataFrame]) = {
     // persisted: otherwise project-collapse inlines the shingle kernel
     // into the explode AND the re-rank joins (multiple evaluations per
     // row); explode_outer skips the implicit size>0 filter (shingle
@@ -127,7 +141,7 @@ object Dedup {
     // two shingles in one doc's set — harmless at these odds (and the
     // oracle's string-shingle replay agrees unless a collision actually
     // fires).
-    val docs = Tables.spread(Tables.documents(s, dir))
+    val docs = docs0
       .select(col("doc_id"), col("lang"),
         hashedShingles(tokens(col("text"))).as("sh"))
       .withColumn("nsh", size(col("sh")))
@@ -173,7 +187,7 @@ object Dedup {
     // ~10⁶). With no hot shingles the bound is exact and the re-rank
     // confirms it.
     val sizes = docs.select(col("doc_id"), col("nsh"))
-    val bounded = cand
+    val candBounds = cand
       .join(sizes.select(col("doc_id").as("i"), col("nsh").as("na")), "i")
       .join(sizes.select(col("doc_id").as("j"), col("nsh").as("nb")), "j")
       .join(nhot.select(col("doc_id").as("i"), col("nhot").as("nhot_i")),
@@ -182,22 +196,70 @@ object Dedup {
         Seq("j"), "left")
       .withColumn("ub", col("shared_rare") +
         least(coalesce(col("nhot_i"), lit(0L)), coalesce(col("nhot_j"), lit(0L))))
-      .filter(col("ub").cast("double") /
-        (col("na") + col("nb") - col("ub")).cast("double") >= 0.6)
-    // exact re-rank: set intersection of the full (distinct) shingle
-    // arrays — the doc-freq cut and the bound above affect which pairs
-    // are *reachable* (a pair sharing only over-cap shingles is not —
-    // the oracle replays the same cut), never the score a checked pair
-    // receives
-    val pairs = bounded.select("i", "j", "na", "nb")
+    (candBounds, docs, cap, Seq(docs, dfreqs))
+  }
+
+  /** Exact shared-shingle re-rank over a prefiltered candidate frame:
+    * joins the full (distinct) shingle arrays back and computes the true
+    * |A∩B|. The prefilters upstream affect which pairs are REACHABLE
+    * (replayed by the oracles), never the score a checked pair receives.
+    */
+  private def rerankShared(bounded: DataFrame, docs: DataFrame): DataFrame =
+    bounded.select("i", "j", "na", "nb")
       .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
       .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
       .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
+
+  private[graft] def shingleJaccardPairsWithCaches(
+      s: SparkSession, dir: String,
+      capOverride: Option[Long] = None): (DataFrame, Long, Seq[DataFrame]) = {
+    val (candBounds, docs, cap, caches) =
+      shingleCandidatesWithCaches(s, dir, capOverride)
+    // ub is an upper bound on shared and jac is increasing in shared, so
+    // this prefilter is result-invariant (the oracle scores all
+    // candidates exactly and agrees)
+    val bounded = candBounds.filter(col("ub").cast("double") /
+      (col("na") + col("nb") - col("ub")).cast("double") >= 0.6)
+    val pairs = rerankShared(bounded, docs)
       .withColumn("jac", col("shared").cast("double") /
         (col("na") + col("nb") - col("shared")).cast("double"))
       .filter(col("jac") >= 0.6)
       .select("i", "j", "jac")
-    (pairs, cap, Seq(docs, dfreqs))
+    (pairs, cap, caches)
+  }
+
+  /** dd12's body: containment pairs — C = |A∩B| / min(|A|,|B|), the
+    * asymmetric near-dup score that fires when a SMALL doc sits inside a
+    * big one (quote pages, boilerplate-wrapped copies, excerpt mirrors)
+    * even though symmetric Jaccard stays low (the union is dominated by
+    * the big doc). Same candidate machinery and result-invariant
+    * upper-bound prefilter as dd2, integerized (permille DIV) so the
+    * containment threshold folds engine-exactly; the emitted pairs are
+    * restricted to jac < 0.6 — the pairs ONLY containment finds (dd2
+    * already reports the rest).
+    */
+  private[graft] def containmentPairsWithCaches(
+      s: SparkSession, dir: String): (DataFrame, Long, Seq[DataFrame]) =
+    containmentPairsFromDocs(Tables.spread(Tables.documents(s, dir)))
+
+  /** Frame-injected form of the containment operator — the gate runs it
+    * on the driver corpus (exact, including exactly-empty when no
+    * containment-only pairs exist there); DedupSimilaritySpec runs it on
+    * a constructed corpus with true subset docs to prove it fires.
+    */
+  private[graft] def containmentPairsFromDocs(
+      docs0: DataFrame): (DataFrame, Long, Seq[DataFrame]) = {
+    val (candBounds, docs, cap, caches) =
+      shingleCandidatesFromDocs(docs0, None)
+    val bounded = candBounds
+      .filter(expr("(1000 * ub) DIV least(na, nb)") >= 800L)
+    val pairs = rerankShared(bounded, docs)
+      .withColumn("cont_permille", expr("(1000 * shared) DIV least(na, nb)"))
+      .withColumn("jac", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("cont_permille") >= 800L && col("jac") < 0.6)
+      .select("i", "j", "cont_permille")
+    (pairs, cap, caches)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -418,6 +480,16 @@ object Dedup {
         base)
     }),
 
+    // Containment near-dup ([[containmentPairsWithCaches]]): the
+    // asymmetric counterpart of dd2 — small-doc-inside-big-doc pairs
+    // (C ≥ 0.8) that symmetric Jaccard misses (jac < 0.6). The chosen
+    // doc-freq cap rides under the gate like dd2's.
+    "dd12_containment" -> ((s, dir) => {
+      val (pairs, cap, caches) = containmentPairsWithCaches(s, dir)
+      QueryCache.resultThenRelease(
+        pairs.withColumn("cap_df", lit(cap)), caches: _*)
+    }),
+
     // Incremental ingest dedup ([[IncrementalDedup]]): screen a new batch
     // (doc_id % 10 = 7 — "today's crawl") against the already-deduped
     // corpus (the rest): batch-internal winners (min doc_id per md5) that
@@ -594,6 +666,17 @@ object Dedup {
       s"""WITH $dd2CtesSql
          |SELECT i, j, jac, (SELECT cap FROM capdf) AS cap_df
          |FROM dd2res""".stripMargin,
+
+    // same CTEs as dd2 through `scored` (all candidates, exact shared
+    // counts — the Spark-side ub prefilter is result-invariant), then the
+    // containment threshold in integer permille and the jac<0.6 exclusion
+    "dd12_containment" ->
+      s"""WITH $dd2CtesSql
+         |SELECT i, j, (1000 * shared) // least(na, nb) AS cont_permille,
+         |  (SELECT cap FROM capdf) AS cap_df
+         |FROM scored
+         |WHERE (1000 * shared) // least(na, nb) >= 800
+         |  AND shared::DOUBLE / (na + nb - shared) < 0.6""".stripMargin,
 
     // string-shingle replay of the hashed-shingle overlap join (shingle
     // sets are built distinct on both sides, so count(*) of the

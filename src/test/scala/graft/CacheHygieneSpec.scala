@@ -50,18 +50,27 @@ class CacheHygieneSpec extends SparkSuite {
       s"failure path leaked persistent RDDs: $leaked")
   }
 
+  // resultThenRelease unpersists intermediates with blocking=false, so
+  // the release is visible only eventually — poll (like the failure-path
+  // test) instead of asserting the instant the query returns
+  private def pollUntil(cond: => Boolean, seconds: Int = 5): Boolean = {
+    val deadline = System.nanoTime() + seconds * 1e9.toLong
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+    cond
+  }
+
   for (name <- persistingQueries)
     test(s"$name releases every intermediate cache") {
       // delta vs the session baseline: earlier suites may hold their own
       // persistent RDDs (this shared-JVM session runs suites sequentially)
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val res = SparkEntry.queries(name)(spark, sf)
-      val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+      def added = spark.sparkContext.getPersistentRDDs.keySet -- before
       // at most the materialized result itself may remain cached
-      assert(added.size <= 1,
+      assert(pollUntil(added.size <= 1),
         s"$name left ${added.size} persistent RDDs: $added")
       res.unpersist(blocking = true)
-      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-      assert(leaked.isEmpty, s"$name leaked RDDs after unpersist: $leaked")
+      assert(pollUntil(added.isEmpty),
+        s"$name leaked RDDs after unpersist: $added")
     }
 }

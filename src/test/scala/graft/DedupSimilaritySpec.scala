@@ -119,6 +119,34 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.7, s"quantized recall too low: $recall")
   }
 
+  test("containment finds subset docs that symmetric Jaccard misses") {
+    // the driver corpus is random word salad with no true subset docs, so
+    // dd12's gate certifies exactness INCLUDING the empty set there; this
+    // constructed corpus proves the operator fires on real containment:
+    // `small` is a verbatim 20-word excerpt of the 200-word `big`
+    // (C = 1.0, jac ≈ 0.09 — invisible to dd2's 0.6 threshold), `other`
+    // shares nothing
+    import spark.implicits._
+    import graft.queries.Dedup
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi",
+      "pi", "rho", "sigma", "tau", "ups")
+    val big = Array.fill(200)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val small = big.split(" ").slice(50, 70).mkString(" ")
+    val other = Array.fill(60)("q" + rnd.nextInt(9999)).mkString(" ")
+    val docs = Seq(
+      (1L, "en", big), (2L, "en", small), (3L, "en", other)
+    ).toDF("doc_id", "lang", "text")
+    val (pairs, _, caches) = Dedup.containmentPairsFromDocs(docs)
+    val got = pairs.select("i", "j", "cont_permille").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    caches.foreach(_.unpersist())
+    // the 20-word excerpt: all 18 of its shingles occur in big → C = 1.0
+    assert(got == Set((1L, 2L, 1000L)),
+      s"expected exactly the subset pair at full containment, got $got")
+  }
+
   test("PQ encode: codes are the true per-subspace argmin-L2 codebook ids") {
     import graft.queries.Similarity
     val base = Similarity.pqBase(spark, sf)
