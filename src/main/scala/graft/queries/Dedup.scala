@@ -234,18 +234,21 @@ object Dedup {
     * even though symmetric Jaccard stays low (the union is dominated by
     * the big doc). Same candidate machinery and result-invariant
     * upper-bound prefilter as dd2, integerized (permille DIV) so the
-    * containment threshold folds engine-exactly; the emitted pairs are
-    * restricted to jac < 0.6 — the pairs ONLY containment finds (dd2
-    * already reports the rest).
+    * containment threshold folds engine-exactly. C ≥ jac always, so the
+    * emission SUPERSETS dd2's near-dups (a policy that wants only the
+    * asymmetric-only pairs anti-joins dd2's list); emitting the full
+    * C ≥ 0.8 set keeps the operator non-vacuous on corpora whose only
+    * containment pairs are the symmetric ones.
     */
   private[graft] def containmentPairsWithCaches(
       s: SparkSession, dir: String): (DataFrame, Long, Seq[DataFrame]) =
     containmentPairsFromDocs(Tables.spread(Tables.documents(s, dir)))
 
   /** Frame-injected form of the containment operator — the gate runs it
-    * on the driver corpus (exact, including exactly-empty when no
-    * containment-only pairs exist there); DedupSimilaritySpec runs it on
-    * a constructed corpus with true subset docs to prove it fires.
+    * on the driver corpus (where the C ≥ 0.8 survivors are the exact-copy
+    * pairs, C = 1.0); DedupSimilaritySpec runs it on a constructed corpus
+    * with a true subset doc to prove the asymmetric case — the one
+    * Jaccard misses — fires too.
     */
   private[graft] def containmentPairsFromDocs(
       docs0: DataFrame): (DataFrame, Long, Seq[DataFrame]) = {
@@ -255,9 +258,7 @@ object Dedup {
       .filter(expr("(1000 * ub) DIV least(na, nb)") >= 800L)
     val pairs = rerankShared(bounded, docs)
       .withColumn("cont_permille", expr("(1000 * shared) DIV least(na, nb)"))
-      .withColumn("jac", col("shared").cast("double") /
-        (col("na") + col("nb") - col("shared")).cast("double"))
-      .filter(col("cont_permille") >= 800L && col("jac") < 0.6)
+      .filter(col("cont_permille") >= 800L)
       .select("i", "j", "cont_permille")
     (pairs, cap, caches)
   }
@@ -481,8 +482,9 @@ object Dedup {
     }),
 
     // Containment near-dup ([[containmentPairsWithCaches]]): the
-    // asymmetric counterpart of dd2 — small-doc-inside-big-doc pairs
-    // (C ≥ 0.8) that symmetric Jaccard misses (jac < 0.6). The chosen
+    // asymmetric counterpart of dd2 — C ≥ 0.8 catches
+    // small-doc-inside-big-doc pairs symmetric Jaccard misses, and
+    // (since C ≥ jac) also re-scores dd2's near-dups. The chosen
     // doc-freq cap rides under the gate like dd2's.
     "dd12_containment" -> ((s, dir) => {
       val (pairs, cap, caches) = containmentPairsWithCaches(s, dir)
@@ -669,14 +671,13 @@ object Dedup {
 
     // same CTEs as dd2 through `scored` (all candidates, exact shared
     // counts — the Spark-side ub prefilter is result-invariant), then the
-    // containment threshold in integer permille and the jac<0.6 exclusion
+    // containment threshold in integer permille
     "dd12_containment" ->
       s"""WITH $dd2CtesSql
          |SELECT i, j, (1000 * shared) // least(na, nb) AS cont_permille,
          |  (SELECT cap FROM capdf) AS cap_df
          |FROM scored
-         |WHERE (1000 * shared) // least(na, nb) >= 800
-         |  AND shared::DOUBLE / (na + nb - shared) < 0.6""".stripMargin,
+         |WHERE (1000 * shared) // least(na, nb) >= 800""".stripMargin,
 
     // string-shingle replay of the hashed-shingle overlap join (shingle
     // sets are built distinct on both sides, so count(*) of the

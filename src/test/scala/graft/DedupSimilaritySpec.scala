@@ -120,12 +120,11 @@ class DedupSimilaritySpec extends SparkSuite {
   }
 
   test("containment finds subset docs that symmetric Jaccard misses") {
-    // the driver corpus is random word salad with no true subset docs, so
-    // dd12's gate certifies exactness INCLUDING the empty set there; this
-    // constructed corpus proves the operator fires on real containment:
-    // `small` is a verbatim 20-word excerpt of the 200-word `big`
-    // (C = 1.0, jac ≈ 0.09 — invisible to dd2's 0.6 threshold), `other`
-    // shares nothing
+    // the driver corpus is random word salad with no true subset docs
+    // (its only C ≥ 0.8 pairs are the symmetric exact copies); this
+    // constructed corpus proves the ASYMMETRIC case fires: `small` is a
+    // verbatim 20-word excerpt of the 200-word `big` (C = 1.0, jac ≈ 0.09
+    // — invisible to dd2's 0.6 threshold), `other` shares nothing
     import spark.implicits._
     import graft.queries.Dedup
     val rnd = new scala.util.Random(7)
