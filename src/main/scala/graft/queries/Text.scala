@@ -535,6 +535,35 @@ object Text {
       }
     }),
 
+    // ORC ingest round-trip (the third raw format Spark ships a native
+    // vectorized reader for, common in Hive-lineage lakes): write the
+    // corpus as lang-partitioned ORC — the partition column leaves the
+    // data files and comes back from directory names, so the round trip
+    // also certifies the Hive-layout encode/decode (escaping, type
+    // restore) — read it back through one partition-discovering scan,
+    // and checksum per lang. Explicit schema on read: at 100 TB even
+    // the footer-only inference pass is worth skipping when a catalog
+    // already knows the schema. The oracle reads the parquet originals;
+    // any ORC write/read infidelity breaks the hash.
+    "t18_orc_roundtrip" -> ((s, dir) => {
+      val tmp = graft.util.Fs.mkStagingDir(s, "graft_orc_")
+      try {
+        Tables.documents(s, dir).select("doc_id", "text", "lang")
+          .write.mode("overwrite").partitionBy("lang").orc(s"$tmp/docs")
+        val back = s.read
+          .schema("doc_id LONG, text STRING, lang STRING")
+          .orc(s"$tmp/docs")
+        val agg = back.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(octet_length(col("text"))).as("sum_bytes"),
+            min(md5(col("text"))).as("h_lo"),
+            max(md5(col("text"))).as("h_hi"))
+        QueryCache.materializeLocal(agg)
+      } finally {
+        graft.util.Fs.rmTree(s, tmp)
+      }
+    }),
+
     // Schema-evolution read (the lakehouse drift case: a 100 TB table
     // written over months accretes columns): two parquet generations —
     // v1 without n_chars, v2 with it — read through ONE scan with
@@ -1021,6 +1050,14 @@ object Text {
     // same cancellation as t14: the CSV round trip must reproduce the
     // parquet truth byte-for-byte
     "t16_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(octet_length(encode(text)))::BIGINT AS sum_bytes,
+        |  min(md5(text)) AS h_lo, max(md5(text)) AS h_hi
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
+
+    // same cancellation again for the ORC + Hive-partition-layout trip
+    "t18_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(octet_length(encode(text)))::BIGINT AS sum_bytes,
         |  min(md5(text)) AS h_lo, max(md5(text)) AS h_hi
