@@ -67,10 +67,13 @@ object Bench {
       val okTimes = times.collect { case (true, t) => t }
       name -> (if (okTimes.nonEmpty) Some(okTimes.min) else None)
     }
+    // ms precision: full-double decimals at ~100 queries push the JSON
+    // line past what log-tail capture keeps, truncating the per-query map
+    def fmt(t: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, t)
     val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+        "\"" + k + "\":" + v.map(fmt).getOrElse("null")
       }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val total = fmt(results.flatMap(_._2).sum)
     val failedQueries = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // "failures" makes a broken run visibly broken instead of reporting an
