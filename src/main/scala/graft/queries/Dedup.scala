@@ -116,13 +116,6 @@ object Dedup {
     * `ub ≥ shared` each consumer prefilters on with its own score
     * formula. Returns (candBounds(i, j, na, nb, ub), docs, cap, caches).
     */
-  private def shingleCandidatesWithCaches(
-      s: SparkSession, dir: String,
-      capOverride: Option[Long])
-      : (DataFrame, DataFrame, Long, Seq[DataFrame]) =
-    shingleCandidatesFromDocs(
-      Tables.spread(Tables.documents(s, dir)), capOverride)
-
   private[graft] def shingleCandidatesFromDocs(
       docs0: DataFrame,
       capOverride: Option[Long] = None)
@@ -212,9 +205,19 @@ object Dedup {
 
   private[graft] def shingleJaccardPairsWithCaches(
       s: SparkSession, dir: String,
+      capOverride: Option[Long] = None): (DataFrame, Long, Seq[DataFrame]) =
+    shingleJaccardPairsFromDocs(
+      Tables.spread(Tables.documents(s, dir)), capOverride)
+
+  /** Frame-injected form of the Jaccard pair operator (the containment
+    * twin below has the same split) — ScaleShapeSpec drives it with
+    * constructed corpora of controlled size and dup structure.
+    */
+  private[graft] def shingleJaccardPairsFromDocs(
+      docs0: DataFrame,
       capOverride: Option[Long] = None): (DataFrame, Long, Seq[DataFrame]) = {
     val (candBounds, docs, cap, caches) =
-      shingleCandidatesWithCaches(s, dir, capOverride)
+      shingleCandidatesFromDocs(docs0, capOverride)
     // ub is an upper bound on shared and jac is increasing in shared, so
     // this prefilter is result-invariant (the oracle scores all
     // candidates exactly and agrees)

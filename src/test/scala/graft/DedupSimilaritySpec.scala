@@ -105,6 +105,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"IVF recall too low: $recall")
   }
 
+  test("trained-IVF ANN matches or beats the modular-sampled quantizer's recall floor") {
+    val exact = SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("s9_ivf_trained")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    // trained cells are tighter than modular-sampled ones (Lloyd pulls
+    // centroids toward density), so s9 gets s4's floor as a MINIMUM;
+    // on near-random vectors the typical value is well above it
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"trained-IVF recall too low: $recall")
+  }
+
+  test("trained centroids are memoized: two builds see identical state") {
+    import graft.queries.Similarity
+    val c1 = Similarity.ivfTrainedCents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val c2 = Similarity.ivfTrainedCents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    // bit-identical, not approximately equal: the s9 query body and the
+    // side dump run as separate executions inside one Verify JVM, and
+    // the oracle replay is exact — a retrain that drifted by one ULP
+    // would be a hash-gate flake
+    assert(c1.length == 8 && c1.sameElements(c2))
+  }
+
   test("int8-quantized kNN recovers nearly all of the exact query-0 top-10") {
     val exact = SparkEntry.queries("s1_knn_brute")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
