@@ -21,6 +21,35 @@ import graft.Tables
   */
 object Relational {
 
+  /** q39's one dialect-portable SQL text — executed verbatim by BOTH
+    * engines (spark.sql here, DuckDB in the oracle map), which is the
+    * entire point of the query: no translation layer, one string.
+    * Constructs kept to the ANSI intersection: CTEs, qualified joins,
+    * floor/CAST, row_number() OVER. Top-2 customers by revenue per
+    * region.
+    */
+  private[queries] val Q39Sql: String =
+    """WITH rev AS (
+      |  SELECT o.o_custkey AS custkey,
+      |    CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+      |         AS BIGINT) AS cents
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |cust_rev AS (
+      |  SELECT r.r_name, c.c_custkey, sum(cents) AS rev_cents
+      |  FROM rev
+      |  JOIN customer c ON rev.custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY r.r_name, c.c_custkey),
+      |ranked AS (
+      |  SELECT r_name, c_custkey, rev_cents,
+      |    row_number() OVER (PARTITION BY r_name
+      |                       ORDER BY rev_cents DESC, c_custkey) AS rn
+      |  FROM cust_rev)
+      |SELECT r_name, c_custkey, rev_cents, rn
+      |FROM ranked
+      |WHERE rn <= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-style grouped aggregation (TPC-H Q1 shape): partial+final hash agg,
@@ -677,6 +706,23 @@ object Relational {
         .select("user_id", "session_start_us", "n_events")
     }),
 
+    // Pure-SQL entry path for the relational inventory: every driver
+    // table registered as a temp view ([[Tables.registerAll]]), then ONE
+    // dialect-portable SQL string — CTEs, a fact-fact join, two dim
+    // joins, a grouped aggregate, a ranking window — executed by
+    // spark.sql. The oracle is THE SAME STRING run by DuckDB: the gate
+    // certifies that a user migrating SQL (the reference's users write
+    // pandas/SQL, not Scala) gets identical results without rewriting.
+    // Revenue integerized to cents at the row level (floor before sum)
+    // so the aggregate is BIGINT-exact on both engines. Scale note: the
+    // window partitions by r_name over the POST-aggregate frame
+    // (|customers| rows, 4-5 orders below the facts) — top-k over an
+    // unreduced frame should use [[graft.operators.TopKPerKey]] instead.
+    "q39_sql_e2e" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Q39Sql)
+    }),
+
     // Sessionization: gap > 30 min starts a new session; session id =
     // running count of gap flags per user. Two stacked windows over one
     // shuffle on user_id — the batch form of the streaming sessionizer.
@@ -1142,6 +1188,9 @@ object Relational {
         |     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT
         |    AS n_in_hour
         |FROM e""".stripMargin,
+
+    // the same string spark.sql ran — zero translation is the claim
+    "q39_sql_e2e" -> Q39Sql,
 
     // lag-island replay of session_window at full µs precision; >= pins
     // the half-open boundary (an exact-gap event starts a NEW session)

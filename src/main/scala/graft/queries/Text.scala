@@ -535,6 +535,43 @@ object Text {
       }
     }),
 
+    // Corrupt-record-tolerant ingest — the PERMISSIVE path every crawl
+    // dump needs (at 100 TB there is ALWAYS a truncated line, and
+    // FAILFAST would burn the whole job on it): stage the corpus as
+    // JSONL plus a deterministic garbage file (three malformed lines —
+    // truncated object, non-JSON, half key), read back PERMISSIVE with
+    // a corrupt-record column, and account good vs quarantined per lang.
+    // Corrupt rows surface with null data columns and the raw line in
+    // _bad — the quarantine a real pipeline writes aside and re-crawls.
+    // The oracle replays the clean side from parquet and constructs the
+    // quarantine row from the same three literals, so the gate pins
+    // BOTH that good rows survive parsing untouched and that exactly
+    // the bad lines (whole, verbatim) land in quarantine.
+    "t19_corrupt_tolerant" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.util.Fs.mkStagingDir(s, "graft_badrec_")
+      try {
+        Tables.documents(s, dir).select("doc_id", "lang", "text")
+          .write.mode("overwrite").json(s"$tmp/docs")
+        Seq("{\"doc_id\": 1, \"lang\"", "not json at all", "{\"doc_id\":")
+          .toDF("value").coalesce(1)
+          .write.mode("append").text(s"$tmp/docs")
+        val back = s.read
+          .schema("doc_id LONG, lang STRING, text STRING, _bad STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(s"$tmp/docs")
+        val agg = back
+          .groupBy(coalesce(col("lang"), lit("?quarantine")).as("lang"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("_bad")).as("n_corrupt"),
+            min(md5(coalesce(col("text"), col("_bad")))).as("h_lo"))
+        QueryCache.materializeLocal(agg)
+      } finally {
+        graft.util.Fs.rmTree(s, tmp)
+      }
+    }),
+
     // ORC ingest round-trip (the third raw format Spark ships a native
     // vectorized reader for, common in Hive-lineage lakes): write the
     // corpus as lang-partitioned ORC — the partition column leaves the
@@ -1055,6 +1092,21 @@ object Text {
         |  min(md5(text)) AS h_lo, max(md5(text)) AS h_hi
         |FROM documents
         |GROUP BY lang""".stripMargin,
+
+    // good langs replay from parquet (n_corrupt identically 0); the
+    // quarantine row is constructed from the same three bad-line
+    // literals the query staged
+    "t19_corrupt_tolerant" ->
+      """WITH good AS (
+        |  SELECT lang, count(*) AS n_rows, 0::BIGINT AS n_corrupt,
+        |    min(md5(text)) AS h_lo
+        |  FROM documents GROUP BY lang),
+        |bad AS (
+        |  SELECT '?quarantine' AS lang, 3::BIGINT AS n_rows,
+        |    3::BIGINT AS n_corrupt, min(md5(s)) AS h_lo
+        |  FROM unnest(['{"doc_id": 1, "lang"', 'not json at all',
+        |               '{"doc_id":']) AS t(s))
+        |SELECT * FROM good UNION ALL SELECT * FROM bad""".stripMargin,
 
     // same cancellation again for the ORC + Hive-partition-layout trip
     "t18_orc_roundtrip" ->
