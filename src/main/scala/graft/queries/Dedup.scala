@@ -570,15 +570,74 @@ object Dedup {
           .agg(count(lit(1)).as("n_docs"), sum("n_dup").as("sum_dup"),
             sum("n_shingles").as("sum_shingles")),
         sh)
+    }),
+
+    // Mergeable distinct-cardinality sketches (Apache DataSketches HLL via
+    // Spark's hll_sketch_agg/hll_union_agg) — the corpus-stats operator a
+    // 100 TB pipeline runs per ingest shard: per-(source, lang) sketches
+    // are built in one pass (partial-aggregated map-side — each executor
+    // ships one ~16 KB sketch per group, never shingle rows), then rolled
+    // up
+    // to per-source cardinality by unioning SKETCHES, not rescanning text.
+    // HllSketchSpec pins the properties the pattern rests on: the
+    // two-level rollup equals the direct one-level sketch, sketches
+    // round-trip through a parquet binary column (persist per-shard stats,
+    // union later — incremental corpus accounting with no rescan), and
+    // union is set-semantics (overlapping shards don't double-count).
+    //
+    // Oracle: the estimate is DataSketches-internal (DuckDB's HLL differs),
+    // so the side_hll_est dump carries the engine's per-source estimates
+    // and DuckDB contributes the EXACT distinct counts independently; the
+    // integer-arithmetic tolerance flag (2.5%, ~3σ at lgK=14) is computed
+    // identically on both sides, so the gate certifies exact-count parity
+    // and the accuracy claim travels with the result.
+    "dd13_hll_distinct" -> ((s, dir) => {
+      val sh = sourceShingles(s, dir).persist()
+      QueryCache.resultThenRelease(
+        sh.groupBy("source")
+          .agg(countDistinct(col("shingle")).as("n_exact"))
+          .join(hllEstFromShingles(sh), "source")
+          .select(col("source"), col("n_exact"), col("n_est"),
+            (abs(col("n_est") - col("n_exact")) * lit(1000L) <=
+              col("n_exact") * lit(25L)).as("within_25pm"))
+          .orderBy("source"),
+        sh)
     })
   )
+
+  /** One row per (source, lang, 3-gram shingle) — the input both dd13 and
+    * its side dump sketch, kept in one place so the dumped estimates are
+    * byte-identical to the query's (HLL state is order-invariant, so
+    * shuffle nondeterminism cannot split them). Shingles, not raw tokens:
+    * the driver corpus's token vocabulary is ~31 words, where a sketch is
+    * trivially exact; the shingle space (~1.4k/source at sf0.01, growing
+    * with the corpus) actually exercises the estimator. Same construction
+    * as dd2's ([[graft.functions.Sketches.shinglesKernel]] — distinct
+    * 3-gram word shingles, whole-doc fallback under 3 tokens), which the
+    * dd2 oracle already replays string-for-string.
+    */
+  private[graft] def sourceShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), col("lang"),
+        explode(shingles(tokens(col("text")))).as("shingle"))
+
+  /** Per-source HLL cardinality estimates via the two-level shard rollup:
+    * sketch per (source, lang), union to source, estimate. lgConfigK = 14
+    * → ~0.8 % standard error at 16 KB per sketch.
+    */
+  private[graft] def hllEstFromShingles(sh: DataFrame): DataFrame =
+    sh.groupBy("source", "lang")
+      .agg(hll_sketch_agg(col("shingle"), 14).as("sk"))
+      .groupBy("source")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
 
   /** Side-tables Verify dumps for the oracle replays (see class doc). */
   val sideDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "side_doc_sigs" -> ((s, dir) => docSigs(s, dir)),
     "side_dd4_sketches" -> ((s, dir) =>
       Tables.spread(Tables.documents(s, dir))
-        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh")))
+        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))),
+    "side_hll_est" -> ((s, dir) => hllEstFromShingles(sourceShingles(s, dir)))
   )
 
   /** Signature-agreement score in DuckDB: fraction of equal slots of two
@@ -827,6 +886,30 @@ object Dedup {
         |  sum(n_dup)::BIGINT AS sum_dup,
         |  sum(n_shingles)::BIGINT AS sum_shingles
         |FROM p GROUP BY 1""".stripMargin,
+
+    // dd13: DuckDB contributes the EXACT per-source distinct counts; the
+    // engine's HLL estimates come from the side_hll_est dump (DataSketches
+    // internals are not recomputable here). The identical integer
+    // tolerance arithmetic on both sides makes the gate certify that the
+    // accuracy flag travels with exact-count parity.
+    "dd13_hll_distinct" ->
+      """WITH est AS (SELECT source, n_est
+        |             FROM read_parquet('{VERIFY_DIR}/side_hll_est.parquet')),
+        |docs AS (
+        |  SELECT source,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM (SELECT source, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |ex AS (SELECT source, count(DISTINCT shingle) AS n_exact
+        |       FROM (SELECT source, unnest(sh) AS shingle FROM docs)
+        |       GROUP BY source)
+        |SELECT source, n_exact, n_est,
+        |  abs(n_est - n_exact) * 1000 <= n_exact * 25 AS within_25pm
+        |FROM ex JOIN est USING (source)
+        |ORDER BY source""".stripMargin,
 
     // replay of dd7 from the dumped SRP signatures (shared with s3): same
     // banding/cap/multiprobe CTEs, exact cosine re-rank at threshold 0.4.

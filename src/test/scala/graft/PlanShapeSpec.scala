@@ -231,4 +231,44 @@ class PlanShapeSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(capped == Set((1L, "x"), (2L, "x"), (3L, "y")))
   }
+
+  test("runtime bloom filter injects on the selective-dim fact join") {
+    // The third leg of join-derived pruning, beside broadcast (q4) and
+    // AQE skew handling (PLANS.md q25 section): when the dim side is too
+    // big to broadcast but carries a selective predicate, Spark's
+    // InjectRuntimeFilter builds a bloom filter over the dim's surviving
+    // join keys and applies it to the FACT SCAN — fact rows that cannot
+    // match die before the shuffle, which is where a 100 TB join spends
+    // its time. The injection thresholds are sized for production
+    // (application side > 10 GB) so the fixture needs them scaled; at
+    // target scale the defaults fire on exactly this shape unaided.
+    val dir = "/root/testdata/sf0.01"
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    def shape() = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val opt = shape().queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter, got:\n${opt.take(2000)}")
+      val filtered = shape().collect().toSeq
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = shape()
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("might_contain"))
+      // bloom pre-filtering is advisory (false positives only) — the join
+      // result must be bit-identical with and without it
+      assert(filtered == plain.collect().toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
