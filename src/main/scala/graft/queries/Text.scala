@@ -572,6 +572,37 @@ object Text {
       }
     }),
 
+    // VARIANT semi-structured extraction (Spark 4's answer to ragged
+    // JSON at scale): encode each doc's metadata as a JSON string, parse
+    // it ONCE into the shredded binary VARIANT encoding, then typed path
+    // extraction — variant_get('$.meta.len', 'bigint') — so downstream
+    // access pays binary path hops, not repeated JSON string parsing. At
+    // 100 TB the variant column persists in parquet and schema-on-read
+    // survives ragged/heterogeneous payloads without a unioned struct
+    // schema; the missing-path probe pins the null-not-error semantics
+    // the ragged case relies on. The oracle computes the same aggregates
+    // straight from the typed originals — the JSON encode → variant
+    // parse → typed extract round trip must cancel exactly.
+    "t20_variant_extract" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          parse_json(to_json(struct(col("lang"),
+            struct(col("n_chars").as("len"),
+              (col("doc_id") % 2 === 0).as("even")).as("meta")))).as("v"))
+        .select(
+          variant_get(col("v"), "$.lang", "string").as("lang"),
+          variant_get(col("v"), "$.meta.len", "bigint").as("len"),
+          variant_get(col("v"), "$.meta.even", "boolean").as("even"),
+          try_variant_get(col("v"), "$.missing", "string").as("missing"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("sum_len"),
+          sum(when(col("even"), 1L).otherwise(0L)).as("n_even"),
+          sum(when(col("missing").isNull, 1L).otherwise(0L))
+            .as("n_missing_null"))
+        .orderBy("lang")
+    }),
+
     // ORC ingest round-trip (the third raw format Spark ships a native
     // vectorized reader for, common in Hive-lineage lakes): write the
     // corpus as lang-partitioned ORC — the partition column leaves the
@@ -1107,6 +1138,18 @@ object Text {
         |  FROM unnest(['{"doc_id": 1, "lang"', 'not json at all',
         |               '{"doc_id":']) AS t(s))
         |SELECT * FROM good UNION ALL SELECT * FROM bad""".stripMargin,
+
+    // the JSON → variant → typed-extract trip cancels against the typed
+    // originals; n_missing_null == n_docs asserts the missing path
+    // surfaced null for EVERY row (::BIGINT — the q19 lesson)
+    "t20_variant_extract" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_len,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_even,
+        |  count(*) AS n_missing_null
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     // same cancellation again for the ORC + Hive-partition-layout trip
     "t18_orc_roundtrip" ->
