@@ -215,6 +215,68 @@ class StreamingSpec extends SparkSuite {
       s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
   }
 
+  test("stream-stream LEFT OUTER join == batch: null-extends after expiry") {
+    // the outer variant of the attribution join: purchases with NO error
+    // within 6 h must still emit, null-extended. In a stream that row can
+    // only appear once the watermark proves no future match can arrive —
+    // state for the purchase expires, the null row flushes. This is the
+    // semantics a funnel/abandonment pipeline depends on, and it is
+    // exactly what the inner-join test CANNOT witness; the batch truth is
+    // the plain left join.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir).filter(col("user_id") < 40)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // flush sentinels must traverse the join's watermark operators, so the
+    // side filter lets event_type "flush" through (user 9999 matches no one)
+    def side(df: org.apache.spark.sql.DataFrame, kind: String, p: String) =
+      df.filter(col("event_type") === kind || col("event_type") === "flush")
+        .select(col("event_id").as(s"${p}_id"), col("ts").as(s"${p}_ts"),
+          col("user_id").as(s"${p}_user"))
+    val joinCond = expr("a_user = b_user AND " +
+      "b_ts >= a_ts AND b_ts <= a_ts + interval 6 hours")
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(_.getLong(2) < 40) // drop the sentinel's own unmatched row
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val batch = canon(side(evs, "purchase", "a")
+      .join(side(evs, "error", "b"), joinCond, "left_outer")
+      .select("a_id", "b_id", "a_user").collect())
+    assert(batch.exists(_._2 == -1L),
+      "fixture has no unmatched purchases; the outer case is vacuous")
+
+    val memA = MemoryStream[EventStream.Event]
+    val memB = MemoryStream[EventStream.Event]
+    def streamSide(m: MemoryStream[EventStream.Event], kind: String, p: String) =
+      side(m.toDS().toDF(), kind, p).withWatermark(s"${p}_ts", "0 seconds")
+    val q = streamSide(memA, "purchase", "a")
+      .join(streamSide(memB, "error", "b"), joinCond, "left_outer")
+      .select("a_id", "b_id", "a_user")
+      .writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").start()
+    val rows = evs.as[EventStream.Event].collect().sortBy(e =>
+      (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      memA.addData(chunk.toSeq); memB.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // two sentinel rounds: the first advances the watermark past every
+    // purchase's 6 h horizon, the second triggers the microbatch that
+    // evicts the now-expired state and emits the null-extended rows
+    (1 to 2).foreach { i =>
+      val far = Timestamp.from(
+        rows.last.ts.toInstant.plusSeconds(86400L * i))
+      memA.addData(EventStream.Event(3000000L + 2 * i, far, 9999L, "flush", 0.0))
+      memB.addData(EventStream.Event(3000001L + 2 * i, far, 9999L, "flush", 0.0))
+      q.processAllAvailable()
+    }
+    val stream = canon(spark.table("ss_outer").collect())
+    q.stop()
+    assert(stream == batch, "outer stream-stream rows diverged from batch: " +
+      s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+  }
+
   test("stream-static join enriches the event stream with a dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
