@@ -723,6 +723,28 @@ object Relational {
       s.sql(Q39Sql)
     }),
 
+    // ANSI-safe arithmetic (Spark 4 runs ANSI mode by default, so a
+    // div-by-zero / overflow / bad cast THROWS — correct for catching
+    // silent corruption, fatal for a 10-hour job one dirty row deep).
+    // try_divide/try_multiply/try_cast are the per-expression opt-outs:
+    // the poisoned value degrades to NULL, the row survives, the job
+    // finishes, and the NULLs are countable afterward. The probe columns
+    // cover the three failure classes: divisor 0 (doc_id % 5), unparsable
+    // string cast (lang), guaranteed BIGINT overflow ((n_chars + 2) ×
+    // Long.MaxValue). DuckDB's NULL-on-zero division and TRY_CAST state
+    // the same semantics natively; overflow has no TRY form there, so the
+    // oracle emits the NULL the contract requires — if Spark wrapped or
+    // errored instead, the gate breaks either way.
+    "q40_try_arith" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          expr("try_divide(n_chars, doc_id % 5)").as("rate"),
+          expr("try_cast(lang AS BIGINT)").as("lang_num"),
+          expr("try_cast(cast(n_chars AS STRING) AS BIGINT)").as("len_rt"),
+          expr("try_multiply(n_chars + 2, 9223372036854775807L)").as("of_mul"))
+    }),
+
     // Sessionization: gap > 30 min starts a new session; session id =
     // running count of gap flags per user. Two stacked windows over one
     // shuffle on user_id — the batch form of the streaming sessionizer.
@@ -1191,6 +1213,19 @@ object Relational {
 
     // the same string spark.sql ran — zero translation is the claim
     "q39_sql_e2e" -> Q39Sql,
+
+    // DuckDB's / is NULL-on-zero natively and TRY_CAST matches try_cast;
+    // BIGINT overflow has no TRY form here, so the oracle emits the NULL
+    // the contract requires — a wrapped value or an error on the Spark
+    // side breaks the gate either way
+    "q40_try_arith" ->
+      """SELECT doc_id,
+        |  n_chars / (doc_id % 5) AS rate,
+        |  TRY_CAST(lang AS BIGINT) AS lang_num,
+        |  TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS len_rt,
+        |  NULL::BIGINT AS of_mul
+        |FROM documents
+        |WHERE doc_id < 200""".stripMargin,
 
     // lag-island replay of session_window at full µs precision; >= pins
     // the half-open boundary (an exact-gap event starts a NEW session)
