@@ -50,6 +50,23 @@ object Relational {
       |FROM ranked
       |WHERE rn <= 2""".stripMargin
 
+  /** q41's shared string — correlated LATERAL derived table with ORDER
+    * BY + LIMIT (top-2 orders per customer), the SQL spelling of grouped
+    * top-k. Spark decorrelates it into row_number + WindowGroupLimit
+    * (map-side group-limit pruning before the shuffle) + one equi-join —
+    * the plan a Scala author would hand-write with
+    * [[graft.operators.TopKPerKey]] — and pushes the outer c_custkey
+    * predicate into the ORDERS scan. Ties broken by o_orderkey so the
+    * LIMIT cut is deterministic on both engines.
+    */
+  private[queries] val Q41Sql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c_custkey < 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-style grouped aggregation (TPC-H Q1 shape): partial+final hash agg,
@@ -723,6 +740,15 @@ object Relational {
       s.sql(Q39Sql)
     }),
 
+    // Correlated LATERAL subquery through spark.sql — the second
+    // zero-translation SQL-surface gate beside q39 (see [[Q41Sql]] for
+    // the decorrelation-plan story). A SQL-migrating user's grouped
+    // top-k arrives spelled exactly like this.
+    "q41_lateral_topk" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Q41Sql)
+    }),
+
     // ANSI-safe arithmetic (Spark 4 runs ANSI mode by default, so a
     // div-by-zero / overflow / bad cast THROWS — correct for catching
     // silent corruption, fatal for a 10-hour job one dirty row deep).
@@ -1213,6 +1239,9 @@ object Relational {
 
     // the same string spark.sql ran — zero translation is the claim
     "q39_sql_e2e" -> Q39Sql,
+
+    // likewise: the identical LATERAL string, no translation
+    "q41_lateral_topk" -> Q41Sql,
 
     // DuckDB's / is NULL-on-zero natively and TRY_CAST matches try_cast;
     // BIGINT overflow has no TRY form here, so the oracle emits the NULL
