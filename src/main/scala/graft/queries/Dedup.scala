@@ -72,6 +72,35 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
 
+  /** dd3's banding pipeline from a PERSISTED (doc_id, sig) frame: band
+    * keys → adaptive bucket cap → bucket self-join → signature-agreement
+    * re-rank at 0.5. Factored so ScaleShapeSpec can drive the identical
+    * pipeline over synthetic corpora and measure its shuffle growth.
+    * Returns the scored pair frame plus the intermediate caches the
+    * caller must release after materializing.
+    */
+  private[graft] def lshPairsFromSigs(sigs: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    val banded = sigs.select(col("doc_id"),
+      explode(lshBands(col("sig"), bands = 16, rows = 2)).as("band"))
+    val (capped, cap, sizes) =
+      BucketCap.capBucketsAdaptive(banded, Seq("band"), LshBucketFloor)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    val pairs = a.join(b, col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val res = pairs
+      .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), "i")
+      .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), "j")
+      .select(col("i"), col("j"),
+        minhashSimilarity(col("sig_i"), col("sig_j")).as("est_jac"))
+      .filter(col("est_jac") >= 0.5)
+      .withColumn("cap_bucket", lit(cap))
+    (res, Seq(sizes))
+  }
+
   /** The dd10 operator body, factored so the same code runs on a doc
     * STREAM: `train` may be a streaming DataFrame (the join against the
     * static broadcast eval set is stream-legal), `evalDocs` —
@@ -358,25 +387,8 @@ object Dedup {
       // 2 s at sf0.1). The banding join then moves only (doc_id, band)
       // pairs; signatures are re-attached once per surviving pair.
       val sigs = docSigs(s, dir).select("doc_id", "sig").persist()
-      val banded = sigs.select(col("doc_id"),
-        explode(lshBands(col("sig"), bands = 16, rows = 2)).as("band"))
-      val (capped, cap, sizes) =
-        BucketCap.capBucketsAdaptive(banded, Seq("band"), LshBucketFloor)
-      val a = capped.alias("a")
-      val b = capped.alias("b")
-      val pairs = a.join(b, col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
-      QueryCache.resultThenRelease(
-        pairs
-          .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), "i")
-          .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), "j")
-          .select(col("i"), col("j"),
-            minhashSimilarity(col("sig_i"), col("sig_j")).as("est_jac"))
-          .filter(col("est_jac") >= 0.5)
-          .withColumn("cap_bucket", lit(cap)),
-        sigs, sizes)
+      val (res, caches) = lshPairsFromSigs(sigs)
+      QueryCache.resultThenRelease(res, (sigs +: caches): _*)
     }),
 
     // SimHash sketching, banded (sub-quadratic): 64-bit majority-vote

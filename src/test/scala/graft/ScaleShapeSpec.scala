@@ -100,4 +100,39 @@ class ScaleShapeSpec extends SparkSuite {
     assert(r1 > 0 && r2 > r1,
       s"implausible shuffle measurements: $r1 -> $r2")
   }
+
+  test("dd3 LSH pipeline shuffle records grow ~linearly in corpus size") {
+    // the second dedup family gets the same empirical guard: banding
+    // explodes to exactly 16 (doc, band) rows per doc, the bucket cap
+    // bounds any one bucket's self-join, so total shuffle records must
+    // track corpus size. An uncapped bucket flood (or banding on a
+    // constant key) is quadratic and trips the ratio gate.
+    import graft.functions.HashFunctions.{minhash, shingles}
+    import graft.functions.TextFunctions.tokens
+    def run(n: Int): (Long, Long) = {
+      val docs = corpus(n)
+      var pairCount = 0L
+      val records = shuffleRecords {
+        val sigs = docs.select(col("doc_id"),
+          minhash(shingles(tokens(col("text"))), k = 32).as("sig")).persist()
+        val (res, caches) = Dedup.lshPairsFromSigs(sigs)
+        pairCount = res.count()
+        (sigs +: caches).foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+      }
+      (records, pairCount)
+    }
+    val (r1, p1) = run(400)
+    val (r2, p2) = run(800)
+    // identical dup docs → identical signatures → est_jac 1.0; the
+    // word-salad uniques can only produce a candidate via a band
+    // collision, and the 0.5 agreement re-rank kills those
+    assert(p1 == 4L && p2 == 4L,
+      s"expected exactly the 4 constructed dup pairs, got $p1 / $p2")
+    val ratio = r2.toDouble / r1.toDouble
+    assert(ratio < 3.0,
+      s"superlinear shuffle growth: $r1 -> $r2 records (ratio $ratio)")
+    assert(r1 > 0 && r2 > r1,
+      s"implausible shuffle measurements: $r1 -> $r2")
+  }
 }
