@@ -1,8 +1,12 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.functions.TextFunctions.tokens
+
+/** Top-level so the MemoryStream encoder derives cleanly. */
+case class HllDocRow(doc_id: Long, lang: String, source: String, text: String)
 
 /** The properties dd13's shard-sketch rollup rests on (see Dedup.scala).
   *
@@ -72,6 +76,51 @@ class HllSketchSpec extends SparkSuite {
     assert(unioned === straight,
       "half's shingles are a subset of all's, so the union sketch must " +
         "equal the all-shingles sketch — duplicates never raise registers")
+  }
+
+  test("ingest-stream shard sketches roll up to the batch estimates") {
+    // the pattern dd13 documents, run LITERALLY as an ingest stream:
+    // docs arrive in micro-batches, foreachBatch appends one sketch
+    // parquet shard per batch (the per-shard stats a 100 TB ingest
+    // writes beside its data), and the corpus-wide distinct counts are
+    // a union over the accumulated shard files — never a rescan. Must
+    // equal the batch-mode estimates exactly: HLL registers are
+    // per-bucket maxima, so arrival order and batch boundaries are
+    // invisible.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "text")
+      .as[HllDocRow].collect().sortBy(_.doc_id)
+    val tmp = java.nio.file.Files.createTempDirectory("hll_stream_").toFile
+    try {
+      val shardDir = tmp.getAbsolutePath + "/shards"
+      val mem = MemoryStream[HllDocRow]
+      val q = mem.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[HllDocRow], _: Long) =>
+          batch.toDF()
+            .select(col("source"), col("lang"),
+              explode(graft.functions.HashFunctions.shingles(
+                tokens(col("text")))).as("shingle"))
+            .groupBy("source", "lang")
+            .agg(hll_sketch_agg(col("shingle"), 14).as("sk"))
+            .write.mode("append").parquet(shardDir)
+          ()
+        }
+        .start()
+      docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = collectMap(
+        spark.read.parquet(shardDir)
+          .groupBy("source")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est")))
+      assert(streamed === collectMap(direct),
+        "stream-accumulated shard sketches diverged from the batch " +
+          "sketch — batch boundaries must be invisible to HLL state")
+    } finally graft.util.Fs.rmTree(tmp)
   }
 
   test("estimates sit inside the 2.5% envelope vs exact, per source") {
