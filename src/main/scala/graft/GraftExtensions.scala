@@ -8,13 +8,16 @@ import org.apache.spark.sql.graftexpr.{CosineSim, DotProduct, SigAgree}
 
 /** Session extension: registers the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) …")` reaches the
-  * codegen'd kernel directly. Enable with
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")`, or call
-  * [[GraftExtensions.register]] on a live session.
+  * codegen'd kernel directly, plus the [[graft.plans.RangeJoinRewrite]]
+  * optimizer rule (conf-gated; a no-op until its width conf is set).
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`,
+  * or call [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -40,9 +43,20 @@ object GraftExtensions {
         SigAgree(children.head, children(1))
       }))
 
-  /** Register on an already-built session (tests, spark-shell). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session (tests, spark-shell): the SQL
+    * functions, plus the range-join rescue rule via
+    * `experimental.extraOptimizations` (the live-session counterpart of
+    * injectOptimizerRule; the rule no-ops until its width conf is set,
+    * so registration alone changes no plan).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RangeJoinRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    }
+  }
 }

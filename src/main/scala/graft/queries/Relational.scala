@@ -740,6 +740,39 @@ object Relational {
       s.sql(Q39Sql)
     }),
 
+    // q24's workload spelled NAIVELY — `value BETWEEN lo AND hi`, no
+    // operator call — and rescued by the [[graft.plans.RangeJoinRewrite]]
+    // optimizer rule: width derived once at the API tier
+    // (RangeJoin.adaptiveWidth), handed to the rule via its conf, and the
+    // naive plan rewrites to the same bucketed equi-join q24 builds by
+    // hand. The require() makes the GATE prove the rule fired: a
+    // silently-skipped rewrite would fall back to a correct-but-BNLJ plan
+    // and pass the hash, so the plan shape is asserted in the query body.
+    "q42_range_rescue" -> ((s, dir) => {
+      val points = Tables.events(s, dir).select("event_id", "value")
+      val iv = Tables.part(s, dir)
+        .select(col("p_partkey"),
+          (col("p_retailprice") - 700.0).as("lo"),
+          ((col("p_retailprice") - 700.0) + col("p_size") / 2.0).as("hi"))
+        .persist()
+      val width = graft.operators.RangeJoin.adaptiveWidth(iv, "lo", "hi")
+      graft.GraftExtensions.register(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, width.toString)
+      try {
+        val joined = points
+          .join(iv, col("value") >= col("lo") && col("value") <= col("hi"))
+          .groupBy("p_partkey")
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 1000.0).cast("long"))
+              .as("sum_value_milli"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+            !plan.contains("CartesianProduct"),
+          "range-join rescue rule did not fire on the naive spelling")
+        QueryCache.resultThenRelease(joined, iv)
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    }),
+
     // Correlated LATERAL subquery through spark.sql — the second
     // zero-translation SQL-surface gate beside q39 (see [[Q41Sql]] for
     // the decorrelation-plan story). A SQL-migrating user's grouped
@@ -1242,6 +1275,16 @@ object Relational {
 
     // likewise: the identical LATERAL string, no translation
     "q41_lateral_topk" -> Q41Sql,
+
+    // q24's oracle verbatim — the rescued naive plan must agree with the
+    // same naive SQL DuckDB runs
+    "q42_range_rescue" ->
+      """SELECT p_partkey, count(*) AS n_events,
+        |  sum(CAST(floor(value * 1000) AS BIGINT))::BIGINT AS sum_value_milli
+        |FROM part
+        |JOIN events ON value >= p_retailprice - 700.0
+        |           AND value <= p_retailprice - 700.0 + p_size / 2.0
+        |GROUP BY p_partkey""".stripMargin,
 
     // DuckDB's / is NULL-on-zero natively and TRY_CAST matches try_cast;
     // BIGINT overflow has no TRY form here, so the oracle emits the NULL

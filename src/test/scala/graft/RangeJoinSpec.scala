@@ -30,6 +30,47 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == naive)
   }
 
+  test("optimizer rule rescues the naive BETWEEN spelling into an equi-join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val points = Seq.fill(400)(rnd.nextDouble() * 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
+    val ivs = Seq.fill(60) {
+      val lo = rnd.nextDouble() * 100.0
+      (lo, lo + rnd.nextDouble() * 8.0)
+    }.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("iid", "lo", "hi")
+    def naive() = points.join(ivs,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // truth, rule off (BNLJ is fine at spec scale)
+    val truth = canon(naive())
+    val before = naive().queryExecution.executedPlan.toString
+    assert(before.contains("BroadcastNestedLoopJoin"),
+      "control is stale: the naive spelling no longer plans a BNLJ")
+    GraftExtensions.register(spark) // rule registered but width unset: no-op
+    assert(naive().queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "rule must not fire without an explicit width conf")
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "5.0")
+    try {
+      val rescued = naive()
+      val after = rescued.queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastNestedLoopJoin") &&
+          !after.contains("CartesianProduct"),
+        s"rule did not fire:\n${after.take(1500)}")
+      assert(canon(rescued) == truth,
+        "rewrite changed the join result")
+      // an already-equi join must be left alone (guard, not a rewrite)
+      val equi = points.join(ivs, col("pid") === col("iid") &&
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(!equi.queryExecution.optimizedPlan.toString
+        .contains("_graft_range_bucket"))
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+  }
+
   test("interval edges: boundary-inclusive, inverted intervals match nothing") {
     import spark.implicits._
     val points = Seq((1L, 5.0), (2L, 10.0), (3L, 10.5)).toDF("pid", "p")
