@@ -67,6 +67,44 @@ object Relational {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |WHERE c_custkey < 20""".stripMargin
 
+  /** q47's shared string — correlated SCALAR subqueries (customers whose
+    * balance beats their nation's average), the third decorrelation
+    * family after q41's LATERAL and q48's EXISTS. Spark rewrites each
+    * correlated aggregate into a grouped aggregate + equi-join on the
+    * correlation key (RewriteCorrelatedScalarSubquery); a naive engine
+    * would re-run the subquery per outer row. The comparison is
+    * integer-exact — `cents · n > sum(cents)` is avg-vs-value with the
+    * division cleared, so no float-boundary row can flip between engines
+    * (the q25 lesson, solved structurally instead of documented).
+    */
+  private[queries] val Q47Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer)
+      |SELECT c.c_custkey, c.cents
+      |FROM c
+      |WHERE c.cents * (SELECT count(*) FROM c c2
+      |                 WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT sum(c2.cents) FROM c c2
+      |       WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin
+
+  /** q48's shared string — EXISTS + NOT EXISTS correlated predicates
+    * (customers with at least one order but none above 300k). Spark
+    * plans the pair as one semi-join and one anti-join on o_custkey —
+    * the declarative spelling of q16/q17's DataFrame forms — with the
+    * price predicate pushed into the anti side's scan. The order scan is
+    * shared-nothing: each branch reads only its needed columns.
+    */
+  private[queries] val Q48Sql: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 300000)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-style grouped aggregation (TPC-H Q1 shape): partial+final hash agg,
@@ -905,6 +943,166 @@ object Relational {
               "(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})", 1),
             "yyyy-MM-dd'T'HH:mm:ss").as("file_ts"))
         .filter(col("event_id") < 100)
+    }),
+
+    // Cohort retention — the activity-analytics staple: users grouped by
+    // first-active day, activity counted per day offset. Plan: one
+    // (user, day) partial-distinct (map-side combined), one min-agg for
+    // the cohort day, one join back on user_id — the distinct frame and
+    // the cohort frame shuffle on the SAME key so the exchange is
+    // reused — then the final (cohort, offset) hash agg. Because the
+    // (user, day) frame is already distinct, each row lands in exactly
+    // one (cohort, offset) cell and the retention count is a plain
+    // count(1), never a countDistinct Expand. At 100 TB the per-user
+    // frames are |users|-bounded (≪ |events|) and AQE broadcasts the
+    // cohort side.
+    "q43_cohort_retention" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohort = ud.groupBy("user_id")
+        .agg(min(col("day")).as("cohort_day"))
+      ud.join(cohort, Seq("user_id"))
+        .groupBy(
+          date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Nearest-event temporal join — the bidirectional completion of
+    // q13's as-of: each probe row gets the temporally CLOSEST reference
+    // row with the same key, either direction. Two [[AsofJoin]] passes
+    // (backward on event time; forward = backward over sign-reversed
+    // integer-µs timestamps — `timestamp_micros(-unix_micros(ts))` is a
+    // strictly order-reversing bijection, so "latest reversed-time
+    // at-or-before" IS "earliest real-time at-or-after"), then a
+    // branch-free pick of the smaller gap. Cost: two union shuffles +
+    // two window sorts on user_id — never |probe|×|reference|. The
+    // reference side is collapsed to unique (key, ts) first (max
+    // event_id), making the nearest pick tie-free on both engines; an
+    // equidistant prev/next tie breaks to prev ("at or before" wins,
+    // matching the as-of convention).
+    "q44_nearest_event" -> ((s, dir) => {
+      import graft.operators.AsofJoin
+      val rev = (c: String) => expr(s"timestamp_micros(-unix_micros($c))")
+      val clicks = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("click_id"))
+      val purch = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") < 20)
+        .select("user_id", "event_id", "ts")
+      val back = AsofJoin.asof(purch, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Map("ts" -> "prev_ts", "click_id" -> "prev_id"))
+      val fwd = AsofJoin.asof(
+        back.withColumn("rts", rev("ts")),
+        clicks.withColumn("rts", rev("ts")),
+        key = "user_id", leftTime = "rts", rightTime = "rts",
+        payload = Map("ts" -> "next_ts", "click_id" -> "next_id"))
+      fwd.select(
+        col("event_id"), col("user_id"),
+        expr("""CASE
+          | WHEN prev_ts IS NULL THEN next_id
+          | WHEN next_ts IS NULL THEN prev_id
+          | WHEN unix_micros(ts) - unix_micros(prev_ts)
+          |      <= unix_micros(next_ts) - unix_micros(ts) THEN prev_id
+          | ELSE next_id END""".stripMargin).as("nearest_click_id"),
+        expr("""CASE
+          | WHEN prev_ts IS NULL
+          |   THEN unix_micros(next_ts) - unix_micros(ts)
+          | WHEN next_ts IS NULL
+          |   THEN unix_micros(ts) - unix_micros(prev_ts)
+          | ELSE least(unix_micros(ts) - unix_micros(prev_ts),
+          |            unix_micros(next_ts) - unix_micros(ts))
+          | END""".stripMargin).as("gap_us"))
+    }),
+
+    // Ordered funnel — signup → view → purchase, each stage's timestamp
+    // strictly after the previous stage's. Three per-user min-aggs
+    // chained by user_id joins: every frame after the first is
+    // |users|-bounded (≪ |events|), so AQE broadcasts the stage frames
+    // into the event scans and the only full-corpus work is the three
+    // filtered scans themselves (each pushes its event_type predicate to
+    // parquet). Never a per-user sort or a sessionize window — stage
+    // semantics only need min(ts) above a lower bound.
+    "q45_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def stage(t: String) = ev.filter(col("event_type") === t)
+      val s1 = stage("signup").groupBy("user_id")
+        .agg(min(col("ts")).as("t1"))
+      val s2 = stage("view").join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = stage("purchase").join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      def cnt(df: DataFrame, idx: Int, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(idx).cast("long").as("stage_idx"),
+            lit(name).as("stage"), col("n_users"))
+      cnt(s1, 1, "signup").unionByName(cnt(s2, 2, "view"))
+        .unionByName(cnt(s3, 3, "purchase"))
+    }),
+
+    // Resample with LINEAR interpolation — q34's spine with the
+    // reference's actual kernel (multilinear interpolation,
+    // `kamodo_dask/kamodo_dask.py:194-206` is the grid form) applied to
+    // an irregular series: each 6-hour slot takes
+    // v_prev + (v_next − v_prev) · (slot−t_prev)/(t_next−t_prev) from
+    // its bracketing observations. Brackets come from two [[AsofJoin]]
+    // passes (backward; forward via the q44 sign-reversed-µs trick) —
+    // one shuffle + one window sort each, never slot×events. Exact slot
+    // hits (t_next = t_prev = slot) and the tail past the last
+    // observation (t_next null) both degrade to v_prev, so the output is
+    // never null and the divisor is never zero. The weight arithmetic is
+    // the same integer-µs-difference → double division on both engines —
+    // bit-identical, hash-gate-safe.
+    "q46_resample_interp" -> ((s, dir) => {
+      import graft.operators.AsofJoin
+      val rev = (c: String) => expr(s"timestamp_micros(-unix_micros($c))")
+      val ev = Tables.events(s, dir).filter(col("user_id") < 8)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("value").as("value"))
+      val spine = ev.groupBy("user_id")
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          expr("((unix_micros(t0) + 21599999999) DIV 21600000000)" +
+            " * 21600000000").as("s0"),
+          expr("unix_micros(t1)").as("s1"))
+        .select(col("user_id"),
+          explode(expr(
+            "sequence(s0, greatest(s1, s0), 21600000000)")).as("u"))
+        .select(col("user_id"), expr("timestamp_micros(u)").as("slot"))
+      val back = AsofJoin.asof(spine, ev,
+        key = "user_id", leftTime = "slot", rightTime = "ts",
+        payload = Map("ts" -> "t_prev", "value" -> "v_prev"))
+      val fwd = AsofJoin.asof(
+        back.withColumn("rslot", rev("slot")),
+        ev.withColumn("rslot", rev("ts")),
+        key = "user_id", leftTime = "rslot", rightTime = "rslot",
+        payload = Map("ts" -> "t_next", "value" -> "v_next"))
+      fwd.select(col("user_id"), col("slot"),
+        expr("""CASE
+          | WHEN t_next IS NULL OR t_next = t_prev THEN v_prev
+          | ELSE v_prev + (v_next - v_prev) *
+          |   (CAST(unix_micros(slot) - unix_micros(t_prev) AS DOUBLE) /
+          |    CAST(unix_micros(t_next) - unix_micros(t_prev) AS DOUBLE))
+          | END""".stripMargin).as("interp_value"))
+    }),
+
+    // Correlated scalar subqueries, zero translation — see [[Q47Sql]].
+    "q47_correlated_scalar" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Q47Sql)
+    }),
+
+    // EXISTS/NOT EXISTS → semi/anti rewrite, zero translation — see
+    // [[Q48Sql]].
+    "q48_exists_rewrite" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Q48Sql)
     })
   )
 
@@ -1432,6 +1630,100 @@ object Relational {
         |      '(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})', 1),
         |    '%Y-%m-%dT%H:%M:%S') AS file_ts
         |FROM events
-        |WHERE event_id < 100""".stripMargin
+        |WHERE event_id < 100""".stripMargin,
+
+    "q43_cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', c.cohort_day, u.day) AS BIGINT)
+        |    AS offset_days,
+        |  count(*) AS n_users
+        |FROM ud u JOIN cohort c ON u.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q44_nearest_event" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 20),
+        |b AS (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |    c.ts AS prev_ts, c.click_id AS prev_id
+        |  FROM purch p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (
+        |  SELECT b.*, c.ts AS next_ts, c.click_id AS next_id
+        |  FROM b ASOF LEFT JOIN clicks c
+        |    ON b.user_id = c.user_id AND b.ts <= c.ts)
+        |SELECT event_id, user_id,
+        |  CASE
+        |    WHEN prev_ts IS NULL THEN next_id
+        |    WHEN next_ts IS NULL THEN prev_id
+        |    WHEN epoch_us(ts) - epoch_us(prev_ts)
+        |         <= epoch_us(next_ts) - epoch_us(ts) THEN prev_id
+        |    ELSE next_id END AS nearest_click_id,
+        |  CASE
+        |    WHEN prev_ts IS NULL THEN epoch_us(next_ts) - epoch_us(ts)
+        |    WHEN next_ts IS NULL THEN epoch_us(ts) - epoch_us(prev_ts)
+        |    ELSE least(epoch_us(ts) - epoch_us(prev_ts),
+        |               epoch_us(next_ts) - epoch_us(ts)) END AS gap_us
+        |FROM f""".stripMargin,
+
+    "q45_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |       count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'view', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+
+    "q46_resample_interp" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, max(value) AS value
+        |  FROM events WHERE user_id < 8 GROUP BY 1, 2),
+        |rng AS (SELECT user_id,
+        |          ((epoch_us(CAST(min(ts) AS TIMESTAMP)) + 21599999999)
+        |            // 21600000000) * 21600000000 AS s0,
+        |          epoch_us(CAST(max(ts) AS TIMESTAMP)) AS s1
+        |        FROM ev GROUP BY 1),
+        |spine AS (SELECT user_id, make_timestamp(t.u) AS slot
+        |          FROM rng, unnest(generate_series(s0, greatest(s1, s0),
+        |            21600000000)) AS t(u)),
+        |b AS (
+        |  SELECT s.user_id, s.slot, e.ts AS t_prev, e.value AS v_prev
+        |  FROM spine s ASOF LEFT JOIN ev e
+        |    ON s.user_id = e.user_id AND s.slot >= e.ts),
+        |f AS (
+        |  SELECT b.*, e.ts AS t_next, e.value AS v_next
+        |  FROM b ASOF LEFT JOIN ev e
+        |    ON b.user_id = e.user_id AND b.slot <= e.ts)
+        |SELECT user_id, slot,
+        |  CASE
+        |    WHEN t_next IS NULL OR t_next = t_prev THEN v_prev
+        |    ELSE v_prev + (v_next - v_prev) *
+        |      (CAST(epoch_us(slot) - epoch_us(t_prev) AS DOUBLE) /
+        |       CAST(epoch_us(t_next) - epoch_us(t_prev) AS DOUBLE))
+        |    END AS interp_value
+        |FROM f""".stripMargin,
+
+    "q47_correlated_scalar" -> Q47Sql,
+
+    "q48_exists_rewrite" -> Q48Sql
   )
 }

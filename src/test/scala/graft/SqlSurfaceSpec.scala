@@ -26,4 +26,27 @@ class SqlSurfaceSpec extends SparkSuite {
       .collect()
     assert(top.length == 3 && top.forall(_.getDouble(1) > 0.0))
   }
+
+  test("q47 correlated scalars decorrelate to aggregate + equi-join") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val plan = spark.sql(SparkEntry.oracleSql("q47_correlated_scalar"))
+      .queryExecution.executedPlan.toString
+    // decorrelated: the per-nation count/sum run ONCE as grouped
+    // aggregates joined back on the correlation key — never a per-outer-
+    // row re-execution (which would plan as a nested-loop join)
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q48 EXISTS pair plans as one semi-join and one anti-join") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val plan = spark.sql(SparkEntry.oracleSql("q48_exists_rewrite"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // the price predicate reaches the anti branch's scan, not a
+    // post-join filter: pushed-filter evidence in the parquet scan node
+    assert(plan.contains("GreaterThan(o_totalprice,300000"), plan)
+  }
 }

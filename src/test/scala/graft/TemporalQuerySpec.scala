@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+/** Semantics of the round-5 temporal/analytics queries (q43-q46): the
+  * sign-reversed-µs forward-as-of primitive they share, plus the
+  * invariants each query's shape guarantees (funnel monotonicity,
+  * cohort-day-zero completeness, never-null interpolation).
+  */
+class TemporalQuerySpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  test("sign-reversed time turns as-of into earliest-at-or-after") {
+    import spark.implicits._
+    // timestamp_micros(-unix_micros(t)) is a strictly order-reversing
+    // bijection, so AsofJoin (latest at-or-before) over reversed times
+    // must return the earliest right row at-or-after each left time —
+    // the forward bracket q44/q46 are built on.
+    val rev = (c: String) => expr(s"timestamp_micros(-unix_micros($c))")
+    val left = Seq((1L, ts(100), "mid"), (1L, ts(120), "hit"),
+      (1L, ts(500), "tail"), (2L, ts(0), "first"))
+      .toDF("k", "t", "tag").withColumn("rt", rev("t"))
+    val right = Seq((1L, ts(90), 9.0), (1L, ts(120), 12.0),
+      (2L, ts(40), 4.0))
+      .toDF("k", "ot", "v").withColumn("rt", rev("ot"))
+    val out = AsofJoin.asof(left, right, "k", "rt", "rt",
+      Map("v" -> "next_v"))
+      .collect().map(r => r.getString(r.fieldIndex("tag")) ->
+        (if (r.isNullAt(r.fieldIndex("next_v"))) null
+         else r.getDouble(r.fieldIndex("next_v")))).toMap
+    assert(out("mid") == 12.0)   // earliest at-or-after t=100 is t=120
+    assert(out("hit") == 12.0)   // exact hit is "at-or-after"
+    assert(out("tail") == null)  // nothing after t=500
+    assert(out("first") == 4.0)  // t=40 is after t=0
+  }
+
+  test("q45 funnel counts are monotone non-increasing by stage") {
+    val rows = SparkEntry.queries("q45_funnel")(spark, sf)
+      .orderBy("stage_idx").collect()
+    assert(rows.length == 3)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b },
+      s"funnel widened downstream: ${counts.toSeq}")
+  }
+
+  test("q43 cohort day-zero cells cover every active user exactly once") {
+    val ret = SparkEntry.queries("q43_cohort_retention")(spark, sf)
+    // every user contributes exactly one (cohort, offset=0) activity row
+    val dayZero = ret.filter(col("offset_days") === 0)
+      .agg(sum("n_users")).head().getLong(0)
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(dayZero == users)
+    assert(ret.filter(col("offset_days") < 0).isEmpty,
+      "cohort day must be the user's minimum activity day")
+  }
+
+  test("q46 interpolation is never null and brackets the observations") {
+    val interp = SparkEntry.queries("q46_resample_interp")(spark, sf)
+      .cache()
+    try {
+      assert(interp.filter(col("interp_value").isNull).isEmpty)
+      // same spine as q34 — one row per (user, 6h slot)
+      val locf = SparkEntry.queries("q34_resample_locf")(spark, sf)
+      assert(interp.count() == locf.count())
+      // interpolation is a convex combination: per user it can never
+      // leave the observed value envelope (LOCF tails included)
+      val env = Tables.events(spark, sf).filter(col("user_id") < 8)
+        .groupBy("user_id")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      val escaped = interp.join(env, Seq("user_id"))
+        .filter(col("interp_value") < col("lo") ||
+          col("interp_value") > col("hi"))
+      assert(escaped.isEmpty, "interp left the per-user value envelope")
+    } finally interp.unpersist()
+  }
+}
