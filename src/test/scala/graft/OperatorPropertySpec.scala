@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, ConnectedComponents, TopKPerKey}
+
+/** Randomized brute-force oracles for the three distributed operators
+  * whose correctness arguments are the least obvious from their plans:
+  * AsofJoin's union-and-carry, TopKPerKey's local-heap pruning, and
+  * ConnectedComponents' min-label propagation. RangeJoinSpec and
+  * RegularGridPropSpec already give their operators the same treatment;
+  * these close the gap. Seeds are pinned — the tests are deterministic
+  * replays, not flaky fuzzing — but the data is adversarially shaped:
+  * duplicate timestamps, skewed keys, chain + clique graph topologies.
+  */
+class OperatorPropertySpec extends SparkSuite {
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  test("AsofJoin equals the brute-force per-row scan on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    // duplicate times on BOTH sides and only 5 keys: the adversarial
+    // shape for carry logic (ties inside one window partition)
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(100)), i.toLong))
+    val right = Seq.tabulate(200)(_ =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(100)), rnd.nextInt(1000)))
+    val out = AsofJoin.asof(
+        left.toDF("k", "t", "lid"), right.toDF("k", "rt", "v"),
+        key = "k", leftTime = "t", rightTime = "rt",
+        payload = Map("v" -> "av"))
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("lid")) ->
+        (if (r.isNullAt(r.fieldIndex("av"))) None
+         else Some(r.getInt(r.fieldIndex("av"))))).toMap
+    // brute force: for each left row, the right rows at-or-before its
+    // time; among them the max (time, payload) — AsofJoin's documented
+    // tie-break (latest time, then largest payload struct)
+    left.foreach { case (k, t, lid) =>
+      val cand = right.filter(r => r._1 == k && !r._2.after(t))
+      val expected =
+        if (cand.isEmpty) None
+        else Some(cand.maxBy(r => (r._2.getTime, r._3))._3)
+      assert(out(lid) == expected, s"left row $lid (k=$k, t=$t)")
+    }
+  }
+
+  test("AsofJoin tolerance equals the brute-force bounded scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(202)
+    val tol = java.time.Duration.ofSeconds(7)
+    val left = Seq.tabulate(200)(i =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(80)), i.toLong))
+    val right = Seq.tabulate(120)(_ =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(80)), rnd.nextInt(1000)))
+    val out = AsofJoin.asof(
+        left.toDF("k", "t", "lid"), right.toDF("k", "rt", "v"),
+        key = "k", leftTime = "t", rightTime = "rt",
+        payload = Map("v" -> "av"), tolerance = Some(tol))
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("lid")) ->
+        (if (r.isNullAt(r.fieldIndex("av"))) None
+         else Some(r.getInt(r.fieldIndex("av"))))).toMap
+    left.foreach { case (k, t, lid) =>
+      val cand = right.filter(r => r._1 == k && !r._2.after(t))
+      // the CARRIED row is the latest regardless of tolerance; the mask
+      // then nulls it if stale — NOT "latest within tolerance"
+      val expected =
+        if (cand.isEmpty) None
+        else {
+          val (_, rt, v) = cand.maxBy(r => (r._2.getTime, r._3))
+          if (t.getTime - rt.getTime <= tol.toMillis) Some(v) else None
+        }
+      assert(out(lid) == expected, s"left row $lid (k=$k, t=$t)")
+    }
+  }
+
+  test("TopKPerKey equals the window formulation under key skew") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(303)
+    // 90% of rows on one hot key + duplicate scores: exercises both the
+    // heap pruning under skew and the tie column's total order
+    val rows = Seq.tabulate(2000) { i =>
+      val k = if (rnd.nextInt(10) > 0) 0L else rnd.nextInt(20).toLong
+      (k, rnd.nextInt(50).toDouble, i.toLong)
+    }
+    val df = rows.toDF("key", "score", "tie").repartition(7)
+    val got = TopKPerKey.topK(df, "key", "score", "tie", k = 5)
+      .select("key", "score", "tie").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("key")
+      .orderBy(col("score").desc, col("tie").asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("key", "score", "tie").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("ConnectedComponents equals union-find on chain+clique graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(404)
+    // adversarial mix: a long chain (max diameter per edge count), two
+    // cliques (near-dup cluster shape), random sprinkle, self-loops,
+    // plus singletons via edge endpoints that appear once
+    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val clique1 = for (i <- 100L to 105L; j <- (i + 1) to 105L) yield (i, j)
+    val clique2 = for (i <- 200L to 203L; j <- (i + 1) to 203L) yield (i, j)
+    val sprinkle = Seq.fill(20)((300L + rnd.nextInt(40),
+      300L + rnd.nextInt(40)))
+    val edges = chain ++ clique1 ++ clique2 ++ sprinkle ++
+      Seq((50L, 50L), (60L, 61L))
+    val got = ConnectedComponents
+      .components(edges.toDF("i", "j"), "i", "j", maxIter = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonical label = min node id in the component, on both sides
+    val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    nodes.foreach { n =>
+      assert(got(n) == minOf(find(n)), s"node $n")
+    }
+    assert(got.keySet == nodes.toSet)
+  }
+}
