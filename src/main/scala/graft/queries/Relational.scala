@@ -1103,6 +1103,54 @@ object Relational {
     "q48_exists_rewrite" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(Q48Sql)
+    }),
+
+    // Join-skew pre-flight: the per-key row-count distribution of a
+    // prospective join key — the check that decides broadcast vs plain
+    // shuffle vs AQE-skew vs SaltedJoin BEFORE a 100 TB join is
+    // launched (the decision table in PLANS.md's skew section). One
+    // groupBy (map-side combined: the shuffle carries one row per key
+    // per task, not the fact rows) + a single-row summary agg.
+    // percentile() over the integer counts replays as quantile_cont
+    // (the q14 precedent); max·n_keys vs total is the integer-cleared
+    // skew ratio. At 100 TB this runs on a DeterministicSample slice —
+    // the distribution shape, not the absolute counts, drives the
+    // decision.
+    "q49_skew_profile" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_rows"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum("n_rows").as("total_rows"),
+          max("n_rows").as("max_rows"),
+          expr("percentile(n_rows, 0.5)").as("p50_rows"),
+          expr("percentile(n_rows, 0.99)").as("p99_rows"))
+    }),
+
+    // Algebraic partial-aggregate merge — the EXACT-aggregate half of
+    // the no-rescan incremental-stats contract dd13 establishes for
+    // sketches: per-shard (count, sum, min, max) states — here two
+    // disjoint key-parity shards standing in for "yesterday's corpus"
+    // and "today's delta" — merge by (sum, sum, min, max) WITHOUT
+    // touching the underlying rows. The hash gate certifies
+    // merged-partials == full-rescan (the oracle aggregates the base
+    // table directly), which is precisely the algebraic-aggregate law a
+    // nightly stats pipeline relies on when it folds a day's partial
+    // states into the running totals. Money integerized to cents so
+    // every merged value is BIGINT-exact.
+    "q50_agg_merge" -> ((s, dir) => {
+      def shard(parity: Int) = Tables.orders(s, dir)
+        .filter(pmod(col("o_orderkey"), lit(2)) === parity)
+        .withColumn("cents",
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sc"),
+          min("cents").as("mn"), max("cents").as("mx"))
+      shard(0).unionByName(shard(1))
+        .groupBy("o_orderpriority")
+        .agg(sum("cnt").as("n_orders"), sum("sc").as("sum_cents"),
+          min("mn").as("min_cents"), max("mx").as("max_cents"))
     })
   )
 
@@ -1724,6 +1772,27 @@ object Relational {
 
     "q47_correlated_scalar" -> Q47Sql,
 
-    "q48_exists_rewrite" -> Q48Sql
+    "q48_exists_rewrite" -> Q48Sql,
+
+    "q49_skew_profile" ->
+      """WITH pk AS (
+        |  SELECT l_orderkey, count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |  max(n_rows) AS max_rows,
+        |  quantile_cont(n_rows, 0.5) AS p50_rows,
+        |  quantile_cont(n_rows, 0.99) AS p99_rows
+        |FROM pk""".stripMargin,
+
+    "q50_agg_merge" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS min_cents,
+        |  max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS max_cents
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }
