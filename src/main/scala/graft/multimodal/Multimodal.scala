@@ -69,6 +69,27 @@ object Multimodal {
       }
     }
 
+    /** Perceptual difference-hash (dHash) over the fake decode: resize
+      * the payload to 65 "pixels" (the real codec resizes to a 9×8
+      * grayscale grid — same shape, one row), then bit i of the 64-bit
+      * hash records whether pixel i+1 is brighter than pixel i.
+      * Adjacent-comparison hashes are the standard near-dup signature
+      * for images: stable under re-encoding/scaling (which preserve
+      * local gradients), unlike cryptographic hashes of the bytes.
+      * Payloads shorter than 65 bytes compare what they have (high bits
+      * zero); < 2 bytes hash to 0.
+      */
+    def dhash64(payload: Array[Byte]): Long = {
+      val r = resize(payload, 65)
+      var h = 0L
+      var i = 0
+      while (i < r.length - 1) {
+        if ((r(i + 1) & 0xff) > (r(i) & 0xff)) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+
     /** "Frame sample": split payload into frameSize chunks, keep every
       * k-th — the video-frame-sampling shape. Each kept frame carries its
       * SOURCE chunk index (0, every, 2·every, …), not its ordinal among
@@ -121,6 +142,22 @@ object Multimodal {
             .map { case (srcIdx, f) => MediaFrame(m.media_id, srcIdx, f) }
         }
       }
+    }
+  }
+
+  /** One perceptual hash per media item. */
+  final case class MediaHash(media_id: Long, phash: Long)
+
+  /** Batched perceptual hashing — same narrow mapPartitions shape as
+    * [[decodeMeta]]: one "library call" per batch, pipelines with the
+    * scan, 8 bytes out per item regardless of payload size.
+    */
+  def perceptualHash(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map(m =>
+        MediaHash(m.media_id, FakeCodec.dhash64(m.payload))))
     }
   }
 

@@ -666,7 +666,7 @@ object Dedup {
     * floored — the identical integer arithmetic, so the emitted cap
     * column hash-matches the engine's.
     */
-  private def permilleCapSql(hist: String, floor: Long): String =
+  private[queries] def permilleCapSql(hist: String, floor: Long): String =
     s"CAST(GREATEST($floor, COALESCE((SELECT min(v) FROM " +
       s"(SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM $hist) " +
       s"WHERE cum >= (SELECT (999 * sum(c) + 999) // 1000 FROM $hist)), " +

@@ -56,6 +56,47 @@ object MultimodalQueries {
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame"))).as("kept_bytes"))
+    }),
+
+    // Multimodal near-dup — dd4's banded-sketch machinery applied to the
+    // PERCEPTUAL hash of the decoded payload ([[Multimodal.perceptualHash]],
+    // a dHash: adjacent-"pixel" comparisons over the resized fake decode):
+    // the image-dedup stage of a multimodal pipeline, where re-encoded /
+    // rescaled copies share gradients, not bytes. Same scale shape as
+    // dd4: one 8-byte sketch per item (computed once in a narrow batched
+    // pass), 8×8-bit band buckets with the adaptive flood cap, pair join
+    // only inside buckets — never item×item — exact Hamming re-rank on
+    // the capped candidates.
+    "mm5_phash_neardup" -> ((s, dir) => {
+      import graft.functions.HashFunctions.{hamming64, longBands}
+      import graft.operators.BucketCap
+      val hashes = graft.Tables.spread(
+          Multimodal.perceptualHash(Multimodal.mediaFromDocuments(s, dir))
+            .toDF())
+        .persist()
+      val banded = hashes.select(col("media_id"),
+        explode(longBands(col("phash"), bands = 8, bitsPerBand = 8))
+          .as("bk"))
+      val (capped, cap, sizes) =
+        BucketCap.capBucketsAdaptive(banded, Seq("bk"), Dedup.LshBucketFloor)
+      val a = capped.alias("a")
+      val b = capped.alias("b")
+      val pairs = a.join(b, col("a.bk") === col("b.bk") &&
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("i"), col("b.media_id").as("j"))
+        .distinct()
+      QueryCache.resultThenRelease(
+        pairs
+          .join(hashes.select(col("media_id").as("i"),
+            col("phash").as("ph_i")), "i")
+          .join(hashes.select(col("media_id").as("j"),
+            col("phash").as("ph_j")), "j")
+          .select(col("i"), col("j"),
+            hamming64(col("ph_i"), col("ph_j")).cast("int").as("hamming"))
+          .orderBy(col("hamming"), col("i"), col("j"))
+          .limit(25)
+          .withColumn("cap_bucket", lit(cap)),
+        hashes, sizes)
     })
   )
 
@@ -99,6 +140,55 @@ object MultimodalQueries {
         |                 for i in range(0, (octet_length(encode(text)) + 63) // 64)
         |                 if i % 2 = 0]) AS BIGINT) AS kept_bytes
         |FROM documents
-        |WHERE octet_length(encode(text)) > 0""".stripMargin
+        |WHERE octet_length(encode(text)) > 0""".stripMargin,
+
+    // Full arithmetic replay of mm5 — the dHash itself is recomputed
+    // from the text bytes (resize subsample indices via trunc, adjacent
+    // comparisons summed as HUGEINT then two's-complement-folded to the
+    // engine's BIGINT), then dd4's band/cap/pair/Hamming replay runs on
+    // the recomputed hashes. Nothing is taken from the engine: the gate
+    // certifies the hash computation, the banding, the flood cap, and
+    // the re-rank end to end.
+    "mm5_phash_neardup" ->
+      s"""WITH d AS (SELECT doc_id AS media_id, text,
+         |             octet_length(encode(text)) AS n FROM documents),
+         |r AS (SELECT media_id, n,
+         |        [ascii(substr(text,
+         |           CASE WHEN n <= 65 THEN p + 1
+         |                ELSE CAST(trunc(p * (n / 65.0)) AS INT) + 1 END, 1))
+         |         for p in range(0, least(n, 65))] AS rb
+         |      FROM d),
+         |phh AS (SELECT media_id,
+         |         COALESCE(CAST(list_sum(
+         |           [CASE WHEN rb[p+2] > rb[p+1]
+         |                 THEN (1::HUGEINT << p) ELSE 0::HUGEINT END
+         |            for p in range(0, len(rb) - 1)]) AS HUGEINT),
+         |           0::HUGEINT) AS h
+         |        FROM r),
+         |sk AS (SELECT media_id,
+         |         CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+         |                       THEN 18446744073709551616::HUGEINT
+         |                       ELSE 0::HUGEINT END AS BIGINT) AS ph
+         |       FROM phh),
+         |keyed AS (SELECT media_id, b, (ph >> (8 * b)) & 255 AS k
+         |          FROM (SELECT media_id, ph, unnest(range(0, 8)) AS b
+         |                FROM sk)),
+         |szs AS (SELECT b, k, count(*) AS bsz FROM keyed GROUP BY 1, 2),
+         |bh AS (SELECT bsz AS v, count(*) AS c FROM szs GROUP BY 1),
+         |capq AS (SELECT ${Dedup.permilleCapSql("bh", Dedup.LshBucketFloor)}
+         |         AS cap),
+         |ok AS (SELECT keyed.* FROM keyed JOIN szs USING (b, k)
+         |       WHERE bsz <= (SELECT cap FROM capq)),
+         |pairs AS (SELECT DISTINCT a.media_id AS i, b2.media_id AS j
+         |          FROM ok a JOIN ok b2 USING (b, k)
+         |          WHERE a.media_id < b2.media_id)
+         |SELECT i, j,
+         |  CAST(bit_count(xor(sa.ph, sb.ph)) AS INTEGER) AS hamming,
+         |  (SELECT cap FROM capq) AS cap_bucket
+         |FROM pairs
+         |JOIN sk sa ON sa.media_id = i
+         |JOIN sk sb ON sb.media_id = j
+         |ORDER BY hamming, i, j
+         |LIMIT 25""".stripMargin
   )
 }

@@ -42,4 +42,32 @@ class MultimodalSpec extends SparkSuite {
     val (_, _, _, means) = FakeCodec.decode(p)
     assert(means(0) == 6.0 && means(1) == 0.0)
   }
+
+  test("dhash: short payloads are total, not errors") {
+    assert(FakeCodec.dhash64(Array.emptyByteArray) == 0L)
+    assert(FakeCodec.dhash64(Array[Byte](7)) == 0L)
+    assert(FakeCodec.dhash64(Array[Byte](1, 2)) == 1L) // one rising edge
+    assert(FakeCodec.dhash64(Array[Byte](2, 1)) == 0L)
+  }
+
+  test("dhash is scale-robust: a 2x-stretched payload stays near") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val rnd = new scala.util.Random(77)
+    val results = (0 until 20).map { _ =>
+      val base = Array.fill(200)(rnd.nextInt(256).toByte)
+      // "rescaled copy": each byte doubled (2x resolution, same image) —
+      // gradients survive, bytes don't
+      val stretched = base.flatMap(b => Array(b, b))
+      val other = Array.fill(200)(rnd.nextInt(256).toByte)
+      val near = hamming(FakeCodec.dhash64(base), FakeCodec.dhash64(stretched))
+      val far = hamming(FakeCodec.dhash64(base), FakeCodec.dhash64(other))
+      (near, far)
+    }
+    // resampling jitter costs a few bits; unrelated payloads sit near the
+    // 32-bit random expectation — the gap is what makes mm5's banding work
+    assert(results.forall(_._1 <= 16),
+      s"stretched copies too far: ${results.map(_._1)}")
+    assert(results.map(_._2).sum / 20 >= 24,
+      s"random pairs too close on average: ${results.map(_._2)}")
+  }
 }
