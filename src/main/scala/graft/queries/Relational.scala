@@ -105,6 +105,45 @@ object Relational {
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_totalprice > 300000)""".stripMargin
 
+  /** Sign-reversed integer-µs timestamp: `timestamp_micros(-unix_micros(c))`
+    * is a strictly order-reversing bijection, so an as-of join (latest
+    * at-or-before) over the reversed column returns the earliest row
+    * at-or-AFTER each probe — the forward bracket q44/q46 build on
+    * (TemporalQuerySpec pins the primitive).
+    */
+  private def revMicros(c: String) =
+    expr(s"timestamp_micros(-unix_micros($c))")
+
+  /** q34/q46's shared series input: users < 8, simultaneous readings
+    * collapsed to max(value) so the as-of match is tie-free by
+    * construction on both engines.
+    */
+  private def collapsedSeries(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("user_id") < 8)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("value").as("value"))
+
+  /** The per-user 6-hour slot spine spanning the observed range (ceil on
+    * integer µs — both engines fold the same BIGINT arithmetic). Spine
+    * end is greatest(ceil(t0), t1): a user whose whole observed range
+    * sits inside one slot (short-span OR single-event) still gets
+    * exactly one slot — the first boundary after their data — instead of
+    * silently vanishing from the resampled output. Shared by q34 (LOCF)
+    * and q46 (linear interp); TemporalQuerySpec pins the two outputs to
+    * the same spine.
+    */
+  private def sixHourSpine(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("user_id"),
+        expr("((unix_micros(t0) + 21599999999) DIV 21600000000)" +
+          " * 21600000000").as("s0"),
+        expr("unix_micros(t1)").as("s1"))
+      .select(col("user_id"),
+        explode(expr(
+          "sequence(s0, greatest(s1, s0), 21600000000)")).as("u"))
+      .select(col("user_id"), expr("timestamp_micros(u)").as("slot"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-style grouped aggregation (TPC-H Q1 shape): partial+final hash agg,
@@ -514,26 +553,9 @@ object Relational {
     // JOIN replays it). locf_value is never null: the first slot ceils
     // to at-or-after the user's first event.
     "q34_resample_locf" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).filter(col("user_id") < 8)
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max("value").as("value"))
-      // spine end is greatest(ceil(t0), t1): a user whose whole observed
-      // range sits inside one 6-hour slot (short-span OR single-event)
-      // still gets exactly one slot — the first boundary after their
-      // data, carrying their latest value — instead of silently
-      // vanishing from the resampled output
-      val spine = ev.groupBy("user_id")
-        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
-        .select(col("user_id"),
-          expr("((unix_micros(t0) + 21599999999) DIV 21600000000)" +
-            " * 21600000000").as("s0"),
-          expr("unix_micros(t1)").as("s1"))
-        .select(col("user_id"),
-          explode(expr(
-            "sequence(s0, greatest(s1, s0), 21600000000)")).as("u"))
-        .select(col("user_id"), expr("timestamp_micros(u)").as("slot"))
+      val ev = collapsedSeries(s, dir)
       graft.operators.AsofJoin.asof(
-          spine, ev, key = "user_id",
+          sixHourSpine(ev), ev, key = "user_id",
           leftTime = "slot", rightTime = "ts",
           payload = Map("value" -> "locf_value"))
         .select("user_id", "slot", "locf_value")
@@ -985,9 +1007,13 @@ object Relational {
     // matching the as-of convention).
     "q44_nearest_event" -> ((s, dir) => {
       import graft.operators.AsofJoin
-      val rev = (c: String) => expr(s"timestamp_micros(-unix_micros($c))")
+      // the reference side carries the PROBE's key filter too: a per-key
+      // join can never match a click of a user with no probes, so the
+      // filter preserves results exactly while keeping non-probe users'
+      // clicks out of both union shuffles and window sorts (at 100 TB
+      // the unfiltered form pays most of its cost for unmatchable rows)
       val clicks = Tables.events(s, dir)
-        .filter(col("event_type") === "click")
+        .filter(col("event_type") === "click" && col("user_id") < 20)
         .groupBy(col("user_id"), col("ts"))
         .agg(max("event_id").as("click_id"))
       val purch = Tables.events(s, dir)
@@ -997,8 +1023,8 @@ object Relational {
         key = "user_id", leftTime = "ts", rightTime = "ts",
         payload = Map("ts" -> "prev_ts", "click_id" -> "prev_id"))
       val fwd = AsofJoin.asof(
-        back.withColumn("rts", rev("ts")),
-        clicks.withColumn("rts", rev("ts")),
+        back.withColumn("rts", revMicros("ts")),
+        clicks.withColumn("rts", revMicros("ts")),
         key = "user_id", leftTime = "rts", rightTime = "rts",
         payload = Map("ts" -> "next_ts", "click_id" -> "next_id"))
       fwd.select(
@@ -1061,26 +1087,13 @@ object Relational {
     // bit-identical, hash-gate-safe.
     "q46_resample_interp" -> ((s, dir) => {
       import graft.operators.AsofJoin
-      val rev = (c: String) => expr(s"timestamp_micros(-unix_micros($c))")
-      val ev = Tables.events(s, dir).filter(col("user_id") < 8)
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max("value").as("value"))
-      val spine = ev.groupBy("user_id")
-        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
-        .select(col("user_id"),
-          expr("((unix_micros(t0) + 21599999999) DIV 21600000000)" +
-            " * 21600000000").as("s0"),
-          expr("unix_micros(t1)").as("s1"))
-        .select(col("user_id"),
-          explode(expr(
-            "sequence(s0, greatest(s1, s0), 21600000000)")).as("u"))
-        .select(col("user_id"), expr("timestamp_micros(u)").as("slot"))
-      val back = AsofJoin.asof(spine, ev,
+      val ev = collapsedSeries(s, dir)
+      val back = AsofJoin.asof(sixHourSpine(ev), ev,
         key = "user_id", leftTime = "slot", rightTime = "ts",
         payload = Map("ts" -> "t_prev", "value" -> "v_prev"))
       val fwd = AsofJoin.asof(
-        back.withColumn("rslot", rev("slot")),
-        ev.withColumn("rslot", rev("ts")),
+        back.withColumn("rslot", revMicros("slot")),
+        ev.withColumn("rslot", revMicros("ts")),
         key = "user_id", leftTime = "rslot", rightTime = "rslot",
         payload = Map("ts" -> "t_next", "value" -> "v_next"))
       fwd.select(col("user_id"), col("slot"),
@@ -1695,7 +1708,7 @@ object Relational {
     "q44_nearest_event" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS click_id FROM events
-        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |  WHERE event_type = 'click' AND user_id < 20 GROUP BY 1, 2),
         |purch AS (
         |  SELECT user_id, event_id, ts FROM events
         |  WHERE event_type = 'purchase' AND user_id < 20),
