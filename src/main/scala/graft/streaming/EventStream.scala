@@ -140,6 +140,52 @@ object EventStream {
       }
   }
 
+  /** Per-user funnel state: the earliest qualifying timestamp (µs) of
+    * each stage, −1 = not reached. Monotone — a field set once never
+    * changes — which is what lets the parity test reduce Update-mode
+    * snapshots with max().
+    */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  final case class FunnelSnapshot(user_id: Long, t1_us: Long, t2_us: Long,
+      t3_us: Long)
+
+  /** Streaming funnel — the stateful twin of batch q45 (signup → view →
+    * purchase, each stage strictly after the previous): O(1) state per
+    * user (three µs timestamps, never buffered events), so ingest-time
+    * funnel tracking at 100 TB/day holds state proportional to the user
+    * population. Stage semantics mirror q45 exactly: a stage-k event
+    * qualifies iff stage k−1 is reached, stage k is not, and the event
+    * time is strictly greater — processed in per-user event-time order
+    * (in-batch sort here; ordered delivery across micro-batches is the
+    * same documented precondition as [[sessionize]]), the first
+    * qualifying event IS the stage minimum the batch form computes.
+    * StreamingSpec pins stream == q45 stage counts on the driver fixture.
+    */
+  def funnel(events: Dataset[Event]): Dataset[FunnelSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelSnapshot](
+          GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val evs = batch.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          evs.foreach { e =>
+            val t = usOf(e.ts)
+            e.event_type match {
+              case "signup" if s.t1 < 0L => s = s.copy(t1 = t)
+              case "view" if s.t1 >= 0L && s.t2 < 0L && t > s.t1 =>
+                s = s.copy(t2 = t)
+              case "purchase" if s.t2 >= 0L && s.t3 < 0L && t > s.t2 =>
+                s = s.copy(t3 = t)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          FunnelSnapshot(userId, s.t1, s.t2, s.t3)
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same `event_id`
     * within the watermark horizon — state is bounded by (events/horizon),
     * the standard at-least-once → effectively-once repair for 100 TB/day

@@ -77,6 +77,41 @@ class StreamingSpec extends SparkSuite {
     assert(rows(2L) == ((1L, 7.0)))
   }
 
+  test("funnel parity: mapGroupsWithState == q45's batch stage counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the batch truth: q45's chained per-user min-aggs → 3 stage counts
+    val batch = SparkEntry.queries("q45_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // same events, chronological micro-batches (per-user event-time
+    // ordered delivery — funnel's documented precondition, as sessionize)
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+      .collect()
+      .sortBy(e =>
+        (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.funnel(mem.toDS()).writeStream
+      .format("memory").queryName("funnel").outputMode("update").start()
+    evs.grouped(evs.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // FunnelState fields are monotone (-1 → set-once), so max() over the
+    // Update-mode snapshots is each user's final state
+    val fin = spark.table("funnel").groupBy("user_id")
+      .agg(max("t1_us").as("t1"), max("t2_us").as("t2"),
+        max("t3_us").as("t3"))
+    val stream = Map(
+      1L -> fin.filter(col("t1") >= 0).count(),
+      2L -> fin.filter(col("t2") >= 0).count(),
+      3L -> fin.filter(col("t3") >= 0).count())
+    q.stop()
+    assert(stream == batch,
+      s"stream funnel $stream != batch $batch")
+  }
+
   test("sessionize parity: flatMapGroupsWithState == q19's batch windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
