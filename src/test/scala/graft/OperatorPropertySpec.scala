@@ -2,19 +2,18 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, ConnectedComponents, TopKPerKey}
+import graft.operators.{AsofJoin, ConnectedComponents}
 
-/** Randomized brute-force oracles for the three distributed operators
-  * whose correctness arguments are the least obvious from their plans:
-  * AsofJoin's union-and-carry, TopKPerKey's local-heap pruning, and
-  * ConnectedComponents' min-label propagation. RangeJoinSpec and
-  * RegularGridPropSpec already give their operators the same treatment;
-  * these close the gap. Seeds are pinned — the tests are deterministic
-  * replays, not flaky fuzzing — but the data is adversarially shaped:
-  * duplicate timestamps, skewed keys, chain + clique graph topologies.
+/** Randomized brute-force oracles complementing the existing property
+  * coverage (RangeJoinSpec's naive-join replay, RegularGridPropSpec,
+  * PlanShapeSpec's TopKPerKey-vs-window and CC-vs-union-find tests):
+  * AsofJoin's union-and-carry had only hand-constructed cases, and the
+  * CC suite lacked the long-chain (diameter ≈ maxIter/2), clique, and
+  * self-loop topologies. Seeds are pinned — deterministic replays, not
+  * flaky fuzzing — but the data is adversarially shaped: duplicate
+  * timestamps on both sides, near-degenerate key counts.
   */
 class OperatorPropertySpec extends SparkSuite {
 
@@ -77,27 +76,6 @@ class OperatorPropertySpec extends SparkSuite {
         }
       assert(out(lid) == expected, s"left row $lid (k=$k, t=$t)")
     }
-  }
-
-  test("TopKPerKey equals the window formulation under key skew") {
-    import spark.implicits._
-    val rnd = new scala.util.Random(303)
-    // 90% of rows on one hot key + duplicate scores: exercises both the
-    // heap pruning under skew and the tie column's total order
-    val rows = Seq.tabulate(2000) { i =>
-      val k = if (rnd.nextInt(10) > 0) 0L else rnd.nextInt(20).toLong
-      (k, rnd.nextInt(50).toDouble, i.toLong)
-    }
-    val df = rows.toDF("key", "score", "tie").repartition(7)
-    val got = TopKPerKey.topK(df, "key", "score", "tie", k = 5)
-      .select("key", "score", "tie").collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
-    val w = Window.partitionBy("key")
-      .orderBy(col("score").desc, col("tie").asc)
-    val expected = df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5).select("key", "score", "tie").collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
-    assert(got == expected)
   }
 
   test("ConnectedComponents equals union-find on chain+clique graphs") {
