@@ -35,7 +35,11 @@ class InvarianceSpec extends SparkSuite {
 
   test("oracled queries invariant to shuffle partition count") {
     val sf = "/root/testdata/sf0.001"
-    for (name <- Seq("q1_agg", "dd2_shingle_jaccard", "g1_interp_1d")) {
+    // q44/q46 join the round-5 trio: the double-as-of queries lean on
+    // window-carry ordering inside AsofJoin, exactly the machinery a
+    // partitioning bug would corrupt silently
+    for (name <- Seq("q1_agg", "dd2_shingle_jaccard", "g1_interp_1d",
+        "q44_nearest_event", "q46_resample_interp")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
