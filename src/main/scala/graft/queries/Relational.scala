@@ -968,28 +968,29 @@ object Relational {
     }),
 
     // Cohort retention — the activity-analytics staple: users grouped by
-    // first-active day, activity counted per day offset. Plan: one
-    // (user, day) partial-distinct (map-side combined), one min-agg for
-    // the cohort day, one join back on user_id — the distinct frame and
-    // the cohort frame shuffle on the SAME key so the exchange is
-    // reused — then the final (cohort, offset) hash agg. Because the
-    // (user, day) frame is already distinct, each row lands in exactly
-    // one (cohort, offset) cell and the retention count is a plain
-    // count(1), never a countDistinct Expand. At 100 TB the per-user
-    // frames are |users|-bounded (≪ |events|) and AQE broadcasts the
-    // cohort side.
+    // first-active day, activity counted per day offset. The corpus is
+    // scanned ONCE: the (user, day) partial-distinct (map-side combined)
+    // is persisted and both consumers — the cohort min-agg and the join
+    // probe — read the cached frame (without the barrier Catalyst plans
+    // two independent event scans, fine at driver SF, 2× the scan cost
+    // at 100 TB). The cohort side is |users|-bounded → AQE broadcast.
+    // Because the persisted frame is already distinct, each row lands in
+    // exactly one (cohort, offset) cell and the retention count is a
+    // plain count(1), never a countDistinct Expand.
     "q43_cohort_retention" -> ((s, dir) => {
       val ud = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day"))
-        .distinct()
+        .distinct().persist()
       val cohort = ud.groupBy("user_id")
         .agg(min(col("day")).as("cohort_day"))
-      ud.join(cohort, Seq("user_id"))
-        .groupBy(
-          date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
-          datediff(col("day"), col("cohort_day")).cast("long")
-            .as("offset_days"))
-        .agg(count(lit(1)).as("n_users"))
+      QueryCache.resultThenRelease(
+        ud.join(cohort, Seq("user_id"))
+          .groupBy(
+            date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+            datediff(col("day"), col("cohort_day")).cast("long")
+              .as("offset_days"))
+          .agg(count(lit(1)).as("n_users")),
+        ud)
     }),
 
     // Nearest-event temporal join — the bidirectional completion of
