@@ -116,12 +116,16 @@ object Relational {
 
   /** q34/q46's shared series input: users < 8, simultaneous readings
     * collapsed to max(value) so the as-of match is tie-free by
-    * construction on both engines.
+    * construction on both engines. PERSISTED — the caller consumes it
+    * two (q34: spine + as-of right) or three (q46: + forward right)
+    * times, and without the barrier each consumer re-scans and re-aggs
+    * the event corpus (the q43 lesson); release via resultThenRelease.
     */
   private def collapsedSeries(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).filter(col("user_id") < 8)
       .groupBy(col("user_id"), col("ts"))
       .agg(max("value").as("value"))
+      .persist()
 
   /** The per-user 6-hour slot spine spanning the observed range (ceil on
     * integer µs — both engines fold the same BIGINT arithmetic). Spine
@@ -554,11 +558,13 @@ object Relational {
     // to at-or-after the user's first event.
     "q34_resample_locf" -> ((s, dir) => {
       val ev = collapsedSeries(s, dir)
-      graft.operators.AsofJoin.asof(
-          sixHourSpine(ev), ev, key = "user_id",
-          leftTime = "slot", rightTime = "ts",
-          payload = Map("value" -> "locf_value"))
-        .select("user_id", "slot", "locf_value")
+      QueryCache.resultThenRelease(
+        graft.operators.AsofJoin.asof(
+            sixHourSpine(ev), ev, key = "user_id",
+            leftTime = "slot", rightTime = "ts",
+            payload = Map("value" -> "locf_value"))
+          .select("user_id", "slot", "locf_value"),
+        ev)
     }),
 
     // 3-D Z-order layout — the reference-shaped (time, lon, lat) case
@@ -1097,13 +1103,15 @@ object Relational {
         ev.withColumn("rslot", revMicros("ts")),
         key = "user_id", leftTime = "rslot", rightTime = "rslot",
         payload = Map("ts" -> "t_next", "value" -> "v_next"))
-      fwd.select(col("user_id"), col("slot"),
-        expr("""CASE
-          | WHEN t_next IS NULL OR t_next = t_prev THEN v_prev
-          | ELSE v_prev + (v_next - v_prev) *
-          |   (CAST(unix_micros(slot) - unix_micros(t_prev) AS DOUBLE) /
-          |    CAST(unix_micros(t_next) - unix_micros(t_prev) AS DOUBLE))
-          | END""".stripMargin).as("interp_value"))
+      QueryCache.resultThenRelease(
+        fwd.select(col("user_id"), col("slot"),
+          expr("""CASE
+            | WHEN t_next IS NULL OR t_next = t_prev THEN v_prev
+            | ELSE v_prev + (v_next - v_prev) *
+            |   (CAST(unix_micros(slot) - unix_micros(t_prev) AS DOUBLE) /
+            |    CAST(unix_micros(t_next) - unix_micros(t_prev) AS DOUBLE))
+            | END""".stripMargin).as("interp_value")),
+        ev)
     }),
 
     // Correlated scalar subqueries, zero translation — see [[Q47Sql]].
