@@ -1019,10 +1019,13 @@ object Relational {
       // filter preserves results exactly while keeping non-probe users'
       // clicks out of both union shuffles and window sorts (at 100 TB
       // the unfiltered form pays most of its cost for unmatchable rows)
+      // persisted: consumed by BOTH as-of passes — unpersisted, each
+      // pass re-scans and re-aggs the corpus (the q43 lesson)
       val clicks = Tables.events(s, dir)
         .filter(col("event_type") === "click" && col("user_id") < 20)
         .groupBy(col("user_id"), col("ts"))
         .agg(max("event_id").as("click_id"))
+        .persist()
       val purch = Tables.events(s, dir)
         .filter(col("event_type") === "purchase" && col("user_id") < 20)
         .select("user_id", "event_id", "ts")
@@ -1034,7 +1037,7 @@ object Relational {
         clicks.withColumn("rts", revMicros("ts")),
         key = "user_id", leftTime = "rts", rightTime = "rts",
         payload = Map("ts" -> "next_ts", "click_id" -> "next_id"))
-      fwd.select(
+      QueryCache.resultThenRelease(fwd.select(
         col("event_id"), col("user_id"),
         expr("""CASE
           | WHEN prev_ts IS NULL THEN next_id
@@ -1049,7 +1052,8 @@ object Relational {
           |   THEN unix_micros(ts) - unix_micros(prev_ts)
           | ELSE least(unix_micros(ts) - unix_micros(prev_ts),
           |            unix_micros(next_ts) - unix_micros(ts))
-          | END""".stripMargin).as("gap_us"))
+          | END""".stripMargin).as("gap_us")),
+        clicks)
     }),
 
     // Ordered funnel — signup → view → purchase, each stage's timestamp
@@ -1058,16 +1062,19 @@ object Relational {
     // |users|-bounded (≪ |events|), so AQE broadcasts the stage frames
     // into the event scans and the only full-corpus work is the three
     // filtered scans themselves (each pushes its event_type predicate to
-    // parquet). Never a per-user sort or a sessionize window — stage
-    // semantics only need min(ts) above a lower bound.
+    // parquet). Each stage frame persists because two consumers read it
+    // (the next stage's join and its own count) — unpersisted, the
+    // chain re-derivation doubles the corpus scans from three to six.
+    // Never a per-user sort or a sessionize window — stage semantics
+    // only need min(ts) above a lower bound.
     "q45_funnel" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       def stage(t: String) = ev.filter(col("event_type") === t)
       val s1 = stage("signup").groupBy("user_id")
-        .agg(min(col("ts")).as("t1"))
+        .agg(min(col("ts")).as("t1")).persist()
       val s2 = stage("view").join(s1, Seq("user_id"))
         .filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2")).persist()
       val s3 = stage("purchase").join(s2, Seq("user_id"))
         .filter(col("ts") > col("t2"))
         .groupBy("user_id").agg(min(col("ts")).as("t3"))
@@ -1075,8 +1082,10 @@ object Relational {
         df.agg(count(lit(1)).as("n_users"))
           .select(lit(idx).cast("long").as("stage_idx"),
             lit(name).as("stage"), col("n_users"))
-      cnt(s1, 1, "signup").unionByName(cnt(s2, 2, "view"))
-        .unionByName(cnt(s3, 3, "purchase"))
+      QueryCache.resultThenRelease(
+        cnt(s1, 1, "signup").unionByName(cnt(s2, 2, "view"))
+          .unionByName(cnt(s3, 3, "purchase")),
+        s1, s2)
     }),
 
     // Resample with LINEAR interpolation — q34's spine with the
