@@ -336,6 +336,43 @@ object Dedup {
         pairs)
     }),
 
+    // Canonical-document selection — the step a production dedup actually
+    // ships: collapse each dd8 near-dup cluster to ONE kept document (the
+    // longest; ties to the smallest doc_id) and carry every singleton
+    // through unchanged, so the output IS the training corpus roster with
+    // per-cluster provenance (who won, how many it absorbed). The
+    // keep-longest policy is the common quality heuristic (the longer
+    // variant of a near-dup pair is usually the un-truncated one).
+    // Plan: left join of the corpus onto the (tiny — only clustered docs)
+    // component map, which auto-broadcasts, then ONE hash agg on the
+    // representative: `max(struct(n_chars, -doc_id, …))` makes the
+    // winner-pick an algebraic aggregate — partial max per map task,
+    // merge at the reducer — with the winner's payload columns riding in
+    // the struct, never a per-cluster sort and never a second join back
+    // to fetch the winner's row (the q30 last-writer-wins shape).
+    "dd14_canonical_pick" -> ((s, dir) => {
+      val (p, _, caches) = shingleJaccardPairsWithCaches(s, dir)
+      val pairs = p.select("i", "j").persist()
+      pairs.count() // populate the cache before components() fans out
+      caches.foreach(_.unpersist(blocking = false))
+      val clusters = ConnectedComponents.components(pairs, "i", "j")
+        .select(col("node").as("doc_id"), col("label").as("cl"))
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "n_chars")
+      QueryCache.resultThenRelease(
+        docs.join(clusters, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("cl"), col("doc_id")))
+          .groupBy("rep")
+          .agg(
+            max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"),
+              col("doc_id").as("id"), col("lang").as("lg"))).as("w"),
+            count(lit(1)).as("cluster_size"))
+          .select(col("rep"), col("w.id").as("canonical_id"),
+            col("w.lg").as("lang"), col("w.n_chars").as("n_chars"),
+            col("cluster_size")),
+        pairs)
+    }),
+
     // Character-level verification of the near-dup pairs: exact edit
     // distance (codegen'd levenshtein) joined onto dd2's pair list — the
     // "how different are they really" re-rank a human-review or
@@ -779,6 +816,31 @@ object Dedup {
          |  SELECT e.i, reach.r FROM edges e JOIN reach ON e.j = reach.node)
          |SELECT node AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY node""".stripMargin,
+
+    // dd8's component replay extended with the corpus left join and a
+    // window winner-pick (same total order as the struct max:
+    // n_chars DESC, doc_id ASC)
+    "dd14_canonical_pick" ->
+      s"""WITH RECURSIVE $dd2CtesSql,
+         |edges AS (SELECT i, j FROM dd2res UNION SELECT j, i FROM dd2res),
+         |reach(node, r) AS (
+         |  SELECT i, i FROM edges
+         |  UNION
+         |  SELECT e.i, reach.r FROM edges e JOIN reach ON e.j = reach.node),
+         |comp AS (SELECT node, min(r) AS cl FROM reach GROUP BY node),
+         |jn AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars,
+         |    coalesce(c.cl, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |rk AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY rep
+         |      ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY rep) AS cluster_size
+         |  FROM jn)
+         |SELECT rep, doc_id AS canonical_id, lang, n_chars,
+         |  cluster_size::BIGINT AS cluster_size
+         |FROM rk WHERE rn = 1""".stripMargin,
 
     // NOTE: DuckDB 1.0's levenshtein is byte-based while Spark's is
     // character-based — identical on this corpus because it is pure ASCII

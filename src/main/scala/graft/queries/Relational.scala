@@ -1182,6 +1182,43 @@ object Relational {
         .groupBy("o_orderpriority")
         .agg(sum("cnt").as("n_orders"), sum("sc").as("sum_cents"),
           min("mn").as("min_cents"), max("mx").as("max_cents"))
+    }),
+
+    // Time-weighted average over an irregular series (the TimescaleDB
+    // `time_weight('LOCF', …)` shape): a sensor sampled every few seconds
+    // and then silent for an hour must count the silent hour at its last
+    // value, not weight every sample equally — so each observation is
+    // weighted by the µs interval it HELD, i.e. until the next
+    // observation in its (user, day) group. One lead() window (single
+    // shuffle on the group key, within-partition sort) computes the hold
+    // durations; the aggregate is then a plain hash agg. Emission is
+    // integer-exact: the weighted sum is Σ milli-value × µs-duration in
+    // BIGINT (bounded by max_v·day_span ≈ 4·10¹⁶ per group — no
+    // overflow), with the denominator (observed span) emitted separately
+    // so the consumer divides at read time; a double twa emission would
+    // hang the gate on summation order. Ties on (user, day, ts) are
+    // totally ordered by event_id so BOTH engines hold the same value
+    // over a zero-length interval's successor gap. Single-observation
+    // groups (span 0, twa undefined) are filtered, not NaN'd.
+    "q51_time_weighted_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "d")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          expr("ts_ns DIV 1000").as("us"), col("event_id"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("v_milli"))
+        .withColumn("nxt_us", lead(col("us"), 1).over(w))
+        .groupBy("user_id", "d")
+        .agg(
+          sum(when(col("nxt_us").isNotNull,
+            (col("nxt_us") - col("us")) * col("v_milli")))
+            .as("numer_milli_us"),
+          (max("us") - min("us")).as("span_us"),
+          count(lit(1)).as("n_pts"))
+        .filter(col("n_pts") >= 2)
+        .select(col("user_id"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("numer_milli_us"), col("span_us"), col("n_pts"))
     })
   )
 
@@ -1824,6 +1861,27 @@ object Relational {
         |  min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS min_cents,
         |  max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS max_cents
         |FROM orders
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // integer-µs replay of the hold-duration weighting; same (us,
+    // event_id) total order, same BIGINT emission (::BIGINT defeats
+    // DuckDB's HUGEINT widening of sum)
+    "q51_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_milli
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lead(us) OVER (
+        |      PARTITION BY user_id, d ORDER BY us, event_id) AS nxt_us
+        |  FROM e)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |  sum(CASE WHEN nxt_us IS NOT NULL
+        |      THEN (nxt_us - us) * v_milli END)::BIGINT AS numer_milli_us,
+        |  (max(us) - min(us))::BIGINT AS span_us,
+        |  count(*)::BIGINT AS n_pts
+        |FROM l GROUP BY user_id, d
+        |HAVING count(*) >= 2""".stripMargin
   )
 }

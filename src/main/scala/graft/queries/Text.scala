@@ -465,6 +465,35 @@ object Text {
         .select(col("lang"), col("doc_id"), col("score"))
     }),
 
+    // WEIGHTED sampling without replacement — Efraimidis–Spirakis A-ES
+    // (Inf. Proc. Letters 2006): draw u_i ~ U(0,1) per row, keep the N
+    // largest keys u_i^(1/w_i); inclusion odds are then proportional to
+    // w_i with no replacement bookkeeping. The pipeline use is
+    // quality/length-proportional corpus selection ("sample 200 docs,
+    // long docs proportionally more often") — p6's uniform cousin. Two
+    // engine-portability moves: (1) u is NOT a RNG draw but the first 13
+    // hex digits of md5(doc_id) over 2^52 — exactly representable in a
+    // double, identical on any engine/partitioning/retry (the
+    // DeterministicSample rule, widened from a threshold test to a full
+    // U(0,1) variate); (2) the key is computed as ln(u)/w — the same
+    // monotone order as u^(1/w) without pow's cross-libm wobble, and the
+    // selection margin at the rank-N cutoff (~1/corpus relative) dwarfs
+    // the ≤1-ulp ln() difference, so the kept SET is engine-exact even
+    // though the keys are floats (only integer columns are emitted).
+    // Plans as scan → TakeOrderedAndProject: per-partition bounded heaps
+    // + driver merge of N rows, never a global sort — the same shape at
+    // 100 TB.
+    "p10_weighted_sample" -> ((s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("double") / lit(4503599627370496.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (log(u) / col("n_chars")).as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(200)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // JSONL ingest (the wire format LLM corpora actually arrive in):
     // write the documents out as JSON-lines, read them back through the
     // schema'd distributed JSON reader, and aggregate with per-lang
@@ -1092,6 +1121,17 @@ object Text {
         |    ORDER BY score, doc_id) AS rn
         |  FROM sc)
         |SELECT lang, doc_id, score FROM r WHERE rn <= 10""".stripMargin,
+
+    // same md5-derived u and ln(u)/w key; ORDER BY … LIMIT is DuckDB's
+    // top-N; only integer columns are emitted (the float key never is)
+    "p10_weighted_sample" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT)
+        |       / 4503599627370496.0) / n_chars AS k
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM sc
+        |ORDER BY k DESC, doc_id LIMIT 200""".stripMargin,
 
     // the JSONL round trip cancels out: the oracle reads the parquet
     // originals (the corpus is ASCII, so octet_length == length and the

@@ -268,4 +268,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(df(1)._1 != df(2)._1) // reordered → different rolling fp
     assert(df(1)._2 == df(2)._2) // same bag → same md5-bag fp
   }
+
+  test("dd14 canonical pick == longest member per dd8 cluster, sizes tile the corpus") {
+    val picks = SparkEntry.queries("dd14_canonical_pick")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4))))
+      .toMap // rep -> (canonical_id, n_chars, cluster_size)
+    val clusters = SparkEntry.queries("dd8_neardup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent driver-side recomputation of the whole answer:
+    // group every doc by its component label (itself when unclustered),
+    // winner = (max n_chars, then min doc_id)
+    val expected = chars.keys
+      .groupBy(id => clusters.getOrElse(id, id))
+      .map { case (rep, ids) =>
+        val win = ids.minBy(id => (-chars(id), id))
+        rep -> ((win, chars(win), ids.size.toLong))
+      }
+    assert(picks == expected)
+    // cluster sizes partition the corpus exactly
+    assert(picks.values.map(_._3).sum == chars.size)
+    // multi-doc clusters exist at sf0.001 (else the test is vacuous)
+    assert(picks.values.exists(_._3 > 1))
+  }
 }

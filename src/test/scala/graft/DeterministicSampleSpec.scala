@@ -59,4 +59,37 @@ class DeterministicSampleSpec extends SparkSuite {
         .select("id").collect().map(_.getLong(0)).toSet
     assert(ids(df.repartition(1)) == ids(df.repartition(13, col("id"))))
   }
+
+  test("p10 weighted sample: length-biased, partition-invariant, nested in N") {
+    val sf = "/root/testdata/sf0.001"
+    val sel = SparkEntry.queries("p10_weighted_sample")(spark, sf)
+    val kept = sel.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kept.size == 200)
+    // A-ES with w = n_chars must over-represent long documents: the
+    // kept-set mean length sits clearly above the corpus mean (306 at
+    // sf0.001; a uniform sampler would land near it)
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg("n_chars")).first().getDouble(0)
+    val keptMean = kept.values.sum.toDouble / kept.size
+    assert(keptMean > corpusMean * 1.05,
+      s"weighted sample mean $keptMean not above corpus mean $corpusMean")
+    // engine-determinism: the kept SET survives a different shuffle
+    // parallelism (the md5-derived u is a pure row function)
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val again = SparkEntry.queries("p10_weighted_sample")(spark, sf)
+        .collect().map(_.getLong(0)).toSet
+      assert(again == kept.keySet)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // nestedness in N (the DeterministicSample growth property, here for
+    // the sample SIZE): the top-100 by the same key order is a strict
+    // prefix, so growing the budget only adds documents
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0)
+    val top100 = Tables.documents(spark, sf)
+      .select(col("doc_id"), (log(u) / col("n_chars")).as("k"))
+      .orderBy(col("k").desc, col("doc_id")).limit(100)
+      .collect().map(_.getLong(0)).toSet
+    assert(top100.subsetOf(kept.keySet))
+  }
 }

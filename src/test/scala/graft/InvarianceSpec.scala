@@ -38,8 +38,11 @@ class InvarianceSpec extends SparkSuite {
     // q44/q46 join the round-5 trio: the double-as-of queries lean on
     // window-carry ordering inside AsofJoin, exactly the machinery a
     // partitioning bug would corrupt silently
+    // q51 (lead-window holds) and p10 (float-keyed top-N) join the list:
+    // both would corrupt silently under an ordering/partitioning bug
     for (name <- Seq("q1_agg", "dd2_shingle_jaccard", "g1_interp_1d",
-        "q44_nearest_event", "q46_resample_interp")) {
+        "q44_nearest_event", "q46_resample_interp",
+        "q51_time_weighted_avg", "p10_weighted_sample")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq

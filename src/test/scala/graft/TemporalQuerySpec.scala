@@ -80,4 +80,30 @@ class TemporalQuerySpec extends SparkSuite {
       assert(escaped.isEmpty, "interp left the per-user value envelope")
     } finally interp.unpersist()
   }
+
+  test("q51 time-weighted average stays inside the group value envelope") {
+    val twa = SparkEntry.queries("q51_time_weighted_avg")(spark, sf)
+    // numer = Σ v·dt over hold intervals that exactly tile [first, last],
+    // so numer/span is a convex combination of the observed milli-values:
+    // vmin·span ≤ numer ≤ vmax·span, with equality only for constant
+    // groups. Recomputed bounds, not the query's own intermediates.
+    val bounds = Tables.events(spark, sf)
+      .select(col("user_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+      .groupBy("user_id", "day")
+      .agg(min("v").as("vmin"), max("v").as("vmax"))
+    val joined = twa.join(bounds, Seq("user_id", "day"))
+    assert(joined.count() == twa.count(), "every group must re-resolve")
+    val outside = joined.filter(
+      col("numer_milli_us") < col("vmin") * col("span_us") ||
+        col("numer_milli_us") > col("vmax") * col("span_us"))
+    assert(outside.isEmpty, "twa left the value envelope")
+    // single-observation groups (span undefined) are excluded, 2+ kept.
+    // A 2-point group whose points share one µs would legally emit span
+    // 0 (numer 0 with it); the driver corpora contain none, so a span-0
+    // row here would mean the span arithmetic broke, not the data.
+    assert(twa.filter(col("n_pts") < 2).isEmpty)
+    assert(twa.filter(col("span_us") <= 0).isEmpty)
+  }
 }
