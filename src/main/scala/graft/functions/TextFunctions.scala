@@ -98,4 +98,25 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Character array of a text column. The empty-string filter makes the
+    * element count engine-portable: Java's regex split can emit boundary
+    * empties that DuckDB's `string_split('')` never produces.
+    */
+  def chars(text: Column): Column =
+    filter(split(text, ""), c => c =!= lit(""))
+
+  /** Character-level Shannon entropy in bits/char over a [[chars]] array
+    * — the gibberish/binary-spill quality signal (prose ≈4-4.5, base64
+    * higher, char-floods → 0). Entirely in-row codegen higher-order
+    * functions (`log2 n − Σ f·log2 f ⁄ n` with a nested filter() count):
+    * the plan stays scan → project — no shuffle, no UDF, no explode.
+    * Per-row cost O(len·distinct_chars), bounded by the charset.
+    */
+  def charEntropy(cs: Column): Column =
+    log2(size(cs)) -
+      aggregate(array_distinct(cs), lit(0.0), (acc, c) => {
+        val f = size(filter(cs, x => x === c)).cast("double")
+        acc + f * log2(f)
+      }) / size(cs)
 }

@@ -373,6 +373,36 @@ object Dedup {
         pairs)
     }),
 
+    // Split-leakage audit — the eval-integrity check that pairs with
+    // dd10's benchmark decontamination: a near-dup pair STRADDLING the
+    // t7 train/test split means the held-out member leaks into training
+    // as a paraphrase, silently inflating eval scores. The audit
+    // classifies every dd2 near-dup pair by its endpoints' split
+    // assignments (the same md5-prefix rule t7 gates) and emits the
+    // (split, split) matrix — the train↔test and train↔validation cells
+    // are the leaks a pipeline must resolve (drop the training member,
+    // or re-draw the split salt). Cost rides entirely on dd2's capped
+    // candidate machinery: classification is a pure row function on the
+    // ~|pairs| survivors and the output is ≤6 cells, so at 100 TB the
+    // audit is free relative to the dedup it reuses. Pairs are emitted
+    // with i<j, so the cell key is order-normalized (least/greatest)
+    // to make (test,train) and (train,test) one cell.
+    "dd15_split_leakage" -> ((s, dir) => {
+      def splitOfId(c: org.apache.spark.sql.Column) = {
+        val h = substring(md5(c.cast("string")), 1, 4)
+        when(h < "1999", "test")
+          .when(h < "3333", "validation")
+          .otherwise("train")
+      }
+      val (p, _, caches) = shingleJaccardPairsWithCaches(s, dir)
+      QueryCache.resultThenRelease(
+        p.select(splitOfId(col("i")).as("si"), splitOfId(col("j")).as("sj"))
+          .groupBy(least(col("si"), col("sj")).as("split_lo"),
+            greatest(col("si"), col("sj")).as("split_hi"))
+          .agg(count(lit(1)).as("n_pairs")),
+        caches: _*)
+    }),
+
     // Character-level verification of the near-dup pairs: exact edit
     // distance (codegen'd levenshtein) joined onto dd2's pair list — the
     // "how different are they really" re-rank a human-review or
@@ -841,6 +871,23 @@ object Dedup {
          |SELECT rep, doc_id AS canonical_id, lang, n_chars,
          |  cluster_size::BIGINT AS cluster_size
          |FROM rk WHERE rn = 1""".stripMargin,
+
+    // t7's split CASE applied to both endpoints of the dd2 pair replay,
+    // cell key order-normalized
+    "dd15_split_leakage" ->
+      s"""WITH $dd2CtesSql,
+         |sp AS (
+         |  SELECT
+         |    CASE WHEN substr(md5(i::VARCHAR), 1, 4) < '1999' THEN 'test'
+         |         WHEN substr(md5(i::VARCHAR), 1, 4) < '3333' THEN 'validation'
+         |         ELSE 'train' END AS si,
+         |    CASE WHEN substr(md5(j::VARCHAR), 1, 4) < '1999' THEN 'test'
+         |         WHEN substr(md5(j::VARCHAR), 1, 4) < '3333' THEN 'validation'
+         |         ELSE 'train' END AS sj
+         |  FROM dd2res)
+         |SELECT least(si, sj) AS split_lo, greatest(si, sj) AS split_hi,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM sp GROUP BY 1, 2""".stripMargin,
 
     // NOTE: DuckDB 1.0's levenshtein is byte-based while Spark's is
     // character-based — identical on this corpus because it is pure ASCII

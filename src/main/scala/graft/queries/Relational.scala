@@ -1219,6 +1219,32 @@ object Relational {
         .select(col("user_id"),
           date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("numer_milli_us"), col("span_us"), col("n_pts"))
+    }),
+
+    // Event-transition matrix — the Markov/journey view of behavioral
+    // data (the complement of q45's fixed funnel: instead of counting one
+    // prescribed path, count EVERY adjacent (from, to) step users take):
+    // per-user lag() pairs each event with its predecessor type, then one
+    // hash agg builds the |types|² matrix with per-transition dwell time
+    // (Σ gap µs — numerator for "avg seconds between view and purchase").
+    // One shuffle on user_id for the window + one map-side-combined agg
+    // into a bounded (|types|²) result; the µs gap sum is BIGINT-exact
+    // (≤ month-span × users ≈ 4·10¹⁵ — no overflow). The (us, event_id)
+    // total order pins µs-tied neighbors to one predecessor on both
+    // engines (the q51 rule).
+    "q52_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(col("us") - col("prev_us")).as("total_gap_us"))
     })
   )
 
@@ -1882,6 +1908,23 @@ object Relational {
         |  (max(us) - min(us))::BIGINT AS span_us,
         |  count(*)::BIGINT AS n_pts
         |FROM l GROUP BY user_id, d
-        |HAVING count(*) >= 2""".stripMargin
+        |HAVING count(*) >= 2""".stripMargin,
+
+    // same (us, event_id) windowed lag, grand agg over the type matrix
+    "q52_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id, event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lag(event_type) OVER w AS prev_type,
+        |    lag(us) OVER w AS prev_us
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT prev_type AS from_type, event_type AS to_type,
+        |  count(*)::BIGINT AS n_transitions,
+        |  sum(us - prev_us)::BIGINT AS total_gap_us
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin
   )
 }

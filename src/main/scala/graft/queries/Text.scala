@@ -122,6 +122,30 @@ object Text {
     // column dies at the scan (split → explode); everything after is two
     // (doc_id, token)-keyed partial+final hash aggs and one per-doc
     // equi-join — no global sort, fan-out bounded by tokens-per-doc.
+    // Character-level Shannon entropy per document — the gibberish/
+    // binary-spill detector quality pipelines run beside the t2 ratio
+    // gates (natural prose sits ≈4-4.5 bits/char; base64 blobs and
+    // key-mash run higher, template spam and char-floods collapse
+    // lower). Computed ENTIRELY in-row with codegen higher-order
+    // functions — split → array_distinct → aggregate(Σ f·log2 f) with a
+    // nested filter() count — so the plan is scan → project: zero
+    // shuffle, zero UDF, zero explode (t15's two-shuffle explode shape
+    // is the right call when per-TOKEN frames are reused; for a pure
+    // per-doc scalar the in-kernel form touches each text once and
+    // nothing else moves). Per-row cost is O(len·distinct_chars) —
+    // bounded by the charset, not the corpus. The double emission rides
+    // the gate's float tolerance: both engines sum the same f·log2(f)
+    // terms, only in different order (the one libm-shaped caveat, ~1
+    // ulp, documented where q25 documents its boundary).
+    "t21_char_entropy" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{chars, charEntropy}
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), chars(col("text")).as("cs"))
+        .select(col("doc_id"), col("lang"),
+          size(col("cs")).cast("long").as("n_ch"),
+          charEntropy(col("cs")).as("entropy"))
+    }),
+
     "t15_repetition" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -836,6 +860,21 @@ object Text {
     // integer counts and integerized threshold comparisons only — the
     // boolean keep flag folds from the same BIGINT arithmetic on both
     // engines
+    // same in-list arithmetic (list comprehension + nested list_filter);
+    // list_distinct order differs from array_distinct's — only the
+    // SUMMATION order changes, covered by the gate's float tolerance
+    "t21_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ''), x -> x <> '') AS cs
+        |  FROM documents)
+        |SELECT doc_id, lang, len(cs)::BIGINT AS n_ch,
+        |  log2(len(cs)) - list_sum(
+        |    [len(list_filter(cs, y -> y = x))
+        |       * log2(len(list_filter(cs, y -> y = x)))
+        |     for x in list_distinct(cs)]) / len(cs) AS entropy
+        |FROM c""".stripMargin,
+
     "t15_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -293,4 +293,28 @@ class DedupSimilaritySpec extends SparkSuite {
     // multi-doc clusters exist at sf0.001 (else the test is vacuous)
     assert(picks.values.exists(_._3 > 1))
   }
+
+  test("dd15 leakage matrix == dd2 pairs classified by the t7 split rule") {
+    val matrix = SparkEntry.queries("dd15_split_leakage")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pairs = SparkEntry.queries("dd2_shingle_jaccard")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val splits = SparkEntry.queries("t7_hash_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // driver-side recomputation through the GATED t7 assignment (not a
+    // re-derivation of the md5 rule — the audit must agree with the split
+    // the corpus actually uses)
+    val expected = pairs
+      .map { case (i, j) =>
+        val (a, b) = (splits(i), splits(j))
+        (if (a < b) a else b, if (a < b) b else a)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(matrix == expected)
+    assert(matrix.values.sum == pairs.length)
+    // the audit exists because leaks exist: at sf0.001 at least one pair
+    // must straddle splits (else the fixture can't certify the cross cell)
+    assert(matrix.keys.exists { case (lo, hi) => lo != hi })
+  }
 }

@@ -106,4 +106,26 @@ class TemporalQuerySpec extends SparkSuite {
     assert(twa.filter(col("n_pts") < 2).isEmpty)
     assert(twa.filter(col("span_us") <= 0).isEmpty)
   }
+
+  test("q52 transition matrix conserves events and orders time forward") {
+    val m = SparkEntry.queries("q52_event_transitions")(spark, sf).cache()
+    try {
+      // each user with k events contributes exactly k−1 adjacent steps:
+      // Σ n_transitions == |events| − |users|
+      val ev = Tables.events(spark, sf)
+      val nEvents = ev.count()
+      val nUsers = ev.select("user_id").distinct().count()
+      val total = m.agg(sum("n_transitions")).first().getLong(0)
+      assert(total == nEvents - nUsers)
+      // time runs forward along the (us, event_id) order, so every
+      // cell's summed gap is non-negative
+      assert(m.filter(col("total_gap_us") < 0).isEmpty)
+      // cell labels come from the live type vocabulary
+      val types = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).toSet
+      val cellTypes = m.select("from_type").collect().map(_.getString(0)) ++
+        m.select("to_type").collect().map(_.getString(0))
+      assert(cellTypes.toSet.subsetOf(types))
+    } finally m.unpersist()
+  }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{charEntropy, chars}
+
+/** Semantics of the character-entropy quality signal (t21): exact values
+  * on closed-form strings, plus corpus-level envelope checks.
+  */
+class TextQualitySpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("charEntropy matches closed-form values") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, "aaaa"),        // one symbol → 0 bits
+      (2L, "abab"),        // two equiprobable → 1 bit
+      (3L, "abcd"),        // four equiprobable → 2 bits
+      (4L, "hello world")) // hand-computed reference
+      .toDF("id", "s")
+      .select(col("id"), charEntropy(chars(col("s"))).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+    assert(math.abs(got(3) - 2.0) < 1e-12)
+    assert(math.abs(got(4) - 2.8453509366224363) < 1e-12)
+  }
+
+  test("t21 entropies sit in the Shannon envelope and n matches length") {
+    val r = SparkEntry.queries("t21_char_entropy")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val j = r.join(docs, "doc_id")
+    // the split-based count must agree with plain length (ASCII corpus) —
+    // a Spark/DuckDB split-boundary divergence would show up here first
+    assert(j.filter(col("n_ch") =!= col("len")).isEmpty)
+    // 0 ≤ H ≤ log2(n_ch) always; prose should be solidly interior
+    assert(j.filter(col("entropy") < 0 ||
+      col("entropy") > log2(col("n_ch"))).isEmpty)
+    val avg0 = r.agg(avg("entropy")).first().getDouble(0)
+    assert(avg0 > 3.0 && avg0 < 5.5,
+      s"corpus mean entropy $avg0 outside the natural-text band")
+  }
+}
