@@ -108,9 +108,13 @@ object TextFunctions {
 
   /** Character-level Shannon entropy in bits/char over a [[chars]] array
     * — the gibberish/binary-spill quality signal (prose ≈4-4.5, base64
-    * higher, char-floods → 0). Entirely in-row codegen higher-order
+    * higher, char-floods → 0). Entirely in-row built-in higher-order
     * functions (`log2 n − Σ f·log2 f ⁄ n` with a nested filter() count):
     * the plan stays scan → project — no shuffle, no UDF, no explode.
+    * Plan note: Spark's HOF expressions carry no doGenCode, so the
+    * projection evaluates OUTSIDE WholeStageCodegen — still pure-JVM
+    * expression eval with zero (de)serialization, just not fused; the
+    * scale properties (single scan, nothing moves) are unaffected.
     * Per-row cost O(len·distinct_chars), bounded by the charset.
     */
   def charEntropy(cs: Column): Column =

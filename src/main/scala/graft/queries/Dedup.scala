@@ -344,12 +344,19 @@ object Dedup {
     // keep-longest policy is the common quality heuristic (the longer
     // variant of a near-dup pair is usually the un-truncated one).
     // Plan: left join of the corpus onto the (tiny — only clustered docs)
-    // component map, which auto-broadcasts, then ONE hash agg on the
+    // component map, which auto-broadcasts, then ONE aggregation on the
     // representative: `max(struct(n_chars, -doc_id, …))` makes the
-    // winner-pick an algebraic aggregate — partial max per map task,
-    // merge at the reducer — with the winner's payload columns riding in
-    // the struct, never a per-cluster sort and never a second join back
-    // to fetch the winner's row (the q30 last-writer-wins shape).
+    // winner-pick algebraic — a partial max per map task collapses each
+    // task's rows to ≤|reps| before the exchange, the final agg merges —
+    // with the winner's payload columns riding in the struct, so there is
+    // never a second join back to fetch the winner's row (the q30
+    // last-writer-wins shape). One honest plan note: a struct-typed max
+    // buffer is not hash-aggregable in Spark (mutable-buffer rule), so
+    // both agg phases plan as SortAggregate — each task sorts ITS rows by
+    // rep before folding. That per-task sort is the price of carrying the
+    // payload through the agg; the alternative (primitive-max HashAgg +
+    // join-back for the payload) trades it for a second corpus join, a
+    // worse deal at any scale where the agg input exceeds memory.
     "dd14_canonical_pick" -> ((s, dir) => {
       val (p, _, caches) = shingleJaccardPairsWithCaches(s, dir)
       val pairs = p.select("i", "j").persist()
