@@ -186,6 +186,48 @@ object EventStream {
       }
   }
 
+  /** Per-user adjacency state for [[transitions]]: the last event seen —
+    * O(1), never buffered events.
+    */
+  final case class LastEvent(us: Long, eventId: Long, tpe: String)
+
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String, gap_us: Long)
+
+  /** Streaming event-transition emitter — the stateful twin of batch
+    * q52's Markov matrix: every adjacent per-user (from, to) step is
+    * emitted AS IT HAPPENS with its dwell gap, ready for a downstream
+    * windowed `groupBy(from_type, to_type)` (the live journey dashboard).
+    * State per user is the last event only, so 100 TB/day holds state ∝
+    * users. A transition is final the moment its second endpoint is
+    * processed (given per-user ordered delivery across micro-batches —
+    * the [[sessionize]] precondition — with re-deliveries dropped by
+    * [[dedupedEvents]]), so Append mode is sound with no timeout; the
+    * in-batch iterator is sorted by the same (µs, event_id) total order
+    * q52 uses, making stream == batch exact (StreamingSpec pins the
+    * full matrix, counts AND gap sums).
+    */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          val evs = batch.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+          var out = List.empty[Transition]
+          var last = state.getOption
+          evs.foreach { e =>
+            val t = usOf(e.ts)
+            last.foreach { p =>
+              out ::= Transition(userId, p.tpe, e.event_type, t - p.us)
+            }
+            last = Some(LastEvent(t, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.reverse.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same `event_id`
     * within the watermark horizon — state is bounded by (events/horizon),
     * the standard at-least-once → effectively-once repair for 100 TB/day

@@ -112,6 +112,39 @@ class StreamingSpec extends SparkSuite {
       s"stream funnel $stream != batch $batch")
   }
 
+  test("transition parity: flatMapGroupsWithState == q52's batch matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the batch truth: the full matrix — counts AND dwell-gap sums
+    val batch = SparkEntry.queries("q52_event_transitions")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+      .collect()
+      .sortBy(e =>
+        (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.transitions(mem.toDS()).writeStream
+      .format("memory").queryName("transitions").outputMode("append").start()
+    evs.grouped(evs.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // append-mode rows are final single transitions; aggregate to the
+    // matrix the batch query emits
+    val stream = spark.table("transitions")
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"), sum("gap_us").as("g"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    q.stop()
+    assert(stream == batch, s"stream matrix != batch matrix")
+  }
+
   test("sessionize parity: flatMapGroupsWithState == q19's batch windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
