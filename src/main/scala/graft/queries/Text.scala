@@ -517,6 +517,44 @@ object Text {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // Token-budget-capped sampling — "give me a uniform ~10k-token slice
+    // of the corpus", THE selection a training run actually issues
+    // (budgets are in tokens, not documents). Sort-free by construction:
+    // a global ORDER BY priority + running-sum cutoff would be the
+    // classic scale anti-pattern, so instead each doc hashes to one of
+    // 4096 uniform priority bins (salted md5 — 'budget:' prefix, because
+    // the UNsalted u would correlate with t7's split assignment and the
+    // slice would drain the test split first; the p8 salt-independence
+    // rule), the per-bin token mass is aggregated (4096 rows — a
+    // driver-bounded collect, the P4 tier), the driver prefix-scans to
+    // the largest bin prefix whose mass fits the budget, and one filter
+    // keeps those bins. Two scans of a two-column projection instead of
+    // any shuffle of the corpus; granularity is one bin (~1/4096 of
+    // corpus mass), the price of never sorting. Deterministic: bin =
+    // floor(u·4096) is exact (power-of-two scaling of an exact 52-bit
+    // rational), so both engines keep the identical doc set.
+    "p11_token_budget" -> ((s, dir) => {
+      val budget = 10000L
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("tok"),
+          floor(
+            conv(substring(md5(concat(lit("budget:"),
+              col("doc_id").cast("string"))), 1, 13), 16, 10)
+              .cast("double") / lit(4503599627370496.0) * lit(4096.0))
+            .cast("int").as("bin"))
+      val mass = docs.groupBy("bin").agg(sum("tok").as("bt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // largest k with Σ_{bin<k} ≤ budget (bins are uniform, so this is
+      // a uniform sample of ≈budget tokens)
+      var cum = 0L
+      var k = 0
+      while (k < 4096 && cum + mass.getOrElse(k, 0L) <= budget) {
+        cum += mass.getOrElse(k, 0L); k += 1
+      }
+      docs.filter(col("bin") < k)
+    }),
+
     // JSONL ingest (the wire format LLM corpora actually arrive in):
     // write the documents out as JSON-lines, read them back through the
     // schema'd distributed JSON reader, and aggregate with per-lang
@@ -1170,6 +1208,23 @@ object Text {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM sc
         |ORDER BY k DESC, doc_id LIMIT 200""".stripMargin,
+
+    // same salted binning; the driver's prefix loop is equivalent to
+    // "keep every (nonempty) bin whose running token mass fits" — the
+    // cumulative window over the 4096-row bin frame
+    "p11_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::BIGINT AS tok,
+        |    CAST(floor((('0x' || substr(md5('budget:' || doc_id::VARCHAR),
+        |      1, 13))::UBIGINT) / 4503599627370496.0 * 4096.0)
+        |      AS INTEGER) AS bin
+        |  FROM documents),
+        |c AS (
+        |  SELECT bin, sum(sum(tok)) OVER (ORDER BY bin) AS cum
+        |  FROM d GROUP BY bin)
+        |SELECT d.doc_id, d.lang, d.tok, d.bin
+        |FROM d JOIN c USING (bin) WHERE c.cum <= 10000""".stripMargin,
 
     // the JSONL round trip cancels out: the oracle reads the parquet
     // originals (the corpus is ASCII, so octet_length == length and the

@@ -92,4 +92,38 @@ class DeterministicSampleSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(top100.subsetOf(kept.keySet))
   }
+
+  test("p11 token budget: fits, is tight, and is independent of the t7 split") {
+    val sf = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("p11_token_budget")(spark, sf).cache()
+    try {
+      val budget = 10000L
+      val total = kept.agg(sum("tok")).first().getLong(0)
+      assert(total <= budget, s"kept $total tokens > budget $budget")
+      // tight: the next (smallest excluded) bin would not have fit
+      val kMax = kept.agg(max("bin")).first().getInt(0)
+      val allBins = Tables.documents(spark, sf)
+        .select(floor(
+          conv(substring(md5(concat(lit("budget:"),
+            col("doc_id").cast("string"))), 1, 13), 16, 10)
+            .cast("double") / lit(4503599627370496.0) * lit(4096.0))
+          .cast("int").as("bin"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .filter(col("bin") > kMax)
+        .groupBy("bin").agg(sum("tok").as("bt"))
+        .orderBy("bin").limit(1)
+        .collect()
+      assert(allBins.nonEmpty &&
+        total + allBins.head.getLong(1) > budget,
+        "a further bin would still have fit — the prefix was not maximal")
+      // salt-independence: the slice must not drain one t7 split
+      // (the UNsalted u would make kept ⊆ 'test' — the bug the salt
+      // exists to prevent)
+      val splits = SparkEntry.queries("t7_hash_split")(spark, sf)
+        .select(col("doc_id"), col("split"))
+      val nSplits = kept.join(splits, "doc_id")
+        .select("split").distinct().count()
+      assert(nSplits == 3, s"budget slice covers $nSplits of 3 splits")
+    } finally kept.unpersist()
+  }
 }
