@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -224,6 +225,36 @@ object GridQueries {
           probes, "id", series, Array(tAxis, uAxis), valueCols = Seq("v"),
           coordCols = Seq("t", "u")),
         series)
+    }),
+
+    // Time derivative of a gridded field — the first derived quantity a
+    // space-weather pipeline computes from fetched model output (∂ρ/∂t
+    // drives storm-onset detection; kamodo composes such fields over a
+    // registered interpolator, reference docs/interpolator.md). On a
+    // distributed grid the derivative is an AXIS-SHIFT WINDOW, not an
+    // interpolation: per key-series (here per event_type), a central
+    // difference over the ACTUAL neighbor timesteps —
+    // (v(t₊)−v(t₋))/(t₊−t₋) — handles ragged cadence exactly (no
+    // assumed step; the R1 provenance rule again). One shuffle on the
+    // series key, lag+lead in ONE window pass, interior points only
+    // (one-sided boundaries are a policy choice this query leaves to
+    // the caller). The derivative frame is itself a grid — g1-g4's
+    // interpolators consume it unchanged (kamodo's composed-field
+    // workflow, engine-side).
+    "g9_time_derivative" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("t")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 600) * 600)
+            .cast("double").as("t"))
+        .agg(avg("value").as("v"))
+        .withColumn("tp", lag("t", 1).over(w))
+        .withColumn("vp", lag("v", 1).over(w))
+        .withColumn("tn", lead("t", 1).over(w))
+        .withColumn("vn", lead("v", 1).over(w))
+        .filter(col("tp").isNotNull && col("tn").isNotNull)
+        .select(col("event_type"), col("t"),
+          ((col("vn") - col("vp")) / (col("tn") - col("tp"))).as("dvdt"))
     })
   )
 
@@ -574,6 +605,21 @@ object GridQueries {
          |JOIN series s11 ON s11.t = w.t1 AND s11.u = w.u1
          |JOIN series s21 ON s21.t = w.t2 AND s21.u = w.u1
          |JOIN series s12 ON s12.t = w.t1 AND s12.u = w.u2
-         |JOIN series s22 ON s22.t = w.t2 AND s22.u = w.u2""".stripMargin
+         |JOIN series s22 ON s22.t = w.t2 AND s22.u = w.u2""".stripMargin,
+
+    // same per-key series, same central difference over actual
+    // neighbors; avg(value) rides the gate's float tolerance (partial
+    // aggregation order), the difference quotient is pure IEEE ±/÷
+    "g9_time_derivative" ->
+      """WITH s AS (
+        |  SELECT event_type, floor(epoch(ts) / 600) * 600 AS t,
+        |    avg(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, lag(t) OVER win AS tp, lag(v) OVER win AS vp,
+        |    lead(t) OVER win AS tn, lead(v) OVER win AS vn
+        |  FROM s WINDOW win AS (PARTITION BY event_type ORDER BY t))
+        |SELECT event_type, t, (vn - vp) / (tn - tp) AS dvdt
+        |FROM w WHERE tp IS NOT NULL AND tn IS NOT NULL""".stripMargin
   )
 }

@@ -1245,6 +1245,36 @@ object Relational {
           col("event_type").as("to_type"))
         .agg(count(lit(1)).as("n_transitions"),
           sum(col("us") - col("prev_us")).as("total_gap_us"))
+    }),
+
+    // Distinct-count over a sliding time window — the "how many distinct
+    // event types did this user touch in the last hour" engagement
+    // signal. A naive windowed countDistinct buffers the value set per
+    // frame (collect_set — memory ∝ frame size, and not an algebraic
+    // aggregate); the scale form is an INTEGER BITMASK: each type maps
+    // to one bit through a broadcast dictionary (|types| rows), the
+    // trailing-hour RANGE frame folds with bit_or — associative,
+    // commutative, O(1) state, peer-row order irrelevant — and
+    // bit_count reads the distinct count out. Works verbatim for any
+    // dictionary ≤64 symbols (the common case: event types, quality
+    // tiers, sources); wider vocabularies graduate to q32's HLL
+    // sketches. One user_id shuffle, integer-exact emission.
+    "q53_window_distinct_types" -> ((s, dir) => {
+      val types = Tables.events(s, dir).select("event_type").distinct()
+        .withColumn("rn", row_number().over(
+          Window.orderBy("event_type")))
+        .withColumn("mask", expr("shiftleft(1L, rn - 1)"))
+        .drop("rn")
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns DIV 1000").as("us"), col("event_type"))
+        .join(broadcast(types), "event_type")
+        .select(col("user_id"), col("event_id"), col("us"),
+          bit_count(bit_or(col("mask")).over(w)).cast("long")
+            .as("n_types_1h"))
     })
   )
 
@@ -1925,6 +1955,25 @@ object Relational {
         |  count(*)::BIGINT AS n_transitions,
         |  sum(us - prev_us)::BIGINT AS total_gap_us
         |FROM l WHERE prev_type IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // same bit dictionary (row_number over the sorted type vocabulary),
+    // same RANGE frame; bit_or is order-free so µs-tied peers agree
+    "q53_window_distinct_types" ->
+      """WITH ty AS (
+        |  SELECT event_type,
+        |    row_number() OVER (ORDER BY event_type) AS rn
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    (1::BIGINT << (rn - 1)) AS mask
+        |  FROM events JOIN ty USING (event_type)
+        |  WHERE user_id < 20)
+        |SELECT user_id, event_id, us,
+        |  bit_count(bit_or(mask) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS n_types_1h
+        |FROM e""".stripMargin
   )
 }

@@ -107,6 +107,56 @@ class TemporalQuerySpec extends SparkSuite {
     assert(twa.filter(col("span_us") <= 0).isEmpty)
   }
 
+  test("q53 bitmask window distinct == exact set-buffering recompute") {
+    // the bitmask fold must equal the memory-hungry form it replaces:
+    // size(collect_set) over the identical RANGE frame
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q53_window_distinct_types")(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    val exact = Tables.events(spark, sf)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns DIV 1000").as("us"), col("event_type"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        size(collect_set("event_type").over(w)).cast("long")
+          .as("n_types_1h"))
+    assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty,
+      "bitmask window distinct diverged from the exact set form")
+  }
+
+  test("g9 central difference is exact on a linear integer-time series") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // v = 2·t on an irregular INTEGER time grid: every quantity in
+    // (v₊−v₋)/(t₊−t₋) is an exactly-representable double, so the
+    // derivative must be exactly 2.0 — no tolerance
+    val w = Window.partitionBy("k").orderBy("t")
+    val ser = Seq((1L, 0.0), (1L, 7.0), (1L, 13.0), (1L, 40.0),
+      (1L, 41.0)).map { case (k, t) => (k, t, 2.0 * t) }
+      .toDF("k", "t", "v")
+    val dv = ser
+      .withColumn("tp", lag("t", 1).over(w))
+      .withColumn("vp", lag("v", 1).over(w))
+      .withColumn("tn", lead("t", 1).over(w))
+      .withColumn("vn", lead("v", 1).over(w))
+      .filter(col("tp").isNotNull && col("tn").isNotNull)
+      .select(((col("vn") - col("vp")) / (col("tn") - col("tp"))).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(dv.length == 3 && dv.forall(_ == 2.0))
+    // and the gated query emits one interior row per series point pair
+    val g9 = SparkEntry.queries("g9_time_derivative")(spark, sf)
+    val perType = g9.groupBy("event_type").count()
+    val buckets = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 600) * 600).as("t"))
+      .agg(count(lit(1))).groupBy("event_type").count()
+      .withColumnRenamed("count", "n_buckets")
+    val bad = perType.join(buckets, "event_type")
+      .filter(col("count") =!= col("n_buckets") - 2)
+    assert(bad.isEmpty, "interior-point count != buckets − 2")
+  }
+
   test("q52 transition matrix conserves events and orders time forward") {
     val m = SparkEntry.queries("q52_event_transitions")(spark, sf).cache()
     try {
