@@ -97,6 +97,37 @@ object MultimodalQueries {
           .limit(25)
           .withColumn("cap_bucket", lit(cap)),
         hashes, sizes)
+    }),
+
+    // Vision-token budget accounting — the context-length planning query
+    // a vision-language training pipeline runs before packing: each image
+    // costs ceil(w/14)·ceil(h/14) ViT-style patch tokens (integer ceil,
+    // (x+13) DIV 14 — no float), its caption costs whitespace tokens, and
+    // the per-kind roll-up reports the token mass plus how many items
+    // overflow a (toy, codec-scaled) 96-token context — the number that
+    // decides resize-vs-drop policy. Decoded dims flow through the SAME
+    // batched mapPartitions codec as mm1 (the plumbing under test); the
+    // caption join is key-to-key on the media id. At 100 TB both sides
+    // partition on the id and the roll-up is map-side combined.
+    "mm6_patch_budget" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokenCount
+      val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(s, dir))
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          expr("(width + 13) DIV 14").as("pw"),
+          expr("(height + 13) DIV 14").as("ph"))
+      val caps = graft.Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          tokenCount(col("text")).cast("long").as("ntok"))
+      meta.join(caps, "media_id")
+        .withColumn("item_tokens", col("pw") * col("ph") + col("ntok"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("pw") * col("ph")).as("total_patches"),
+          sum(col("item_tokens")).as("total_item_tokens"),
+          max(col("item_tokens")).as("max_item_tokens"),
+          sum(when(col("item_tokens") > 96, 1L).otherwise(0L))
+            .as("n_over_96"))
     })
   )
 
@@ -189,6 +220,27 @@ object MultimodalQueries {
          |JOIN sk sa ON sa.media_id = i
          |JOIN sk sb ON sb.media_id = j
          |ORDER BY hamming, i, j
-         |LIMIT 25""".stripMargin
+         |LIMIT 25""".stripMargin,
+
+    // mm1's dim arithmetic + integer patch ceil + the t-family token
+    // count, rolled up per kind
+    "mm6_patch_budget" ->
+      """WITH m AS (
+        |  SELECT 'img/' || source AS kind,
+        |    ((octet_length(encode(text)) % 256 + 1) + 13) // 14 AS pw,
+        |    ((octet_length(encode(text)) // 256 + 1) + 13) // 14 AS ph,
+        |    len(string_split(text, ' '))::BIGINT AS ntok
+        |  FROM documents),
+        |i AS (
+        |  SELECT kind, pw * ph AS patches,
+        |    pw * ph + ntok AS item_tokens
+        |  FROM m)
+        |SELECT kind, count(*)::BIGINT AS n_items,
+        |  sum(patches)::BIGINT AS total_patches,
+        |  sum(item_tokens)::BIGINT AS total_item_tokens,
+        |  max(item_tokens)::BIGINT AS max_item_tokens,
+        |  sum(CASE WHEN item_tokens > 96 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_over_96
+        |FROM i GROUP BY kind""".stripMargin
   )
 }

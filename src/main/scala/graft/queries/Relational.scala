@@ -1275,6 +1275,36 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("us"),
           bit_count(bit_or(col("mask")).over(w)).cast("long")
             .as("n_types_1h"))
+    }),
+
+    // Ratio-to-report — "each nation's share of its region's revenue",
+    // the partition-total window every BI rollup ships (Oracle's
+    // RATIO_TO_REPORT, the share-of-category pattern). The revenue agg
+    // collapses the fact join to ≤|nations| rows FIRST; the
+    // whole-partition window then runs over that bounded frame — the
+    // window never sees fact rows, which is the entire scale story
+    // (windowing the corpus and THEN aggregating would sort 100 TB to
+    // produce 25 numbers). Share is emitted as integer numerator +
+    // denominator (cents), the q51 divide-at-read-time rule — a double
+    // division here would be bit-identical anyway, but the integer form
+    // makes the gate exact by construction.
+    "q54_ratio_to_report" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+            .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(expr(
+          "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("nation_cents"))
+      rev.withColumn("region_cents",
+          sum(col("nation_cents")).over(Window.partitionBy("r_name")))
     })
   )
 
@@ -1974,6 +2004,25 @@ object Relational {
         |  bit_count(bit_or(mask) OVER (PARTITION BY user_id ORDER BY us
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT
         |    AS n_types_1h
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    // same agg-then-window order; sum over the whole partition needs no
+    // frame clause (default RANGE UNBOUNDED PRECEDING..UNBOUNDED
+    // FOLLOWING without ORDER BY)
+    "q54_ratio_to_report" ->
+      """WITH rev AS (
+        |  SELECT r.r_name, n.n_name,
+        |    sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |        AS BIGINT))::BIGINT AS nation_cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, nation_cents,
+        |  sum(nation_cents) OVER (PARTITION BY r_name)::BIGINT
+        |    AS region_cents
+        |FROM rev""".stripMargin
   )
 }
