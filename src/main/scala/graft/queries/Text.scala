@@ -555,6 +555,48 @@ object Text {
       docs.filter(col("bin") < k)
     }),
 
+    // Segment-level dedup REWRITE — the corpus-editing stage dd11 only
+    // scores: chunk every doc into non-overlapping 8-token segments
+    // (t11's sequence-explode machinery), find segments appearing in ≥2
+    // DISTINCT documents (mirror/boilerplate spans — the Lee et al. 2022
+    // substring-dedup target at segment granularity), and REASSEMBLE each
+    // doc from its surviving segments in original order, emitting kept
+    // counts and the md5 of the rewritten text (the corpus delta a
+    // pipeline ships). One explode (|tokens|/8 rows), one distinct-doc
+    // agg on the segment key, one left join + one per-doc agg; the
+    // reassembly is collect_list(struct(idx, seg)) → array_sort →
+    // concat — per-doc bounded, no window, no global order. At 100 TB
+    // the segment shuffle key would be an 8-byte hash of the segment
+    // (dd2's trick — identical shape); the string key here keeps the
+    // oracle replayable. A segment repeated only WITHIN one doc is kept
+    // (cross-doc sharing is the boilerplate signal; t15 owns
+    // intra-doc repetition).
+    "t22_segment_dedup_rewrite" -> ((s, dir) => {
+      val segs = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(8)))
+            .as("start"),
+          col("toks"))
+        .select(col("doc_id"), expr("start DIV 8").as("seg_idx"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(8)))
+            .as("seg"))
+      val shared = segs.groupBy("seg")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("seg"), lit(1).as("is_shared"))
+      segs.join(shared, Seq("seg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("is_shared").isNull, 1L).otherwise(0L))
+            .as("n_kept"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(when(col("is_shared").isNull,
+              struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")))).as("clean_md5"))
+    }),
+
     // JSONL ingest (the wire format LLM corpora actually arrive in):
     // write the documents out as JSON-lines, read them back through the
     // schema'd distributed JSON reader, and aggregate with per-lang
@@ -1225,6 +1267,30 @@ object Text {
         |  FROM d GROUP BY bin)
         |SELECT d.doc_id, d.lang, d.tok, d.bin
         |FROM d JOIN c USING (bin) WHERE c.cum <= 10000""".stripMargin,
+
+    // same segmentation (t11's range-unnest + list slice), same ≥2
+    // distinct-doc rule; string_agg(ORDER BY seg_idx) skips the shared
+    // (NULL'd) segments, coalesce('') covers a fully-deduped doc the
+    // same way Spark's empty-array concat does
+    "t22_segment_dedup_rewrite" ->
+      """WITH segs AS (
+        |  SELECT doc_id, (start // 8) AS seg_idx,
+        |    array_to_string(toks[start+1 : start+8], ' ') AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents),
+        |       unnest(range(0, len(toks), 8)) AS t(start)),
+        |sh AS (
+        |  SELECT seg FROM segs GROUP BY seg
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |fl AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg,
+        |    (sh.seg IS NOT NULL) AS shared
+        |  FROM segs s LEFT JOIN sh ON s.seg = sh.seg)
+        |SELECT doc_id, count(*)::BIGINT AS n_segs,
+        |  sum(CASE WHEN NOT shared THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN NOT shared THEN seg END, ' '
+        |    ORDER BY seg_idx), '')) AS clean_md5
+        |FROM fl GROUP BY doc_id""".stripMargin,
 
     // the JSONL round trip cancels out: the oracle reads the parquet
     // originals (the corpus is ASCII, so octet_length == length and the

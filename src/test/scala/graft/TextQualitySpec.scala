@@ -42,4 +42,25 @@ class TextQualitySpec extends SparkSuite {
     assert(avg0 > 3.0 && avg0 < 5.5,
       s"corpus mean entropy $avg0 outside the natural-text band")
   }
+
+  test("t22 rewrite: untouched docs reassemble byte-identically, edits are real") {
+    val rw = SparkEntry.queries("t22_segment_dedup_rewrite")(spark, sf)
+      .cache()
+    try {
+      assert(rw.filter(col("n_kept") > col("n_segs")).isEmpty)
+      // segments are consecutive token slices re-joined with the same
+      // single-space separator, so a doc that loses nothing must
+      // round-trip to md5(text) EXACTLY — any boundary slip (off-by-one
+      // slice, separator drift) breaks this, which is the point
+      val orig = Tables.documents(spark, sf)
+        .select(col("doc_id"), md5(col("text")).as("orig_md5"))
+      val untouchedBroken = rw.filter(col("n_kept") === col("n_segs"))
+        .join(orig, "doc_id")
+        .filter(col("clean_md5") =!= col("orig_md5"))
+      assert(untouchedBroken.isEmpty,
+        "an untouched doc failed to reassemble byte-identically")
+      // and the rewrite actually edits something at sf0.001
+      assert(rw.filter(col("n_kept") < col("n_segs")).count() > 0)
+    } finally rw.unpersist()
+  }
 }
