@@ -408,6 +408,58 @@ object Similarity {
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10),
         e)
+    }),
+
+    // Maximal Marginal Relevance — diversified retrieval (Carbonell &
+    // Goldstein 1998): greedy top-k where each pick maximizes
+    // λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s), the de-dup-aware
+    // variant of kNN a RAG/example-selection pipeline uses when the
+    // plain top-k is five near-copies. The scale pattern is
+    // COARSE-THEN-EXACT: the corpus-side work is one distributed top-20
+    // shortlist by query cosine (s1's TakeOrderedAndProject shape —
+    // this is the ONLY stage that sees the corpus), the 20×20 pairwise
+    // matrix is computed by a broadcast self-join of the bounded
+    // shortlist, and the k=5 greedy loop — inherently sequential,
+    // O(k·|shortlist|) — runs on the driver over those 400 collected
+    // sims (the P4 bounded tier; at 100 TB only the shortlist width
+    // changes). Selection margins dwarf cross-engine float deltas (the
+    // s1 rule); ties break to the smaller vec_id on both engines.
+    "s10_mmr_diverse" -> ((s, dir) => {
+      val lambda = 0.7
+      val k = 5
+      val q = typedlit(queryVec(s, dir, 0L).toSeq)
+      val cand = Tables.embeddings(s, dir)
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), col("embedding"),
+          cosine(col("embedding"), q).as("simq"))
+        .orderBy(col("simq").desc, col("vec_id")).limit(20)
+        .persist()
+      val simq = cand.select("vec_id", "simq").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val a = cand.select(col("vec_id").as("i"),
+        col("embedding").as("ea"))
+      val b = cand.select(col("vec_id").as("j"),
+        col("embedding").as("eb"))
+      val pair = a.crossJoin(broadcast(b))
+        .select(col("i"), col("j"), cosine(col("ea"), col("eb")).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      cand.unpersist(blocking = false)
+      var picked = Vector.empty[(Long, Double)] // (vec_id, mmr score)
+      var remaining = simq.keySet
+      while (picked.size < k && remaining.nonEmpty) {
+        val best = remaining.map { c =>
+          val div = if (picked.isEmpty) 0.0
+            else picked.map(p => pair((c, p._1))).max
+          (c, lambda * simq(c) - (1.0 - lambda) * div)
+        }.minBy { case (c, sc) => (-sc, c) }
+        picked :+= best
+        remaining -= best._1
+      }
+      import s.implicits._
+      picked.zipWithIndex
+        .map { case ((id, sc), idx) => (idx + 1L, id, sc) }
+        .toDF("rank", "vec_id", "mmr_score")
     })
   )
 
@@ -654,6 +706,45 @@ object Similarity {
         |FROM assign a JOIN probed USING (cent_id), q
         |WHERE a.vec_id <> 0
         |ORDER BY cos_sim DESC, a.vec_id
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "s10_mmr_diverse" -> mmrOracleSql
   )
+
+  /** s10's oracle: the greedy MMR loop UNROLLED into k chained CTEs —
+    * step n's argmax conditions on the union of steps 1..n−1 (a fixed
+    * small k is what makes the replay pure SQL; the same shortlist and
+    * pairwise CTEs feed every step).
+    */
+  private def mmrOracleSql: String = {
+    def prevUnion(n: Int): String =
+      (1 until n).map(i => s"SELECT vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+    val steps = (2 to 5).map { n =>
+      s"s$n AS (\n" +
+        s"  SELECT c.vec_id, c.simq,\n" +
+        s"    0.7 * c.simq - 0.3 * max(p.sim) AS score\n" +
+        s"  FROM cand c JOIN ps p ON p.i = c.vec_id\n" +
+        s"    AND p.j IN (${prevUnion(n)})\n" +
+        s"  WHERE c.vec_id NOT IN (${prevUnion(n)})\n" +
+        s"  GROUP BY c.vec_id, c.simq\n" +
+        s"  ORDER BY score DESC, c.vec_id LIMIT 1)"
+    }.mkString(",\n")
+    val out = (1 to 5)
+      .map(n => s"SELECT $n::BIGINT AS rank, vec_id, score AS mmr_score" +
+        s" FROM s$n")
+      .mkString("\nUNION ALL\n")
+    s"WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),\n" +
+      s"cand AS (\n" +
+      s"  SELECT vec_id, embedding, ${cosSql("embedding", "qe")} AS simq\n" +
+      s"  FROM embeddings, q WHERE vec_id <> 0\n" +
+      s"  ORDER BY simq DESC, vec_id LIMIT 20),\n" +
+      s"ps AS (\n" +
+      s"  SELECT a.vec_id AS i, b.vec_id AS j,\n" +
+      s"    ${cosSql("a.embedding", "b.embedding")} AS sim\n" +
+      s"  FROM cand a, cand b),\n" +
+      s"s1 AS (SELECT vec_id, simq, 0.7 * simq AS score FROM cand\n" +
+      s"       ORDER BY simq DESC, vec_id LIMIT 1),\n" +
+      steps + "\n" + out
+  }
 }

@@ -294,6 +294,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(picks.values.exists(_._3 > 1))
   }
 
+  test("s10 MMR: rank-1 is the plain top-1 and the picked set is more diverse") {
+    import graft.functions.VectorFunctions.cosine
+    val mmr = SparkEntry.queries("s10_mmr_diverse")(spark, sf)
+      .orderBy("rank").collect().map(_.getLong(1))
+    val top5 = SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .limit(5).collect().map(_.getLong(0))
+    assert(mmr.head == top5.head, "MMR's first pick must be the plain top-1")
+    assert(mmr.toSet != top5.toSet,
+      "MMR chose exactly the undiversified set — λ=0.7 should reorder")
+    // internal cohesion: max pairwise sim within MMR's set must not
+    // exceed the plain top-5's (that inequality IS the point of MMR)
+    def maxPairSim(ids: Array[Long]): Double = {
+      val e = Tables.embeddings(spark, sf)
+        .filter(col("vec_id").isin(ids: _*))
+      val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
+      a.crossJoin(b).filter(col("i") < col("j"))
+        .select(cosine(col("ea"), col("eb")).as("s"))
+        .agg(max("s")).first().getDouble(0)
+    }
+    assert(maxPairSim(mmr) <= maxPairSim(top5) + 1e-12,
+      "MMR produced a less diverse set than plain top-k")
+  }
+
   test("dd15 leakage matrix == dd2 pairs classified by the t7 split rule") {
     val matrix = SparkEntry.queries("dd15_split_leakage")(spark, sf)
       .collect()
