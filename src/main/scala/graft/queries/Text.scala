@@ -812,6 +812,43 @@ object Text {
           concat_ws(",", transform(
             slice(sort_array(collect_list(col("doc_id"))), 1, 100),
             x => x.cast("string"))).as("postings_head"))
+    }),
+
+    // Bigram-LM perplexity scoring (the CCNet quality step — Wenzek et
+    // al. 2020: score every document against an n-gram LM, filter the
+    // high-perplexity tail): the corpus's own bigram model (t9's
+    // counting shape) scores each document by its mean log2 Laplace
+    // probability (c12+1)/(c1+V). Plan at 100 TB: the bigram frame is
+    // derived TWICE (count pass + score pass) rather than persisted —
+    // a 100 TB corpus's bigram explosion must never be cached; both
+    // count tables are token-keyed partial+final hash aggs (duplicate
+    // occurrences combine map-side), the scoring joins are token-keyed
+    // equi-joins (hot-token skew is exactly AQE skew-join's case — see
+    // PLANS.md's q25 section), V rides in as a one-row broadcast, and
+    // the final per-doc mean is one doc_id-keyed agg. n_bigrams is
+    // BIGINT-exact; avg_logp2 is the same IEEE log2 terms summed in
+    // engine-specific order (t21's documented float-tolerance ride).
+    "t23_lm_perplexity" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      def big = toks.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      big
+        .join(big.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
+          Seq("w1", "w2"))
+        .join(uni, col("w1") === col("w"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          avg(log2((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+            .as("avg_logp2"))
     })
   )
 
@@ -953,6 +990,27 @@ object Text {
         |       * log2(len(list_filter(cs, y -> y = x)))
         |     for x in list_distinct(cs)]) / len(cs) AS entropy
         |FROM c""".stripMargin,
+
+    // joins on the concatenated "w1 w2" key (tokens cannot contain the
+    // separator — they come from splitting on it), so w1 recovers as the
+    // first split piece; identical IEEE operands per term, summation
+    // order engine-specific (the t21 tolerance ride)
+    "t23_lm_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+        |                         for i in range(1, len(t))]) AS bg
+        |  FROM toks),
+        |c1 AS (SELECT w, count(*) AS c1
+        |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM big GROUP BY bg)
+        |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  avg(log2((c12.c12 + 1)::DOUBLE / (c1.c1 + v.v))) AS avg_logp2
+        |FROM big b
+        |JOIN c12 USING (bg)
+        |JOIN c1 ON c1.w = string_split(bg, ' ')[1], v
+        |GROUP BY b.doc_id""".stripMargin,
 
     "t15_repetition" ->
       """WITH toks AS (

@@ -63,4 +63,32 @@ class TextQualitySpec extends SparkSuite {
       assert(rw.filter(col("n_kept") < col("n_segs")).count() > 0)
     } finally rw.unpersist()
   }
+
+  test("t23 LM scores: probabilities < 1, bigram counts exact, dupes tie") {
+    val r = SparkEntry.queries("t23_lm_perplexity")(spark, sf).cache()
+    try {
+      // Laplace-smoothed probabilities are strictly < 1 → log2 < 0
+      assert(r.filter(col("avg_logp2") >= 0).isEmpty)
+      // every doc with ≥2 tokens scores, with exactly n_tokens−1 bigrams
+      val expected = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          (size(split(col("text"), " ")) - 1).cast("long").as("want"))
+        .filter(col("want") >= 1)
+      val j = r.join(expected, "doc_id")
+      assert(j.count() == expected.count() && r.count() == expected.count())
+      assert(j.filter(col("n_bigrams") =!= col("want")).isEmpty)
+      // byte-identical documents must score (near-)identically — same
+      // multiset of log terms, order-of-summation drift only
+      val dupes = Tables.documents(spark, sf)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(r, "doc_id")
+        .groupBy("h").agg(
+          countDistinct(col("n_bigrams")).as("nb"),
+          (max(col("avg_logp2")) - min(col("avg_logp2"))).as("drift"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      // sf0.001 may carry no exact dupes — the tie property is vacuous then
+      assert(dupes.filter(col("nb") =!= 1 || col("drift") > 1e-12).isEmpty)
+    } finally r.unpersist()
+  }
 }
