@@ -1305,6 +1305,53 @@ object Relational {
           .as("nation_cents"))
       rev.withColumn("region_cents",
           sum(col("nation_cents")).over(Window.partitionBy("r_name")))
+    }),
+
+    // Data-quality constraint suite (the Deequ/Great-Expectations gate a
+    // pipeline runs BEFORE training ingest): completeness, key
+    // uniqueness, numeric range, domain membership, non-negativity, and
+    // referential integrity, reported as one row per constraint with
+    // BIGINT violation counts and a boolean verdict — integer/boolean
+    // emission only, nothing for the hash gate to drift on. Plan at
+    // 100 TB: every scan-level metric folds into ONE wide partial+final
+    // hash agg over a single pass of the fact table (the q32 profiling
+    // shape — no per-constraint rescans, which is the difference between
+    // 6 jobs and 1 at scale); the referential check is the only join — a
+    // left_anti on the fact's FK whose right side is the dim's key
+    // column, broadcast when the dim fits, count-only either way. The
+    // synthetic fixture makes the report non-vacuous: (l_orderkey,
+    // l_linenumber) genuinely collides, so `unique_order_line` FAILS
+    // while the other five pass — a dq report that can only say "pass"
+    // tests nothing.
+    "q55_dq_report" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val scanMetrics = li.agg(
+        count(lit(1)).as("total"),
+        (count(lit(1)) - count(col("l_shipdate"))).as("v_null"),
+        (count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+          .as("v_range"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("v_domain"),
+        sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("v_neg"))
+      val orphans = li.select(col("l_orderkey"))
+        .join(broadcast(Tables.orders(s, dir).select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_ref"))
+      scanMetrics.crossJoin(orphans)
+        .select(expr(
+          """stack(6,
+            |  'completeness_shipdate', v_null,
+            |  'unique_order_line', v_uniq,
+            |  'range_quantity_1_50', v_range,
+            |  'domain_returnflag', v_domain,
+            |  'nonneg_extendedprice', v_neg,
+            |  'ref_orderkey_in_orders', v_ref) AS (check_name, violations)
+            |""".stripMargin),
+          col("total"))
+        .select(col("check_name"), col("violations"), col("total"),
+          (col("violations") === 0L).as("pass"))
     })
   )
 
@@ -2023,6 +2070,41 @@ object Relational {
         |SELECT r_name, n_name, nation_cents,
         |  sum(nation_cents) OVER (PARTITION BY r_name)::BIGINT
         |    AS region_cents
-        |FROM rev""".stripMargin
+        |FROM rev""".stripMargin,
+
+    // NOT EXISTS (not NOT IN) for the referential check: the anti-join
+    // semantics Spark's left_anti implements
+    "q55_dq_report" ->
+      """WITH m AS (
+        |  SELECT count(*)::BIGINT AS total,
+        |    (count(*) - count(l_shipdate))::BIGINT AS v_null,
+        |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+        |      AS v_uniq,
+        |    sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+        |             THEN 1 ELSE 0 END)::BIGINT AS v_range,
+        |    sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+        |             THEN 1 ELSE 0 END)::BIGINT AS v_domain,
+        |    sum(CASE WHEN l_extendedprice < 0
+        |             THEN 1 ELSE 0 END)::BIGINT AS v_neg
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT count(*)::BIGINT AS v_ref FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)),
+        |c AS (
+        |  SELECT 'completeness_shipdate' AS check_name, v_null AS violations,
+        |         total FROM m
+        |  UNION ALL
+        |  SELECT 'unique_order_line', v_uniq, total FROM m
+        |  UNION ALL
+        |  SELECT 'range_quantity_1_50', v_range, total FROM m
+        |  UNION ALL
+        |  SELECT 'domain_returnflag', v_domain, total FROM m
+        |  UNION ALL
+        |  SELECT 'nonneg_extendedprice', v_neg, total FROM m
+        |  UNION ALL
+        |  SELECT 'ref_orderkey_in_orders', v_ref, total FROM m, r)
+        |SELECT check_name, violations, total, violations = 0 AS pass
+        |FROM c""".stripMargin
   )
 }

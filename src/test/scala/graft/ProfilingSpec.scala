@@ -55,6 +55,25 @@ class ProfilingSpec extends SparkSuite {
     }
   }
 
+  test("q55 dq report: one wide agg scan, and the uniqueness check fails") {
+    val df = SparkEntry.queries("q55_dq_report")(spark, dir)
+    // scale pin: 6 constraints must NOT mean 6 scans — one wide agg pass
+    // over lineitem plus the referential anti-join's probe (2 lineitem
+    // scans total) and the orders build side
+    val scans = "(?m)Scan parquet".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(scans <= 3, s"dq report fanned out to $scans scans")
+    val rows = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(rows.size == 6)
+    // the fixture's (l_orderkey, l_linenumber) collides by construction —
+    // a dq suite that can only pass tests nothing
+    assert(!rows("unique_order_line")._2 && rows("unique_order_line")._1 > 0)
+    (rows - "unique_order_line").foreach { case (c, (v, pass)) =>
+      assert(pass && v == 0L, s"$c unexpectedly failing: $v violations")
+    }
+  }
+
   test("approx distinct counts are within 5% of exact per column at sf0.1") {
     def byCol(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
       df.collect()
