@@ -555,6 +555,41 @@ object Text {
       docs.filter(col("bin") < k)
     }),
 
+    // DSIR importance weights (Xie et al. 2023: select raw data whose
+    // hashed-n-gram feature distribution matches a target domain): every
+    // doc scores log w = Σ_tokens ln(p̂_target(b)/q̂_raw(b)) over B=256
+    // hashed unigram features, target = the English slice, both
+    // distributions Laplace-smoothed. The feature space is the SCALE
+    // trick (and the paper's): distributions over 256 md5-prefix buckets
+    // — two-hex-char STRING keys, the t7 cross-engine hash currency —
+    // mean the count pass is one tiny hash agg (256 rows however big the
+    // corpus) and the scoring join is a 256-row BROADCAST: the corpus
+    // never shuffles, the scoring pass is map-side only, and the final
+    // per-doc agg is the lone doc_id shuffle. n_toks is BIGINT-exact;
+    // logw sums identical IEEE ln terms in engine order (t21's ride).
+    // Downstream, p10's Gumbel machinery samples ∝ exp(logw) — this
+    // query produces the weights, deliberately separate so the gate
+    // certifies them directly.
+    "p12_dsir_weights" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("w"))
+        .withColumn("b", substring(md5(col("w")), 1, 2))
+      val bucketCounts = toks.groupBy("b").agg(
+        count(lit(1)).as("cq"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"))
+      val totals = bucketCounts
+        .agg(sum("cq").as("nq"), sum("cp").as("np"))
+      toks.join(broadcast(bucketCounts), "b")
+        .crossJoin(broadcast(totals))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(log(
+            ((col("cp") + 1).cast("double") / (col("np") + 256)) /
+              ((col("cq") + 1).cast("double") / (col("nq") + 256))))
+            .as("logw"))
+    }),
+
     // Segment-level dedup REWRITE — the corpus-editing stage dd11 only
     // scores: chunk every doc into non-overlapping 8-token segments
     // (t11's sequence-explode machinery), find segments appearing in ≥2
@@ -1325,6 +1360,26 @@ object Text {
         |  FROM d GROUP BY bin)
         |SELECT d.doc_id, d.lang, d.tok, d.bin
         |FROM d JOIN c USING (bin) WHERE c.cum <= 10000""".stripMargin,
+
+    // same 2-hex-char bucket currency and the same Laplace arithmetic
+    // sequenced identically (numerator division, denominator division,
+    // their ratio, ln) so every term is the same IEEE double; only the
+    // per-doc summation order is engine-specific
+    "p12_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |bc AS (
+        |  SELECT b, count(*)::BIGINT AS cq,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS cp
+        |  FROM toks GROUP BY b),
+        |tot AS (SELECT sum(cq)::BIGINT AS nq, sum(cp)::BIGINT AS np FROM bc)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_toks,
+        |  sum(ln(((bc.cp + 1)::DOUBLE / (tot.np + 256)) /
+        |         ((bc.cq + 1)::DOUBLE / (tot.nq + 256)))) AS logw
+        |FROM toks t JOIN bc USING (b), tot
+        |GROUP BY t.doc_id""".stripMargin,
 
     // same segmentation (t11's range-unnest + list slice), same ≥2
     // distinct-doc rule; string_agg(ORDER BY seg_idx) skips the shared

@@ -126,4 +126,25 @@ class DeterministicSampleSpec extends SparkSuite {
       assert(nSplits == 3, s"budget slice covers $nSplits of 3 splits")
     } finally kept.unpersist()
   }
+
+  test("p12 DSIR: target slice scores higher and the scoring join broadcasts") {
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("p12_dsir_weights")(spark, sf)
+    // the corpus never shuffles for scoring: the 256-bucket table rides a
+    // broadcast join; any SortMergeJoin here means the hint was dropped
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"), "p12 scoring join must broadcast")
+    // semantics: importance weights exist to UPWEIGHT target-like docs —
+    // the English slice's mean per-token log-ratio must beat the rest
+    val scored = df.join(
+      Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .select(col("lang") === "en", col("logw") / col("n_toks"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1)))
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val en = scored.collect { case (true, v) => v }.toSeq
+    val rest = scored.collect { case (false, v) => v }.toSeq
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest),
+      s"mean per-token logw: en ${mean(en)} !> other ${mean(rest)}")
+  }
 }
