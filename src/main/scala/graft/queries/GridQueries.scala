@@ -255,6 +255,43 @@ object GridQueries {
         .filter(col("tp").isNotNull && col("tn").isNotNull)
         .select(col("event_type"), col("t"),
           ((col("vn") - col("vp")) / (col("tn") - col("tp"))).as("dvdt"))
+    }),
+
+    // Conservative regridding — remap a gridded field onto a coarser,
+    // NON-ALIGNED target grid weighting each source cell by its overlap
+    // with the target cell (the ESMF/climate-model remap; kamodo users
+    // downsample fetched model output before plotting or coupling, and
+    // "average the cells that fall in the window" is wrong the moment
+    // the grids don't nest — here 600 s source onto 1000 s target, so
+    // targets straddle source-cell boundaries). No join: each source
+    // cell EXPLODES to the ≤2 target cells it overlaps (bounded
+    // sequence over target indices — the fan-out is ceil(srcCad/tgtCad)
+    // + 1 regardless of corpus size), overlap seconds are BIGINT-exact
+    // interval arithmetic, and one hash agg per target finishes it —
+    // map-side bounded explode + one shuffle on the target key. The
+    // weighted mean Σv·ov/Σov divides two identically-computed operands
+    // (numerator rides t21's summation-order tolerance; overlap_s and
+    // n_src certify the weights integer-exactly under the gate).
+    "g10_conservative_regrid" -> ((s, dir) => {
+      val srcCad = 600L
+      val tgtCad = 1000L
+      Tables.events(s, dir)
+        .groupBy((floor(unix_timestamp(col("ts")) / srcCad) * srcCad)
+          .cast("long").as("t0"))
+        .agg(avg("value").as("v"))
+        .select(col("t0"), col("v"),
+          explode(sequence(
+            expr(s"t0 DIV $tgtCad"),
+            expr(s"(t0 + ${srcCad - 1}) DIV $tgtCad"))).as("ti"))
+        .withColumn("ov",
+          least(col("t0") + srcCad, (col("ti") + 1) * tgtCad) -
+            greatest(col("t0"), col("ti") * tgtCad))
+        .groupBy(col("ti"))
+        .agg(count(lit(1)).as("n_src"),
+          sum("ov").as("overlap_s"),
+          (sum(col("v") * col("ov")) / sum(col("ov"))).as("vbar"))
+        .select((col("ti") * tgtCad).as("target_t"),
+          col("n_src"), col("overlap_s"), col("vbar"))
     })
   )
 
@@ -516,6 +553,28 @@ object GridQueries {
          |JOIN grid s21 ON s21.tc = w.tc2 AND s21.h = w.h1
          |JOIN grid s12 ON s12.tc = w.tc1 AND s12.h = w.h2
          |JOIN grid s22 ON s22.tc = w.tc2 AND s22.h = w.h2""".stripMargin,
+    // same bounded range-unnest fan-out, same BIGINT interval clipping;
+    // vbar divides identically-computed operands (numerator summation
+    // order is the only engine difference)
+    "g10_conservative_regrid" ->
+      """WITH src AS (
+        |  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS t0,
+        |         avg(value) AS v
+        |  FROM events GROUP BY 1),
+        |ex AS (
+        |  SELECT t0, v,
+        |    unnest(range(t0 // 1000, (t0 + 599) // 1000 + 1)) AS ti
+        |  FROM src),
+        |ov AS (
+        |  SELECT ti, v,
+        |    least(t0 + 600, (ti + 1) * 1000)
+        |      - greatest(t0, ti * 1000) AS ov
+        |  FROM ex)
+        |SELECT (ti * 1000)::BIGINT AS target_t, count(*)::BIGINT AS n_src,
+        |  sum(ov)::BIGINT AS overlap_s,
+        |  sum(v * ov) / sum(ov)::DOUBLE AS vbar
+        |FROM ov GROUP BY ti""".stripMargin,
+
     // tiers 2 and 3 implement identical semantics → identical oracle
     "g2_interp_broadcast" -> interpOracle,
 

@@ -406,4 +406,30 @@ class GridEngineSpec extends SparkSuite {
       assert(math.abs(gotRho - expRho) < 1e-20, s"rho at id=$id")
     }
   }
+
+  test("g10 conservative regrid conserves mass and bounds the fan-out") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("g10_conservative_regrid")(spark, sf)
+      .cache()
+    try {
+      // a 1000 s target straddles 2-3 source cells of 600 s; more means
+      // the explode bounds are wrong
+      assert(out.filter(col("n_src") < 1 || col("n_src") > 3).isEmpty)
+      assert(out.filter(col("overlap_s") < 1 ||
+        col("overlap_s") > 1000).isEmpty)
+      // THE conservative-remap invariant: total mass is preserved —
+      // Σ_targets vbar·overlap == Σ_src v·600 (each source cell's 600 s
+      // split exactly across the targets it overlaps)
+      val remapped = out
+        .agg(sum(col("vbar") * col("overlap_s"))).first().getDouble(0)
+      val source = Tables.events(spark, sf)
+        .groupBy((floor(unix_timestamp(col("ts")) / 600) * 600)
+          .cast("long").as("t0"))
+        .agg(avg("value").as("v"))
+        .agg(sum(col("v") * 600)).first().getDouble(0)
+      assert(math.abs(remapped - source) / math.abs(source) < 1e-9,
+        s"mass not conserved: remapped $remapped vs source $source")
+    } finally out.unpersist()
+  }
 }
