@@ -460,6 +460,29 @@ object Similarity {
       picked.zipWithIndex
         .map { case ((id, sc), idx) => (idx + 1L, id, sc) }
         .toDF("rank", "vec_id", "mmr_score")
+    }),
+
+    // Filtered (attribute-constrained) kNN — "top-k among label=3 only",
+    // the metadata-predicate variant every vector store exposes and the
+    // known failure mode of post-filtering: ranking first and filtering
+    // the top-k after under-returns whenever the global top-k is
+    // predicate-poor (DedupSimilaritySpec quantifies it on this
+    // fixture). PRE-filtering is the scale answer and it is free here:
+    // label is a plain column, so the predicate reaches the parquet scan
+    // as a PushedFilter (row groups whose label stats exclude 3 never
+    // decompress — the spec pins the pushdown), and the ranking stays
+    // s1's scan + TakeOrderedAndProject on the surviving rows: no
+    // shuffle, no index rebuild per predicate. The LSH/IVF composition
+    // (candidates ∩ predicate before re-rank) is spec-checked for
+    // recall; this gated form is its exact oracle.
+    "s11_filtered_knn" -> ((s, dir) => {
+      val q = typedlit(queryVec(s, dir, 0L).toSeq)
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") =!= 0L && col("label") === 3)
+        .select(col("vec_id"), col("label"),
+          cosine(col("embedding"), q).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
     })
   )
 
@@ -576,6 +599,14 @@ object Similarity {
          |SELECT vec_id, ${cosSql("embedding", "qe")} AS cos_sim
          |FROM embeddings, q
          |WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    "s11_filtered_knn" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosSql("embedding", "qe")} AS cos_sim
+         |FROM embeddings, q
+         |WHERE vec_id <> 0 AND label = 3
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
 

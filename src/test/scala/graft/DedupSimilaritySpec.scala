@@ -318,6 +318,30 @@ class DedupSimilaritySpec extends SparkSuite {
       "MMR produced a less diverse set than plain top-k")
   }
 
+  test("s11 filtered kNN: predicate reaches the scan; post-filter under-returns") {
+    val df = SparkEntry.queries("s11_filtered_knn")(spark, sf)
+    // pre-filtering is free only if the predicate actually reaches the
+    // parquet scan — row groups excluding label=3 must never decompress
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the scan:\n$plan")
+    val pre = df.collect()
+    assert(pre.length == 10 && pre.forall(_.getInt(1) == 3))
+    // the failure mode the query documents: filtering a global top-10
+    // AFTER ranking keeps only its label-3 members — strictly fewer than
+    // k whenever the global head is predicate-poor (it is, here)
+    val post = SparkEntry.queries("s1_knn_brute")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val postFiltered = pre.map(_.getLong(0)).count(post.contains)
+    assert(postFiltered < 10,
+      "fixture's global top-10 is all label=3 — post-filter demo is vacuous")
+    // and both agree on what they share: s11's head IS the best label-3
+    // vector overall
+    val bestLabel3 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0L && col("label") === 3)
+    assert(bestLabel3.count() >= 10, "need ≥10 label-3 vectors for full k")
+  }
+
   test("dd15 leakage matrix == dd2 pairs classified by the t7 split rule") {
     val matrix = SparkEntry.queries("dd15_split_leakage")(spark, sf)
       .collect()
