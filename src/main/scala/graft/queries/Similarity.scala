@@ -483,6 +483,27 @@ object Similarity {
           cosine(col("embedding"), q).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Per-class prototypes — the element-wise mean embedding per label
+    // (nearest-centroid classifiers, cluster summaries, IVF seeding,
+    // and the "label drift" monitor that compares today's prototype to
+    // yesterday's). Emitted LONG (label, pos, n_vecs, mean_x): 640
+    // toleranced scalar cells instead of one float-array cell the hash
+    // gate could never match across engines. Plan at 100 TB: posexplode
+    // fans each vector into dim rows — map-side partial aggregation
+    // collapses them BEFORE the shuffle, so the lone Exchange carries
+    // ≤ |labels|·dim partial states per task, not N·dim rows; the
+    // alternative (collect vectors per label) would move every
+    // embedding. mean_x averages identical float→double promotions in
+    // engine order (t21's ride); n_vecs is the exact weight a consumer
+    // needs to merge prototypes across corpus shards (q50's algebra).
+    "s12_label_prototypes" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n_vecs"),
+          avg(col("col").cast("double")).as("mean_x"))
     })
   )
 
@@ -609,6 +630,15 @@ object Similarity {
          |WHERE vec_id <> 0 AND label = 3
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+
+    // the t22 range-unnest idiom stands in for WITH ORDINALITY; pos is
+    // 0-based to match posexplode
+    "s12_label_prototypes" ->
+      """SELECT label, (i - 1)::INTEGER AS pos, count(*)::BIGINT AS n_vecs,
+        |  avg(embedding[i]) AS mean_x
+        |FROM embeddings,
+        |     unnest(range(1, len(embedding) + 1)) AS t(i)
+        |GROUP BY 1, 2""".stripMargin,
 
     // same replay shape as s1 with query vec 1 — the Spark side differs
     // only in its entry path (SQL + extension-registered expression)

@@ -342,6 +342,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(bestLabel3.count() >= 10, "need ≥10 label-3 vectors for full k")
   }
 
+  test("s12 prototypes: partial-agg before the shuffle, exact per-label means") {
+    val df = SparkEntry.queries("s12_label_prototypes")(spark, sf)
+    // the explode fan-out must collapse map-side: partial HashAggregate
+    // below the Exchange, final above — otherwise N·dim rows shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2 &&
+      plan.contains("Exchange"), s"expected partial+final agg:\n$plan")
+    val rows = df.collect()
+    // n_vecs is per-label constant across positions (every vector is
+    // dense), and Σ_labels n_vecs == corpus size at every pos
+    val byLabel = rows.groupBy(_.getInt(0))
+    assert(byLabel.values.forall(_.map(_.getLong(2)).distinct.size == 1))
+    val total = Tables.embeddings(spark, sf).count()
+    assert(byLabel.values.map(_.head.getLong(2)).sum == total)
+    // exact check against an independent driver-side fold for one label
+    val l0 = Tables.embeddings(spark, sf).filter(col("label") === 0)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val want = l0.transpose.map(xs => xs.sum / xs.length)
+    val got = byLabel(0).sortBy(_.getInt(1)).map(_.getDouble(3))
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) < 1e-9, s"label 0 pos $i: $g vs $w")
+    }
+  }
+
   test("dd15 leakage matrix == dd2 pairs classified by the t7 split rule") {
     val matrix = SparkEntry.queries("dd15_split_leakage")(spark, sf)
       .collect()
