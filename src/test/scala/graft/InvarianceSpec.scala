@@ -40,9 +40,12 @@ class InvarianceSpec extends SparkSuite {
     // partitioning bug would corrupt silently
     // q51 (lead-window holds) and p10 (float-keyed top-N) join the list:
     // both would corrupt silently under an ordering/partitioning bug
+    // q55/s11/s10 join: integer/boolean emissions and per-row-determined
+    // floats, so strict equality is the right bar
     for (name <- Seq("q1_agg", "dd2_shingle_jaccard", "g1_interp_1d",
         "q44_nearest_event", "q46_resample_interp",
-        "q51_time_weighted_avg", "p10_weighted_sample")) {
+        "q51_time_weighted_avg", "p10_weighted_sample",
+        "q55_dq_report", "s11_filtered_knn", "s10_mmr_diverse")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
@@ -51,6 +54,40 @@ class InvarianceSpec extends SparkSuite {
         val r2 = SparkEntry.queries(name)(spark, sf)
           .orderBy(cols: _*).collect().map(_.toString).toSeq
         assert(r2 == base, s"$name differs under 7 shuffle partitions")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
+  test("aggregated-float queries: keys exact, sums within tolerance") {
+    import org.apache.spark.sql.types.DoubleType
+    val sf = "/root/testdata/sf0.001"
+    // these aggregate doubles, so a partition-count change legitimately
+    // reorders the summation — keys and integer columns must be
+    // IDENTICAL, float cells must agree to the same 1e-9 the oracle
+    // gate allows (anything worse means real nondeterminism, not ulps)
+    for (name <- Seq("t23_lm_perplexity", "p12_dsir_weights",
+        "g10_conservative_regrid", "s12_label_prototypes")) {
+      def run() = {
+        val r = SparkEntry.queries(name)(spark, sf)
+        val keys = r.schema.fields.filter(_.dataType != DoubleType)
+          .map(f => col(f.name))
+        (r.schema.fields.zipWithIndex, r.orderBy(keys: _*).collect())
+      }
+      val (fields, base) = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try {
+        val (_, alt) = run()
+        assert(alt.length == base.length, s"$name row count changed")
+        base.zip(alt).foreach { case (a, b) =>
+          fields.foreach { case (f, i) =>
+            if (f.dataType == DoubleType) {
+              val (x, y) = (a.getDouble(i), b.getDouble(i))
+              assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+                s"$name.${f.name}: $x vs $y")
+            } else assert(a.get(i) == b.get(i),
+              s"$name.${f.name}: ${a.get(i)} vs ${b.get(i)}")
+          }
+        }
       } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
     }
   }
