@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -238,6 +238,28 @@ object EventStream {
     events
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming data-quality monitor — q55's streaming face: the same
+    * constraint counters (range, domain, null), accumulated over the
+    * live stream as ONE unkeyed aggregate. State is four longs total
+    * (constant, whatever the throughput) and every counter is a partial
+    * agg — each micro-batch's contribution combines map-side before
+    * touching state, so the monitor costs one pass of each batch and
+    * nothing more. Update/Complete-mode sink = the dashboard row a
+    * pipeline alerts on; violations-to-date equal the batch q55-style
+    * aggregate over everything ingested (StreamingSpec pins parity).
+    * The 'error' type is deliberately OUTSIDE the allowed domain:
+    * the fixture produces real violations, so the parity check cannot
+    * pass vacuously on zeros.
+    */
+  def dqMonitor(events: Dataset[Event]): DataFrame =
+    events.agg(
+      count(lit(1)).as("total"),
+      sum(when(!col("value").between(0.0, 100.0), 1L).otherwise(0L))
+        .as("v_range"),
+      sum(when(!col("event_type").isin("click", "purchase", "signup",
+        "view"), 1L).otherwise(0L)).as("v_domain"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("v_null_ts"))
 
   /** Watermarked sliding-window event rates by type — the standard
     * dashboard aggregation; append-mode emits closed windows only.

@@ -77,6 +77,34 @@ class StreamingSpec extends SparkSuite {
     assert(rows(2L) == ((1L, 7.0)))
   }
 
+  test("dq monitor parity: streamed violation totals == one batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event].collect()
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.dqMonitor(mem.toDS()).writeStream
+      .format("memory").queryName("dq").outputMode("complete").start()
+    evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val stream = spark.table("dq").collect().head
+    q.stop()
+    // batch truth: the identical aggregate over the full fixture
+    val batch = EventStream.dqMonitor(
+      Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStream.Event]).collect().head
+    assert(stream.toSeq == batch.toSeq,
+      s"stream ${stream.toSeq} != batch ${batch.toSeq}")
+    // non-vacuous: the fixture really violates range ('value' spikes past
+    // 100) and domain ('error' events exist)
+    assert(batch.getLong(1) > 0 && batch.getLong(2) > 0)
+    assert(batch.getLong(3) == 0)
+  }
+
   test("funnel parity: mapGroupsWithState == q45's batch stage counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
