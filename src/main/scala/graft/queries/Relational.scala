@@ -1352,6 +1352,33 @@ object Relational {
           col("total"))
         .select(col("check_name"), col("violations"), col("total"),
           (col("violations") === 0L).as("pass"))
+    }),
+
+    // SCD type-2 history build — turn a change log into validity-ranged
+    // dimension rows (the lakehouse "dimension history" table a warehouse
+    // maintains beside q30's type-1 latest-wins view): per user, collapse
+    // consecutive repeats of the tracked attribute (only CHANGES open a
+    // new version), then each surviving row is valid [its µs, next
+    // change's µs), the open row flagged current. Plan at 100 TB: ONE
+    // Exchange on user_id serves both window passes — lag() for the
+    // change filter and lead() for the validity close run over the same
+    // (partitioning, ordering), and the intervening filter preserves
+    // both, so Spark plans a single shuffle + sort reused by two Window
+    // operators (spec-pinned). All-µs BIGINT emission, (us, event_id)
+    // total order (the q51 rule), no floats anywhere.
+    "q56_scd2_history" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(byUser))
+        .select(col("user_id"), col("event_type"),
+          col("us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
     })
   )
 
@@ -2105,6 +2132,28 @@ object Relational {
         |  UNION ALL
         |  SELECT 'ref_orderkey_in_orders', v_ref, total FROM m, r)
         |SELECT check_name, violations, total, violations = 0 AS pass
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // same change-collapse then validity-close window pair; NULL-safe
+    // inequality spelled IS DISTINCT FROM (DuckDB) == Spark's
+    // prev.isNull || prev =!= cur
+    "q56_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id, event_type
+        |  FROM events),
+        |ch AS (
+        |  SELECT *, lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM e),
+        |keep AS (
+        |  SELECT user_id, us, event_id, event_type FROM ch
+        |  WHERE prev_type IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS valid_to_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    IS NULL AS is_current
+        |FROM keep""".stripMargin
   )
 }

@@ -178,4 +178,44 @@ class TemporalQuerySpec extends SparkSuite {
       assert(cellTypes.toSet.subsetOf(types))
     } finally m.unpersist()
   }
+
+  test("q56 SCD2: one shuffle, one current row per user, seamless tiling") {
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q56_scd2_history")(spark, sf)
+    // both window passes must reuse one user_id Exchange — a second
+    // shuffle would mean the change-filter broke the partitioning
+    val exchanges = "(?m)^.*Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(exchanges == 1, s"expected 1 Exchange, saw $exchanges")
+    val rows = df.collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, vs) =>
+      // exactly one open (current) version
+      assert(vs.count(_.getBoolean(4)) == 1, s"user $u current-row count")
+      // history tiles seamlessly: each closed version ends exactly where
+      // the next opens, and consecutive versions really changed type
+      val sorted = vs.sortBy(_.getLong(2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) == b.getLong(2), s"user $u gap in history")
+          assert(a.getString(1) != b.getString(1),
+            s"user $u adjacent versions share a type — collapse failed")
+        case _ => ()
+      }
+    }
+    // version count law: |rows| == |users| + |type changes|
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("us"),
+        col("event_id"), col("event_type")).collect()
+      .groupBy(_.getLong(0))
+    val wantVersions = ev.map { case (_, es) =>
+      val types = es.sortBy(e => (e.getLong(1), e.getLong(2)))
+        .map(_.getString(3))
+      1 + types.sliding(2).count {
+        case Array(a, b) => a != b
+        case _ => false
+      }
+    }.sum
+    assert(rows.length == wantVersions)
+  }
 }
