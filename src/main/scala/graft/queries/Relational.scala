@@ -1379,6 +1379,32 @@ object Relational {
         .select(col("user_id"), col("event_type"),
           col("us").as("valid_from_us"), col("valid_to_us"),
           col("valid_to_us").isNull.as("is_current"))
+    }),
+
+    // Co-occurrence mining — the market-basket / "items bought together"
+    // pair counts (association rules, co-view graphs, recommendation
+    // candidates). Baskets = orders, items = parts: distinct
+    // (order, part) first — multiplicity within a basket must not
+    // inflate pair support — then a SELF equi-join on the basket key
+    // with p1 < p2 generating each unordered pair once. The fan-out is
+    // per-basket k(k−1)/2, bounded by basket size (≤7 lines in this
+    // schema), NEVER corpus² — the join key is the basket id, so a
+    // pathological mega-basket is the q49/q25 skew case (pre-flight
+    // profile, then cap or salt it). One shuffle for distinct, the
+    // self-join reuses that Exchange on both sides (same child plan),
+    // one pair-keyed hash agg, TakeOrderedAndProject for the head.
+    // Ties under the support ordering break by (p1, p2) — exact BIGINT
+    // emission all the way.
+    "q57_copurchase_pairs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok"), col("pk").as("p2")), "ok")
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(25)
     })
   )
 
@@ -2154,6 +2180,15 @@ object Relational {
         |    AS valid_to_us,
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
         |    IS NULL AS is_current
-        |FROM keep""".stripMargin
+        |FROM keep""".stripMargin,
+
+    "q57_copurchase_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, count(*)::BIGINT AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, p1, p2
+        |LIMIT 25""".stripMargin
   )
 }

@@ -45,7 +45,8 @@ class InvarianceSpec extends SparkSuite {
     for (name <- Seq("q1_agg", "dd2_shingle_jaccard", "g1_interp_1d",
         "q44_nearest_event", "q46_resample_interp",
         "q51_time_weighted_avg", "p10_weighted_sample",
-        "q55_dq_report", "s11_filtered_knn", "s10_mmr_diverse")) {
+        "q55_dq_report", "s11_filtered_knn", "s10_mmr_diverse",
+        "q56_scd2_history", "q57_copurchase_pairs")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
