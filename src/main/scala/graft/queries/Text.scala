@@ -126,16 +126,15 @@ object Text {
     // binary-spill detector quality pipelines run beside the t2 ratio
     // gates (natural prose sits ≈4-4.5 bits/char; base64 blobs and
     // key-mash run higher, template spam and char-floods collapse
-    // lower). Computed ENTIRELY in-row with built-in higher-order
-    // functions ([[graft.functions.TextFunctions.charEntropy]]) — so the
-    // plan is scan → project: zero shuffle, zero UDF, zero explode
-    // (t15's two-shuffle explode shape is the right call when per-TOKEN
-    // frames are reused; for a pure per-doc scalar the in-kernel form
-    // touches each text once and nothing else moves — see the
-    // WholeStageCodegen caveat on charEntropy). The double emission
-    // rides the gate's float tolerance: both engines sum the same
-    // f·log2(f) terms, only in different order (the one libm-shaped
-    // caveat, ~1 ulp, documented where q25 documents its boundary).
+    // lower). Computed ENTIRELY in-row by a compiled kernel
+    // ([[graft.functions.TextFunctions.charEntropy]]) — the plan is
+    // scan → project: zero shuffle, zero explode (t15's two-shuffle
+    // explode shape is the right call when per-TOKEN frames are reused;
+    // for a pure per-doc scalar the in-row kernel touches each text
+    // once and nothing else moves). The double emission rides the
+    // gate's float tolerance: both engines sum the same f·log2(f)
+    // terms, only in different order (the one libm-shaped caveat,
+    // ~1 ulp, documented where q25 documents its boundary).
     "t21_char_entropy" -> ((s, dir) => {
       import graft.functions.TextFunctions.{chars, charEntropy}
       Tables.documents(s, dir)
