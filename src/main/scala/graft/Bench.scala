@@ -42,8 +42,11 @@ object Bench {
     catch { case _: Throwable => () }
 
     // optional comma-separated filter for timing one query in isolation
-    // (local iteration only — the driver always runs the full suite)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    // (local iteration only — the driver always runs the full suite).
+    // SPARK_GRAFT_ONLY is the canonical name, shared with Verify;
+    // SPARK_GRAFT_BENCH_ONLY stays as a back-compat alias.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
       .map(_.split(",").map(_.trim).toSet)
     var nFailed = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -21,44 +21,64 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects; read nanos as long and truncate to a µs
-    * TimestampType (`ts DIV 1000` — integer division; a double division
-    * would lose precision above 2^53 ns). Matches DuckDB's nanos→µs read.
+  /** Schema-dispatched loader for events.parquet — the driver's generator
+    * has shipped `ts` under two physical encodings, and this loader
+    * survives either:
     *
-    * NOTE: this sets `spark.sql.legacy.parquet.nanosAsLong` for the whole
-    * session — a deliberate session-level invariant here (only the events
-    * table carries nanos, and the key has no per-read option form). A
-    * deployment mixing nanos and non-nanos parquet should isolate reads in
-    * a dedicated session.
+    *  - INT64 TIMESTAMP(NANOS): Spark's reader rejects nanos outright, so
+    *    the `nanosAsLong` escape hatch reads the raw nanos as `LongType`;
+    *    `ts` is then derived as a µs TimestampType via integer `DIV 1000`
+    *    (a double division would lose precision above 2^53 ns) and
+    *    `ts_ns` is the native long.
+    *  - timestamp[us] (isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *    cast to session-TZ TimestampType (exact under the UTC session
+    *    every entry point pins) so the public type matches the nanos
+    *    branch, and derive `ts_ns = unix_micros(ts) * 1000` for the
+    *    µs-arithmetic consumers.
+    *
+    * Either way the public contract is identical: `ts` TimestampType (µs),
+    * `ts_ns` LongType (ns since epoch). The NTZ→LTZ cast does NOT block
+    * parquet pushdown: Catalyst's UnwrapCastInBinaryComparison rewrites
+    * `cast(ts) < lit` back onto the native column (verified in
+    * PlanShapeSpec — PushedFilters carries the ts bound).
+    *
+    * NOTE: `nanosAsLong` is set session-wide (the key has no per-read
+    * option form); it is a no-op for non-nanos files.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-encoded: raw long is the nanos value
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => // already session-TZ µs timestamp
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _ => // TIMESTAMP_NTZ (timestamp[us] with isAdjustedToUTC=false)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
 
-  /** Pushdown-safe timestamp range predicate for [[events]]: the public
-    * `ts` is computed (µs from nanos), so a `ts BETWEEN` filter cannot
-    * reach parquet row-group stats; the equivalent predicate on the raw
-    * INT64 nanos column can. `µs >= a ⇔ ns >= a·1000`;
-    * `µs <= b ⇔ ns <= b·1000 + 999`.
+  /** Pushdown-eligible timestamp range predicate for [[events]], expressed
+    * on the public `ts` column in µs. On µs-native data the filter reaches
+    * parquet row-group stats (cast-unwrap, see [[events]]); on nanos data
+    * `ts` is computed so the filter runs post-scan — correct either way,
+    * and callers state bounds once, in µs.
     */
   def eventsTsBetween(startMicros: Long, endMicros: Long)
       : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.col
-    col("ts_ns").between(startMicros * 1000L, endMicros * 1000L + 999L)
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    col("ts").between(timestamp_micros(lit(startMicros)),
+      timestamp_micros(lit(endMicros)))
   }
 
-  /** Strict-upper-bound sibling of [[eventsTsBetween]]:
-    * `µs < T ⇔ ns DIV 1000 < T ⇔ ns < T·1000` (integer division is
-    * monotone) — keeps the nanos-encoding invariant in one place.
-    */
+  /** Strict-upper-bound sibling of [[eventsTsBetween]]. */
   def eventsTsBefore(endMicros: Long): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.col
-    col("ts_ns") < endMicros * 1000L
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    col("ts") < timestamp_micros(lit(endMicros))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -15,14 +15,22 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * at runtime, because only Verify knows the driver-chosen outDir.
   *
   * Usage: Verify <sfDir> <outDir> [comma-separated query filter]
-  * (the optional filter is a dev-iteration aid; the driver passes 2 args)
+  * (the optional filter is a dev-iteration aid; the driver passes 2 args.
+  * `SPARK_GRAFT_ONLY` is honored as the same filter — one env var shared
+  * with Bench so dev iteration uses a single mechanism.)
+  *
+  * Failure loudness: a query that throws leaves a marker result dir
+  * containing `_ERROR.txt` (so the driver's per-directory compare records
+  * an `err` row instead of the query vanishing from the report) and an
+  * aggregated `_errors.json` is always written next to `oracle_sql.json`.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val filter: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      (if (args.length > 2) Some(args(2)) else sys.env.get("SPARK_GRAFT_ONLY"))
+        .map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,6 +69,10 @@ object Verify {
         }
       }
 
+    // failures are LOUD: every broken query lands in _errors.json (and the
+    // run summary) so a gate report shows N green + M err — never a
+    // silently shrunken suite where absent results read as "not declared"
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
       // delete any previous result first: a failure below must not leave a
       // stale directory that the driver's compare would hash as current
@@ -69,7 +81,15 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        // leave a marker RESULT DIR (no part files) so the driver's
+        // per-query compare — which iterates result directories and has an
+        // err field per query — records this query as err instead of the
+        // row vanishing from the report entirely (the round-5 failure mode)
+        target.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg)
       }
       // queries persist intermediates (materialization barriers); drop
       // them so successive queries don't accumulate cache
@@ -90,6 +110,12 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    println(s"[verify] ${queries.size - errors.size}/${queries.size} queries " +
+      s"dumped OK; ${errors.size} FAILED" +
+      (if (errors.nonEmpty) ": " + errors.keys.mkString(", ") else ""))
     spark.stop()
   }
 }

@@ -43,6 +43,95 @@ class ContractSpec extends SparkSuite {
     assert(unused.isEmpty, s"side dumps no oracle reads: $unused")
   }
 
+  /** Testdata-schema canary: pins the PHYSICAL parquet type of every
+    * driver-table column the engine depends on, straight from the file
+    * footers (no Spark read path, so a type Spark cannot even load —
+    * round 5's INT64 TIMESTAMP(NANOS) flip — still produces a named
+    * assertion, not 54 downstream query failures). When the driver
+    * regenerates `/root/testdata` with a changed encoding, THIS test fails
+    * with the table.column and the new type, pointing at the loader to
+    * update (`Tables.events` et al.). `events.ts` deliberately admits both
+    * encodings the schema-dispatched loader handles.
+    */
+  test("testdata physical schema matches the pinned contract") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+
+    def describe(t: org.apache.parquet.schema.Type): String =
+      if (t.isPrimitive) {
+        val p = t.asPrimitiveType.getPrimitiveTypeName.toString.toLowerCase
+        Option(t.getLogicalTypeAnnotation).map(a => s"$p ($a)").getOrElse(p)
+      } else {
+        val ann = Option(t.getLogicalTypeAnnotation).map(a => s" ($a)").getOrElse("")
+        val elem = // standard 3-level LIST nesting: group > repeated > element
+          try describe(t.asGroupType.getType(0).asGroupType.getType(0))
+          catch { case _: Throwable => "?" }
+        s"group$ann of $elem"
+      }
+
+    val str = "binary (STRING)"
+    val tsUs = "int64 (TIMESTAMP(MICROS,false))"
+    val expected: Map[String, Map[String, Set[String]]] = Map(
+      "events" -> Map(
+        "event_id" -> Set("int64"),
+        // both encodings the dispatched loader survives (see Tables.events)
+        "ts" -> Set(tsUs, "int64 (TIMESTAMP(NANOS,false))"),
+        "user_id" -> Set("int64"), "event_type" -> Set(str),
+        "value" -> Set("double"), "props" -> Set(str)),
+      "documents" -> Map(
+        "doc_id" -> Set("int64"), "text" -> Set(str), "lang" -> Set(str),
+        "source" -> Set(str), "n_chars" -> Set("int64")),
+      "embeddings" -> Map(
+        "vec_id" -> Set("int64"), "embedding" -> Set("group (LIST) of float"),
+        "label" -> Set("int32")),
+      "lineitem" -> Map(
+        "l_orderkey" -> Set("int64"), "l_partkey" -> Set("int64"),
+        "l_suppkey" -> Set("int64"), "l_linenumber" -> Set("int32"),
+        "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+        "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+        "l_returnflag" -> Set(str), "l_linestatus" -> Set(str),
+        "l_shipdate" -> Set(tsUs)),
+      "orders" -> Map(
+        "o_orderkey" -> Set("int64"), "o_custkey" -> Set("int64"),
+        "o_orderstatus" -> Set(str), "o_totalprice" -> Set("double"),
+        "o_orderdate" -> Set(tsUs), "o_orderpriority" -> Set(str)),
+      "customer" -> Map(
+        "c_custkey" -> Set("int64"), "c_name" -> Set(str),
+        "c_nationkey" -> Set("int32"), "c_acctbal" -> Set("double"),
+        "c_mktsegment" -> Set(str)),
+      "supplier" -> Map(
+        "s_suppkey" -> Set("int64"), "s_name" -> Set(str),
+        "s_nationkey" -> Set("int32"), "s_acctbal" -> Set("double")),
+      "part" -> Map(
+        "p_partkey" -> Set("int64"), "p_name" -> Set(str),
+        "p_brand" -> Set(str), "p_type" -> Set(str),
+        "p_size" -> Set("int32"), "p_retailprice" -> Set("double")),
+      "nation" -> Map(
+        "n_nationkey" -> Set("int32"), "n_name" -> Set(str),
+        "n_regionkey" -> Set("int32")),
+      "region" -> Map(
+        "r_regionkey" -> Set("int32"), "r_name" -> Set(str)))
+
+    val conf = spark.sessionState.newHadoopConf()
+    val drifted = for {
+      sfDir <- Seq("sf0.001", "sf0.01", "sf0.1")
+      (tbl, cols) <- expected.toSeq.sortBy(_._1)
+      footer = {
+        val p = new Path(s"/root/testdata/$sfDir/$tbl.parquet")
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try r.getFileMetaData.getSchema finally r.close()
+      }
+      (col, allowed) <- cols.toSeq.sortBy(_._1)
+      actual = if (footer.containsField(col))
+                 describe(footer.getType(footer.getFieldIndex(col)))
+               else "MISSING"
+      if !allowed.contains(actual)
+    } yield s"$sfDir/$tbl.$col is now `$actual` (expected one of $allowed)" +
+      " — update the matching Tables loader"
+    assert(drifted.isEmpty, drifted.mkString("\n"))
+  }
+
   test("every side dump executes with rows > 0 at sf0.001") {
     val empty = SparkEntry.sideDumps.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -20,6 +20,27 @@ class PlanShapeSpec extends SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("events ts range predicate reaches the parquet scan (PushedFilters)") {
+    // the loader casts µs-native NTZ ts to session-TZ TimestampType; the
+    // filter must still reach row-group stats via Catalyst's cast-unwrap.
+    // On nanos-encoded data ts is computed and this pushdown is impossible
+    // — the test asserts the µs path only (skip if the loader dispatched
+    // to the nanos branch).
+    val ev = Tables.events(spark, sf) // sets nanosAsLong before the probe read
+    val nanosEncoded =
+      spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+    assume(!nanosEncoded, "nanos-encoded events: ts is computed, no pushdown")
+    val scan = ev
+      .filter(Tables.eventsTsBetween(0L, 4102444800000000L))
+      .queryExecution.executedPlan.toString
+    val pushed = scan.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse(scan)
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThanOrEqual(ts"),
+      s"ts bound not pushed to parquet:\n$pushed")
+  }
+
   test("dd7 plan has no nested-loop or cartesian join") {
     val p = plan("dd7_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
