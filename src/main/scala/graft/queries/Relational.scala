@@ -1405,6 +1405,30 @@ object Relational {
         .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("p1"), col("p2"))
         .limit(25)
+    }),
+
+    // PageRank over the event-type transition graph — iterative graph
+    // compute as a first-class operator ([[graft.operators.PageRank]]:
+    // power iteration, damping 0.85, 10 rounds, dangling mass
+    // redistributed, lineage cut per round). Here the graph is the
+    // behavioral flow between event types (edges = consecutive-event
+    // transitions per user, weights = transition counts, q52's edge
+    // derivation); the same operator ranks domain link graphs or citation
+    // graphs at corpus scale — |nodes|/|edges|-bounded keyed shuffles per
+    // round, nothing collected. The oracle replays all 10 iterations in
+    // one recursive CTE; float agreement holds because both engines sum
+    // ≤|nodes| double terms per cell (q50's tolerance argument).
+    "q58_pagerank" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val edges = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead("src", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).cast("double").as("w"))
+      val ranks = graft.operators.PageRank.run(edges, damping = 0.85, iters = 10)
+      QueryCache.resultThenRelease(ranks.select(col("node"), col("rank")), ranks)
     })
   )
 
@@ -2189,6 +2213,44 @@ object Relational {
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, p1, p2
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+
+    // all 10 power iterations in one recursive CTE. Two DuckDB recursion
+    // gotchas the shape below avoids: a bare UNION inside WITH RECURSIVE
+    // does not dedup the way a plain UNION does (hence UNION ALL +
+    // DISTINCT wrapper for the node set), and the recursive reference may
+    // appear only once (hence contributions in a single grouped derived
+    // table; every node has in-edges in this graph, so the inner join is
+    // total — asserted by the row count matching |nodes|).
+    "q58_pagerank" ->
+      """WITH RECURSIVE
+        |ebase AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (
+        |  SELECT src, dst, count(*)::DOUBLE AS w FROM ebase
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY 1),
+        |nodes0 AS (SELECT src AS node FROM edges
+        |           UNION ALL SELECT dst FROM edges),
+        |nodes AS (SELECT DISTINCT node FROM nodes0),
+        |nc AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS iter, node, (SELECT 1.0 / n FROM nc) AS rank
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT c.iter + 1, c.node,
+        |    (SELECT 0.15 / n FROM nc) + 0.85 * c.contrib
+        |  FROM (
+        |    SELECT p.iter AS iter, e.dst AS node,
+        |      sum(p.rank * e.w / o.tw) AS contrib
+        |    FROM pr p
+        |    JOIN edges e ON e.src = p.node
+        |    JOIN outw o ON o.src = e.src
+        |    WHERE p.iter < 10
+        |    GROUP BY 1, 2) c)
+        |SELECT node, rank FROM pr WHERE iter = 10""".stripMargin
   )
 }

@@ -504,6 +504,42 @@ object Similarity {
         .groupBy(col("label"), col("pos"))
         .agg(count(lit(1)).as("n_vecs"),
           avg(col("col").cast("double")).as("mean_x"))
+    }),
+
+    // Semi-supervised kNN label propagation — auto-labeling the unlabeled
+    // fifth of the corpus from its 5 nearest labeled neighbors (majority
+    // vote, ties to the smallest label). The training-data use: propagate
+    // scarce human labels (quality ratings, topic tags, license classes)
+    // over an embedding space instead of paying for full annotation.
+    // Plan shape is s5's batch-kNN: the labeled corpus streams through ONE
+    // scan, the (5× smaller) unlabeled probe set broadcasts, TopKPerKey's
+    // bounded per-partition heaps cut the fan-out to ≤ partitions×|q|×k
+    // before any shuffle, and the vote agg runs on |q|×k rows. At 100 TB
+    // the probe side would be chunked (s5's note) or routed through the
+    // IVF candidate generator (s9) — the vote/pick stages are unchanged.
+    "s13_label_prop" -> ((s, dir) => {
+      val e = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("label"),
+          normalized(col("embedding")).as("unit"))
+        .persist()
+      val probes = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("unit").as("qu"))
+      val scored = e.filter(col("vec_id") % 5 =!= 0)
+        .crossJoin(broadcast(probes))
+        .select(col("qid"), col("vec_id"), col("label"),
+          dot(col("unit"), col("qu")).as("cos_sim"))
+      val top = graft.operators.TopKPerKey.topK(
+        scored, keyCol = "qid", scoreCol = "cos_sim", tieCol = "vec_id", k = 5)
+      val votes = top.groupBy("qid", "label")
+        .agg(count(lit(1)).as("n_votes"))
+        .select(col("qid"), col("label").cast("long").as("label"),
+          col("n_votes"))
+      QueryCache.resultThenRelease(
+        graft.operators.TopKPerKey.topK(
+          votes.withColumn("score", col("n_votes").cast("double")),
+          keyCol = "qid", scoreCol = "score", tieCol = "label", k = 1)
+          .select(col("qid"), col("label").as("pred_label"), col("n_votes")),
+        e)
     })
   )
 
@@ -639,6 +675,28 @@ object Similarity {
         |FROM embeddings,
         |     unnest(range(1, len(embedding) + 1)) AS t(i)
         |GROUP BY 1, 2""".stripMargin,
+
+    // s5's replay shape + a two-stage vote: top-5 labeled neighbors per
+    // masked vector, then majority label (ties to the smallest label)
+    "s13_label_prop" ->
+      s"""WITH u AS (SELECT vec_id, label, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id, c.label,
+         |    ${cosSql("c.embedding", "q.embedding")} AS cos_sim
+         |  FROM u c JOIN u q ON q.vec_id % 5 = 0 AND c.vec_id % 5 <> 0),
+         |top AS (SELECT qid, label FROM (
+         |  SELECT qid, label,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored) WHERE rn <= 5),
+         |votes AS (SELECT qid, label::BIGINT AS label,
+         |    count(*)::BIGINT AS n_votes
+         |  FROM top GROUP BY 1, 2)
+         |SELECT qid, label AS pred_label, n_votes FROM (
+         |  SELECT qid, label, n_votes,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY n_votes DESC, label) AS rn
+         |  FROM votes) WHERE rn = 1""".stripMargin,
 
     // same replay shape as s1 with query vec 1 — the Spark side differs
     // only in its entry path (SQL + extension-registered expression)

@@ -24,7 +24,8 @@ class CacheHygieneSpec extends SparkSuite {
     "s6_quantized_knn", "s8_pq_knn", "g1_interp_1d", "g3_interp_2d",
     "g4_interp_4d", "g6_interp_multivar", "g5_e2e_fetch", "t10_bm25",
     "q24_range_join", "p3_embed_keeplist", "q27_interval_overlap",
-    "q29_bucketed_join", "p9_incremental_dedup", "dd11_span_coverage")
+    "q29_bucketed_join", "p9_incremental_dedup", "dd11_span_coverage",
+    "q58_pagerank", "s13_label_prop")
 
   test("resultThenRelease frees result and intermediates when the job fails") {
     import org.apache.spark.sql.functions._
