@@ -3,7 +3,6 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Connected components over an edge list — the cluster-formation
@@ -36,15 +35,6 @@ import org.apache.spark.sql.functions._
   * formulation halves round counts; dedup pair graphs don't need it.
   */
 object ConnectedComponents {
-
-  /** Free the block storage behind a localCheckpointed frame (its plan is
-    * a flat LogicalRDD over the materialized blocks).
-    */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.optimizedPlan match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 
   /** Label every node of the undirected graph `pairs(src, dst)` with its
     * component's minimum node id. Returns (node, label). Only nodes
@@ -91,7 +81,7 @@ object ConnectedComponents {
           .filter(col("a.label") =!= col("b.label"))
           .count() == 0
         // the previous round is no longer referenced by anything
-        freeCheckpoint(labels)
+        Checkpoints.free(labels)
         live -= labels
         labels = next
         iter += 1
@@ -106,7 +96,7 @@ object ConnectedComponents {
       live -= labels // the caller owns the returned frame's blocks
       labels
     } finally {
-      live.foreach(freeCheckpoint)
+      live.foreach(Checkpoints.free)
     }
   }
 }

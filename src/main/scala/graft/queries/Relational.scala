@@ -1427,8 +1427,43 @@ object Relational {
         .filter(col("dst").isNotNull)
         .groupBy("src", "dst")
         .agg(count(lit(1)).cast("double").as("w"))
-      val ranks = graft.operators.PageRank.run(edges, damping = 0.85, iters = 10)
-      QueryCache.resultThenRelease(ranks.select(col("node"), col("rank")), ranks)
+      // the returned frame rides on PageRank's final localCheckpoint
+      // blocks (dd8's contract — clearCache does not free them; tiny:
+      // |event types| rows)
+      graft.operators.PageRank.run(edges, damping = 0.85, iters = 10)
+        .select(col("node"), col("rank"))
+    }),
+
+    // Last-touch attribution — "which touchpoint gets credit for each
+    // purchase": every purchase joined (as-of, backward, 1-hour
+    // staleness bound) to the user's latest preceding non-purchase
+    // event, then revenue rolled up per touch type, stale/absent
+    // matches credited to '(none)'. The marketing twin of q34's LOCF —
+    // same operator, same scale shape: one user_id shuffle + window
+    // in AsofJoin, never purchases × touches. Touches are collapsed to
+    // one per (user, µs) first (latest event_id wins) so the as-of tie
+    // semantics are engine-independent; revenue is floor-milli
+    // integerized (q51's rule) so the sums are BIGINT-exact.
+    "q59_attribution" -> ((s, dir) => {
+      // AsofJoin's time columns must be TIMESTAMPs (it casts internally —
+      // a raw integer-µs column would be read as seconds), hence native ts
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("v_milli"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("v_milli"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("ts").as("tts"))
+        .agg(max_by(col("event_type"), col("event_id")).as("touch_type"))
+      graft.operators.AsofJoin.asof(
+          purchases, touches, key = "user_id",
+          leftTime = "ts", rightTime = "tts",
+          payload = Map("touch_type" -> "touch_type"),
+          tolerance = Some(java.time.Duration.ofHours(1)))
+        .groupBy(coalesce(col("touch_type"), lit("(none)")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("v_milli")).as("revenue_milli"))
     })
   )
 
@@ -2251,6 +2286,30 @@ object Relational {
         |    JOIN outw o ON o.src = e.src
         |    WHERE p.iter < 10
         |    GROUP BY 1, 2) c)
-        |SELECT node, rank FROM pr WHERE iter = 10""".stripMargin
+        |SELECT node, rank FROM pr WHERE iter = 10""".stripMargin,
+
+    // native ASOF LEFT JOIN + 1-hour staleness mask on integer µs (q13's
+    // pattern); touches pre-collapsed per (user, µs) by arg_max so the
+    // as-of tie is engine-independent
+    "q59_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS us, event_id, event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_milli
+        |  FROM events),
+        |p AS (SELECT user_id, us, event_id, v_milli FROM ev
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, us AS tus,
+        |        arg_max(event_type, event_id) AS touch_type
+        |      FROM ev WHERE event_type <> 'purchase' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.v_milli,
+        |    CASE WHEN t.tus IS NOT NULL AND p.us - t.tus <= 3600000000
+        |         THEN t.touch_type END AS touch_type
+        |  FROM p ASOF LEFT JOIN t
+        |    ON p.user_id = t.user_id AND t.tus <= p.us)
+        |SELECT coalesce(touch_type, '(none)') AS touch_type,
+        |  count(*)::BIGINT AS n_purchases,
+        |  sum(v_milli)::BIGINT AS revenue_milli
+        |FROM j GROUP BY 1""".stripMargin
   )
 }

@@ -883,6 +883,30 @@ object Text {
         .agg(count(lit(1)).as("n_bigrams"),
           avg(log2((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
             .as("avg_logp2"))
+    }),
+
+    // Blocklist tagging — the Dolma/C4-style content-filter tagger: every
+    // doc annotated with WHICH blocklisted terms it contains (distinct,
+    // sorted — the audit trail a filtering decision needs, not just a
+    // boolean) plus the keep verdict. The whole-word alternation compiles
+    // into ONE codegen'd regex evaluated in-row at the scan — no explode,
+    // no join, no shuffle; text dies at the scan and only (doc_id, hits,
+    // verdict) survives. At a production blocklist size (10⁴-10⁶ terms) a
+    // single alternation stops scaling — the swap-in is an Aho-Corasick
+    // automaton broadcast once and run per-partition (mm1's compiled-
+    // kernel pattern); the plan shape (single scan, row-local tagging) is
+    // identical, which is what this query pins.
+    "t24_blocklist_filter" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            regexp_extract_all(lower(col("text")), lit(BlocklistPattern),
+              lit(1)))).as("h"))
+        // comma-joined, not an array cell: the hash gate sorts result
+        // columns, and array cells don't sort (t13's postings precedent)
+        .select(col("doc_id"), array_join(col("h"), ",").as("hits"),
+          size(col("h")).cast("long").as("n_hits"),
+          (size(col("h")) === 0).as("keep"))
     })
   )
 
@@ -916,6 +940,13 @@ object Text {
       .otherwise("train")
 
   private val ScrubPattern = "\\b(the|a|of|and|in|to|is)\\b"
+
+  /** t24's stand-in blocklist: whole-word alternation over corpus-present
+    * terms (so hit/miss/multi-hit docs all occur), Java-regex and RE2
+    * compatible — no lookaround, no backrefs — so the DuckDB replay runs
+    * the IDENTICAL pattern.
+    */
+  private val BlocklistPattern = "\\b(dup|slow|error|corrupt)\\b"
 
   /** t10's fixed retrieval query (terms present across the corpus with
     * differing document frequencies, so idf actually discriminates).
@@ -1483,7 +1514,20 @@ object Text {
          |  array_to_string(list_transform(
          |    (list_sort(list(doc_id)))[1:100],
          |    x -> CAST(x AS VARCHAR)), ',') AS postings_head
-         |FROM d GROUP BY term""".stripMargin
+         |FROM d GROUP BY term""".stripMargin,
+
+    // the IDENTICAL whole-word pattern (Java-regex/RE2-common subset);
+    // list_sort == array_sort for ASCII strings
+    "t24_blocklist_filter" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    regexp_extract_all(lower(text),
+        |      '\b(dup|slow|error|corrupt)\b', 1))) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(h, ','), '') AS hits, -- [] joins to NULL
+        |  len(h)::BIGINT AS n_hits, len(h) = 0 AS keep
+        |FROM h""".stripMargin
   )
 
   /** t5's 100 TB drop-in for frequency questions over an UNBOUNDED

@@ -7,11 +7,11 @@ package graft
   * Verify/Bench (which clearCache between queries) would accumulate the
   * shingle/signature/grid frames of every query they touch.
   *
-  * dd8 is exempt: ConnectedComponents' final localCheckpoint is referenced
-  * by the returned plan and cannot be freed while the result is alive (the
-  * per-round checkpoints ARE freed deterministically — see
-  * ConnectedComponents); its pair-list and kernel caches are still released
-  * like everyone else's.
+  * dd8 and q58 are exempt: ConnectedComponents'/PageRank's final
+  * localCheckpoint is referenced by the returned plan and cannot be freed
+  * while the result is alive (the per-round checkpoints ARE freed
+  * deterministically — see ConnectedComponents/PageRank); their other
+  * caches are still released like everyone else's.
   */
 class CacheHygieneSpec extends SparkSuite {
 
@@ -25,7 +25,7 @@ class CacheHygieneSpec extends SparkSuite {
     "g4_interp_4d", "g6_interp_multivar", "g5_e2e_fetch", "t10_bm25",
     "q24_range_join", "p3_embed_keeplist", "q27_interval_overlap",
     "q29_bucketed_join", "p9_incremental_dedup", "dd11_span_coverage",
-    "q58_pagerank", "s13_label_prop")
+    "s13_label_prop")
 
   test("resultThenRelease frees result and intermediates when the job fails") {
     import org.apache.spark.sql.functions._
