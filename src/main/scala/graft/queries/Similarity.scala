@@ -540,6 +540,36 @@ object Similarity {
           keyCol = "qid", scoreCol = "score", tieCol = "label", k = 1)
           .select(col("qid"), col("label").as("pred_label"), col("n_votes")),
         e)
+    }),
+
+    // Hard-negative mining — the contrastive-training data op (DPR/SimCSE
+    // style): for each anchor, the 5 most similar vectors with a
+    // DIFFERENT label — near the anchor in embedding space yet
+    // semantically distinct, exactly the negatives that make a
+    // contrastive loss informative (random negatives are too easy).
+    // Same batch-kNN plan as s5/s13 with the label-inequality predicate
+    // applied in the fan-out BEFORE the bounded heaps — the cut work
+    // scales with survivors, not corpus. At 100 TB: anchor set chunks,
+    // or candidates route through s9's IVF with the label predicate in
+    // the cell scan (s11's pushdown argument).
+    "s14_hard_negatives" -> ((s, dir) => {
+      val e = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("label"),
+          normalized(col("embedding")).as("unit"))
+        .persist()
+      val anchors = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("unit").as("qu"))
+      val scored = e.crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"),
+          col("label").cast("long").as("label"),
+          dot(col("unit"), col("qu")).as("cos_sim"))
+      QueryCache.resultThenRelease(
+        graft.operators.TopKPerKey.topK(
+          scored, keyCol = "qid", scoreCol = "cos_sim", tieCol = "vec_id",
+          k = 5),
+        e)
     })
   )
 
@@ -697,6 +727,19 @@ object Similarity {
          |    row_number() OVER (PARTITION BY qid
          |                       ORDER BY n_votes DESC, label) AS rn
          |  FROM votes) WHERE rn = 1""".stripMargin,
+
+    // s5's replay shape with the cross-label predicate in the fan-out
+    "s14_hard_negatives" ->
+      s"""WITH u AS (SELECT vec_id, label, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id, c.label::BIGINT AS label,
+         |    ${cosSql("c.embedding", "q.embedding")} AS cos_sim
+         |  FROM u c JOIN u q ON q.vec_id < 20 AND c.label <> q.label)
+         |SELECT qid, vec_id, label, cos_sim FROM (
+         |  SELECT qid, vec_id, label, cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored) WHERE rn <= 5""".stripMargin,
 
     // same replay shape as s1 with query vec 1 — the Spark side differs
     // only in its entry path (SQL + extension-registered expression)

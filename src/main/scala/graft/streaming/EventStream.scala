@@ -228,6 +228,57 @@ object EventStream {
       }
   }
 
+  final case class LastTouch(us: Long, eventId: Long, tpe: String)
+
+  final case class Attribution(user_id: Long, purchase_us: Long,
+      touch_type: String, v_milli: Long)
+
+  /** Streaming last-touch attribution — the stateful twin of batch q59:
+    * each purchase is credited AS IT ARRIVES to the user's latest
+    * preceding non-purchase touch within `maxStaleUs` (default 1 h),
+    * '(none)' otherwise; a downstream windowed
+    * `groupBy(touch_type).agg(count, sum(v_milli))` is the live revenue
+    * dashboard. State per user is the last touch only — O(1), state ∝
+    * users at 100 TB/day. Tie semantics replicate q59 exactly: within
+    * one µs, touches collapse to the max event_id (the batch arg_max)
+    * and a purchase sees same-µs touches (the ASOF tus <= us rule) —
+    * hence the in-batch sort puts touches BEFORE purchases at equal µs.
+    * An attribution is final when its purchase is processed (per-user
+    * ordered delivery across micro-batches, the [[sessionize]]
+    * precondition), so Append mode is sound with no timeout.
+    * StreamingSpec pins stream == q59's per-type counts and revenue.
+    */
+  def attribution(events: Dataset[Event],
+      maxStaleUs: Long = 3600000000L): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouch, Attribution](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[LastTouch]) =>
+          val evs = batch.toArray.sortBy { e =>
+            (usOf(e.ts), if (e.event_type == "purchase") 1 else 0, e.event_id)
+          }
+          var out = List.empty[Attribution]
+          var last = state.getOption
+          evs.foreach { e =>
+            val t = usOf(e.ts)
+            if (e.event_type == "purchase") {
+              val tt = last match {
+                case Some(p) if t - p.us <= maxStaleUs => p.tpe
+                case _ => "(none)"
+              }
+              out ::= Attribution(userId, t, tt,
+                math.floor(e.value * 1000).toLong)
+            } else if (last.forall(p =>
+                t > p.us || (t == p.us && e.event_id > p.eventId))) {
+              last = Some(LastTouch(t, e.event_id, e.event_type))
+            }
+          }
+          last.foreach(state.update)
+          out.reverse.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same `event_id`
     * within the watermark horizon — state is bounded by (events/horizon),
     * the standard at-least-once → effectively-once repair for 100 TB/day

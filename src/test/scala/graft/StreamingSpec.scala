@@ -173,6 +173,37 @@ class StreamingSpec extends SparkSuite {
     assert(stream == batch, s"stream matrix != batch matrix")
   }
 
+  test("attribution parity: flatMapGroupsWithState == q59's batch rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the batch truth: per-touch-type purchase counts and milli revenue
+    val batch = SparkEntry.queries("q59_attribution")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+      .collect()
+      .sortBy(e =>
+        (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.attribution(mem.toDS()).writeStream
+      .format("memory").queryName("attribution").outputMode("append").start()
+    evs.grouped(evs.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val stream = spark.table("attribution")
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n"), sum("v_milli").as("rev"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    q.stop()
+    // non-vacuous: attributed AND unattributed purchases must both occur
+    assert(stream.keySet.size > 1, s"degenerate fixture: $stream")
+    assert(stream == batch, s"stream attribution $stream != batch $batch")
+  }
+
   test("sessionize parity: flatMapGroupsWithState == q19's batch windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
