@@ -56,9 +56,17 @@ object Tables {
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampType => // already session-TZ µs timestamp
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
-      case _ => // TIMESTAMP_NTZ (timestamp[us] with isAdjustedToUTC=false)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] with isAdjustedToUTC=false; exact cast under UTC
         raw.withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case other =>
+        // a THIRD driver encoding: fail loudly at load (one named error)
+        // instead of letting a silent cast null every downstream query —
+        // the ContractSpec canary's rule applied to the runtime path
+        throw new IllegalStateException(
+          s"events.ts has unhandled type $other — teach Tables.events " +
+            "this encoding (see the nanos/µs branches)")
     }
   }
 

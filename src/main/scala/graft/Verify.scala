@@ -41,6 +41,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val outAbs = new java.io.File(outDir).getAbsolutePath
+    // a filtered run is a DEV run: make it unmistakable in both the log
+    // and the artifacts, so an env var leaking into a gate invocation
+    // can never pass off a shrunken suite as a full one (the round-5
+    // failure mode, from the other direction); unfiltered runs clear any
+    // stale marker from a reused dev outDir
+    filter match {
+      case Some(f) =>
+        System.err.println(
+          s"[verify] WARNING: FILTERED run (${f.size} of " +
+            s"${SparkEntry.queries.size} queries): ${f.mkString(",")}")
+        Files.writeString(Paths.get(s"$outDir/_FILTERED.txt"),
+          f.mkString(","))
+      case None =>
+        Files.deleteIfExists(Paths.get(s"$outDir/_FILTERED.txt"))
+    }
 
     val queries = SparkEntry.queries
       .filter { case (n, _) => filter.forall(_.contains(n)) }
@@ -87,26 +102,23 @@ object Verify {
         // leave a marker RESULT DIR (no part files) so the driver's
         // per-query compare — which iterates result directories and has an
         // err field per query — records this query as err instead of the
-        // row vanishing from the report entirely (the round-5 failure mode)
-        target.mkdirs()
-        Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg)
+        // row vanishing from the report entirely (the round-5 failure
+        // mode). Marker IO is best-effort: an IO-level failure (disk
+        // full) must not abort the remaining suite from inside a catch.
+        try {
+          target.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg)
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+        }
       }
       // queries persist intermediates (materialization barriers); drop
       // them so successive queries don't accumulate cache
       spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // the repo's one JSON escaper (graft.util.Json) — see its Scaladoc
+    // for why control chars must be escaped here
+    def q(s: String): String = graft.util.Json.str(s)
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

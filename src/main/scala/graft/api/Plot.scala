@@ -34,14 +34,7 @@ object Plot {
   private def arr(xs: Array[Double]): String =
     xs.map(num).mkString("[", ",", "]")
 
-  private def str(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def str(s: String): String = graft.util.Json.str(s)
 
   /** Build the Plotly figure JSON for a partial-evaluation slice of a
     * registered variable. `partial` pins axes to scalars; the remaining
@@ -50,8 +43,12 @@ object Plot {
     */
   def figure(gf: GridFields, name: String,
       partial: Map[String, Double]): String = {
-    val overrides = partial.map { case (ax, v) => ax -> Array(v) }
-    val (effAxes, vals) = gf.gridEval(name, overrides)
+    // validate BEFORE evaluating: free axes are known from the names
+    // alone, and a refused call must not pay a full-grid meshEval
+    val unknown = partial.keySet -- gf.axisNames.toSet
+    require(unknown.isEmpty,
+      s"unknown axis name(s) ${unknown.mkString(",")}; axes are " +
+        gf.axisNames.mkString(","))
     val free = gf.axisNames.zipWithIndex.filterNot { case (an, _) =>
       partial.contains(an)
     }
@@ -62,6 +59,8 @@ object Plot {
       s"${free.size} free axes (${free.map(_._1).mkString(",")}) — pin " +
         "down to 1 (line) or 2 (heatmap) with plot_partial, like the " +
         "reference")
+    val overrides = partial.map { case (ax, v) => ax -> Array(v) }
+    val (effAxes, vals) = gf.gridEval(name, overrides)
     val units = gf.units(name)
     val title = str(Latex.func(name, gf.axisNames, units))
     val valueTitle = str(if (units.isEmpty) name else s"$name [$units]")

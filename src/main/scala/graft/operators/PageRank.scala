@@ -43,8 +43,17 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  def run(edges: DataFrame, damping: Double = 0.85, iters: Int = 10)
-      : DataFrame = {
+  /** @param requireFullDegree when true, throw if any node lacks an
+    *   out-edge (dangling) or an in-edge. The engine handles both
+    *   correctly; a SQL-oracle replay of the recursive-CTE form cannot
+    *   (single recursive reference — no dangling term, inner-join drops
+    *   in-edge-less nodes), so an oracled query instance opts into a LOUD
+    *   named failure on a data regeneration that introduces either,
+    *   instead of a silent hash mismatch. Costs two tiny anti-join probes
+    *   over frames the setup already built.
+    */
+  def run(edges: DataFrame, damping: Double = 0.85, iters: Int = 10,
+      requireFullDegree: Boolean = false): DataFrame = {
     require(damping > 0 && damping < 1, s"damping $damping outside (0,1)")
     require(iters >= 1, s"iters $iters must be >= 1")
     // per-edge transition probability, the only frame iterations re-scan
@@ -64,9 +73,21 @@ object PageRank {
       .join(norm.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
       .persist()
     val anyDangling = dangling.limit(1).count() > 0
+    if (requireFullDegree) {
+      require(!anyDangling,
+        "dangling node (no out-edges) present — the caller's SQL oracle " +
+          "cannot replay the dangling-mass term; re-derive the graph or " +
+          "drop requireFullDegree")
+      val noIn = nodes.join(
+        norm.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+      require(noIn.limit(1).count() == 0,
+        "node with no in-edges present — the recursive-CTE oracle's inner " +
+          "join would drop it; re-derive the graph or drop requireFullDegree")
+    }
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint() // eager
+    var done = false
     try {
       for (_ <- 1 to iters) {
         val dang =
@@ -86,11 +107,16 @@ object PageRank {
         Checkpoints.free(ranks)
         ranks = next
       }
+      done = true
       ranks
     } finally {
       norm.unpersist()
       nodes.unpersist()
       dangling.unpersist()
+      // a mid-loop failure must not leak the current round's checkpoint
+      // blocks (clearCache can't free them — see Checkpoints); on success
+      // the final frame's blocks are the caller's, like dd8's contract
+      if (!done) Checkpoints.free(ranks)
     }
   }
 }

@@ -170,9 +170,11 @@ object Relational {
     // plus projection (F4). Both reach the parquet scan: PushedFilters on
     // value/ts, ReadSchema limited to 4 columns.
     "q2_filter_range" -> ((s, dir) => {
-      // epoch µs for 2024-01-02T00:00Z / 2024-01-05T00:00Z; the raw-nanos
-      // form of the ts predicate reaches parquet row-group stats (the
-      // public `ts` column is computed, so a filter on it cannot push)
+      // epoch µs for 2024-01-02T00:00Z / 2024-01-05T00:00Z; the ts bound
+      // goes through Tables.eventsTsBetween — on µs-native data it
+      // reaches parquet row-group stats via cast-unwrap (PlanShapeSpec
+      // pins PushedFilters), on nanos-encoded data ts is computed and
+      // the filter runs post-scan
       val startUs = java.time.Instant.parse("2024-01-02T00:00:00Z")
         .getEpochSecond * 1000000L
       val endUs = java.time.Instant.parse("2024-01-05T00:00:00Z")
@@ -363,9 +365,9 @@ object Relational {
 
     // Anti join (§2.6 join-type coverage): users with no purchase in the
     // first day. Plans as LeftAnti (broadcast or shuffled per AQE stats).
-    // The time bound is expressed on the raw nanos column so it reaches
-    // parquet row-group stats (`ts` is computed from nanos, so a predicate
-    // on it cannot push) — via the central Tables.eventsTsBefore helper.
+    // The time bound goes through the central Tables.eventsTsBefore
+    // helper — pushdown-eligible on µs-native data (cast-unwrap),
+    // post-scan on nanos-encoded data where `ts` is computed.
     "q16_anti_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val endUs = java.time.Instant.parse("2024-01-02T00:00:00Z")
@@ -1429,8 +1431,11 @@ object Relational {
         .agg(count(lit(1)).cast("double").as("w"))
       // the returned frame rides on PageRank's final localCheckpoint
       // blocks (dd8's contract — clearCache does not free them; tiny:
-      // |event types| rows)
-      graft.operators.PageRank.run(edges, damping = 0.85, iters = 10)
+      // |event types| rows). requireFullDegree: the recursive-CTE oracle
+      // can't express dangling mass, so a regeneration that introduces a
+      // terminal-only or entry-only event type fails HERE by name.
+      graft.operators.PageRank.run(edges, damping = 0.85, iters = 10,
+          requireFullDegree = true)
         .select(col("node"), col("rank"))
     }),
 
@@ -2260,9 +2265,13 @@ object Relational {
     "q58_pagerank" ->
       """WITH RECURSIVE
         |ebase AS (
+        |  -- order by µs-TRUNCATED time: Spark's window orders by the
+        |  -- loader's µs ts, and on nanos-encoded data a raw-ts order
+        |  -- would break same-µs ties differently (q59's epoch_ns rule)
         |  SELECT event_type AS src,
         |    lead(event_type) OVER (PARTITION BY user_id
-        |                           ORDER BY ts, event_id) AS dst
+        |                           ORDER BY epoch_ns(ts)//1000, event_id)
+        |      AS dst
         |  FROM events),
         |edges AS (
         |  SELECT src, dst, count(*)::DOUBLE AS w FROM ebase

@@ -243,10 +243,15 @@ object EventStream {
     * one µs, touches collapse to the max event_id (the batch arg_max)
     * and a purchase sees same-µs touches (the ASOF tus <= us rule) —
     * hence the in-batch sort puts touches BEFORE purchases at equal µs.
-    * An attribution is final when its purchase is processed (per-user
-    * ordered delivery across micro-batches, the [[sessionize]]
-    * precondition), so Append mode is sound with no timeout.
-    * StreamingSpec pins stream == q59's per-type counts and revenue.
+    * Delivery precondition (stricter than [[sessionize]]'s, because the
+    * tie rule is order-sensitive ACROSS batches too): per-user delivery
+    * must be ordered by (µs, touches-before-purchases, event_id) — a
+    * same-µs touch split into a LATER micro-batch than its purchase
+    * would be credited '(none)' where batch q59's ASOF credits the
+    * touch. An attribution is final when its purchase is processed, so
+    * Append mode is sound with no timeout. StreamingSpec delivers in
+    * exactly that order and pins stream == q59's per-type counts and
+    * revenue.
     */
   def attribution(events: Dataset[Event],
       maxStaleUs: Long = 3600000000L): Dataset[Attribution] = {

@@ -181,12 +181,16 @@ class StreamingSpec extends SparkSuite {
     val batch = SparkEntry.queries("q59_attribution")(spark, dir)
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // delivery honors the operator's documented order precondition:
+    // (µs, touches-before-purchases, event_id) — a same-µs touch must
+    // not land in a later micro-batch than its purchase
     val evs = Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventStream.Event]
       .collect()
       .sortBy(e =>
-        (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+        (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano,
+          if (e.event_type == "purchase") 1 else 0, e.event_id))
     val mem = MemoryStream[EventStream.Event]
     val q = EventStream.attribution(mem.toDS()).writeStream
       .format("memory").queryName("attribution").outputMode("append").start()
