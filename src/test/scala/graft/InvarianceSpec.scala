@@ -42,11 +42,17 @@ class InvarianceSpec extends SparkSuite {
     // both would corrupt silently under an ordering/partitioning bug
     // q55/s11/s10 join: integer/boolean emissions and per-row-determined
     // floats, so strict equality is the right bar
+    // q59/t24 emit only integers/strings/booleans (BIGINT milli revenue);
+    // s13/s14 rank on per-row dot products whose IEEE fold order is
+    // row-local (partitioning cannot reorder it), so strict equality is
+    // the right bar for all four round-6 queries here
     for (name <- Seq("q1_agg", "dd2_shingle_jaccard", "g1_interp_1d",
         "q44_nearest_event", "q46_resample_interp",
         "q51_time_weighted_avg", "p10_weighted_sample",
         "q55_dq_report", "s11_filtered_knn", "s10_mmr_diverse",
-        "q56_scd2_history", "q57_copurchase_pairs")) {
+        "q56_scd2_history", "q57_copurchase_pairs",
+        "q59_attribution", "t24_blocklist_filter",
+        "s13_label_prop", "s14_hard_negatives")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
@@ -66,8 +72,11 @@ class InvarianceSpec extends SparkSuite {
     // reorders the summation — keys and integer columns must be
     // IDENTICAL, float cells must agree to the same 1e-9 the oracle
     // gate allows (anything worse means real nondeterminism, not ulps)
+    // q58: per-node contribution sums reorder under partitioning — keys
+    // (node) exact, ranks within the oracle's 1e-9
     for (name <- Seq("t23_lm_perplexity", "p12_dsir_weights",
-        "g10_conservative_regrid", "s12_label_prototypes")) {
+        "g10_conservative_regrid", "s12_label_prototypes",
+        "q58_pagerank")) {
       def run() = {
         val r = SparkEntry.queries(name)(spark, sf)
         val keys = r.schema.fields.filter(_.dataType != DoubleType)
