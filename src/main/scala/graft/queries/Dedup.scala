@@ -688,6 +688,41 @@ object Dedup {
               col("n_exact") * lit(25L)).as("within_25pm"))
           .orderBy("source"),
         sh)
+    }),
+
+    // Cross-source overlap matrix via theta set-algebra sketches
+    // ([[graft.operators.SetSketch]]) — the dedup-PLANNING query: which
+    // source pairs share enough shingle mass that a joint cross-source
+    // dedup pass (dd2/dd3 run across both) is worth its cost. Pairwise
+    // |A|, |B|, |A∩B| come from KB-sized sketch state, never a shingle
+    // self-join across sources. HASH-GATED, unlike the KLL/CMS specs:
+    // below 2^lgK distinct keys a theta sketch retains every hash and
+    // its estimate IS the exact distinct count, so at lgK=20 (~1M
+    // retention, far above any driver SF's shingle space) Spark's
+    // estimates equal DuckDB's independent exact set arithmetic
+    // integer-for-integer. The require probes the (persisted,
+    // |sources|-row) sketch frame and fails BY NAME if the corpus ever
+    // outgrows exact mode — the same loud-guard contract as q58's
+    // requireFullDegree. (64-bit hash collisions could undercount at
+    // ~n²/2⁶⁴ odds — dd2's accepted-risk class.)
+    "dd16_source_overlap" -> ((s, dir) => {
+      val sketches = graft.operators.SetSketch.shardSketches(
+        sourceShingles(s, dir), "shingle", Seq("source"), lgK = 20)
+        .persist()
+      val maxN = sketches
+        .agg(max(expr("theta_sketch_estimate(sk)"))).head().getLong(0)
+      require(maxN < (1L << 19),
+        s"a source holds ~$maxN distinct shingles — theta sketches at " +
+          "lgK=20 would leave exact mode; raise lgK or demote dd16 to " +
+          "the envelope-checked SetSketchSpec contract")
+      QueryCache.resultThenRelease(
+        graft.operators.SetSketch.pairwiseOverlap(sketches, "source")
+          .select(col("id_a"), col("id_b"),
+            col("n_a").cast("long").as("n_a"),
+            col("n_b").cast("long").as("n_b"),
+            col("n_overlap").cast("long").as("n_overlap"),
+            col("jaccard_est")),
+        sketches)
     })
   )
 
@@ -1038,6 +1073,36 @@ object Dedup {
         |  abs(n_est - n_exact) * 1000 <= n_exact * 25 AS within_25pm
         |FROM ex JOIN est USING (source)
         |ORDER BY source""".stripMargin,
+
+    // independent EXACT set arithmetic over the same string shingles —
+    // in theta's exact-mode regime (see the query doc) the sketch
+    // estimates must equal these integers; pairs with zero overlap
+    // survive via the left join
+    "dd16_source_overlap" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             for i in range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM (SELECT source, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |ss AS (SELECT DISTINCT source, shingle FROM
+        |         (SELECT source, unnest(sh) AS shingle FROM docs)),
+        |sizes AS (SELECT source, count(*)::BIGINT AS n FROM ss GROUP BY 1),
+        |ov AS (
+        |  SELECT a.source AS id_a, b.source AS id_b,
+        |    count(*)::BIGINT AS n_overlap
+        |  FROM ss a JOIN ss b
+        |    ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS id_a, sb.source AS id_b,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+        |  coalesce(ov.n_overlap, 0)::DOUBLE /
+        |    (sa.n + sb.n - coalesce(ov.n_overlap, 0)) AS jaccard_est
+        |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN ov ON ov.id_a = sa.source AND ov.id_b = sb.source""".stripMargin,
 
     // replay of dd7 from the dumped SRP signatures (shared with s3): same
     // banding/cap/multiprobe CTEs, exact cosine re-rank at threshold 0.4.
