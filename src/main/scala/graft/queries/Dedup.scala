@@ -711,10 +711,13 @@ object Dedup {
         .persist()
       val maxN = sketches
         .agg(max(expr("theta_sketch_estimate(sk)"))).head().getLong(0)
+      // trip at HALF the lgK=20 nominal (2^19 of ~1M): deliberate 2×
+      // headroom so the guard fires while estimates are still exact,
+      // one regeneration BEFORE the sampled regime would flake the gate
       require(maxN < (1L << 19),
-        s"a source holds ~$maxN distinct shingles — theta sketches at " +
-          "lgK=20 would leave exact mode; raise lgK or demote dd16 to " +
-          "the envelope-checked SetSketchSpec contract")
+        s"a source holds ~$maxN distinct shingles — within 2× of theta's " +
+          "lgK=20 exact-mode retention (~1M); raise lgK or demote dd16 " +
+          "to the envelope-checked SetSketchSpec contract")
       QueryCache.resultThenRelease(
         graft.operators.SetSketch.pairwiseOverlap(sketches, "source")
           .select(col("id_a"), col("id_b"),
@@ -793,31 +796,29 @@ object Dedup {
     * sub-quadratic (the former all-pairs list_intersect CTE was the
     * slowest oracle at sf0.1).
     */
-  /** Shared string-shingle CTE (no lang) — the oracle-side counterpart of
+  /** The oracle-side shingle-construction rule, ONCE, keyed by the
+    * caller's projection columns — the counterpart of
     * `hashedShingles(tokens(text))`: 3-gram word shingles, whole-doc
-    * fallback under 3 tokens, distinct per doc. Used by dd10 and dd11 so
-    * the shingle-construction rule lives once (dd2CtesSql carries the
-    * same rule plus lang for its per-language cap derivation).
+    * fallback under 3 tokens, distinct per doc. Every shingle-replaying
+    * oracle (dd2 family, dd10/dd11, dd13, dd16) derives its `docs` CTE
+    * from here, so an n-gram/fallback change edits one string.
     */
-  private val docShinglesCteSql: String =
-    """docs AS (
-      |  SELECT doc_id,
+  private def shingleDocsCteSql(keyCols: String*): String = {
+    val ks = keyCols.mkString(", ")
+    s"""docs AS (
+      |  SELECT $ks,
       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
       |                             for i in range(1, len(toks) - 1)])
       |    END AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM (SELECT $ks, string_split(text, ' ') AS toks
       |        FROM documents))""".stripMargin
+  }
+
+  private val docShinglesCteSql: String = shingleDocsCteSql("doc_id")
 
   private val dd2CtesSql: String =
-    s"""docs AS (
-      |  SELECT doc_id, lang,
-      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-      |                             for i in range(1, len(toks) - 1)])
-      |    END AS sh
-      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-      |),
+    s"""${shingleDocsCteSql("doc_id", "lang")},
       |ex AS (SELECT doc_id, lang, unnest(sh) AS shingle FROM docs),
       |dfreq AS (SELECT lang, shingle, count(*) AS df FROM ex GROUP BY 1, 2),
       |dfhist AS (SELECT df AS v, count(*) AS c FROM dfreq GROUP BY 1),
@@ -1056,16 +1057,9 @@ object Dedup {
     // tolerance arithmetic on both sides makes the gate certify that the
     // accuracy flag travels with exact-count parity.
     "dd13_hll_distinct" ->
-      """WITH est AS (SELECT source, n_est
+      s"""WITH est AS (SELECT source, n_est
         |             FROM read_parquet('{VERIFY_DIR}/side_hll_est.parquet')),
-        |docs AS (
-        |  SELECT source,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                             for i in range(1, len(toks) - 1)])
-        |    END AS sh
-        |  FROM (SELECT source, string_split(text, ' ') AS toks
-        |        FROM documents)),
+        |${shingleDocsCteSql("source")},
         |ex AS (SELECT source, count(DISTINCT shingle) AS n_exact
         |       FROM (SELECT source, unnest(sh) AS shingle FROM docs)
         |       GROUP BY source)
@@ -1079,14 +1073,7 @@ object Dedup {
     // estimates must equal these integers; pairs with zero overlap
     // survive via the left join
     "dd16_source_overlap" ->
-      """WITH docs AS (
-        |  SELECT source,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                             for i in range(1, len(toks) - 1)])
-        |    END AS sh
-        |  FROM (SELECT source, string_split(text, ' ') AS toks
-        |        FROM documents)),
+      s"""WITH ${shingleDocsCteSql("source")},
         |ss AS (SELECT DISTINCT source, shingle FROM
         |         (SELECT source, unnest(sh) AS shingle FROM docs)),
         |sizes AS (SELECT source, count(*)::BIGINT AS n FROM ss GROUP BY 1),
