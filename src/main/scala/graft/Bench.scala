@@ -44,9 +44,12 @@ object Bench {
     // optional comma-separated filter for timing one query in isolation
     // (local iteration only — the driver always runs the full suite).
     // SPARK_GRAFT_ONLY is the canonical name, shared with Verify;
-    // SPARK_GRAFT_BENCH_ONLY stays as a back-compat alias.
+    // SPARK_GRAFT_BENCH_ONLY stays as a back-compat alias. Like Verify,
+    // the filter only engages with the explicit SPARK_GRAFT_DEV=1 opt-in,
+    // so a leaked env var cannot shrink a driver bench run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
+      .filter(_ => sys.env.get("SPARK_GRAFT_DEV").contains("1"))
       .map(_.split(",").map(_.trim).toSet)
     var nFailed = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -70,23 +70,46 @@ object Tables {
     }
   }
 
-  /** Pushdown-eligible timestamp range predicate for [[events]], expressed
-    * on the public `ts` column in µs. On µs-native data the filter reaches
-    * parquet row-group stats (cast-unwrap, see [[events]]); on nanos data
-    * `ts` is computed so the filter runs post-scan — correct either way,
-    * and callers state bounds once, in µs.
+  /** True when `frame` bottoms out in a nanos-encoded events scan (the
+    * raw `ts` leaf attribute is LongType — see [[events]]'s dispatch).
+    * Read off the analyzed plan's leaves, not the public schema: the
+    * public `ts` is TimestampType under BOTH encodings by construction.
     */
-  def eventsTsBetween(startMicros: Long, endMicros: Long)
+  private def nanosEncoded(frame: DataFrame): Boolean =
+    frame.queryExecution.analyzed.collectLeaves().exists(
+      _.output.exists(a => a.name == "ts" &&
+        a.dataType == org.apache.spark.sql.types.LongType))
+
+  /** Pushdown-eligible timestamp range predicate for [[events]], with
+    * bounds stated once, in µs. Dispatches on `e`'s PHYSICAL encoding so
+    * the filter reaches parquet row-group stats either way:
+    *
+    *  - µs-native: predicate on the public `ts` (TimestampType) — reaches
+    *    the scan via Catalyst's cast-unwrap (PlanShapeSpec pins it);
+    *  - nanos-encoded: `ts` is a computed column (post-scan), so the
+    *    predicate is restated on the NATIVE `ts_ns` long with the exact
+    *    DIV-1000 truncation bounds: `ts_µs ∈ [a,b]` ⟺
+    *    `ts_ns ∈ [a·1000, b·1000+999]`.
+    */
+  def eventsTsBetween(e: DataFrame, startMicros: Long, endMicros: Long)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
-    col("ts").between(timestamp_micros(lit(startMicros)),
-      timestamp_micros(lit(endMicros)))
+    if (nanosEncoded(e))
+      col("ts_ns").between(lit(startMicros * 1000L),
+        lit(endMicros * 1000L + 999L))
+    else
+      col("ts").between(timestamp_micros(lit(startMicros)),
+        timestamp_micros(lit(endMicros)))
   }
 
-  /** Strict-upper-bound sibling of [[eventsTsBetween]]. */
-  def eventsTsBefore(endMicros: Long): org.apache.spark.sql.Column = {
+  /** Strict-upper-bound sibling of [[eventsTsBetween]]:
+    * `ts_µs < b` ⟺ `ts_ns < b·1000` under DIV-1000 truncation.
+    */
+  def eventsTsBefore(e: DataFrame, endMicros: Long)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
-    col("ts") < timestamp_micros(lit(endMicros))
+    if (nanosEncoded(e)) col("ts_ns") < lit(endMicros * 1000L)
+    else col("ts") < timestamp_micros(lit(endMicros))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

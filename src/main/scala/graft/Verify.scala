@@ -28,8 +28,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
+    // the env-var spelling of the filter additionally requires
+    // SPARK_GRAFT_DEV=1: a stray SPARK_GRAFT_ONLY leaking into a
+    // driver/gate invocation (which passes exactly 2 args) must not be
+    // able to shrink the verified suite on its own — the explicit arg
+    // remains the dev fast path, the env pair is for wrapper scripts
     val filter: Option[Set[String]] =
-      (if (args.length > 2) Some(args(2)) else sys.env.get("SPARK_GRAFT_ONLY"))
+      (if (args.length > 2) Some(args(2))
+       else sys.env.get("SPARK_GRAFT_ONLY")
+         .filter(_ => sys.env.get("SPARK_GRAFT_DEV").contains("1")))
         .map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

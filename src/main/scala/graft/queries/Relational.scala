@@ -26,7 +26,10 @@ object Relational {
     * entire point of the query: no translation layer, one string.
     * Constructs kept to the ANSI intersection: CTEs, qualified joins,
     * floor/CAST, row_number() OVER. Top-2 customers by revenue per
-    * region.
+    * region. The emitted aggregate is CAST back to BIGINT because
+    * DuckDB promotes sum(BIGINT) to HUGEINT (materialized as float64),
+    * while Spark keeps int64 — a representation split an exact-hash
+    * comparison sees even though every value is identical.
     */
   private[queries] val Q39Sql: String =
     """WITH rev AS (
@@ -35,7 +38,8 @@ object Relational {
       |         AS BIGINT) AS cents
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
       |cust_rev AS (
-      |  SELECT r.r_name, c.c_custkey, sum(cents) AS rev_cents
+      |  SELECT r.r_name, c.c_custkey,
+      |    CAST(sum(cents) AS BIGINT) AS rev_cents
       |  FROM rev
       |  JOIN customer c ON rev.custkey = c.c_custkey
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -171,17 +175,18 @@ object Relational {
     // value/ts, ReadSchema limited to 4 columns.
     "q2_filter_range" -> ((s, dir) => {
       // epoch µs for 2024-01-02T00:00Z / 2024-01-05T00:00Z; the ts bound
-      // goes through Tables.eventsTsBetween — on µs-native data it
-      // reaches parquet row-group stats via cast-unwrap (PlanShapeSpec
-      // pins PushedFilters), on nanos-encoded data ts is computed and
-      // the filter runs post-scan
+      // goes through Tables.eventsTsBetween, which dispatches on the
+      // physical encoding (ts on µs-native via cast-unwrap, native ts_ns
+      // on nanos data) so the predicate reaches parquet row-group stats
+      // either way (PlanShapeSpec pins PushedFilters)
       val startUs = java.time.Instant.parse("2024-01-02T00:00:00Z")
         .getEpochSecond * 1000000L
       val endUs = java.time.Instant.parse("2024-01-05T00:00:00Z")
         .getEpochSecond * 1000000L
-      Tables.events(s, dir)
+      val ev = Tables.events(s, dir)
+      ev
         .filter(col("value").between(100.0, 200.0) &&
-          Tables.eventsTsBetween(startUs, endUs))
+          Tables.eventsTsBetween(ev, startUs, endUs))
         .select("event_id", "user_id", "event_type", "value")
     }),
 
@@ -366,14 +371,14 @@ object Relational {
     // Anti join (§2.6 join-type coverage): users with no purchase in the
     // first day. Plans as LeftAnti (broadcast or shuffled per AQE stats).
     // The time bound goes through the central Tables.eventsTsBefore
-    // helper — pushdown-eligible on µs-native data (cast-unwrap),
-    // post-scan on nanos-encoded data where `ts` is computed.
+    // helper — encoding-dispatched, so it is pushdown-eligible on both
+    // µs-native (cast-unwrap) and nanos-encoded (native ts_ns) data.
     "q16_anti_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val endUs = java.time.Instant.parse("2024-01-02T00:00:00Z")
         .getEpochSecond * 1000000L
       val earlyBuyers = e.filter(col("event_type") === "purchase" &&
-        Tables.eventsTsBefore(endUs))
+        Tables.eventsTsBefore(e, endUs))
       e.select("user_id").distinct()
         .join(earlyBuyers, Seq("user_id"), "left_anti")
         .orderBy("user_id")
@@ -1259,8 +1264,10 @@ object Relational {
     // commutative, O(1) state, peer-row order irrelevant — and
     // bit_count reads the distinct count out. Works verbatim for any
     // dictionary ≤64 symbols (the common case: event types, quality
-    // tiers, sources); wider vocabularies graduate to q32's HLL
-    // sketches. One user_id shuffle, integer-exact emission.
+    // tiers, sources); wider vocabularies graduate to the
+    // [[windowDistinctApprox]] HLL form (same frame, same plan shape,
+    // estimated — envelope pinned in ProfilingSpec). One user_id
+    // shuffle, integer-exact emission.
     "q53_window_distinct_types" -> ((s, dir) => {
       val types = Tables.events(s, dir).select("event_type").distinct()
         .withColumn("rn", row_number().over(
@@ -1389,24 +1396,26 @@ object Relational {
     // (order, part) first — multiplicity within a basket must not
     // inflate pair support — then a SELF equi-join on the basket key
     // with p1 < p2 generating each unordered pair once. The fan-out is
-    // per-basket k(k−1)/2, bounded by basket size (≤7 lines in this
-    // schema), NEVER corpus² — the join key is the basket id, so a
-    // pathological mega-basket is the q49/q25 skew case (pre-flight
-    // profile, then cap or salt it). One shuffle for distinct, the
-    // self-join reuses that Exchange on both sides (same child plan),
-    // one pair-keyed hash agg, TakeOrderedAndProject for the head.
-    // Ties under the support ordering break by (p1, p2) — exact BIGINT
-    // emission all the way.
+    // per-basket k(k−1)/2 — and, because one adversarial mega-basket
+    // would make the pair shuffle quadratic, baskets above the adaptive
+    // p99.9 size cap ([[cappedBasketItems]], the dd2 doc-frequency-cut
+    // pattern) are EXCLUDED from pair generation; the chosen cap is
+    // emitted as `cap_baskets` so the oracle certifies the derivation.
+    // One shuffle for distinct, the self-join reuses that Exchange on
+    // both sides (same child plan), one pair-keyed hash agg,
+    // TakeOrderedAndProject for the head. Ties under the support
+    // ordering break by (p1, p2) — exact BIGINT emission all the way.
     "q57_copurchase_pairs" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      li.select(col("ok"), col("pk").as("p1"))
-        .join(li.select(col("ok"), col("pk").as("p2")), "ok")
-        .filter(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
-        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
-        .limit(25)
+      val (lik, liCache, cap) = cappedBasketItems(s, dir)
+      QueryCache.resultThenRelease(
+        lik.select(col("ok"), col("pk").as("p1"))
+          .join(lik.select(col("ok"), col("pk").as("p2")), "ok")
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+          .withColumn("cap_baskets", lit(cap))
+          .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+          .limit(25),
+        liCache)
     }),
 
     // PageRank over the event-type transition graph — iterative graph
@@ -1476,41 +1485,106 @@ object Relational {
     // (dd8): triangle density is the community/fraud-cohesion signal
     // (items bought together in threes = bundle structure; accounts
     // transacting in closed triads = collusion flags). Edges are q57's
-    // co-purchase pairs RESTRICTED to support ≥ 2 — repeat co-purchases,
-    // not single-basket noise; the cut also bounds the wedge join
-    // (measured at sf0.1: 1.2M raw edges → 49M wedges, vs 3.6k
-    // support-2 edges → ~450). Triangles enumerate as wedge + closing
-    // edge, each once, via the id-ordering orientation (p1 < p2
-    // everywhere, so a<b<c): two equi-joins, no row counted twice. At
-    // 100 TB the standard hardening is DEGREE orientation (orient each
-    // edge toward the higher-degree endpoint) which caps per-node wedge
-    // fan-out at O(sqrt(|E|)) — id-ordering is its deterministic,
-    // oracle-replayable stand-in here.
+    // basket-capped co-purchase pairs RESTRICTED to support ≥ 2 —
+    // repeat co-purchases, not single-basket noise; the cut also bounds
+    // the wedge join (measured at sf0.1: 1.2M raw edges → 49M wedges,
+    // vs 3.6k support-2 edges → ~450). Triangles enumerate as wedge +
+    // closing edge via DEGREE orientation ([[orientByDegree]]): each
+    // edge points low-(deg,id) → high-(deg,id), so a triangle a≺b≺c is
+    // counted exactly once as e1:a→b, e2:a→c (b≺c), e3:b→c, and a
+    // high-degree hub generates ~0 wedges instead of O(deg²) — total
+    // wedge work is the standard O(Σ deg_min) ≤ O(|E|^1.5) bound
+    // (ScaleShapeSpec measures the hub-skew drop vs id-orientation).
+    // Id is the tie-break only, keeping the enumeration deterministic
+    // and oracle-replayable (the oracle joins the same degree table
+    // into its CTE).
     "q60_triangle_count" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e = li.select(col("ok"), col("pk").as("p1"))
-        .join(li.select(col("ok"), col("pk").as("p2")), "ok")
+      val (lik, liCache, cap) = cappedBasketItems(s, dir)
+      val e = lik.select(col("ok"), col("pk").as("p1"))
+        .join(lik.select(col("ok"), col("pk").as("p2")), "ok")
         .filter(col("p1") < col("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
         .select("p1", "p2")
         .persist()
-      val tri = e.alias("e1")
-        .join(e.alias("e2"), col("e1.p2") === col("e2.p1"))
-        .join(e.alias("e3"),
-          col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+      val o = orientByDegree(e).persist()
+      val tri = o.alias("e1")
+        .join(o.alias("e2"), col("e1.src") === col("e2.src") &&
+          struct(col("e1.ddst"), col("e1.dst")) <
+            struct(col("e2.ddst"), col("e2.dst")))
+        .join(o.alias("e3"),
+          col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
         .agg(count(lit(1)).as("n_triangles"))
       val nodes = e.select(col("p1").as("x"))
         .union(e.select(col("p2").as("x"))).distinct()
         .agg(count(lit(1)).as("n_nodes"))
       QueryCache.resultThenRelease(
         tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .crossJoin(nodes),
-        e)
+          .crossJoin(nodes)
+          .withColumn("cap_baskets", lit(cap)),
+        e, o, liCache)
     })
   )
+
+  /** q57/q60 basket-size cap FLOOR: the effective cap is
+    * `max(this, p99.9 of basket sizes)` ([[graft.operators.AdaptiveCap]]
+    * — dd2's doc-frequency-cut pattern applied to baskets). Baskets in
+    * this schema have ≤ 7 distinct items, so the floor is the effective
+    * cap at every test SF and excludes NOTHING organic; it engages only
+    * on an adversarial mega-basket, whose k(k−1)/2 pair fan-out would
+    * otherwise make the co-purchase shuffle quadratic.
+    */
+  private[graft] val BasketFloor = 64L
+
+  /** Distinct (basket, item) list with baskets above the adaptive size
+    * cap EXCLUDED from pair generation, plus the derived cap (emitted
+    * under the gate by q57/q60 as `cap_baskets`, so the oracle — which
+    * re-derives the same integer from the same counts — certifies the
+    * cost-control decision, not just the surviving pairs).
+    *
+    * Returns `(items, cache, cap)`: `cache` is the PERSISTED distinct
+    * frame underneath `items` (it feeds the size profile, the semi-join,
+    * and both self-join sides) — the caller must hand it to
+    * [[QueryCache.resultThenRelease]]; releasing `items` itself would be
+    * a no-op, it carries no storage of its own.
+    */
+  private def cappedBasketItems(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist()
+    val sizes = li.groupBy("ok").agg(count(lit(1)).as("bsz"))
+    val cap = graft.operators.AdaptiveCap.permilleCap(sizes, "bsz",
+      BasketFloor)
+    val keep = sizes.filter(col("bsz") <= cap).select("ok")
+    (li.join(keep, Seq("ok"), "left_semi"), li, cap)
+  }
+
+  /** Degree-orientation of an undirected edge list `e(p1, p2)`: each
+    * edge points from its lower-(deg, id) endpoint to the higher one
+    * (id breaks ties — deterministic, total). Wedge enumeration over
+    * the oriented frame is bounded by out-degrees, and orientation
+    * caps every node's out-degree at ~sqrt(|E|): a hub of degree d has
+    * at most the number of NEIGHBORS WITH HIGHER DEGREE as out-edges —
+    * the classic triangle-counting hardening id-orientation lacks
+    * (there, a small-id hub keeps all d out-edges and O(d²) wedges).
+    * `ddst` carries the destination's degree so the wedge join can
+    * order its two far endpoints by the same (deg, id) key.
+    */
+  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(col("p1").as("x"))
+      .union(e.select(col("p2").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val j = e
+      .join(deg.select(col("x").as("p1"), col("deg").as("d1")), "p1")
+      .join(deg.select(col("x").as("p2"), col("deg").as("d2")), "p2")
+    val lo = struct(col("d1"), col("p1")) < struct(col("d2"), col("p2"))
+    j.select(
+      when(lo, col("p1")).otherwise(col("p2")).as("src"),
+      when(lo, col("p2")).otherwise(col("p1")).as("dst"),
+      when(lo, col("d2")).otherwise(col("d1")).as("ddst"))
+  }
 
   /** q32's 100 TB drop-in: the same one-scan wide profile with
     * `approx_count_distinct` (HLL++, rsd 2%) per column instead of exact
@@ -1522,6 +1596,27 @@ object Relational {
     * gate: HLL estimates are engine-specific by construction (the exact
     * q32 gates the shared plumbing instead).
     */
+  /** q53's >64-symbol drop-in: the bitmask packs one bit per dictionary
+    * symbol into a long, so it stops at 64; wider vocabularies (SKUs,
+    * URLs, error codes) swap `bit_or(mask)` for an HLL sketch over the
+    * SAME trailing-hour RANGE frame — identical plan shape (one user_id
+    * shuffle, associative/commutative constant-size agg state folding
+    * per frame; no collect_set value buffering), but the count is an
+    * estimate. Not under the hash gate, by q32's rule: HLL estimates
+    * are engine-specific by construction — ProfilingSpec pins the ≤5 %
+    * envelope against the exact windowed set on a 150-symbol
+    * vocabulary instead. Input contract matches q53's projection:
+    * (user_id, event_id, us, event_type).
+    */
+  def windowDistinctApprox(events: DataFrame,
+      rsd: Double = 0.02): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    events.select(col("user_id"), col("event_id"), col("us"),
+      approx_count_distinct(col("event_type"), rsd).over(w)
+        .as("n_types_1h_est"))
+  }
+
   def profileApprox(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
       "props")
@@ -2286,11 +2381,22 @@ object Relational {
         |    IS NULL AS is_current
         |FROM keep""".stripMargin,
 
+    // replays the adaptive basket-size cap exactly (dd2's pattern): the
+    // cap integer is re-derived from the same basket-size histogram via
+    // permilleCapSql, over-cap baskets are excluded from pair
+    // generation, and the cap itself is emitted — certifying the
+    // cost-control decision under the hash gate
     "q57_copurchase_pairs" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
-        |SELECT a.pk AS p1, b.pk AS p2, count(*)::BIGINT AS n_orders
-        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |bs AS (SELECT ok, count(*) AS bsz FROM li GROUP BY 1),
+        |bh AS (SELECT bsz AS v, count(*) AS c FROM bs GROUP BY 1),
+        |capq AS (SELECT ${Dedup.permilleCapSql("bh", BasketFloor)} AS cap),
+        |lik AS (SELECT ok, pk FROM li JOIN bs USING (ok)
+        |        WHERE bsz <= (SELECT cap FROM capq))
+        |SELECT a.pk AS p1, b.pk AS p2, count(*)::BIGINT AS n_orders,
+        |  (SELECT cap FROM capq) AS cap_baskets
+        |FROM lik a JOIN lik b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, p1, p2
         |LIMIT 25""".stripMargin,
@@ -2361,22 +2467,47 @@ object Relational {
         |  sum(v_milli)::BIGINT AS revenue_milli
         |FROM j GROUP BY 1""".stripMargin,
 
+    // same basket cap as q57, then the DEGREE-oriented wedge
+    // enumeration: the degree table joins into the CTE, each edge
+    // points low-(deg,id) → high-(deg,id) (row-value comparison — ANSI
+    // tuple ordering, supported by both engines), and the wedge join
+    // orders its far endpoints by the same key, so both engines count
+    // each triangle exactly once through identical pair sets
     "q60_triangle_count" ->
-      """WITH li AS (
+      s"""WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |bs AS (SELECT ok, count(*) AS bsz FROM li GROUP BY 1),
+        |bh AS (SELECT bsz AS v, count(*) AS c FROM bs GROUP BY 1),
+        |capq AS (SELECT ${Dedup.permilleCapSql("bh", BasketFloor)} AS cap),
+        |lik AS (SELECT ok, pk FROM li JOIN bs USING (ok)
+        |        WHERE bsz <= (SELECT cap FROM capq)),
         |e AS (
         |  SELECT p1, p2 FROM (
         |    SELECT a.pk AS p1, b.pk AS p2, count(*) AS sup
-        |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |    GROUP BY 1, 2) WHERE sup >= 2)
+        |    FROM lik a JOIN lik b ON a.ok = b.ok AND a.pk < b.pk
+        |    GROUP BY 1, 2) WHERE sup >= 2),
+        |deg AS (
+        |  SELECT x, count(*) AS deg FROM
+        |    (SELECT p1 AS x FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN (da.deg, e.p1) < (db.deg, e.p2)
+        |         THEN e.p1 ELSE e.p2 END AS src,
+        |    CASE WHEN (da.deg, e.p1) < (db.deg, e.p2)
+        |         THEN e.p2 ELSE e.p1 END AS dst,
+        |    CASE WHEN (da.deg, e.p1) < (db.deg, e.p2)
+        |         THEN db.deg ELSE da.deg END AS ddst
+        |  FROM e JOIN deg da ON da.x = e.p1 JOIN deg db ON db.x = e.p2)
         |SELECT
-        |  (SELECT count(*) FROM e e1
-        |     JOIN e e2 ON e1.p2 = e2.p1
-        |     JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)::BIGINT
+        |  (SELECT count(*) FROM o e1
+        |     JOIN o e2 ON e1.src = e2.src
+        |       AND (e1.ddst, e1.dst) < (e2.ddst, e2.dst)
+        |     JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst)::BIGINT
         |    AS n_triangles,
         |  (SELECT count(*) FROM e)::BIGINT AS n_edges,
         |  (SELECT count(DISTINCT x) FROM
         |     (SELECT p1 AS x FROM e UNION ALL SELECT p2 FROM e))::BIGINT
-        |    AS n_nodes""".stripMargin
+        |    AS n_nodes,
+        |  (SELECT cap FROM capq) AS cap_baskets""".stripMargin
   )
 }

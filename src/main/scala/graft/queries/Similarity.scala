@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.BucketCap
+import graft.operators.{BucketCap, DeterministicSample}
 
 /** Similarity search over the `embeddings` table (`Array[Float]` vectors):
   * brute-force cosine top-k as the exact baseline, all-pairs top similarity,
@@ -122,9 +122,22 @@ object Similarity {
     (assigned, e)
   }
 
+  /** s9's quantizer-training budget: Lloyd runs over a
+    * [[DeterministicSample]] slice of ~this many vectors, never the full
+    * table. A k=8 coarse quantizer needs hundreds of training points —
+    * at 100 TB a full-corpus Lloyd pass would be the one remaining
+    * whole-table job in the ANN family, and its only effect would be
+    * centroids statistically identical to the sampled ones. The sample
+    * is md5-keyed (engine/partitioning/retry-independent), so the
+    * training SET is reproducible even though Lloyd's float accumulation
+    * order is not — which the memoization below already handles.
+    */
+  private[graft] val TrainBudget = 256L
+
   /** Trained coarse-quantizer centroids for s9 — Spark MLlib k-means
-    * (k=8, seeded, 5 Lloyd iterations) over the unit vectors, replacing
-    * s4's every-53rd-vector stand-in with the real training step. The
+    * (k=8, seeded, 5 Lloyd iterations) over a [[TrainBudget]]-sized
+    * deterministic sample of the unit vectors, replacing s4's
+    * every-53rd-vector stand-in with the real training step. The
     * result is memoized per table dir: training is the one-time
     * index-BUILD cost (every IVF system separates build from probe), and
     * within one Verify/Bench JVM the query body and the side dump must
@@ -140,7 +153,16 @@ object Similarity {
     trainedCentroidCache.getOrElseUpdate(dir, {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val feats = Tables.spread(Tables.embeddings(s, dir))
+      val emb = Tables.spread(Tables.embeddings(s, dir))
+      // count → fraction: the one count is the price of a fixed-size
+      // budget (a fraction alone would grow the training set with the
+      // corpus); at the test SFs the sample path genuinely engages
+      // (500–2000 vectors vs budget 256)
+      val n = emb.count()
+      val frac = math.min(1.0, TrainBudget.toDouble / math.max(n, 1L))
+      val slice = DeterministicSample.stratified(
+        emb, col("vec_id"), lit("all"), Map("all" -> frac))
+      val feats = slice
         .select(array_to_vector(normalized(col("embedding"))).as("fv"))
       val model = new KMeans()
         .setK(8).setSeed(7).setMaxIter(5)

@@ -26,7 +26,7 @@ class CacheHygieneSpec extends SparkSuite {
     "q24_range_join", "p3_embed_keeplist", "q27_interval_overlap",
     "q29_bucketed_join", "p9_incremental_dedup", "dd11_span_coverage",
     "s13_label_prop", "s14_hard_negatives", "dd16_source_overlap",
-    "q60_triangle_count")
+    "q57_copurchase_pairs", "q60_triangle_count")
 
   test("resultThenRelease frees result and intermediates when the job fails") {
     import org.apache.spark.sql.functions._

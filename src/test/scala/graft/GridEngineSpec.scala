@@ -115,6 +115,51 @@ class GridEngineSpec extends SparkSuite {
       GridFixtures.temperature(t, 50.0, 10.0, 310000.0)) < 1e-4)
   }
 
+  test("S3 client config is consumed by the filesystem serving a fetch (E1)") {
+    // the reference's integration surface is a live-bucket read
+    // (test/test_parquet_prod.py:1-46) with the client envelope of
+    // dask_config.py:47-86; no network exists here, so the same wiring is
+    // proven through a registered test-scheme FileSystem: GraftS3 maps the
+    // env to fs.s3a.* on the session conf, the grafts3:// store reads
+    // those keys in ITS initialize (exactly where s3a builds its client),
+    // and a full discover → prune → window fetch runs through it.
+    import graft.source.{GraftS3, GraftTestFs}
+    val hc = spark.sparkContext.hadoopConfiguration
+    val applied = GraftS3.configure(spark, Map(
+      "MAX_POOL_CONNECTIONS" -> "61",
+      "ACCESS_KEY" -> "test-ak", "SECRET_KEY" -> "test-sk"))
+    assert(applied.contains("fs.s3a.connection.maximum"))
+    hc.set("fs.grafts3.impl", classOf[GraftTestFs].getName)
+    // fresh instance per get: initialize must run AFTER configure so the
+    // snapshot reflects this test's values, not a cached instance's
+    hc.set("fs.impl.disable.cache.grafts3", "true")
+    hc.set("fs.grafts3.impl.disable.cache", "true")
+
+    val bucketDir =
+      s"grafts3://test-bucket${new java.io.File(dir).getAbsolutePath}"
+    val r = new GridReader(spark, bucketDir)
+    GraftTestFs.opens.set(0)
+    val df = r.fetch(GridFixtures.t0, GridFixtures.t0.plusSeconds(1200),
+      260000.0, 390000.0)
+    val n = df.count()
+    assert(n > 0 && df.select("time").distinct().count() == 3)
+    // equivalence with the local-path read of the same window
+    val local = reader.fetch(GridFixtures.t0,
+      GridFixtures.t0.plusSeconds(1200), 260000.0, 390000.0)
+    assert(n == local.count())
+    // the bytes really moved through the test store...
+    assert(GraftTestFs.opens.get() > 0,
+      "fetch did not open any file through the grafts3 filesystem")
+    // ...and the instance that served them was constructed with the
+    // GraftS3-applied client envelope (pool, retries, creds)
+    assert(GraftTestFs.seenS3aConf.get("fs.s3a.connection.maximum")
+      .contains("61"), s"seen: ${GraftTestFs.seenS3aConf}")
+    assert(GraftTestFs.seenS3aConf.get("fs.s3a.attempts.maximum")
+      .contains("10"))
+    assert(GraftTestFs.seenS3aConf.get("fs.s3a.access.key")
+      .contains("test-ak"))
+  }
+
   test("Graft facade: canonical reference session in one call") {
     val kd = graft.api.Graft.fetch(spark, dir,
       GridFixtures.t0, GridFixtures.t0.plusSeconds(7200),

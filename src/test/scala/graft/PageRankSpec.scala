@@ -60,5 +60,43 @@ class PageRankSpec extends SparkSuite {
     val df = Seq((1L, 2L, 1.0)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException](PageRank.run(df, damping = 1.0))
     intercept[IllegalArgumentException](PageRank.run(df, iters = 0))
+    intercept[IllegalArgumentException](
+      PageRank.runWithStats(df, tolerance = Some(0.0)))
+    intercept[IllegalArgumentException](
+      PageRank.runWithStats(df, checkEvery = 0))
+  }
+
+  test("residual early-exit stops before maxIters and stays near the " +
+      "converged ranks") {
+    import spark.implicits._
+    // a 4-cycle converges in ONE round (perfectly uniform: every round
+    // maps the uniform vector to itself), so the first residual check
+    // must fire the exit — far below the 40-round ceiling
+    val cycle = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0),
+      (3L, 0L, 1.0)).toDF("src", "dst", "w")
+    val (r1, it1) = PageRank.runWithStats(cycle, iters = 40,
+      tolerance = Some(1e-9), checkEvery = 2)
+    assert(it1 == 2, s"uniform cycle should exit at the first check, ran $it1")
+    r1.collect().foreach(r => assert(math.abs(r.getDouble(1) - 0.25) < 1e-12))
+
+    // a structured graph: early-exit ranks must land within the
+    // certified distance of the fixed-run limit. Damping 0.5 keeps the
+    // convergence factor (=d per round) small so both runs are cheap:
+    // residual < 1e-9 by round ~30, and the 50-round fixed run sits at
+    // ~1e-15 of the limit — the 1e-8 comparison bound is then sound
+    // (distance-to-limit ≤ residual·d/(1−d) = residual).
+    val edges = Seq((0L, 1L, 2.0), (0L, 2L, 1.0), (1L, 2L, 1.0),
+      (2L, 0L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val (early, itE) = PageRank.runWithStats(edges, damping = 0.5,
+      iters = 60, tolerance = Some(1e-9), checkEvery = 5)
+    assert(itE < 60, s"never converged: ran all $itE rounds")
+    val fixed = PageRank.run(edges, damping = 0.5, iters = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    early.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - fixed(r.getLong(0))) < 1e-8,
+        s"node ${r.getLong(0)} drifted")
+    }
+    assert(math.abs(early.collect().map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    spark.catalog.clearCache()
   }
 }

@@ -21,18 +21,15 @@ class PlanShapeSpec extends SparkSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("events ts range predicate reaches the parquet scan (PushedFilters)") {
-    // the loader casts µs-native NTZ ts to session-TZ TimestampType; the
-    // filter must still reach row-group stats via Catalyst's cast-unwrap.
-    // On nanos-encoded data ts is computed and this pushdown is impossible
-    // — the test asserts the µs path only (skip if the loader dispatched
-    // to the nanos branch).
+    // eventsTsBetween dispatches on the physical encoding: µs-native data
+    // filters the public ts (cast-unwrap restores pushdown through the
+    // NTZ→LTZ cast); nanos-encoded data filters the NATIVE ts_ns long,
+    // which Catalyst pushes through the rename back onto the raw `ts`
+    // column. Both spellings surface in PushedFilters as bounds on `ts`,
+    // so this asserts pushdown under WHICHEVER encoding the driver shipped.
     val ev = Tables.events(spark, sf) // sets nanosAsLong before the probe read
-    val nanosEncoded =
-      spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType
-    assume(!nanosEncoded, "nanos-encoded events: ts is computed, no pushdown")
     val scan = ev
-      .filter(Tables.eventsTsBetween(0L, 4102444800000000L))
+      .filter(Tables.eventsTsBetween(ev, 0L, 4102444800000000L))
       .queryExecution.executedPlan.toString
     val pushed = scan.linesIterator.find(_.contains("PushedFilters"))
       .getOrElse(scan)

@@ -89,4 +89,39 @@ class ProfilingSpec extends SparkSuite {
         s"$c: approx $ndApprox vs exact $ndExact (rel err $rel > 5%)")
     }
   }
+
+  test("windowed HLL distinct (q53's >64-symbol fallback) stays within " +
+      "5% of the exact per-frame set") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 150-symbol vocabulary — past the bitmask's 64-bit ceiling by
+    // construction; 8 users × 300 events spread over ~6 hours so the
+    // trailing-hour frames hold anywhere from a handful to ~50 events
+    val rnd = new scala.util.Random(13)
+    val rows = for {
+      u <- 0 until 8; i <- 0 until 300
+    } yield (u.toLong, (u * 1000 + i).toLong,
+      rnd.nextInt(6 * 3600) * 1000000L, s"type_${rnd.nextInt(150)}")
+    val ev = rows.toDF("user_id", "event_id", "us", "event_type")
+      .repartition(8)
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    val exact = ev.select(col("event_id"),
+      size(collect_set(col("event_type")).over(w)).cast("long").as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Relational.windowDistinctApprox(ev)
+      .select(col("event_id"), col("n_types_1h_est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // per-frame envelope (rsd 0.02 → 5% is > 2σ; HLL++ is bias-corrected
+    // and near-exact at these cardinalities)
+    est.foreach { case (id, e) =>
+      val x = exact(id)
+      assert(math.abs(e - x).toDouble / math.max(x, 1L) <= 0.05,
+        s"event $id: est $e vs exact $x")
+    }
+    // the fixture actually exercises the >64 regime the bitmask cannot
+    assert(exact.values.max > 30, "fixture frames too small to be probative")
+  }
 }

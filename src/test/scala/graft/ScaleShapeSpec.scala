@@ -135,4 +135,49 @@ class ScaleShapeSpec extends SparkSuite {
     assert(r1 > 0 && r2 > r1,
       s"implausible shuffle measurements: $r1 -> $r2")
   }
+
+  test("degree orientation collapses hub wedges vs id orientation") {
+    // q60's scale hazard in miniature: a hub with the SMALLEST id —
+    // id-orientation (p1 < p2) keeps all hub edges outgoing, so the
+    // wedge join fans out O(deg²) from the hub; degree orientation
+    // points every hub edge INTO the hub (leaves have lower degree),
+    // leaving the hub zero out-degree. Same triangles, ~deg²/2 fewer
+    // wedges. The wedge counts here are exact combinatorics, not a
+    // timing: hub degree 60 → id-oriented ≥ C(60,2) = 1770 wedges;
+    // degree-oriented wedges come only from the 60 leaf→(next leaf,
+    // hub) pairs of the ring, ≤ |E|.
+    import spark.implicits._
+    val hub = (1 to 60).map(i => (0L, i.toLong))
+    val ring = (1 to 60).map(i => (i.toLong, (if (i == 60) 1 else i + 1).toLong))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val e = (hub ++ ring).distinct.toDF("p1", "p2").repartition(4)
+
+    // id-orientation wedge count: both edges out of the same p1 (the
+    // original q60 spelling's fan-out), far endpoints ordered by id
+    val idWedges = e.alias("a")
+      .join(e.alias("b"),
+        col("a.p1") === col("b.p1") && col("a.p2") < col("b.p2"))
+      .count()
+    val o = graft.queries.Relational.orientByDegree(e)
+    val degWedges = o.alias("a")
+      .join(o.alias("b"), col("a.src") === col("b.src") &&
+        struct(col("a.ddst"), col("a.dst")) <
+          struct(col("b.ddst"), col("b.dst")))
+      .count()
+    assert(idWedges >= 1770L,
+      s"fixture lost its hub: only $idWedges id-oriented wedges")
+    assert(degWedges <= 120L,
+      s"degree orientation failed to cap hub fan-out: $degWedges wedges")
+
+    // and the triangle COUNT is orientation-independent: hub + ring
+    // gives exactly one triangle per ring edge (hub, i, i+1) = 60
+    val tri = o.alias("e1")
+      .join(o.alias("e2"), col("e1.src") === col("e2.src") &&
+        struct(col("e1.ddst"), col("e1.dst")) <
+          struct(col("e2.ddst"), col("e2.dst")))
+      .join(o.alias("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .count()
+    assert(tri == 60L, s"expected 60 hub-ring triangles, got $tri")
+  }
 }

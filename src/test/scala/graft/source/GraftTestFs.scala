@@ -1,0 +1,59 @@
+package graft.source
+
+import java.net.URI
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+/** Test-scheme Hadoop FileSystem (`grafts3://`) — a local stand-in for an
+  * S3-compatible store, so [[GraftS3]]'s `fs.s3a.*` mapping can be
+  * exercised by a REAL read path instead of only asserted into the conf
+  * (the reference's equivalent integration surface is
+  * `test/test_parquet_prod.py:1-46`, which hits a live bucket — no
+  * network exists in this environment, so the stand-in proves the same
+  * wiring: session conf → FileSystem instance → bytes).
+  *
+  * Mechanics: extends RawLocalFileSystem, so `grafts3://bucket/abs/path`
+  * serves the local file at `/abs/path` (the authority plays the bucket
+  * role and is ignored for data placement, like a path-style S3 URL).
+  * `initialize` — the exact hook where s3a constructs its client from
+  * `fs.s3a.*` — snapshots those keys from the live Configuration, and
+  * `open` counts data reads, so a spec can assert that the values
+  * [[GraftS3.configure]] set were consumed by the instance that served
+  * the bytes. Test-only: lives in test sources, never on the library
+  * classpath.
+  */
+object GraftTestFs {
+  /** fs.s3a.* keys as seen by the last `initialize` — the proof object. */
+  @volatile var seenS3aConf: Map[String, String] = Map.empty
+  val opens = new AtomicInteger(0)
+  val S3aKeys: Seq[String] = Seq(
+    "fs.s3a.connection.maximum", "fs.s3a.attempts.maximum",
+    "fs.s3a.retry.limit", "fs.s3a.access.key", "fs.s3a.secret.key")
+}
+
+class GraftTestFs extends RawLocalFileSystem {
+  private var myUri: URI = _
+
+  override def getScheme: String = "grafts3"
+  // the superclass CONSTRUCTOR calls getUri (via
+  // getInitialWorkingDirectory) before this class's field initializers
+  // run — fall back until initialize() pins the real authority
+  override def getUri: URI =
+    if (myUri == null) URI.create("grafts3:///") else myUri
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    myUri = URI.create(
+      name.getScheme + "://" + Option(name.getAuthority).getOrElse(""))
+    GraftTestFs.seenS3aConf = GraftTestFs.S3aKeys
+      .flatMap(k => Option(conf.get(k)).map(k -> _)).toMap
+  }
+
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    GraftTestFs.opens.incrementAndGet()
+    super.open(f, bufferSize)
+  }
+}

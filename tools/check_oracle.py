@@ -49,6 +49,16 @@ def frames_equal(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
     if len(spark_df) != len(oracle_df):
         return f"ROWS spark={len(spark_df)} oracle={len(oracle_df)}"
     a, b = canon(spark_df), canon(oracle_df)
+    # The driver's gate hashes exact value representations, so an int64
+    # column on one side and float64 on the other (DuckDB's sum(BIGINT) →
+    # HUGEINT → float64 promotion) hash-mismatches even when every value
+    # compares equal under tolerance. Mirror that here: a dtype-KIND split
+    # between two non-object columns is a FAIL before any value is read.
+    for col in a.columns:
+        ka, kb = a[col].dtype.kind, b[col].dtype.kind
+        if ka != kb and "O" not in (ka, kb):
+            return (f"DTYPE col={col} spark={a[col].dtype} "
+                    f"oracle={b[col].dtype}")
     for col in a.columns:
         for i, (x, y) in enumerate(zip(a[col], b[col])):
             if not values_equal(x, y):
