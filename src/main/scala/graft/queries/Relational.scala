@@ -1507,7 +1507,11 @@ object Relational {
         .filter(col("sup") >= 2)
         .select("p1", "p2")
         .persist()
-      val o = orientByDegree(e).persist()
+      // the degree frame is shared FOUR ways (both orientation joins +
+      // both graph stats: n_nodes = |deg|, n_edges = Σdeg/2) — one union
+      // + one agg over the cached e instead of three separate scans
+      val deg = degrees(e).persist()
+      val o = orientWithDegrees(e, deg).persist()
       val tri = o.alias("e1")
         .join(o.alias("e2"), col("e1.src") === col("e2.src") &&
           struct(col("e1.ddst"), col("e1.dst")) <
@@ -1515,14 +1519,12 @@ object Relational {
         .join(o.alias("e3"),
           col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
         .agg(count(lit(1)).as("n_triangles"))
-      val nodes = e.select(col("p1").as("x"))
-        .union(e.select(col("p2").as("x"))).distinct()
-        .agg(count(lit(1)).as("n_nodes"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum("deg") / 2).cast("long").as("n_edges"))
       QueryCache.resultThenRelease(
-        tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .crossJoin(nodes)
+        tri.crossJoin(stats)
           .withColumn("cap_baskets", lit(cap)),
-        e, o, liCache)
+        e, o, deg, liCache)
     })
   )
 
@@ -1572,10 +1574,21 @@ object Relational {
     * `ddst` carries the destination's degree so the wedge join can
     * order its two far endpoints by the same (deg, id) key.
     */
-  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
-    val deg = e.select(col("p1").as("x"))
+  private[graft] def orientByDegree(e: DataFrame): DataFrame =
+    orientWithDegrees(e, degrees(e))
+
+  /** Per-node degree of an undirected edge list `e(p1, p2)`. */
+  private[graft] def degrees(e: DataFrame): DataFrame =
+    e.select(col("p1").as("x"))
       .union(e.select(col("p2").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
+
+  /** [[orientByDegree]] with the degree frame supplied by the caller —
+    * q60 shares one (persisted) degree frame between the orientation
+    * joins and the n_nodes/n_edges stats instead of recomputing it.
+    */
+  private[graft] def orientWithDegrees(e: DataFrame,
+      deg: DataFrame): DataFrame = {
     val j = e
       .join(deg.select(col("x").as("p1"), col("deg").as("d1")), "p1")
       .join(deg.select(col("x").as("p2"), col("deg").as("d2")), "p2")
