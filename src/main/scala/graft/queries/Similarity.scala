@@ -592,6 +592,71 @@ object Similarity {
           scored, keyCol = "qid", scoreCol = "cos_sim", tieCol = "vec_id",
           k = 5),
         e)
+    }),
+
+    // Hybrid retrieval — Reciprocal Rank Fusion (k=60) of a lexical
+    // BM25 arm and a dense cosine arm, query-by-example on document 0
+    // (its first 5 distinct tokens feed the sparse query, its embedding
+    // the dense one; doc_id and vec_id share an id space by generator
+    // construction). This is the retrieval-based curation primitive —
+    // "find more like this seed" across both surface form and meaning —
+    // and RRF is the standard fusion because rank reciprocals are scale-
+    // free: no score normalization across incomparable arms. Each arm
+    // ranks with row_number (ties by id) and keeps its top 50; fusion is
+    // a full outer join of two ≤50-row shortlists, absent-arm
+    // contribution 0. Ranks CAST TO LONG on emission — DuckDB's
+    // row_number is BIGINT, and the int32/int64 split is exactly the
+    // q39-class representation hazard the dtype-strict gate now catches.
+    // Scale: the arms are t10's BM25 (hash-keyed aggs, broadcast query
+    // terms) and s1's one-pass scan; the single-partition rank windows
+    // see only arm-scored rows at test SF — at 100 TB each arm would
+    // TopKPerKey its shortlist BEFORE the rank window, same output.
+    "s15_hybrid_rrf" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("len", size(col("toks")))
+        .persist()
+      val qterms = docs.filter(col("doc_id") === 0L)
+        .select(explode(slice(col("toks"), 1, 5)).as("term")).distinct()
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg("len").as("avg_len"))
+      val tf = docs.filter(col("doc_id") =!= 0L)
+        .select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+        .join(broadcast(qterms), "term")
+        .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)
+      val denom = col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("len") / col("avg_len")))
+      val sparse = tf.join(broadcast(dfq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("tscore", idf * (col("tf") * lit(2.2)) / denom)
+        .groupBy("doc_id").agg(sum("tscore").as("bm25"))
+        .withColumn("r_sparse", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .filter(col("r_sparse") <= 50)
+        .select("doc_id", "r_sparse")
+      val q = typedlit(queryVec(s, dir, 0L).toSeq)
+      val dense = Tables.embeddings(s, dir)
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id").as("doc_id"),
+          cosine(col("embedding"), q).as("cos_sim"))
+        .withColumn("r_dense", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
+        .filter(col("r_dense") <= 50)
+        .select("doc_id", "r_dense")
+      QueryCache.resultThenRelease(
+        sparse.join(dense, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60.0) + col("r_sparse")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0)))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10),
+        docs)
     })
   )
 
@@ -762,6 +827,46 @@ object Similarity {
          |    row_number() OVER (PARTITION BY qid
          |                       ORDER BY cos_sim DESC, vec_id) AS rn
          |  FROM scored) WHERE rn <= 5""".stripMargin,
+
+    // both arms replayed in full (t10's BM25 CTE shape + s1's cosine),
+    // same rank windows, same two-term RRF sum written in the same
+    // left-to-right order so the doubles are bit-identical
+    "s15_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS len, toks FROM d),
+         |qt AS (SELECT DISTINCT unnest(toks[1:5]) AS term FROM dl
+         |       WHERE doc_id = 0),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len
+         |          FROM dl),
+         |tf AS (SELECT doc_id, len, term, count(*) AS tf
+         |       FROM (SELECT doc_id, len, unnest(toks) AS term FROM dl
+         |             WHERE doc_id <> 0) u JOIN qt USING (term)
+         |       GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    ((((s.n_docs - f.df) + 0.5) / (f.df + 0.5)) + 1.0)
+         |      * (t.tf * 2.2)
+         |      / (t.tf + 1.2 * (0.25 + 0.75 * (t.len / s.avg_len))) AS tscore
+         |  FROM tf t JOIN dfq f USING (term), stats s),
+         |bm AS (SELECT doc_id, sum(tscore) AS bm25 FROM scored GROUP BY 1),
+         |sparse AS (SELECT doc_id, r_sparse FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |      AS r_sparse FROM bm) WHERE r_sparse <= 50),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dn AS (SELECT vec_id AS doc_id,
+         |         ${cosSql("embedding", "qe")} AS cos_sim
+         |       FROM embeddings, qv WHERE vec_id <> 0),
+         |dense AS (SELECT doc_id, r_dense FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+         |      AS r_dense FROM dn) WHERE r_dense <= 50)
+         |SELECT doc_id, r_sparse, r_dense,
+         |  coalesce(1.0 / (60.0 + r_sparse), 0.0)
+         |    + coalesce(1.0 / (60.0 + r_dense), 0.0) AS rrf
+         |FROM sparse FULL OUTER JOIN dense USING (doc_id)
+         |ORDER BY rrf DESC, doc_id
+         |LIMIT 10""".stripMargin,
 
     // same replay shape as s1 with query vec 1 — the Spark side differs
     // only in its entry path (SQL + extension-registered expression)

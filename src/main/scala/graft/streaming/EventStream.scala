@@ -295,6 +295,64 @@ object EventStream {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class WindowDistinct(user_id: Long, event_id: Long, us: Long,
+      n_types_1h: Long)
+
+  /** Streaming trailing-window distinct-type count — batch q53's
+    * stateful twin: every event is annotated, as it arrives, with how
+    * many DISTINCT event types its user touched in the trailing hour.
+    *
+    * State per user is a (type → last-seen µs) map — O(active
+    * vocabulary), NOT O(events-in-window): a type is in the trailing
+    * window iff its LAST occurrence is (last-seen only moves forward),
+    * so per event the map is bumped, stale types evicted, and the map
+    * size IS the count. The same state-shape argument as q53's bitmask
+    * (constant-ish per user, nothing buffered), lifted to streaming —
+    * and it works unchanged for >64-symbol vocabularies, where the
+    * batch side graduates to windowDistinctApprox.
+    *
+    * Tie semantics replicate q53's RANGE frame exactly: peers at the
+    * SAME µs count each other in both directions, so each same-µs run
+    * is absorbed into the map BEFORE any of its rows is emitted.
+    * Delivery precondition (attribution's rule): per-user delivery
+    * ordered by (µs, event_id) with same-µs runs within one
+    * micro-batch — a run split across batches would under-count the
+    * earlier fragment where the batch RANGE frame sees all peers.
+    * Emitted rows are final at emission → Append mode, no timeout
+    * (production would add an idle-eviction timeout like
+    * [[runningUserTotals]]; parity harnesses replay finite fixtures).
+    */
+  def windowedDistinctTypes(events: Dataset[Event],
+      windowUs: Long = 3600000000L): Dataset[WindowDistinct] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Map[String, Long], WindowDistinct](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[Map[String, Long]]) =>
+          var seen = state.getOption.getOrElse(Map.empty[String, Long])
+          val evs = batch.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[WindowDistinct]
+          var i = 0
+          while (i < evs.length) {
+            val t = usOf(evs(i).ts)
+            var j = i
+            while (j < evs.length && usOf(evs(j).ts) == t) {
+              seen = seen.updated(evs(j).event_type, t)
+              j += 1
+            }
+            seen = seen.filter { case (_, lastUs) => lastUs >= t - windowUs }
+            val n = seen.size.toLong
+            (i until j).foreach { k =>
+              out += WindowDistinct(userId, evs(k).event_id, t, n)
+            }
+            i = j
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Streaming data-quality monitor — q55's streaming face: the same
     * constraint counters (range, domain, null), accumulated over the
     * live stream as ONE unkeyed aggregate. State is four longs total

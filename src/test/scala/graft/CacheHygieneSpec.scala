@@ -25,8 +25,8 @@ class CacheHygieneSpec extends SparkSuite {
     "g4_interp_4d", "g6_interp_multivar", "g5_e2e_fetch", "t10_bm25",
     "q24_range_join", "p3_embed_keeplist", "q27_interval_overlap",
     "q29_bucketed_join", "p9_incremental_dedup", "dd11_span_coverage",
-    "s13_label_prop", "s14_hard_negatives", "dd16_source_overlap",
-    "q57_copurchase_pairs", "q60_triangle_count")
+    "s13_label_prop", "s14_hard_negatives", "s15_hybrid_rrf",
+    "dd16_source_overlap", "q57_copurchase_pairs", "q60_triangle_count")
 
   test("resultThenRelease frees result and intermediates when the job fails") {
     import org.apache.spark.sql.functions._

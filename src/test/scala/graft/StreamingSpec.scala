@@ -173,6 +173,49 @@ class StreamingSpec extends SparkSuite {
     assert(stream == batch, s"stream matrix != batch matrix")
   }
 
+  test("windowed-distinct parity: stateful type map == q53's batch bitmask") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: q53's per-event trailing-hour distinct-type counts
+    val batch = SparkEntry.queries("q53_window_distinct_types")(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap // event_id -> n
+    val evs = Tables.events(spark, dir)
+      .filter(col("user_id") < 20) // q53's slice
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+      .collect()
+      .sortBy(e =>
+        (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.windowedDistinctTypes(mem.toDS()).writeStream
+      .format("memory").queryName("wdistinct").outputMode("append").start()
+    // chunk on µs boundaries — the operator's delivery precondition:
+    // a same-µs run split across micro-batches may not see all its
+    // RANGE-frame peers (mirrors q53's both-directions tie rule)
+    val target = evs.length / 4 + 1
+    var chunk = Vector.empty[EventStream.Event]
+    def flush(): Unit =
+      if (chunk.nonEmpty) {
+        mem.addData(chunk); q.processAllAvailable(); chunk = Vector.empty
+      }
+    evs.foreach { e =>
+      if (chunk.size >= target &&
+          chunk.last.ts.toInstant != e.ts.toInstant) flush()
+      chunk :+= e
+    }
+    flush()
+    val stream = spark.table("wdistinct")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    q.stop()
+    assert(stream.keySet == batch.keySet,
+      s"row sets differ: ${stream.keySet.size} vs ${batch.keySet.size}")
+    val bad = batch.collect { case (id, n) if stream(id) != n =>
+      (id, n, stream(id)) }
+    assert(bad.isEmpty, s"count mismatches (event, batch, stream): " +
+      bad.take(5).toString)
+  }
+
   test("attribution parity: flatMapGroupsWithState == q59's batch rollup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
