@@ -132,6 +132,31 @@ class ContractSpec extends SparkSuite {
     assert(drifted.isEmpty, drifted.mkString("\n"))
   }
 
+  test("every vec_id is a doc_id, incl. the s15 query seed (s15's contract)") {
+    // s15_hybrid_rrf fuses a doc_id-keyed BM25 arm with a vec_id-keyed
+    // cosine arm under one id. The contract that fusion needs: vectors
+    // are a SUBSET of documents (a doc without a vector just lacks a
+    // dense contribution — at sf0.1 the generator embeds only the first
+    // 2000 of 5000 docs, which is the production shape too), and the
+    // query seed id 0 exists on both sides. If a regeneration decouples
+    // the id spaces, fail HERE by name instead of s15 silently fusing
+    // unrelated ids.
+    import org.apache.spark.sql.functions._
+    for (sfDir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = spark.read.parquet(s"/root/testdata/$sfDir/documents.parquet")
+        .select(col("doc_id").as("id"))
+      val e = spark.read.parquet(s"/root/testdata/$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"))
+      val orphanVecs = e.exceptAll(d).count()
+      assert(orphanVecs == 0,
+        s"$sfDir: $orphanVecs vec_ids have no document — revisit s15's " +
+          "query-by-example join key")
+      assert(d.filter(col("id") === 0L).count() == 1 &&
+        e.filter(col("id") === 0L).count() == 1,
+        s"$sfDir: query seed id 0 missing from documents or embeddings")
+    }
+  }
+
   test("every side dump executes with rows > 0 at sf0.001") {
     val empty = SparkEntry.sideDumps.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
