@@ -52,7 +52,12 @@ class InvarianceSpec extends SparkSuite {
         "q55_dq_report", "s11_filtered_knn", "s10_mmr_diverse",
         "q56_scd2_history", "q57_copurchase_pairs",
         "q59_attribution", "t24_blocklist_filter",
-        "s13_label_prop", "s14_hard_negatives")) {
+        "s13_label_prop", "s14_hard_negatives",
+        // round-7: q60 emits only integers (counts + cap); s15's arm
+        // ranks fold ≤5 double terms per doc before an id-tie-broken
+        // row_number — rank flips would need bm25 collisions within an
+        // ulp, which the word-salad corpus does not produce
+        "q60_triangle_count", "s15_hybrid_rrf")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
