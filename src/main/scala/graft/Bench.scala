@@ -47,9 +47,13 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY stays as a back-compat alias. Like Verify,
     // the filter only engages with the explicit SPARK_GRAFT_DEV=1 opt-in,
     // so a leaked env var cannot shrink a driver bench run.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val devMode = sys.env.get("SPARK_GRAFT_DEV").contains("1")
+    val rawOnly = sys.env.get("SPARK_GRAFT_ONLY")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
-      .filter(_ => sys.env.get("SPARK_GRAFT_DEV").contains("1"))
+    if (rawOnly.isDefined && !devMode)
+      System.err.println("[bench] SPARK_GRAFT_ONLY present but IGNORED: " +
+        "set SPARK_GRAFT_DEV=1 to filter (full suite runs)")
+    val only = rawOnly.filter(_ => devMode)
       .map(_.split(",").map(_.trim).toSet)
     var nFailed = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -80,6 +80,36 @@ object Tables {
       _.output.exists(a => a.name == "ts" &&
         a.dataType == org.apache.spark.sql.types.LongType))
 
+  /** ×1000 with saturation at the Long extremes. Saturation is exact
+    * here, not approximate: ts_ns lives in Long, so a true bound beyond
+    * the representable range admits (or excludes) exactly the same rows
+    * as ±Long.MaxValue — an unguarded multiply would instead wrap
+    * negative and silently drop every row for sentinel bounds like
+    * `endMicros = Long.MaxValue`.
+    */
+  private def satMul1000(us: Long): Long =
+    if (us >= Long.MaxValue / 1000) Long.MaxValue
+    else if (us <= Long.MinValue / 1000) Long.MinValue
+    else us * 1000L
+
+  /** Smallest ts_ns with `trunc(ts_ns / 1000) >= a`. Spark's `DIV` and
+    * DuckDB's `//` BOTH truncate toward zero (verified against DuckDB:
+    * -5 // 2 = -2), so for a <= 0 the bracket widens by 999 BELOW
+    * a·1000 — e.g. µs 0 covers ns [-999, 999], not [0, 999].
+    */
+  private def nsLower(a: Long): Long = {
+    val m = satMul1000(a)
+    if (a > 0 || m == Long.MinValue) m else m - 999L
+  }
+
+  /** Largest ts_ns with `trunc(ts_ns / 1000) <= b` — the mirror of
+    * [[nsLower]]: for b >= 0 the bracket widens by 999 ABOVE b·1000.
+    */
+  private def nsUpper(b: Long): Long = {
+    val m = satMul1000(b)
+    if (b < 0 || m == Long.MaxValue) m else m + 999L
+  }
+
   /** Pushdown-eligible timestamp range predicate for [[events]], with
     * bounds stated once, in µs. Dispatches on `e`'s PHYSICAL encoding so
     * the filter reaches parquet row-group stats either way:
@@ -88,28 +118,31 @@ object Tables {
     *    the scan via Catalyst's cast-unwrap (PlanShapeSpec pins it);
     *  - nanos-encoded: `ts` is a computed column (post-scan), so the
     *    predicate is restated on the NATIVE `ts_ns` long with the exact
-    *    DIV-1000 truncation bounds: `ts_µs ∈ [a,b]` ⟺
-    *    `ts_ns ∈ [a·1000, b·1000+999]`.
+    *    truncate-toward-zero bounds ([[nsLower]]/[[nsUpper]] — the same
+    *    rounding BOTH engines apply, negative-µs-safe, saturating).
     */
   def eventsTsBetween(e: DataFrame, startMicros: Long, endMicros: Long)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
     if (nanosEncoded(e))
-      col("ts_ns").between(lit(startMicros * 1000L),
-        lit(endMicros * 1000L + 999L))
+      col("ts_ns").between(lit(nsLower(startMicros)),
+        lit(nsUpper(endMicros)))
     else
       col("ts").between(timestamp_micros(lit(startMicros)),
         timestamp_micros(lit(endMicros)))
   }
 
   /** Strict-upper-bound sibling of [[eventsTsBetween]]:
-    * `ts_µs < b` ⟺ `ts_ns < b·1000` under DIV-1000 truncation.
+    * `ts_µs < b` ⟺ `ts_ns <= nsUpper(b-1)`; b = Long.MinValue is the
+    * empty predicate.
     */
   def eventsTsBefore(e: DataFrame, endMicros: Long)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
-    if (nanosEncoded(e)) col("ts_ns") < lit(endMicros * 1000L)
-    else col("ts") < timestamp_micros(lit(endMicros))
+    if (nanosEncoded(e)) {
+      if (endMicros == Long.MinValue) lit(false)
+      else col("ts_ns") <= lit(nsUpper(endMicros - 1L))
+    } else col("ts") < timestamp_micros(lit(endMicros))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

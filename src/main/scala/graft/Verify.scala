@@ -33,10 +33,13 @@ object Verify {
     // driver/gate invocation (which passes exactly 2 args) must not be
     // able to shrink the verified suite on its own — the explicit arg
     // remains the dev fast path, the env pair is for wrapper scripts
+    val devMode = sys.env.get("SPARK_GRAFT_DEV").contains("1")
+    if (args.length <= 2 && !devMode && sys.env.contains("SPARK_GRAFT_ONLY"))
+      System.err.println("[verify] SPARK_GRAFT_ONLY present but IGNORED: " +
+        "set SPARK_GRAFT_DEV=1 to filter (full suite runs)")
     val filter: Option[Set[String]] =
       (if (args.length > 2) Some(args(2))
-       else sys.env.get("SPARK_GRAFT_ONLY")
-         .filter(_ => sys.env.get("SPARK_GRAFT_DEV").contains("1")))
+       else sys.env.get("SPARK_GRAFT_ONLY").filter(_ => devMode))
         .map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -1556,11 +1556,19 @@ object Relational {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
       .persist()
-    val sizes = li.groupBy("ok").agg(count(lit(1)).as("bsz"))
-    val cap = graft.operators.AdaptiveCap.permilleCap(sizes, "bsz",
-      BasketFloor)
-    val keep = sizes.filter(col("bsz") <= cap).select("ok")
-    (li.join(keep, Seq("ok"), "left_semi"), li, cap)
+    // the cap-derivation collect runs BEFORE resultThenRelease takes
+    // ownership of the cache — a failure here must release it, not leak
+    // it out of the helper (PageRank's validation-path rule)
+    try {
+      val sizes = li.groupBy("ok").agg(count(lit(1)).as("bsz"))
+      val cap = graft.operators.AdaptiveCap.permilleCap(sizes, "bsz",
+        BasketFloor)
+      val keep = sizes.filter(col("bsz") <= cap).select("ok")
+      (li.join(keep, Seq("ok"), "left_semi"), li, cap)
+    } catch { case e: Throwable =>
+      li.unpersist(blocking = false)
+      throw e
+    }
   }
 
   /** Degree-orientation of an undirected edge list `e(p1, p2)`: each
@@ -1599,16 +1607,6 @@ object Relational {
       when(lo, col("d2")).otherwise(col("d1")).as("ddst"))
   }
 
-  /** q32's 100 TB drop-in: the same one-scan wide profile with
-    * `approx_count_distinct` (HLL++, rsd 2%) per column instead of exact
-    * `countDistinct`. Exact multi-distinct plans through Expand —
-    * |columns| × rows intermediate rows partial-agg'd map-side — while
-    * HLL sketches for ALL columns aggregate in one pass with NO Expand
-    * and constant-size buffers; ProfilingSpec pins the plan shape and
-    * the ≤5 % per-column error envelope at sf0.1. Not under the hash
-    * gate: HLL estimates are engine-specific by construction (the exact
-    * q32 gates the shared plumbing instead).
-    */
   /** q53's >64-symbol drop-in: the bitmask packs one bit per dictionary
     * symbol into a long, so it stops at 64; wider vocabularies (SKUs,
     * URLs, error codes) swap `bit_or(mask)` for an HLL sketch over the
@@ -1630,6 +1628,16 @@ object Relational {
         .as("n_types_1h_est"))
   }
 
+  /** q32's 100 TB drop-in: the same one-scan wide profile with
+    * `approx_count_distinct` (HLL++, rsd 2%) per column instead of exact
+    * `countDistinct`. Exact multi-distinct plans through Expand —
+    * |columns| × rows intermediate rows partial-agg'd map-side — while
+    * HLL sketches for ALL columns aggregate in one pass with NO Expand
+    * and constant-size buffers; ProfilingSpec pins the plan shape and
+    * the ≤5 % per-column error envelope at sf0.1. Not under the hash
+    * gate: HLL estimates are engine-specific by construction (the exact
+    * q32 gates the shared plumbing instead).
+    */
   def profileApprox(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
       "props")

@@ -604,9 +604,10 @@ object Similarity {
     // free: no score normalization across incomparable arms. Each arm
     // ranks with row_number (ties by id) and keeps its top 50; fusion is
     // a full outer join of two ≤50-row shortlists, absent-arm
-    // contribution 0. Ranks CAST TO LONG on emission — DuckDB's
-    // row_number is BIGINT, and the int32/int64 split is exactly the
-    // q39-class representation hazard the dtype-strict gate now catches.
+    // contribution 0. Ranks CAST TO LONG on emission to match DuckDB's
+    // BIGINT row_number — defensive type hygiene: the driver's hash
+    // normalizes same-kind width splits (q39's int32 rn is green), but
+    // the RRF arithmetic downstream should see one integer type.
     // Scale: the arms are t10's BM25 (hash-keyed aggs, broadcast query
     // terms) and s1's one-pass scan; the single-partition rank windows
     // see only arm-scored rows at test SF — at 100 TB each arm would
@@ -619,21 +620,11 @@ object Similarity {
         .persist()
       val qterms = docs.filter(col("doc_id") === 0L)
         .select(explode(slice(col("toks"), 1, 5)).as("term")).distinct()
-      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg("len").as("avg_len"))
-      val tf = docs.filter(col("doc_id") =!= 0L)
-        .select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
-        .join(broadcast(qterms), "term")
-        .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val idf = (col("n_docs") - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5)) + lit(1.0)
-      val denom = col("tf") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * (col("len") / col("avg_len")))
-      val sparse = tf.join(broadcast(dfq), "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("tscore", idf * (col("tf") * lit(2.2)) / denom)
-        .groupBy("doc_id").agg(sum("tscore").as("bm25"))
+      // the sparse arm IS t10's scorer (Text.bm25Scores — one shared
+      // pipeline, no drifting copy), restricted to the seed's terms and
+      // excluding the seed itself from candidates
+      val sparse = Text.bm25Scores(docs,
+          _.filter(col("doc_id") =!= 0L).join(broadcast(qterms), "term"))
         .withColumn("r_sparse", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
@@ -834,23 +825,9 @@ object Similarity {
     "s15_hybrid_rrf" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
          |           FROM documents),
-         |dl AS (SELECT doc_id, len(toks) AS len, toks FROM d),
-         |qt AS (SELECT DISTINCT unnest(toks[1:5]) AS term FROM dl
+         |qt AS (SELECT DISTINCT unnest(toks[1:5]) AS term FROM d
          |       WHERE doc_id = 0),
-         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len
-         |          FROM dl),
-         |tf AS (SELECT doc_id, len, term, count(*) AS tf
-         |       FROM (SELECT doc_id, len, unnest(toks) AS term FROM dl
-         |             WHERE doc_id <> 0) u JOIN qt USING (term)
-         |       GROUP BY 1, 2, 3),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT t.doc_id,
-         |    ((((s.n_docs - f.df) + 0.5) / (f.df + 0.5)) + 1.0)
-         |      * (t.tf * 2.2)
-         |      / (t.tf + 1.2 * (0.25 + 0.75 * (t.len / s.avg_len))) AS tscore
-         |  FROM tf t JOIN dfq f USING (term), stats s),
-         |bm AS (SELECT doc_id, sum(tscore) AS bm25 FROM scored GROUP BY 1),
+         |${Text.bm25SqlCtes("doc_id <> 0", "JOIN qt USING (term)")},
          |sparse AS (SELECT doc_id, r_sparse FROM (
          |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
          |      AS r_sparse FROM bm) WHERE r_sparse <= 50),

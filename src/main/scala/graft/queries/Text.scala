@@ -190,24 +190,8 @@ object Text {
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("len", size(col("toks")))
         .persist()
-      val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg("len").as("avg_len"))
-      val tf = d.select(col("doc_id"), col("len"),
-          explode(col("toks")).as("term"))
-        .filter(col("term").isin(Bm25QueryTerms: _*))
-        .groupBy("doc_id", "len", "term")
-        .agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val idf = (col("n_docs") - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5)) + lit(1.0)
-      val denom = col("tf") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * (col("len") / col("avg_len")))
       QueryCache.resultThenRelease(
-        tf.join(broadcast(dfq), "term")
-          .crossJoin(broadcast(stats))
-          .withColumn("tscore", idf * (col("tf") * lit(2.2)) / denom)
-          .groupBy("doc_id")
-          .agg(sum("tscore").as("bm25"))
+        bm25Scores(d, _.filter(col("term").isin(Bm25QueryTerms: _*)))
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(20),
         d)
@@ -953,6 +937,64 @@ object Text {
     */
   private val Bm25QueryTerms = Seq("spark", "join", "stream")
 
+  /** The ONE BM25 scoring pipeline, shared by t10 and s15's sparse arm:
+    * corpus stats + per-(doc, term) tf + df → rational-idf tscore →
+    * per-doc sum, over a prepared `(doc_id, toks, len)` frame. Callers
+    * supply `restrict`, which narrows the exploded (doc_id, len, term)
+    * frame to query terms (t10: literal isin, scan-pushable; s15:
+    * broadcast join of a derived term frame + doc exclusion). Corpus
+    * stats are computed over ALL of `docs` — restriction applies to
+    * candidate scoring only, like any real index. Rational idf
+    * `(N − df + ½)/(df + ½) + 1`, k1 = 1.2, b = 0.75 — see t10's
+    * Scaladoc for why no log. A constants/formula change here reaches
+    * BOTH gated queries; there is deliberately no second copy to drift
+    * ([[bm25SqlCtes]] is the oracle-side single copy).
+    */
+  private[queries] def bm25Scores(docs: DataFrame,
+      restrict: DataFrame => DataFrame): DataFrame = {
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("len").as("avg_len"))
+    val tf = restrict(docs.select(col("doc_id"), col("len"),
+        explode(col("toks")).as("term")))
+      .groupBy("doc_id", "len", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0)
+    val denom = col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("len") / col("avg_len")))
+    tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", idf * (col("tf") * lit(2.2)) / denom)
+      .groupBy("doc_id")
+      .agg(sum("tscore").as("bm25"))
+  }
+
+  /** Oracle-side twin of [[bm25Scores]]: the CTE chain
+    * `dl → stats → tf → dfq → scored → bm(doc_id, bm25)`, assuming a
+    * preceding `d(doc_id, toks)` CTE. `docPred` filters the rows whose
+    * tokens are candidates (stats still see ALL docs); `termRestrict`
+    * is spliced after the unnest subquery (`WHERE term IN (...)` or
+    * `JOIN qt USING (term)`).
+    */
+  private[queries] def bm25SqlCtes(docPred: String,
+      termRestrict: String): String =
+    s"""dl AS (SELECT doc_id, len(toks) AS len, toks FROM d),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len
+       |          FROM dl),
+       |tf AS (SELECT doc_id, len, term, count(*) AS tf
+       |       FROM (SELECT doc_id, len, unnest(toks) AS term FROM dl
+       |             WHERE $docPred) u $termRestrict
+       |       GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    ((((s.n_docs - f.df) + 0.5) / (f.df + 0.5)) + 1.0)
+       |      * (t.tf * 2.2)
+       |      / (t.tf + 1.2 * (0.25 + 0.75 * (t.len / s.avg_len))) AS tscore
+       |  FROM tf t JOIN dfq f USING (term), stats s),
+       |bm AS (SELECT doc_id, sum(tscore) AS bm25 FROM scored GROUP BY 1)""".stripMargin
+
   /** t13's indexed vocabulary slice (mid-frequency corpus terms — enough
     * postings to exercise the sort/cap, bounded output).
     */
@@ -1117,22 +1159,9 @@ object Text {
     "t10_bm25" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
          |          FROM documents),
-         |dl AS (SELECT doc_id, len(toks) AS len, toks FROM d),
-         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len
-         |          FROM dl),
-         |tf AS (SELECT doc_id, len, term, count(*) AS tf
-         |       FROM (SELECT doc_id, len, unnest(toks) AS term FROM dl)
-         |       WHERE term IN (${Bm25QueryTerms.mkString("'", "', '", "'")})
-         |       GROUP BY 1, 2, 3),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT t.doc_id,
-         |    ((((s.n_docs - f.df) + 0.5) / (f.df + 0.5)) + 1.0)
-         |      * (t.tf * 2.2)
-         |      / (t.tf + 1.2 * (0.25 + 0.75 * (t.len / s.avg_len))) AS tscore
-         |  FROM tf t JOIN dfq f USING (term), stats s)
-         |SELECT doc_id, sum(tscore) AS bm25
-         |FROM scored GROUP BY doc_id
+         |${bm25SqlCtes("TRUE",
+            s"WHERE term IN (${Bm25QueryTerms.mkString("'", "', '", "'")})")}
+         |SELECT doc_id, bm25 FROM bm
          |ORDER BY bm25 DESC, doc_id
          |LIMIT 20""".stripMargin,
 

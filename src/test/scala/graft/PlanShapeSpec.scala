@@ -38,6 +38,38 @@ class PlanShapeSpec extends SparkSuite {
       s"ts bound not pushed to parquet:\n$pushed")
   }
 
+  test("nanos ts bounds are exact at negative and boundary timestamps") {
+    // the ns bracket for a µs bound must follow the truncate-toward-zero
+    // rounding BOTH engines apply (Spark DIV, DuckDB //): µs 0 covers
+    // ns [-999, 999], not [0, 999]. A synthetic nanos-encoded events
+    // table with pre-epoch rows pins the equivalence the driver's
+    // 2024-era fixtures cannot reach.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nanos-ev").toString
+    val ns = Seq(-2500L, -2000L, -1500L, -1000L, -999L, -500L, -1L, 0L,
+      1L, 500L, 999L, 1000L, 1500L, 2000L, 2500L)
+    ns.zipWithIndex.map { case (n, i) =>
+        (i.toLong, n, i.toLong % 3, "click", 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts_ns").dataType ==
+      org.apache.spark.sql.types.LongType)
+    def micros(n: Long): Long = n / 1000L // JVM / truncates toward zero
+    for ((a, b) <- Seq((-2L, -1L), (-1L, 0L), (0L, 0L), (0L, 1L),
+        (-2L, 2L), (1L, 2L), (Long.MinValue, Long.MaxValue))) {
+      val got = ev.filter(Tables.eventsTsBetween(ev, a, b))
+        .select("ts_ns").collect().map(_.getLong(0)).sorted.toSeq
+      val want = ns.filter(n => micros(n) >= a && micros(n) <= b).sorted
+      assert(got == want, s"[$a,$b]µs: got $got want $want")
+      val gotLt = ev.filter(Tables.eventsTsBefore(ev, b))
+        .select("ts_ns").collect().map(_.getLong(0)).sorted.toSeq
+      val wantLt = ns.filter(n => micros(n) < b).sorted
+      assert(gotLt == wantLt, s"<$b µs: got $gotLt want $wantLt")
+    }
+    graft.util.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("dd7 plan has no nested-loop or cartesian join") {
     val p = plan("dd7_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))

@@ -54,6 +54,13 @@ def frames_equal(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
     # HUGEINT → float64 promotion) hash-mismatches even when every value
     # compares equal under tolerance. Mirror that here: a dtype-KIND split
     # between two non-object columns is a FAIL before any value is read.
+    # KIND-level deliberately, not exact-dtype: 18 same-kind width/unit
+    # splits exist across the suite (int32 vs int64 ranks/counts,
+    # datetime64[ns] vs [us]) and every one is hash-GREEN at the driver —
+    # q39's own int32-vs-int64 `rn` passed every round while its
+    # float64-vs-int64 `rev_cents` failed, so the driver normalizes
+    # within a kind and exact-dtype strictness here would false-FAIL
+    # 18 green queries.
     for col in a.columns:
         ka, kb = a[col].dtype.kind, b[col].dtype.kind
         if ka != kb and "O" not in (ka, kb):
