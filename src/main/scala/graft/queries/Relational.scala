@@ -109,6 +109,44 @@ object Relational {
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_totalprice > 300000)""".stripMargin
 
+  /** q61's shared string — WITH RECURSIVE executed VERBATIM by both
+    * engines (Spark 4's recursive CTE support makes the q58-style
+    * recursion a first-class zero-translation surface, not just an
+    * oracle-side spelling). The shape is the canonical reporting
+    * gap-fill: a recursive 90-day calendar spine, a per-day aggregate
+    * over ORDERS, a LEFT JOIN that zero-fills order-less days, and a
+    * running total over the spine — days with no orders MUST appear
+    * with 0 (the rows a plain GROUP BY can never produce). All four
+    * emissions are CAST AS BIGINT (the q39 rule; the revenue sum is
+    * also pre-integerized floor-cents), and the day key is the integer
+    * y·10000+m·100+d so no DATE representation crosses the hash.
+    * Recursion depth 90 sits under Spark's default 100-level limit.
+    * Scale: the spine is 90 rows — the recursion is driver-trivial;
+    * the single real scan is the date-filtered orders aggregate, which
+    * pushes its bounds to parquet.
+    */
+  private[queries] val Q61Sql: String =
+    """WITH RECURSIVE spine(d) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL
+      |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine
+      |  WHERE d < DATE '1995-03-31'),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WHERE CAST(o_orderdate AS DATE)
+      |        BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+      |  GROUP BY 1)
+      |SELECT year(s.d) * 10000 + month(s.d) * 100 + day(s.d) AS day_key,
+      |  CAST(coalesce(dy.n, 0) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(dy.cents, 0) AS BIGINT) AS rev_cents,
+      |  CAST(sum(coalesce(dy.n, 0)) OVER (ORDER BY s.d) AS BIGINT)
+      |    AS cum_orders
+      |FROM spine s LEFT JOIN daily dy ON s.d = dy.d
+      |ORDER BY day_key""".stripMargin
+
   /** Sign-reversed integer-µs timestamp: `timestamp_micros(-unix_micros(c))`
     * is a strictly order-reversing bijection, so an as-of join (latest
     * at-or-before) over the reversed column returns the earliest row
@@ -811,6 +849,12 @@ object Relational {
     "q39_sql_e2e" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(Q39Sql)
+    }),
+
+    // recursive CTE through the SQL entry point — see [[Q61Sql]]
+    "q61_recursive_spine" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Q61Sql)
     }),
 
     // q24's workload spelled NAIVELY — `value BETWEEN lo AND hi`, no
@@ -1992,6 +2036,8 @@ object Relational {
 
     // the same string spark.sql ran — zero translation is the claim
     "q39_sql_e2e" -> Q39Sql,
+
+    "q61_recursive_spine" -> Q61Sql,
 
     // likewise: the identical LATERAL string, no translation
     "q41_lateral_topk" -> Q41Sql,
