@@ -573,6 +573,30 @@ object Text {
             .as("logw"))
     }),
 
+    // Length-based curriculum assignment — the data-ordering stage of a
+    // training run: every doc lands in one of 4 stages by token count
+    // (shortest first — the standard length curriculum), with a
+    // deterministic md5 shard order WITHIN each stage (p5's rule) so
+    // the emitted (stage, stage_rank) is a complete, reproducible
+    // training order. ntile(4) gives exact equal-split stages on both
+    // engines (first N mod 4 stages take the extra row). Scale note:
+    // the global ntile window is a total order over the corpus —
+    // correct-but-serial; the 100 TB form derives the 3 stage
+    // boundaries from exact percentiles of n_tokens (one agg) and
+    // assigns by broadcast compare, same stages up to boundary ties,
+    // while stage_rank's per-stage window shuffles on the stage key.
+    "p13_curriculum" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+      d.withColumn("stage", ntile(4).over(
+          Window.orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+        .withColumn("stage_rank", row_number().over(
+          Window.partitionBy("stage")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("long"))
+    }),
+
     // Segment-level dedup REWRITE — the corpus-editing stage dd11 only
     // scores: chunk every doc into non-overlapping 8-token segments
     // (t11's sequence-explode machinery), find segments appearing in ≥2
@@ -1439,6 +1463,20 @@ object Text {
         |         ((bc.cq + 1)::DOUBLE / (tot.nq + 256)))) AS logw
         |FROM toks t JOIN bc USING (b), tot
         |GROUP BY t.doc_id""".stripMargin,
+
+    "p13_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, n_tokens,
+        |    ntile(4) OVER (ORDER BY n_tokens, doc_id)::BIGINT AS stage
+        |  FROM d)
+        |SELECT doc_id, n_tokens, stage,
+        |  row_number() OVER (PARTITION BY stage
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)::BIGINT
+        |    AS stage_rank
+        |FROM st""".stripMargin,
 
     // same segmentation (t11's range-unnest + list slice), same ≥2
     // distinct-doc rule; string_agg(ORDER BY seg_idx) skips the shared
