@@ -28,6 +28,7 @@ object GraftTestFs {
   /** fs.s3a.* keys as seen by the last `initialize` — the proof object. */
   @volatile var seenS3aConf: Map[String, String] = Map.empty
   val opens = new AtomicInteger(0)
+  val creates = new AtomicInteger(0)
   val S3aKeys: Seq[String] = Seq(
     "fs.s3a.connection.maximum", "fs.s3a.attempts.maximum",
     "fs.s3a.retry.limit", "fs.s3a.access.key", "fs.s3a.secret.key")
@@ -55,5 +56,15 @@ class GraftTestFs extends RawLocalFileSystem {
       : org.apache.hadoop.fs.FSDataInputStream = {
     GraftTestFs.opens.incrementAndGet()
     super.open(f, bufferSize)
+  }
+
+  // every create overload in RawLocalFileSystem funnels through this
+  // hook (the public create(...) variants do not all call each other)
+  override protected def createOutputStreamWithMode(f: Path,
+      append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission)
+      : java.io.OutputStream = {
+    GraftTestFs.creates.incrementAndGet()
+    super.createOutputStreamWithMode(f, append, permission)
   }
 }
