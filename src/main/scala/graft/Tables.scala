@@ -80,34 +80,39 @@ object Tables {
       _.output.exists(a => a.name == "ts" &&
         a.dataType == org.apache.spark.sql.types.LongType))
 
-  /** ×1000 with saturation at the Long extremes. Saturation is exact
-    * here, not approximate: ts_ns lives in Long, so a true bound beyond
-    * the representable range admits (or excludes) exactly the same rows
-    * as ±Long.MaxValue — an unguarded multiply would instead wrap
-    * negative and silently drop every row for sentinel bounds like
-    * `endMicros = Long.MaxValue`.
+  /** Largest / smallest µs value any Long ts_ns can truncate to:
+    * `trunc(Long.MaxValue / 1000)` and its mirror. A µs bound beyond
+    * these brackets NOTHING (the empty predicate), which the callers
+    * check explicitly — the bound helpers below assume in-range input.
     */
-  private def satMul1000(us: Long): Long =
-    if (us >= Long.MaxValue / 1000) Long.MaxValue
-    else if (us <= Long.MinValue / 1000) Long.MinValue
-    else us * 1000L
+  private val MaxUsTrunc = Long.MaxValue / 1000
+  private val MinUsTrunc = Long.MinValue / 1000
 
-  /** Smallest ts_ns with `trunc(ts_ns / 1000) >= a`. Spark's `DIV` and
-    * DuckDB's `//` BOTH truncate toward zero (verified against DuckDB:
-    * -5 // 2 = -2), so for a <= 0 the bracket widens by 999 BELOW
-    * a·1000 — e.g. µs 0 covers ns [-999, 999], not [0, 999].
+  /** Smallest ts_ns with `trunc(ts_ns / 1000) >= a`, for
+    * `a <= MaxUsTrunc`. Spark's `DIV` and DuckDB's `//` BOTH truncate
+    * toward zero (verified against DuckDB: -5 // 2 = -2), so for a <= 0
+    * the bracket widens by 999 BELOW a·1000 — e.g. µs 0 covers ns
+    * [-999, 999], not [0, 999]. Saturation at Long.MinValue is exact:
+    * it engages only when the true bound sits below every representable
+    * ts_ns, where "admit all" is the right answer.
     */
   private def nsLower(a: Long): Long = {
-    val m = satMul1000(a)
-    if (a > 0 || m == Long.MinValue) m else m - 999L
+    val c = math.max(a, MinUsTrunc) // below MinUsTrunc ⇒ admit-all anyway
+    if (c > 0) c * 1000L // ≤ MaxUsTrunc·1000, representable
+    else if (c * 1000L < Long.MinValue + 999L) Long.MinValue
+    else c * 1000L - 999L
   }
 
-  /** Largest ts_ns with `trunc(ts_ns / 1000) <= b` — the mirror of
-    * [[nsLower]]: for b >= 0 the bracket widens by 999 ABOVE b·1000.
+  /** Largest ts_ns with `trunc(ts_ns / 1000) <= b`, for
+    * `b >= MinUsTrunc` — the mirror of [[nsLower]]: for b >= 0 the
+    * bracket widens by 999 ABOVE b·1000, saturating exactly at
+    * Long.MaxValue.
     */
   private def nsUpper(b: Long): Long = {
-    val m = satMul1000(b)
-    if (b < 0 || m == Long.MaxValue) m else m + 999L
+    val c = math.min(b, MaxUsTrunc)
+    if (c < 0) c * 1000L
+    else if (c > (Long.MaxValue - 999L) / 1000L) Long.MaxValue
+    else c * 1000L + 999L
   }
 
   /** Pushdown-eligible timestamp range predicate for [[events]], with
@@ -124,23 +129,29 @@ object Tables {
   def eventsTsBetween(e: DataFrame, startMicros: Long, endMicros: Long)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
-    if (nanosEncoded(e))
-      col("ts_ns").between(lit(nsLower(startMicros)),
+    if (nanosEncoded(e)) {
+      // bounds outside the achievable trunc-µs range (or inverted) have
+      // an EMPTY bracket — a saturated bound here would wrongly admit
+      // the single extreme ts_ns row
+      if (startMicros > MaxUsTrunc || endMicros < MinUsTrunc ||
+          startMicros > endMicros) lit(false)
+      else col("ts_ns").between(lit(nsLower(startMicros)),
         lit(nsUpper(endMicros)))
-    else
+    } else
       col("ts").between(timestamp_micros(lit(startMicros)),
         timestamp_micros(lit(endMicros)))
   }
 
   /** Strict-upper-bound sibling of [[eventsTsBetween]]:
-    * `ts_µs < b` ⟺ `ts_ns <= nsUpper(b-1)`; b = Long.MinValue is the
-    * empty predicate.
+    * `ts_µs < b` ⟺ `ts_ns <= nsUpper(b-1)`; any `b <= MinUsTrunc` is
+    * the empty predicate (no representable ts_ns truncates below
+    * MinUsTrunc).
     */
   def eventsTsBefore(e: DataFrame, endMicros: Long)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
     if (nanosEncoded(e)) {
-      if (endMicros == Long.MinValue) lit(false)
+      if (endMicros <= MinUsTrunc) lit(false)
       else col("ts_ns") <= lit(nsUpper(endMicros - 1L))
     } else col("ts") < timestamp_micros(lit(endMicros))
   }

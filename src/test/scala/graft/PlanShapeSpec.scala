@@ -46,8 +46,13 @@ class PlanShapeSpec extends SparkSuite {
     // 2024-era fixtures cannot reach.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("nanos-ev").toString
-    val ns = Seq(-2500L, -2000L, -1500L, -1000L, -999L, -500L, -1L, 0L,
-      1L, 500L, 999L, 1000L, 1500L, 2000L, 2500L)
+    // includes the two extreme representable ts_ns values: the exact-
+    // saturation and empty-bracket cases live there (trunc-µs of
+    // Long.MaxValue is 9223372036854775 — a µs bound one past it must
+    // match NOTHING, not the extreme row)
+    val ns = Seq(Long.MinValue, -2500L, -2000L, -1500L, -1000L, -999L,
+      -500L, -1L, 0L, 1L, 500L, 999L, 1000L, 1500L, 2000L, 2500L,
+      Long.MaxValue - 999L, Long.MaxValue)
     ns.zipWithIndex.map { case (n, i) =>
         (i.toLong, n, i.toLong % 3, "click", 1.0)
       }.toDF("event_id", "ts", "user_id", "event_type", "value")
@@ -56,8 +61,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(ev.schema("ts_ns").dataType ==
       org.apache.spark.sql.types.LongType)
     def micros(n: Long): Long = n / 1000L // JVM / truncates toward zero
+    val maxUs = Long.MaxValue / 1000
+    val minUs = Long.MinValue / 1000
     for ((a, b) <- Seq((-2L, -1L), (-1L, 0L), (0L, 0L), (0L, 1L),
-        (-2L, 2L), (1L, 2L), (Long.MinValue, Long.MaxValue))) {
+        (-2L, 2L), (1L, 2L), (Long.MinValue, Long.MaxValue),
+        // exact saturation: the extreme achievable µs bounds must keep
+        // their brackets (not over-saturate and drop the tail rows)
+        (maxUs, Long.MaxValue), (Long.MinValue, minUs),
+        // empty brackets: bounds one past the achievable µs range must
+        // match NOTHING (not admit the single extreme ts_ns row)
+        (maxUs + 1, Long.MaxValue), (Long.MinValue, minUs - 1),
+        (5L, 2L))) {
       val got = ev.filter(Tables.eventsTsBetween(ev, a, b))
         .select("ts_ns").collect().map(_.getLong(0)).sorted.toSeq
       val want = ns.filter(n => micros(n) >= a && micros(n) <= b).sorted
