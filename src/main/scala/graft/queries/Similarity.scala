@@ -648,8 +648,33 @@ object Similarity {
           .orderBy(col("rrf").desc, col("doc_id"))
           .limit(10),
         docs)
+    }),
+
+    // ANN recall certification — the evaluation gate a pipeline runs
+    // before swapping an approximate index in for brute force: recall@10
+    // of every ANN tier (IVF s4, int8 s6, PQ s8, trained-IVF s9) against
+    // s1's exact top-10, as a FRAME under the oracle gate rather than a
+    // spec-only assertion — the gate certifies the measurement itself
+    // (both engines replay each ANN pipeline end-to-end and intersect
+    // with the exact answer). The exact id set is a bounded driver
+    // shortlist (10 longs, P4's rule) folded into each method's plan as
+    // an isin literal — no join against a recomputed s1 per method.
+    "s16_recall_eval" -> ((s, dir) => {
+      val exactIds = queries("s1_knn_brute")(s, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      RecallMethods.map { m =>
+        queries(m)(s, dir)
+          .filter(col("vec_id").isin(exactIds: _*))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(m).as("method"), col("hits"),
+            (col("hits").cast("double") / lit(10.0)).as("recall_at_10"))
+      }.reduce(_ union _)
     })
   )
+
+  /** The ANN tiers s16 certifies (each emits vec-0's top-10 like s1). */
+  private val RecallMethods =
+    Seq("s4_ivf_knn", "s6_quantized_knn", "s8_pq_knn", "s9_ivf_trained")
 
   /** Driver-side lookup of one embedding to use as the query point —
     * becomes an array literal in the plan (implicit broadcast).
@@ -758,7 +783,7 @@ object Similarity {
        |          WHERE a.vec_id < b2.vec_id)""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "s1_knn_brute" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, ${cosSql("embedding", "qe")} AS cos_sim
@@ -976,6 +1001,20 @@ object Similarity {
 
     "s10_mmr_diverse" -> mmrOracleSql
   )
+
+  /** s16's oracle: each ANN tier's full replay SQL (dump-replay CTEs and
+    * all) embedded as a parenthesized WITH-subquery, intersected with
+    * s1's exact top-10 — built FROM the per-method strings so the
+    * certified pipelines and the certification can never drift apart.
+    */
+  val oracleSql: Map[String, String] =
+    baseOracleSql + ("s16_recall_eval" -> RecallMethods.map { m =>
+      s"""SELECT '$m' AS method, count(*)::BIGINT AS hits,
+         |  count(*)::DOUBLE / 10.0 AS recall_at_10
+         |FROM (${baseOracleSql(m)}) a
+         |JOIN (${baseOracleSql("s1_knn_brute")}) e USING (vec_id)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n"))
 
   /** s10's oracle: the greedy MMR loop UNROLLED into k chained CTEs —
     * step n's argmax conditions on the union of steps 1..n−1 (a fixed

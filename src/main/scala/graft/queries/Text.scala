@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.HeavyHitters
 import graft.functions.TextFunctions._
 
 /** Text-analysis queries over the `documents` table — the corpus-cleaning
@@ -595,6 +596,97 @@ object Text {
           Window.partitionBy("stage")
             .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
           .cast("long"))
+    }),
+
+    // Per-language token-budget rebalancing — the language-mixture stage
+    // of corpus assembly (CC-style pipelines cap each language at a token
+    // budget so high-resource languages don't drown the rest): within
+    // each language, docs are taken in deterministic md5 order (p5's
+    // shard-order rule, salted per p8 so it's independent of every other
+    // stage's hash) until the running token sum crosses 60% of that
+    // language's total; the crossing doc is kept (so a budget is never
+    // under-filled by a large head doc). One lang-keyed shuffle serves
+    // BOTH windows (the running sum and the per-lang total); no global
+    // order, no collect — at 100 TB each language's window partition is
+    // the only serial unit, and languages parallelize across executors.
+    "p14_language_quota" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("tok"),
+          hexPrefix(col("doc_id"), "quota:").as("ord"))
+      val run = Window.partitionBy("lang").orderBy(col("ord"), col("doc_id"))
+      val all = Window.partitionBy("lang")
+      d.withColumn("cum", sum("tok").over(run))
+        .withColumn("budget",
+          ceil(sum("tok").over(all).cast("double") * lit(0.6)).cast("long"))
+        .filter(col("cum") - col("tok") < col("budget"))
+        .select(col("doc_id"), col("lang"), col("tok"), col("cum"))
+    }),
+
+    // Corpus-wide frequent n-grams (boilerplate mining) via the TWO-PASS
+    // heavy-hitter pattern: pass 1 runs a Misra–Gries summary (bounded
+    // memory, mergeable — [[graft.functions.MisraGries]]) over the
+    // trigram stream to get ≤ m candidate grams plus the exact stream
+    // length N; pass 2 broadcast-joins the ≤ m candidates back and
+    // exact-counts ONLY them, keeping count ≥ T = max(2, ⌈7.5·10⁻⁵·N⌉).
+    // m = 16384 ⇒ MG undercount ≤ N/16385 < T at every SF, so the
+    // candidate set provably contains every true heavy hitter and the
+    // final frame is exact — which is why a sketch query can sit under
+    // the DuckDB hash gate (the oracle is the plain GROUP BY…HAVING).
+    // The scale story is the point: a full trigram groupBy shuffles the
+    // entire gram domain (billions of keys at 100 TB); this shuffles a
+    // one-row summary in pass 1 and ≤ m keys in pass 2. The candidate
+    // collect is the bounded driver tier (≤ m strings, P4's rule).
+    "t25_hot_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      def grams = Tables.documents(s, dir)
+        .select(tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(explode(sequence(lit(0), size(col("t")) - 3)).as("i"),
+          col("t"))
+        .select(concat_ws(" ", slice(col("t"), col("i") + 1, lit(3)))
+          .as("gram"))
+      val pass1 = grams.agg(
+        HeavyHitters.mgCandidates(col("gram"), 16384).as("cand"),
+        count(lit(1)).as("n")).head()
+      val thr = math.max(2L, math.ceil(7.5e-5 * pass1.getLong(1)).toLong)
+      val candDf = pass1.getSeq[String](0).toDF("gram")
+      grams.join(broadcast(candDf), "gram")
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= thr)
+    }),
+
+    // Per-document n-gram novelty vs the train split — the freshness /
+    // redundancy quality signal data-curation pipelines score incoming
+    // docs with (a doc whose trigrams are mostly already in the corpus
+    // adds little): for every non-train doc, the fraction of its
+    // DISTINCT trigrams absent from the train slice's trigram set.
+    // One explode + distinct, a gram-keyed left join against the
+    // (distinct) reference set, one doc_id agg. The join key is the
+    // gram string to stay oracle-replayable; at 100 TB it's an 8-byte
+    // xxhash64 (dd2's currency) and the reference set gets a Bloom
+    // prescreen on the scan side (p9's pattern) so only plausible
+    // matches reach the shuffle.
+    "t26_ngram_novelty" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"),
+          splitOf(hexPrefix(col("doc_id"))).as("split"))
+        .filter(size(col("t")) >= 3)
+      val grams = d
+        .select(col("doc_id"), col("split"),
+          explode(sequence(lit(0), size(col("t")) - 3)).as("i"), col("t"))
+        .select(col("doc_id"), col("split"),
+          concat_ws(" ", slice(col("t"), col("i") + 1, lit(3))).as("gram"))
+        .distinct()
+      val ref = grams.filter(col("split") === "train")
+        .select(col("gram")).distinct().withColumn("seen", lit(1))
+      grams.filter(col("split") =!= "train")
+        .join(ref, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_grams"))
     }),
 
     // Segment-level dedup REWRITE — the corpus-editing stage dd11 only
@@ -1594,7 +1686,61 @@ object Text {
         |SELECT doc_id,
         |  coalesce(array_to_string(h, ','), '') AS hits, -- [] joins to NULL
         |  len(h)::BIGINT AS n_hits, len(h) = 0 AS keep
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // same salted-md5 order currency (p5/p8's rule); the running window's
+    // RANGE-vs-ROWS default is moot because (ord, doc_id) is unique
+    "p14_language_quota" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS tok,
+        |    substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 4) AS ord
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang, tok,
+        |    CAST(sum(tok) OVER (PARTITION BY lang
+        |      ORDER BY ord, doc_id) AS BIGINT) AS cum,
+        |    CAST(ceil(sum(tok) OVER (PARTITION BY lang) * 0.6) AS BIGINT)
+        |      AS budget
+        |  FROM d)
+        |SELECT doc_id, lang, tok, cum FROM w
+        |WHERE cum - tok < budget""".stripMargin,
+
+    // the oracle is the sketch-free spelling: plain GROUP BY + HAVING at
+    // the same derived threshold — identical output by the MG guarantee
+    "t25_hot_ngrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT array_to_string(t[i+1:i+3], ' ') AS gram
+        |      FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)),
+        |thr AS (SELECT greatest(2, CAST(ceil(7.5e-5 * count(*)) AS BIGINT))
+        |        AS t FROM g)
+        |SELECT gram, count(*)::BIGINT AS cnt
+        |FROM g, thr GROUP BY gram, thr.t
+        |HAVING count(*) >= thr.t""".stripMargin,
+
+    // same t7 split rule, same trigram machinery as t22/t25; DISTINCT
+    // before the join mirrors Spark's per-doc distinct
+    "t26_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        |           THEN 'test'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+        |           THEN 'validation'
+        |         ELSE 'train' END AS split
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT DISTINCT doc_id, split,
+        |        array_to_string(t[i+1:i+3], ' ') AS gram
+        |      FROM d, unnest(range(0, len(t) - 2)) AS u(i)),
+        |ref AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+        |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_novel,
+        |  sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*) AS novelty
+        |FROM g LEFT JOIN ref ON g.gram = ref.gram
+        |WHERE g.split <> 'train'
+        |GROUP BY g.doc_id""".stripMargin
   )
 
   /** t5's 100 TB drop-in for frequency questions over an UNBOUNDED
