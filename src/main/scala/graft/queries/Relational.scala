@@ -857,6 +857,42 @@ object Relational {
       s.sql(Q61Sql)
     }),
 
+    // Per-user exponential smoothing (EWMA, α = 0.3) — the order-
+    // dependent sequential-state op of the time-series family (q34/q46
+    // carry VALUES forward; this carries accumulated STATE forward).
+    // Spelled as a typed flatMapGroups fold: one user_id shuffle, an
+    // in-memory sort of each user's (bounded) series, then the strict
+    // recurrence ewma_t = 0.3·x_t + 0.7·ewma_{t−1} row by row. The
+    // imperative spelling is deliberate, not a codegen miss: EWMA's
+    // float recurrence has no order-free reformulation — a windowed
+    // pow-weighted sum computes it mathematically, but DuckDB evaluates
+    // cumulative float windows with a segment TREE (measured: 320/10000
+    // rows off by ulps vs sequential), while the recurrence itself is
+    // the same IEEE op sequence in any engine — so the sequential
+    // spelling is exactly what makes the result hash-exact against the
+    // oracle's recursive CTE (and deterministic at all). At 100 TB the
+    // per-group toArray bound is the max single-user series (the q19
+    // sessionize bound); an unbounded key would graduate to
+    // repartition + sortWithinPartitions with a per-partition scan
+    // (secondary sort), same arithmetic.
+    "q62_ewma" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._2)
+        .flatMapGroups { (uid, it) =>
+          val rows = it.toArray.sortBy(r => (r._3, r._1))
+          var ew = 0.0
+          rows.iterator.zipWithIndex.map { case ((eid, _, _, v), i) =>
+            ew = if (i == 0) v else 0.3 * v + 0.7 * ew
+            (eid, uid, (i + 1).toLong, ew)
+          }
+        }
+        .toDF("event_id", "user_id", "n", "ewma")
+    }),
+
     // q24's workload spelled NAIVELY — `value BETWEEN lo AND hi`, no
     // operator call — and rescued by the [[graft.plans.RangeJoinRewrite]]
     // optimizer rule: width derived once at the API tier
@@ -2038,6 +2074,24 @@ object Relational {
     "q39_sql_e2e" -> Q39Sql,
 
     "q61_recursive_spine" -> Q61Sql,
+
+    // the recurrence replayed as a recursive CTE stepping n → n+1 — the
+    // SAME multiply-add sequence the fold runs, so every double is
+    // bit-identical (the windowed pow-sum spelling is NOT used on either
+    // side; see the query comment for the segment-tree measurement)
+    "q62_ewma" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)::BIGINT AS n
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, user_id, n, value AS ewma FROM d WHERE n = 1
+        |  UNION ALL
+        |  SELECT d.event_id, d.user_id, d.n,
+        |    0.3 * d.value + 0.7 * r.ewma AS ewma
+        |  FROM d JOIN r ON d.user_id = r.user_id AND d.n = r.n + 1)
+        |SELECT event_id, user_id, n, ewma FROM r""".stripMargin,
 
     // likewise: the identical LATERAL string, no translation
     "q41_lateral_topk" -> Q41Sql,

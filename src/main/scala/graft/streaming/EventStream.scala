@@ -186,6 +186,39 @@ object EventStream {
       }
   }
 
+  /** Per-user EWMA state: (rows seen, current smoothed value) — O(1). */
+  final case class EwmaState(n: Long, ewma: Double)
+
+  final case class EwmaSnapshot(user_id: Long, n: Long, ewma: Double)
+
+  /** Streaming EWMA — the stateful twin of batch q62: per-user
+    * exponential smoothing carried ACROSS micro-batches in O(1) state.
+    * The recurrence is the literal `0.3·x + 0.7·prev` the batch fold
+    * runs (same doubles in the same order given the [[sessionize]]
+    * ordered-delivery precondition; the in-batch iterator is sorted by
+    * the same (µs, event_id) total order), so the final snapshot per
+    * user is BIT-identical to q62's last row — StreamingSpec pins it
+    * with strict equality, no tolerance. The live form of the
+    * anomaly-baseline use case: each Update-mode snapshot is the
+    * current smoothed level a detector thresholds against.
+    */
+  def ewma(events: Dataset[Event]): Dataset[EwmaSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaSnapshot](
+          GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          val evs = batch.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          evs.foreach { e =>
+            s = if (s.n == 0L) EwmaState(1L, e.value)
+              else EwmaState(s.n + 1L, 0.3 * e.value + 0.7 * s.ewma)
+          }
+          state.update(s)
+          EwmaSnapshot(userId, s.n, s.ewma)
+      }
+  }
+
   /** Per-user adjacency state for [[transitions]]: the last event seen —
     * O(1), never buffered events.
     */

@@ -57,7 +57,18 @@ class InvarianceSpec extends SparkSuite {
         // ranks fold ≤5 double terms per doc before an id-tie-broken
         // row_number — rank flips would need bm25 collisions within an
         // ulp, which the word-salad corpus does not produce
-        "q60_triangle_count", "s15_hybrid_rrf")) {
+        "q60_triangle_count", "s15_hybrid_rrf",
+        // round-7 additions: p14/t25 emit only integers+strings; t26's
+        // novelty is one row-local division of two exact BIGINTs; s16's
+        // recall is hits/10 — all strict-equality material. t25
+        // additionally exercises the MG candidate path under a changed
+        // partition layout (different merge trees, same final frame —
+        // the completeness guarantee in action)
+        "p14_language_quota", "t25_hot_ngrams",
+        "t26_ngram_novelty", "s16_recall_eval",
+        // q62's fold is sequential per user (sort inside the group) —
+        // partitioning moves groups, never reorders within one
+        "q62_ewma")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq

@@ -173,6 +173,38 @@ class StreamingSpec extends SparkSuite {
     assert(stream == batch, s"stream matrix != batch matrix")
   }
 
+  test("ewma parity: stateful fold == q62's batch recurrence, bit-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: q62's LAST row per user — (n, ewma) at series end
+    val batch = SparkEntry.queries("q62_ewma")(spark, dir)
+      .groupBy("user_id")
+      .agg(max("n").as("n"), max_by(col("ewma"), col("n")).as("ewma"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+      .collect()
+      .sortBy(e =>
+        (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.ewma(mem.toDS()).writeStream
+      .format("memory").queryName("ewma").outputMode("update").start()
+    evs.grouped(evs.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // n is monotone, so the max-n snapshot is each user's final state;
+    // strict double equality — same op sequence must mean same bits
+    val stream = spark.table("ewma").groupBy("user_id")
+      .agg(max("n").as("n"), max_by(col("ewma"), col("n")).as("ewma"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    q.stop()
+    assert(stream == batch, "stream ewma != batch ewma (bit-exact)")
+  }
+
   test("windowed-distinct parity: stateful type map == q53's batch bitmask") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
