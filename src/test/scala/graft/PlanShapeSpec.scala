@@ -84,6 +84,31 @@ class PlanShapeSpec extends SparkSuite {
     graft.util.Fs.rmTree(new java.io.File(dir))
   }
 
+  test("round-7 query plans: broadcast pass-2, single-shuffle windows") {
+    // t25: the candidate set joins back as a BROADCAST hash join (≤ m
+    // driver-bounded keys) — a shuffled join here would defeat the whole
+    // two-pass design
+    val t25 = plan("t25_hot_ngrams")
+    assert(t25.contains("BroadcastHashJoin"), s"t25 pass-2 not broadcast:\n$t25")
+    assert(!t25.contains("BroadcastNestedLoopJoin") &&
+      !t25.contains("CartesianProduct"), "t25 has a nested-loop join")
+    // p14: BOTH windows (running sum + per-lang total) ride ONE lang
+    // Exchange — a second shuffle would mean the shared-partitioning
+    // design regressed
+    val p14 = plan("p14_language_quota")
+    val p14Ex = "Exchange hashpartitioning".r.findAllIn(p14).size
+    assert(p14Ex == 1, s"p14 expected 1 window Exchange, got $p14Ex:\n$p14")
+    // q62: the fold is one user_id Exchange into MapGroups — nothing else
+    val q62 = plan("q62_ewma")
+    val q62Ex = "Exchange hashpartitioning".r.findAllIn(q62).size
+    assert(q62Ex == 1 && q62.contains("MapGroups"),
+      s"q62 expected 1 Exchange + MapGroups:\n$q62")
+    // t26: gram-keyed equi joins only
+    val t26 = plan("t26_ngram_novelty")
+    assert(!t26.contains("BroadcastNestedLoopJoin") &&
+      !t26.contains("CartesianProduct"), "t26 has a nested-loop join")
+  }
+
   test("dd7 plan has no nested-loop or cartesian join") {
     val p = plan("dd7_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
