@@ -623,6 +623,34 @@ object Text {
         .select(col("doc_id"), col("lang"), col("tok"), col("cum"))
     }),
 
+    // Shard manifest — the dataset-release artifact a reproducible data
+    // drop ships beside the shards: per shard (p5's md5-prefix
+    // assignment), the doc count, token total, language spread, and an
+    // ORDER-FREE content signature (bit_xor of a 60-bit md5-prefix
+    // integer per doc). bit_xor is commutative/associative, so the
+    // signature is partition- and merge-order-invariant and computes as
+    // one map-side-combined hash agg — no per-shard sort, no
+    // collect_list buffering (the trap at 100 TB, where a shard's doc
+    // list doesn't fit anywhere), and two manifests diff by comparing 8
+    // bytes per shard. The gate certifies the signature arithmetic
+    // itself, so a manifest mismatch in production means the DATA
+    // differs, not the engines.
+    "p15_shard_manifest" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("h"),
+          tokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("shard", expr(
+          "CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) DIV 2" +
+            " AS BIGINT)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tok").as("n_tokens"),
+          countDistinct("lang").as("n_langs"),
+          expr("bit_xor(CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT))")
+            .as("content_sig"))
+    }),
+
     // Corpus-wide frequent n-grams (boilerplate mining) via the TWO-PASS
     // heavy-hitter pattern: pass 1 runs a Misra–Gries summary (bounded
     // memory, mergeable — [[graft.functions.MisraGries]]) over the
@@ -1704,6 +1732,24 @@ object Text {
         |  FROM d)
         |SELECT doc_id, lang, tok, cum FROM w
         |WHERE cum - tok < budget""".stripMargin,
+
+    // p5's shard rule; the signature hex-parses the same 15-char
+    // md5 prefix (60 bits — BIGINT-safe on both engines)
+    "p15_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    len(string_split(text, ' '))::BIGINT AS tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT d.*,
+        |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 2)::BIGINT
+        |      AS shard
+        |  FROM d)
+        |SELECT shard, count(*)::BIGINT AS n_docs,
+        |  sum(tok)::BIGINT AS n_tokens,
+        |  count(DISTINCT lang)::BIGINT AS n_langs,
+        |  bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS content_sig
+        |FROM s GROUP BY shard""".stripMargin,
 
     // the oracle is the sketch-free spelling: plain GROUP BY + HAVING at
     // the same derived threshold — identical output by the MG guarantee

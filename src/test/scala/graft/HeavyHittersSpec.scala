@@ -55,6 +55,38 @@ class HeavyHittersSpec extends SparkSuite {
     }
   }
 
+  test("guarantee holds across randomized streams, m, and merge order") {
+    val rnd = new Random(23)
+    for (trial <- 0 until 15) {
+      val m = 4 + rnd.nextInt(60)
+      val nHot = 1 + rnd.nextInt(4)
+      val hot = (0 until nHot)
+        .flatMap(h => Seq.fill(150 + rnd.nextInt(400))(s"hot$h"))
+      val tailKeys = 50 + rnd.nextInt(800)
+      val tail = (0 until 500 + rnd.nextInt(3000)).map(i => s"c${i % tailKeys}")
+      val stream = rnd.shuffle(hot ++ tail)
+      val mg = new MisraGries(m)
+      val chunkLen = 1 + rnd.nextInt(stream.length / 2 + 1)
+      var bufs = rnd.shuffle(
+        stream.grouped(chunkLen)
+          .map(c => c.foldLeft(mg.zero)(mg.reduce)).toSeq)
+      while (bufs.size > 1) {
+        // random pairwise merges in random order (copies: merge mutates)
+        val merged = mg.merge(mutable.Map(bufs(0).toSeq: _*),
+          mutable.Map(bufs(1).toSeq: _*))
+        bufs = rnd.shuffle(merged +: bufs.drop(2))
+      }
+      val cands = mg.finish(bufs.head)
+      assert(cands.size <= 2 * m, s"trial $trial: ${cands.size} > ${2 * m}")
+      val n = stream.length
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.filter(_._2 > n.toDouble / (m + 1)).keys.foreach { k =>
+        assert(cands.contains(k),
+          s"trial $trial (m=$m, n=$n): heavy key $k lost")
+      }
+    }
+  }
+
   test("two-pass output == plain groupBy HAVING on a Spark frame") {
     val s = spark
     import s.implicits._

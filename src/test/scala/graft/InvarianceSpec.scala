@@ -67,8 +67,10 @@ class InvarianceSpec extends SparkSuite {
         "p14_language_quota", "t25_hot_ngrams",
         "t26_ngram_novelty", "s16_recall_eval",
         // q62's fold is sequential per user (sort inside the group) —
-        // partitioning moves groups, never reorders within one
-        "q62_ewma")) {
+        // partitioning moves groups, never reorders within one; p15's
+        // bit_xor signature is commutative BY DESIGN — this is the test
+        // that catches anyone swapping it for an order-sensitive hash
+        "q62_ewma", "p15_shard_manifest")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq

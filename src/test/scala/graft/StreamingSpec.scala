@@ -581,6 +581,77 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == Set((1L, 1000L, 3L)))
   }
 
+  test("sharded MG stream: candidates complete, pass-2 == t25 batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the same trigram stream t25 scans, delivered as micro-batches
+    val grams = Tables.documents(spark, dir)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(sequence(lit(0), size(col("t")) - 3)).as("i"),
+        col("t"))
+      .select(concat_ws(" ", slice(col("t"), col("i") + 1, lit(3)))
+        .as("gram"))
+      .as[String].collect()
+    val mem = MemoryStream[String]
+    val q = graft.streaming.SketchStream.mgShards(mem.toDS(),
+        m = 16384, shards = 4)
+      .writeStream.format("memory").queryName("mg_shards")
+      .outputMode("update").start()
+    grams.grouped(grams.length / 5 + 1).foreach { c =>
+      mem.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // n is monotone per shard, so max-n is each shard's final summary
+    val latest = spark.table("mg_shards").groupBy("shard")
+      .agg(max_by(col("keys"), col("n")).as("keys"), max("n").as("n"))
+    val cands = latest.select(explode(col("keys")).as("g"))
+      .as[String].collect().toSet
+    val n = latest.agg(sum("n")).head().getLong(0)
+    assert(n == grams.length, s"stream length $n != ${grams.length}")
+    val exact = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // completeness at the batch bound: no heavy gram may be lost
+    exact.filter(_._2 > n.toDouble / 16385).keys.foreach { k =>
+      assert(cands(k), s"heavy gram $k lost in stream")
+    }
+    // pass-2 (exact counts over streamed candidates at t25's threshold)
+    // must equal the batch query's gated frame
+    val thr = math.max(2L, math.ceil(7.5e-5 * n).toLong)
+    val pass2 = exact.filter { case (k, c) => cands(k) && c >= thr }
+    val batch = SparkEntry.queries("t25_hot_ngrams")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pass2 == batch, "streamed pass-2 != t25 batch frame")
+  }
+
+  test("sharded MG stream keeps heavy keys through cross-batch compaction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(19)
+    // m=16 forces real compaction in every shard; 2 hot keys + long tail
+    val stream = rnd.shuffle(
+      Seq.fill(500)("hot1") ++ Seq.fill(320)("hot2") ++
+        (0 until 2500).map(i => s"cold${i % 600}"))
+    val mem = MemoryStream[String]
+    val q = graft.streaming.SketchStream.mgShards(mem.toDS(),
+        m = 16, shards = 3)
+      .writeStream.format("memory").queryName("mg_small")
+      .outputMode("update").start()
+    stream.grouped(stream.length / 6 + 1).foreach { c =>
+      mem.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val latest = spark.table("mg_small").groupBy("shard")
+      .agg(max_by(col("keys"), col("n")).as("keys"), max("n").as("n"))
+    val cands = latest.select(explode(col("keys")).as("g"))
+      .as[String].collect().toSet
+    val n = stream.length
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+    exact.filter(_._2 > n.toDouble / 17).keys.foreach { k =>
+      assert(cands(k), s"heavy key $k lost across micro-batches")
+    }
+  }
+
   test("GridFields.withUnitsMetadata attaches units to StructFields") {
     val dir = GridFixtures.ensure(spark, "units-meta", n = 2)
     val df = new GridReader(spark, dir).fetch(
