@@ -68,35 +68,33 @@ object MultimodalQueries {
     // only inside buckets — never item×item — exact Hamming re-rank on
     // the capped candidates.
     "mm5_phash_neardup" -> ((s, dir) => {
-      import graft.functions.HashFunctions.{hamming64, longBands}
-      import graft.operators.BucketCap
-      val hashes = graft.Tables.spread(
-          Multimodal.perceptualHash(Multimodal.mediaFromDocuments(s, dir))
-            .toDF())
-        .persist()
-      val banded = hashes.select(col("media_id"),
-        explode(longBands(col("phash"), bands = 8, bitsPerBand = 8))
-          .as("bk"))
-      val (capped, cap, sizes) =
-        BucketCap.capBucketsAdaptive(banded, Seq("bk"), Dedup.LshBucketFloor)
-      val a = capped.alias("a")
-      val b = capped.alias("b")
-      val pairs = a.join(b, col("a.bk") === col("b.bk") &&
-          col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("i"), col("b.media_id").as("j"))
-        .distinct()
+      val (scored, cap, caches) = phashScoredPairs(s, dir)
       QueryCache.resultThenRelease(
-        pairs
-          .join(hashes.select(col("media_id").as("i"),
-            col("phash").as("ph_i")), "i")
-          .join(hashes.select(col("media_id").as("j"),
-            col("phash").as("ph_j")), "j")
-          .select(col("i"), col("j"),
-            hamming64(col("ph_i"), col("ph_j")).cast("int").as("hamming"))
-          .orderBy(col("hamming"), col("i"), col("j"))
+        scored.orderBy(col("hamming"), col("i"), col("j"))
           .limit(25)
           .withColumn("cap_bucket", lit(cap)),
-        hashes, sizes)
+        caches: _*)
+    }),
+
+    // Near-dup CLUSTERS over the perceptual-hash graph — mm5's pairs at
+    // Hamming ≤ 12 (the very-near-copy band: re-encodes and rescales,
+    // not merely similar gradients) collapsed to connected components,
+    // the multimodal twin of dd8: the image-dedup stage ships one keeper
+    // per cluster, and the cluster map IS that decision table. Same
+    // min-label propagation operator (localCheckpoint rounds); the edge
+    // frame is persisted and the candidate caches released before the
+    // iteration fans out (dd8's cache discipline).
+    "mm7_phash_clusters" -> ((s, dir) => {
+      val (scored, cap, caches) = phashScoredPairs(s, dir)
+      val edges = scored.filter(col("hamming") <= 12)
+        .select("i", "j").persist()
+      edges.count() // populate before components() fans out
+      caches.foreach(_.unpersist(blocking = false))
+      QueryCache.resultThenRelease(
+        graft.operators.ConnectedComponents.components(edges, "i", "j")
+          .select(col("node").as("media_id"), col("label").as("cluster_rep"))
+          .withColumn("cap_bucket", lit(cap)),
+        edges)
     }),
 
     // Vision-token budget accounting — the context-length planning query
@@ -130,6 +128,83 @@ object MultimodalQueries {
             .as("n_over_96"))
     })
   )
+
+  /** mm5/mm7's shared candidate machinery: banded dHash buckets with the
+    * adaptive flood cap, exact Hamming on surviving pairs. Returns the
+    * UNLIMITED scored pair frame, the derived cap, and the persisted
+    * frames the caller must release (dd8's ownership discipline).
+    */
+  private def phashScoredPairs(s: SparkSession, dir: String)
+      : (DataFrame, Long, Seq[DataFrame]) = {
+    import graft.functions.HashFunctions.{hamming64, longBands}
+    import graft.operators.BucketCap
+    val hashes = graft.Tables.spread(
+        Multimodal.perceptualHash(Multimodal.mediaFromDocuments(s, dir))
+          .toDF())
+      .persist()
+    val banded = hashes.select(col("media_id"),
+      explode(longBands(col("phash"), bands = 8, bitsPerBand = 8))
+        .as("bk"))
+    val (capped, cap, sizes) =
+      BucketCap.capBucketsAdaptive(banded, Seq("bk"), Dedup.LshBucketFloor)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    val pairs = a.join(b, col("a.bk") === col("b.bk") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("i"), col("b.media_id").as("j"))
+      .distinct()
+    val scored = pairs
+      .join(hashes.select(col("media_id").as("i"),
+        col("phash").as("ph_i")), "i")
+      .join(hashes.select(col("media_id").as("j"),
+        col("phash").as("ph_j")), "j")
+      .select(col("i"), col("j"),
+        hamming64(col("ph_i"), col("ph_j")).cast("int").as("hamming"))
+    (scored, cap, Seq(hashes, sizes))
+  }
+
+  /** The dHash-recompute + band/cap/pair/Hamming replay shared by mm5
+    * and mm7's oracles — ends in a `scored(i, j, hamming)` CTE plus the
+    * `capq` cap scalar (see mm5's entry for the arithmetic story).
+    */
+  private val PhashCtes: String =
+    s"""d AS (SELECT doc_id AS media_id, text,
+       |        octet_length(encode(text)) AS n FROM documents),
+       |r AS (SELECT media_id, n,
+       |        [ascii(substr(text,
+       |           CASE WHEN n <= 65 THEN p + 1
+       |                ELSE CAST(trunc(p * (n / 65.0)) AS INT) + 1 END, 1))
+       |         for p in range(0, least(n, 65))] AS rb
+       |      FROM d),
+       |phh AS (SELECT media_id,
+       |         COALESCE(CAST(list_sum(
+       |           [CASE WHEN rb[p+2] > rb[p+1]
+       |                 THEN (1::HUGEINT << p) ELSE 0::HUGEINT END
+       |            for p in range(0, len(rb) - 1)]) AS HUGEINT),
+       |           0::HUGEINT) AS h
+       |        FROM r),
+       |sk AS (SELECT media_id,
+       |         CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+       |                       THEN 18446744073709551616::HUGEINT
+       |                       ELSE 0::HUGEINT END AS BIGINT) AS ph
+       |       FROM phh),
+       |keyed AS (SELECT media_id, b, (ph >> (8 * b)) & 255 AS k
+       |          FROM (SELECT media_id, ph, unnest(range(0, 8)) AS b
+       |                FROM sk)),
+       |szs AS (SELECT b, k, count(*) AS bsz FROM keyed GROUP BY 1, 2),
+       |bh AS (SELECT bsz AS v, count(*) AS c FROM szs GROUP BY 1),
+       |capq AS (SELECT ${Dedup.permilleCapSql("bh", Dedup.LshBucketFloor)}
+       |         AS cap),
+       |ok AS (SELECT keyed.* FROM keyed JOIN szs USING (b, k)
+       |       WHERE bsz <= (SELECT cap FROM capq)),
+       |pairs AS (SELECT DISTINCT a.media_id AS i, b2.media_id AS j
+       |          FROM ok a JOIN ok b2 USING (b, k)
+       |          WHERE a.media_id < b2.media_id),
+       |scored AS (SELECT i, j,
+       |             CAST(bit_count(xor(sa.ph, sb.ph)) AS INTEGER) AS hamming
+       |           FROM pairs
+       |           JOIN sk sa ON sa.media_id = i
+       |           JOIN sk sb ON sb.media_id = j)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // mean_c0 = mean of bytes at 0-based positions 0,3,6,… — the corpus is
@@ -181,46 +256,25 @@ object MultimodalQueries {
     // certifies the hash computation, the banding, the flood cap, and
     // the re-rank end to end.
     "mm5_phash_neardup" ->
-      s"""WITH d AS (SELECT doc_id AS media_id, text,
-         |             octet_length(encode(text)) AS n FROM documents),
-         |r AS (SELECT media_id, n,
-         |        [ascii(substr(text,
-         |           CASE WHEN n <= 65 THEN p + 1
-         |                ELSE CAST(trunc(p * (n / 65.0)) AS INT) + 1 END, 1))
-         |         for p in range(0, least(n, 65))] AS rb
-         |      FROM d),
-         |phh AS (SELECT media_id,
-         |         COALESCE(CAST(list_sum(
-         |           [CASE WHEN rb[p+2] > rb[p+1]
-         |                 THEN (1::HUGEINT << p) ELSE 0::HUGEINT END
-         |            for p in range(0, len(rb) - 1)]) AS HUGEINT),
-         |           0::HUGEINT) AS h
-         |        FROM r),
-         |sk AS (SELECT media_id,
-         |         CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
-         |                       THEN 18446744073709551616::HUGEINT
-         |                       ELSE 0::HUGEINT END AS BIGINT) AS ph
-         |       FROM phh),
-         |keyed AS (SELECT media_id, b, (ph >> (8 * b)) & 255 AS k
-         |          FROM (SELECT media_id, ph, unnest(range(0, 8)) AS b
-         |                FROM sk)),
-         |szs AS (SELECT b, k, count(*) AS bsz FROM keyed GROUP BY 1, 2),
-         |bh AS (SELECT bsz AS v, count(*) AS c FROM szs GROUP BY 1),
-         |capq AS (SELECT ${Dedup.permilleCapSql("bh", Dedup.LshBucketFloor)}
-         |         AS cap),
-         |ok AS (SELECT keyed.* FROM keyed JOIN szs USING (b, k)
-         |       WHERE bsz <= (SELECT cap FROM capq)),
-         |pairs AS (SELECT DISTINCT a.media_id AS i, b2.media_id AS j
-         |          FROM ok a JOIN ok b2 USING (b, k)
-         |          WHERE a.media_id < b2.media_id)
-         |SELECT i, j,
-         |  CAST(bit_count(xor(sa.ph, sb.ph)) AS INTEGER) AS hamming,
-         |  (SELECT cap FROM capq) AS cap_bucket
-         |FROM pairs
-         |JOIN sk sa ON sa.media_id = i
-         |JOIN sk sb ON sb.media_id = j
+      s"""WITH $PhashCtes
+         |SELECT i, j, hamming, (SELECT cap FROM capq) AS cap_bucket
+         |FROM scored
          |ORDER BY hamming, i, j
          |LIMIT 25""".stripMargin,
+
+    // mm5's scored CTE thresholded at Hamming ≤ 12, then dd8's recursive
+    // reachability replay (symmetric closure, min-reachable label)
+    "mm7_phash_clusters" ->
+      s"""WITH RECURSIVE $PhashCtes,
+         |thr AS (SELECT i, j FROM scored WHERE hamming <= 12),
+         |edges AS (SELECT i, j FROM thr UNION SELECT j, i FROM thr),
+         |reach(node, rr) AS (
+         |  SELECT i, i FROM edges
+         |  UNION
+         |  SELECT e.i, reach.rr FROM edges e JOIN reach ON e.j = reach.node)
+         |SELECT node AS media_id, min(rr) AS cluster_rep,
+         |  (SELECT cap FROM capq) AS cap_bucket
+         |FROM reach GROUP BY node""".stripMargin,
 
     // mm1's dim arithmetic + integer patch ceil + the t-family token
     // count, rolled up per kind

@@ -147,6 +147,36 @@ object Relational {
       |FROM spine s LEFT JOIN daily dy ON s.d = dy.d
       |ORDER BY day_key""".stripMargin
 
+  /** q56's SCD2 build as a shared oracle string — q63 composes its
+    * point-in-time snapshot FROM this (one source of truth for the
+    * history semantics on the oracle side, mirroring how the Spark q63
+    * calls the q56 query function).
+    */
+  private[queries] val Q56Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_id, event_type
+      |  FROM events),
+      |ch AS (
+      |  SELECT *, lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+      |  FROM e),
+      |keep AS (
+      |  SELECT user_id, us, event_id, event_type FROM ch
+      |  WHERE prev_type IS DISTINCT FROM event_type)
+      |SELECT user_id, event_type, us AS valid_from_us,
+      |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |    AS valid_to_us,
+      |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |    IS NULL AS is_current
+      |FROM keep""".stripMargin
+
+  /** q63's snapshot instant: 2024-01-16T00:00:00Z in µs — mid-range of
+    * the events table's January-2024 span at every SF, so the snapshot
+    * is non-trivial (users both before and after a state change).
+    */
+  private[queries] val TimeTravelUs = 1705363200000000L
+
   /** Sign-reversed integer-µs timestamp: `timestamp_micros(-unix_micros(c))`
     * is a strictly order-reversing bijection, so an as-of join (latest
     * at-or-before) over the reversed column returns the earliest row
@@ -1470,6 +1500,24 @@ object Relational {
           col("valid_to_us").isNull.as("is_current"))
     }),
 
+    // Point-in-time snapshot over the SCD2 history — the time-travel
+    // read every bitemporal store serves ("what was each user's state at
+    // instant T"): q56's versioned frame filtered to the one interval
+    // per user containing T (half-open [from, to), open current rows
+    // NULL-bounded). Composes the q56 query function directly, so the
+    // history build has exactly one definition; the filter is a
+    // projection-level predicate on the windowed frame — at 100 TB a
+    // MATERIALIZED history partitioned by valid_from range would prune
+    // partitions on the T bound instead of recomputing the windows
+    // (this form is the compute-on-read path).
+    "q63_time_travel" -> ((s, dir) => {
+      queries("q56_scd2_history")(s, dir)
+        .filter(col("valid_from_us") <= TimeTravelUs &&
+          (col("valid_to_us").isNull || col("valid_to_us") > TimeTravelUs))
+        .select(col("user_id"), col("event_type").as("state_at_t"),
+          col("valid_from_us"))
+    }),
+
     // Co-occurrence mining — the market-basket / "items bought together"
     // pair counts (association rules, co-view graphs, recommendation
     // candidates). Baskets = orders, items = parts: distinct
@@ -2483,24 +2531,16 @@ object Relational {
     // same change-collapse then validity-close window pair; NULL-safe
     // inequality spelled IS DISTINCT FROM (DuckDB) == Spark's
     // prev.isNull || prev =!= cur
-    "q56_scd2_history" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-        |    event_id, event_type
-        |  FROM events),
-        |ch AS (
-        |  SELECT *, lag(event_type) OVER (
-        |      PARTITION BY user_id ORDER BY us, event_id) AS prev_type
-        |  FROM e),
-        |keep AS (
-        |  SELECT user_id, us, event_id, event_type FROM ch
-        |  WHERE prev_type IS DISTINCT FROM event_type)
-        |SELECT user_id, event_type, us AS valid_from_us,
-        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-        |    AS valid_to_us,
-        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-        |    IS NULL AS is_current
-        |FROM keep""".stripMargin,
+    "q56_scd2_history" -> Q56Sql,
+
+    // the snapshot predicate over the SAME history string q56 gates —
+    // half-open [valid_from, valid_to) interval semantics
+    "q63_time_travel" ->
+      s"""SELECT user_id, event_type AS state_at_t, valid_from_us
+         |FROM ($Q56Sql)
+         |WHERE valid_from_us <= $TimeTravelUs
+         |  AND (valid_to_us IS NULL OR valid_to_us > $TimeTravelUs)"""
+        .stripMargin,
 
     // replays the adaptive basket-size cap exactly (dd2's pattern): the
     // cap integer is re-derived from the same basket-size histogram via

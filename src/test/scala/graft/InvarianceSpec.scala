@@ -70,7 +70,10 @@ class InvarianceSpec extends SparkSuite {
         // partitioning moves groups, never reorders within one; p15's
         // bit_xor signature is commutative BY DESIGN — this is the test
         // that catches anyone swapping it for an order-sensitive hash
-        "q62_ewma", "p15_shard_manifest")) {
+        "q62_ewma", "p15_shard_manifest",
+        // q63 filters q56's windowed frame (integer µs bounds); mm7's
+        // min-label components are partition-order-free by construction
+        "q63_time_travel", "mm7_phash_clusters")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
