@@ -63,8 +63,24 @@ class MisraGries(m: Int) extends Aggregator[String, mutable.Map[String, Long], S
     compact(big)
   }
 
-  /** Candidate keys, sorted for a stable (if never hash-gated) dump. */
-  def finish(buf: mutable.Map[String, Long]): Seq[String] = buf.keys.toSeq.sorted
+  /** Candidate keys — a FINAL compaction settles the buffer to ≤ m
+    * entries (the working buffer runs up to 2m between compactions), so
+    * the published candidate set honors the ≤ m contract the pass-2
+    * broadcast is sized for. The extra compaction destroys ≥ (m+1)·δ
+    * mass like every other one, so Σδ ≤ N/(m+1) still holds and no key
+    * above the bound can be lost here. Sorted for a stable dump.
+    */
+  def finish(buf: mutable.Map[String, Long]): Seq[String] = {
+    val settled =
+      if (buf.size <= m) buf
+      else {
+        val counts = buf.values.toArray
+        java.util.Arrays.sort(counts)
+        val delta = counts(counts.length - (m + 1))
+        buf.filter { case (_, c) => c > delta }
+      }
+    settled.keys.toSeq.sorted
+  }
 
   def bufferEncoder: Encoder[mutable.Map[String, Long]] =
     ExpressionEncoder[mutable.Map[String, Long]]()

@@ -667,13 +667,8 @@ object Text {
     // collect is the bounded driver tier (≤ m strings, P4's rule).
     "t25_hot_ngrams" -> ((s, dir) => {
       import s.implicits._
-      def grams = Tables.documents(s, dir)
-        .select(tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(explode(sequence(lit(0), size(col("t")) - 3)).as("i"),
-          col("t"))
-        .select(concat_ws(" ", slice(col("t"), col("i") + 1, lit(3)))
-          .as("gram"))
+      def grams = trigrams(
+        Tables.documents(s, dir).select(tokens(col("text")).as("t")))
       val pass1 = grams.agg(
         HeavyHitters.mgCandidates(col("gram"), 16384).as("cand"),
         count(lit(1)).as("n")).head()
@@ -699,13 +694,7 @@ object Text {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("t"),
           splitOf(hexPrefix(col("doc_id"))).as("split"))
-        .filter(size(col("t")) >= 3)
-      val grams = d
-        .select(col("doc_id"), col("split"),
-          explode(sequence(lit(0), size(col("t")) - 3)).as("i"), col("t"))
-        .select(col("doc_id"), col("split"),
-          concat_ws(" ", slice(col("t"), col("i") + 1, lit(3))).as("gram"))
-        .distinct()
+      val grams = trigrams(d, keep = Seq("doc_id", "split")).distinct()
       val ref = grams.filter(col("split") === "train")
         .select(col("gram")).distinct().withColumn("seen", lit(1))
       grams.filter(col("split") =!= "train")
@@ -1041,6 +1030,21 @@ object Text {
   /** Stand-in scrub pattern (see t8): \b-anchored alternation, identical
     * semantics in Java regex and DuckDB's RE2.
     */
+  /** Word-trigram stream of a frame carrying a `t` token-array column:
+    * one row per trigram (`gram`), `keep` columns carried through,
+    * sub-3-token docs dropped. t25, t26 and StreamingSpec's sketch twin
+    * all build grams HERE — one definition to keep in lockstep with the
+    * oracles' gram CTEs (the same single-source rule as mm5/mm7's
+    * phashScoredPairs).
+    */
+  private[graft] def trigrams(withToks: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    withToks.filter(size(col("t")) >= 3)
+      .select(keep.map(col) ++ Seq(
+        explode(sequence(lit(0), size(col("t")) - 3)).as("i"), col("t")): _*)
+      .select(keep.map(col) :+
+        concat_ws(" ", slice(col("t"), col("i") + 1, lit(3))).as("gram"): _*)
+
   /** 4-hex-digit md5 prefix of a (salted) key — the membership/split
     * primitive every sampling stage shares. A non-empty `salt` makes the
     * resulting hash independent of any other stage's hash of the same

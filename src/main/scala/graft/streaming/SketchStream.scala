@@ -58,8 +58,8 @@ object SketchStream {
             .getOrElse(mutable.Map.empty[String, Long])
           var n = prev.map(_.n).getOrElse(0L)
           val folded = batch.foldLeft(buf) { (b, k) => n += 1; mg.reduce(b, k) }
-          val next = ShardSummary(shard, folded.keys.toSeq.sorted,
-            folded.keys.toSeq.sorted.map(folded), n)
+          val ks = folded.keys.toSeq.sorted
+          val next = ShardSummary(shard, ks, ks.map(folded), n)
           state.update(next)
           next
       }

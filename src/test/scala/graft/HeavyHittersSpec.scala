@@ -26,7 +26,7 @@ class HeavyHittersSpec extends SparkSuite {
     val n = stream.length
     val buf = stream.foldLeft(mg.zero)(mg.reduce)
     val cands = mg.finish(buf)
-    assert(cands.size <= 2 * m)
+    assert(cands.size <= m)
     val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
     exact.filter(_._2 > n.toDouble / (m + 1)).keys.foreach { k =>
       assert(cands.contains(k), s"heavy key $k lost (bound ${n / (m + 1)})")
@@ -77,7 +77,7 @@ class HeavyHittersSpec extends SparkSuite {
         bufs = rnd.shuffle(merged +: bufs.drop(2))
       }
       val cands = mg.finish(bufs.head)
-      assert(cands.size <= 2 * m, s"trial $trial: ${cands.size} > ${2 * m}")
+      assert(cands.size <= m, s"trial $trial: ${cands.size} > $m")
       val n = stream.length
       val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
       exact.filter(_._2 > n.toDouble / (m + 1)).keys.foreach { k =>

@@ -585,14 +585,11 @@ class StreamingSpec extends SparkSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    // the same trigram stream t25 scans, delivered as micro-batches
-    val grams = Tables.documents(spark, dir)
-      .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(explode(sequence(lit(0), size(col("t")) - 3)).as("i"),
-        col("t"))
-      .select(concat_ws(" ", slice(col("t"), col("i") + 1, lit(3)))
-        .as("gram"))
+    // the same trigram stream t25 scans (Text.trigrams — the one
+    // definition), delivered as micro-batches
+    val grams = graft.queries.Text.trigrams(
+        Tables.documents(spark, dir)
+          .select(graft.functions.TextFunctions.tokens(col("text")).as("t")))
       .as[String].collect()
     val mem = MemoryStream[String]
     val q = graft.streaming.SketchStream.mgShards(mem.toDS(),
