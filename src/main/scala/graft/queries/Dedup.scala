@@ -726,6 +726,48 @@ object Dedup {
             col("n_overlap").cast("long").as("n_overlap"),
             col("jaccard_est")),
         sketches)
+    }),
+
+    // Cluster-scoped semantic dedup — SemDeDup (Abbas et al. 2023,
+    // arXiv:2303.09540): coarse-quantizer cells bound the pair search, so
+    // near-duplicate discovery costs Σ cell² instead of corpus² and never
+    // compares vectors the quantizer already separated. dd7 and dd17 are
+    // the two public shapes of embedding dedup — LSH collision
+    // (probabilistic recall, corpus-global) vs cluster enumeration
+    // (exhaustive within a cell, blind across cells) — and share the
+    // cosine ≥ 0.4 decision threshold so their keep/drop semantics are
+    // directly comparable. Reuses s4's cell assignment
+    // ([[Similarity.ivfAssign]], the frame side_s4_assign certifies);
+    // drops the larger id of every intra-cell pair above threshold;
+    // emits a per-cell decision summary (counts + kept-id checksum) so
+    // the hash gate certifies the exact kept SET without shipping
+    // vectors. At 100 TB: k grows with the corpus (the paper's regime —
+    // cells stay ~constant-size, so Σ cell² ≈ N·cell), and the
+    // [[BucketCap]] on cell occupancy bounds the worst cell — an
+    // exact-dup flood that collapses into one cell is dd1's job anyway,
+    // exactly the argument BucketCap's doc makes for LSH buckets.
+    "dd17_semdedup" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val (assigned0, eCache) = Similarity.ivfAssign(s, dir)
+      val assigned = assigned0.persist()
+      val scoped = BucketCap.capBuckets(assigned, Seq("cent_id"),
+        Similarity.DefaultBucketCap)
+      val a = scoped.alias("a")
+      val b = scoped.alias("b")
+      val dropped = a.join(b, col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.unit"), col("b.unit")) >= 0.4)
+        .select(col("b.vec_id").as("vec_id"))
+        .distinct()
+      QueryCache.resultThenRelease(
+        assigned
+          .join(dropped.withColumn("is_drop", lit(1L)), Seq("vec_id"), "left")
+          .groupBy("cent_id")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(coalesce(col("is_drop"), lit(0L))).as("n_dropped"),
+            sum(when(col("is_drop").isNull, col("vec_id"))
+              .otherwise(lit(0L))).as("kept_id_sum")),
+        assigned, eCache)
     })
   )
 
@@ -1118,6 +1160,29 @@ object Dedup {
          |dropped AS (SELECT DISTINCT j AS vec_id FROM dd7)
          |SELECT count(*) AS n_kept, sum(vec_id)::BIGINT AS sum_ids
          |FROM sigs
-         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    // SemDeDup replay from the certified cell-assignment dump: the
+    // BucketCap on cell occupancy (szs/ok — srpCandidatesSql's idiom),
+    // exhaustive intra-cell i<j pairs at the shared 0.4 threshold, then
+    // the per-cell decision summary over the FULL assignment (drops only
+    // ever come from capped cells, totals count everyone).
+    "dd17_semdedup" ->
+      s"""WITH assign AS (SELECT vec_id, cent_id, unit
+         |  FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+         |szs AS (SELECT cent_id, count(*) AS csz FROM assign GROUP BY 1),
+         |ok AS (SELECT assign.* FROM assign JOIN szs USING (cent_id)
+         |       WHERE csz <= ${Similarity.DefaultBucketCap}),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |          FROM ok a JOIN ok b
+         |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |          WHERE list_dot_product(a.unit, b.unit) >= 0.4)
+         |SELECT cent_id, count(*) AS n_vecs,
+         |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN assign.vec_id
+         |           ELSE 0 END) AS BIGINT) AS kept_id_sum
+         |FROM assign LEFT JOIN drops d USING (vec_id)
+         |GROUP BY cent_id""".stripMargin
   )
 }

@@ -432,6 +432,66 @@ object Similarity {
         e)
     }),
 
+    // IVF-ADC — the COMPOSED production ANN layout (inverted file +
+    // product-quantization scoring: Jégou/Douze/Schmid, "Product
+    // Quantization for Nearest Neighbor Search", TPAMI 2011 — the layout
+    // behind FAISS's IndexIVFPQ): the coarse quantizer (s4's cell
+    // assignment, the frame side_s4_assign certifies) restricts the scan
+    // to the nprobe=2 cells nearest the query; the PQ codes (s8's 4×16
+    // geometry from side_s8_codes) score ONLY those cells' members via
+    // the broadcast ADC lookup tables; the top-50 ADC survivors re-rank
+    // on exact float cosine (the family discipline: quantization error
+    // moves WHICH candidates are seen, never an emitted score). The two
+    // compression axes multiply at 100 TB — cells cut the scan to
+    // ~nprobe/k of the corpus, codes cut its bandwidth to M bytes per
+    // visited vector — so the first pass reads nprobe/k × M B/vector
+    // with no shuffle and no join beyond the broadcast probe list.
+    // Oracled by COMPOSING the two dumps the component tiers already
+    // certify; recall vs s1 is certified inside s16 (RecallMethods).
+    "s17_ivfpq_knn" -> ((s, dir) => {
+      val (assigned0, eCache) = ivfAssign(s, dir)
+      val assigned = assigned0.persist()
+      val codes = pqBase(s, dir).persist()
+      val qUnit = codes.filter(col("vec_id") === 0L)
+        .select("unit").head().getSeq[Double](0)
+      val q = typedlit(qUnit)
+      val probed = assigned.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
+        .withColumn("qsim", dot(col("cent"), q))
+        .orderBy(col("qsim").desc, col("pc_id"))
+        .limit(2)
+        .select(col("pc_id").as("cent_id"))
+      // ADC lookup tables — s8's construction verbatim: per subspace,
+      // cb_id -> dot(q_m, c_m), slices walked in ascending index order so
+      // the fold matches the oracle's list_dot_product
+      val cbRows = codes.filter(col("vec_id") % 53 === 0)
+        .select("vec_id", "unit").collect()
+      val luts: Seq[Map[Long, Double]] = (0 until PqM).map { m =>
+        cbRows.map { r =>
+          val c = r.getSeq[Double](1)
+          val d = (0 until PqD).foldLeft(0.0)((acc, i) =>
+            acc + qUnit(m * PqD + i) * c(m * PqD + i))
+          r.getLong(0) -> d
+        }.toMap
+      }
+      val adc = (0 until PqM)
+        .map(m => element_at(typedlit(luts(m)), col("codes")(m)))
+        .reduce(_ + _)
+      val cands = assigned.join(broadcast(probed), "cent_id")
+        .filter(col("vec_id") =!= 0L)
+        .select("vec_id")
+        .join(codes, "vec_id")
+        .select(col("vec_id"), adc.as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id"))
+        .limit(50)
+      QueryCache.resultThenRelease(
+        cands.join(codes.select("vec_id", "unit"), "vec_id")
+          .select(col("vec_id"), dot(col("unit"), q).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        assigned, eCache, codes)
+    }),
+
     // Maximal Marginal Relevance — diversified retrieval (Carbonell &
     // Goldstein 1998): greedy top-k where each pick maximizes
     // λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s), the de-dup-aware
@@ -674,7 +734,8 @@ object Similarity {
 
   /** The ANN tiers s16 certifies (each emits vec-0's top-10 like s1). */
   private val RecallMethods =
-    Seq("s4_ivf_knn", "s6_quantized_knn", "s8_pq_knn", "s9_ivf_trained")
+    Seq("s4_ivf_knn", "s6_quantized_knn", "s8_pq_knn", "s9_ivf_trained",
+      "s17_ivfpq_knn")
 
   /** Driver-side lookup of one embedding to use as the query point —
     * becomes an array literal in the plan (implicit broadcast).
@@ -997,6 +1058,43 @@ object Similarity {
         |FROM assign a JOIN probed USING (cent_id), q
         |WHERE a.vec_id <> 0
         |ORDER BY cos_sim DESC, a.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // the IVFADC composition replayed by JOINING the two component
+    // dumps: probe list from the assignment dump (s4's replay), ADC
+    // LUT + fixed-order sum from the codes dump (s8's replay), candidate
+    // cut restricted to the probed cells, exact-cosine re-rank
+    "s17_ivfpq_knn" ->
+      """WITH assign AS (SELECT vec_id, cent_id, unit
+        |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+        |c AS (SELECT vec_id, unit, codes
+        |      FROM read_parquet('{VERIFY_DIR}/side_s8_codes.parquet')),
+        |q AS (SELECT unit AS qu FROM c WHERE vec_id = 0),
+        |probed AS (SELECT pc_id AS cent_id
+        |           FROM (SELECT vec_id AS pc_id, unit AS cent
+        |                 FROM assign WHERE vec_id % 53 = 0), q
+        |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
+        |           LIMIT 2),
+        |lut AS (
+        |  SELECT t.m, vec_id AS cb_id,
+        |    list_dot_product(unit[t.m*16+1 : t.m*16+16],
+        |                     qu[t.m*16+1 : t.m*16+16]) AS d
+        |  FROM c, range(0, 4) t(m), q
+        |  WHERE vec_id % 53 = 0),
+        |cand AS (
+        |  SELECT c.vec_id, l0.d + l1.d + l2.d + l3.d AS qscore
+        |  FROM c
+        |  JOIN assign a ON a.vec_id = c.vec_id
+        |  JOIN probed p ON p.cent_id = a.cent_id
+        |  JOIN lut l0 ON l0.m = 0 AND l0.cb_id = c.codes[1]
+        |  JOIN lut l1 ON l1.m = 1 AND l1.cb_id = c.codes[2]
+        |  JOIN lut l2 ON l2.m = 2 AND l2.cb_id = c.codes[3]
+        |  JOIN lut l3 ON l3.m = 3 AND l3.cb_id = c.codes[4]
+        |  WHERE c.vec_id <> 0
+        |  ORDER BY qscore DESC, c.vec_id LIMIT 50)
+        |SELECT c.vec_id, list_dot_product(c.unit, q.qu) AS cos_sim
+        |FROM cand JOIN c USING (vec_id), q
+        |ORDER BY cos_sim DESC, c.vec_id
         |LIMIT 10""".stripMargin,
 
     "s10_mmr_diverse" -> mmrOracleSql

@@ -391,4 +391,68 @@ class DedupSimilaritySpec extends SparkSuite {
     // must straddle splits (else the fixture can't certify the cross cell)
     assert(matrix.keys.exists { case (lo, hi) => lo != hi })
   }
+
+  test("IVF-PQ composed ANN recovers a fair share of the exact top-10") {
+    val exact = SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivfpq = SparkEntry.queries("s17_ivfpq_knn")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivfpq.size == 10)
+    // TWO approximations stack here (nprobe=2 cells AND 4×16 PQ codes),
+    // so s17 gets the coarsest family floor; measured 0.9 at sf0.001 —
+    // the probed cells hold the true neighbors because coarse cells and
+    // true top-10 correlate through the same geometry
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF-PQ recall too low: $recall")
+  }
+
+  test("SemDeDup summary matches a scalar reimplementation end-to-end") {
+    // dd17's whole decision pipeline — normalize, assign to the %53
+    // coarse cells by max-dot (ties to smallest cent), intra-cell i<j
+    // pairs at cos >= 0.4, drop the larger id, per-cell summary —
+    // recomputed here in plain driver-side Scala with the same ascending
+    // IEEE fold order the codegen kernels use, so every double (and
+    // therefore every boundary decision) is bit-identical by
+    // construction, not by tolerance.
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .sortBy(_._1)
+    val unit: Map[Long, Array[Double]] = emb.map { case (id, v) =>
+      var ss = 0.0
+      v.foreach(x => ss += x.toDouble * x.toDouble)
+      val n = math.sqrt(ss)
+      id -> (if (ss == 0.0) new Array[Double](v.length)
+             else v.map(_.toDouble / n).toArray)
+    }.toMap
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cents = emb.map(_._1).filter(_ % 53 == 0)
+    val cellOf: Map[Long, Long] = unit.map { case (id, u) =>
+      id -> cents.map(c => (dotD(u, unit(c)), -c))
+        .max._2 * -1L
+    }
+    val byCell = unit.keys.groupBy(cellOf).map { case (c, ids) =>
+      c -> ids.toSeq.sorted
+    }
+    val dropped = byCell.values.flatMap { ids =>
+      for {
+        jIdx <- ids.indices
+        if ids.take(jIdx).exists(i =>
+          dotD(unit(i), unit(ids(jIdx))) >= 0.4)
+      } yield ids(jIdx)
+    }.toSet
+    val expected = byCell.map { case (c, ids) =>
+      c -> (ids.size.toLong, ids.count(dropped).toLong,
+        ids.filterNot(dropped).sum)
+    }
+    val got = SparkEntry.queries("dd17_semdedup")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    assert(dropped.nonEmpty, "fixture should drop at least one vector")
+  }
 }
