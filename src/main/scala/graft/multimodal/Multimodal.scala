@@ -99,6 +99,19 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], frameSize: Int, every: Int): Seq[(Int, Array[Byte])] =
       payload.grouped(frameSize).zipWithIndex
         .collect { case (f, i) if i % every == 0 => (i, f) }.toSeq
+
+    /** "PCM decode" → per-frame energy: frameSize-byte frames, each
+      * reporting the EXACT integer Σ b² over its unsigned bytes (plus the
+      * byte count). A real audio decoder would emit PCM samples here; the
+      * integer energy (not a float mean) is what keeps the downstream VAD
+      * decision `Σb² ≥ thr·n` oracle-replayable bit-for-bit.
+      */
+    def frameEnergies(payload: Array[Byte], frameSize: Int): Seq[(Int, Long, Int)] =
+      payload.grouped(frameSize).zipWithIndex.map { case (f, i) =>
+        var ss = 0L
+        f.foreach { b => val v = (b & 0xff).toLong; ss += v * v }
+        (i, ss, f.length)
+      }.toSeq
   }
 
   /** Batched decode: groups each partition's iterator into `batchSize`
@@ -142,6 +155,29 @@ object Multimodal {
             .map { case (srcIdx, f) => MediaFrame(m.media_id, srcIdx, f) }
         }
       }
+    }
+  }
+
+  /** One audio frame's energy: provenance + source frame index + exact
+    * integer Σ b² and byte count (see [[FakeCodec.frameEnergies]]).
+    */
+  final case class FrameEnergy(
+      media_id: Long, frame_idx: Int, sum_sq: Long, n_bytes: Int)
+
+  /** Audio "decode" as a batched generator op — the audio leg of the
+    * decode family: each payload explodes into per-frame integer-energy
+    * rows. Same narrow mapPartitions shape as [[sampleFrameRows]]: one
+    * "library call" per batch, pipelines with the scan, output
+    * cardinality payload-bound.
+    */
+  def audioFrameEnergies(media: Dataset[MediaRow], frameSize: Int,
+      batchSize: Int = 64): Dataset[FrameEnergy] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap(m =>
+        FakeCodec.frameEnergies(m.payload, frameSize).map {
+          case (i, ss, n) => FrameEnergy(m.media_id, i, ss, n)
+        }))
     }
   }
 

@@ -126,6 +126,40 @@ object MultimodalQueries {
           max(col("item_tokens")).as("max_item_tokens"),
           sum(when(col("item_tokens") > 96, 1L).otherwise(0L))
             .as("n_over_96"))
+    }),
+
+    // Energy VAD — the audio leg of the decode family: the batched "PCM
+    // decode" ([[Multimodal.audioFrameEnergies]]) emits one integer-
+    // energy row per 32-byte frame (generator shape, narrow), a frame is
+    // "speech" iff Σb² ≥ 10000·n (exact integer compare — at the ASCII
+    // byte distribution this splits ~33% speech / 67% silence, so the
+    // segmentation below genuinely engages), and speech segments are the
+    // gaps-and-islands window (frame_idx − speech-ordinal = island key —
+    // q19's sessionize idiom keyed per media item). Emits the per-item
+    // VAD profile a speech pipeline filters/chunks on: total frames,
+    // speech frames, segment count, longest segment. Scale: decode is
+    // narrow and payload-bound; the only shuffle is the media_id-keyed
+    // window + roll-up (one exchange serves both — same key).
+    "mm8_audio_vad" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val frames = Multimodal.audioFrameEnergies(
+        Multimodal.mediaFromDocuments(s, dir), frameSize = 32).toDF()
+      val speech = frames
+        .filter(col("sum_sq") >= lit(10000L) * col("n_bytes"))
+        .withColumn("isl", col("frame_idx") - row_number().over(
+          Window.partitionBy("media_id").orderBy("frame_idx")))
+      val segs = speech.groupBy("media_id", "isl")
+        .agg(count(lit(1)).as("seg_len"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum("seg_len").as("n_speech_frames"),
+          max("seg_len").as("max_seg_frames"))
+      frames.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .join(segs, Seq("media_id"), "left")
+        .select(col("media_id"), col("n_frames"),
+          coalesce(col("n_speech_frames"), lit(0L)).as("n_speech_frames"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("max_seg_frames"), lit(0L)).as("max_seg_frames"))
     })
   )
 
@@ -295,6 +329,45 @@ object MultimodalQueries {
         |  max(item_tokens)::BIGINT AS max_item_tokens,
         |  sum(CASE WHEN item_tokens > 96 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_over_96
-        |FROM i GROUP BY kind""".stripMargin
+        |FROM i GROUP BY kind""".stripMargin,
+
+    // full arithmetic replay of mm8: per-frame Σb² from the text bytes
+    // (mm1's ascii(substr) byte access, mm4's chunk geometry), the same
+    // integer VAD compare, the same islands window, per-item roll-up.
+    // Zero-byte items yield no frames on the Spark side, so the oracle
+    // excludes them (mm4's discipline).
+    "mm8_audio_vad" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range(0, (octet_length(encode(text)) + 31) // 32))
+        |      AS frame_idx,
+        |    text, octet_length(encode(text)) AS nb
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |e AS (
+        |  SELECT media_id, frame_idx,
+        |    CAST(list_sum([ascii(substr(text, p, 1)) * ascii(substr(text, p, 1))
+        |                   for p in range(frame_idx*32 + 1,
+        |                     least((frame_idx+1)*32, nb) + 1)]) AS BIGINT)
+        |      AS ss,
+        |    least((frame_idx+1)*32, nb) - frame_idx*32 AS n
+        |  FROM fr),
+        |sp AS (
+        |  SELECT media_id, frame_idx,
+        |    frame_idx - row_number() OVER (PARTITION BY media_id
+        |      ORDER BY frame_idx) AS isl
+        |  FROM e WHERE ss >= 10000 * n),
+        |seg AS (SELECT media_id, isl, count(*) AS seg_len
+        |        FROM sp GROUP BY 1, 2),
+        |st AS (SELECT media_id, count(*)::BIGINT AS n_segments,
+        |         CAST(sum(seg_len) AS BIGINT) AS n_speech_frames,
+        |         max(seg_len)::BIGINT AS max_seg_frames
+        |       FROM seg GROUP BY 1),
+        |tot AS (SELECT media_id, count(*)::BIGINT AS n_frames
+        |        FROM e GROUP BY 1)
+        |SELECT tot.media_id, tot.n_frames,
+        |  coalesce(st.n_speech_frames, 0)::BIGINT AS n_speech_frames,
+        |  coalesce(st.n_segments, 0)::BIGINT AS n_segments,
+        |  coalesce(st.max_seg_frames, 0)::BIGINT AS max_seg_frames
+        |FROM tot LEFT JOIN st USING (media_id)""".stripMargin
   )
 }

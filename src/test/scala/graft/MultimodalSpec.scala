@@ -70,4 +70,42 @@ class MultimodalSpec extends SparkSuite {
     assert(results.map(_._2).sum / 20 >= 24,
       s"random pairs too close on average: ${results.map(_._2)}")
   }
+
+  test("frame energies: exact integer sums, ragged tail, unsigned bytes") {
+    val p = Array[Byte](3, 4, -1, 2) // -1 reads as 255 unsigned
+    val fe = FakeCodec.frameEnergies(p, frameSize = 3)
+    assert(fe == Seq((0, 9L + 16L + 255L * 255L, 3), (1, 4L, 1)))
+    assert(FakeCodec.frameEnergies(Array.emptyByteArray, 3).isEmpty)
+  }
+
+  test("mm8 VAD: segments are maximal speech runs, silence-only items kept") {
+    import spark.implicits._
+    // frame energy is controlled by byte choice: 'z' (122, Σb²/n ≈ 14.9k)
+    // is speech at thr 10000, SPACE (32, ≈1k) is silence; 32-byte frames
+    def payload(pattern: String): Array[Byte] =
+      pattern.flatMap(c => Seq.fill(32)(c)).map(_.toByte).toArray
+    val media = Seq(
+      MediaRow(1L, "aud/x", payload("zz z")),  // runs: 2, 1 speech frames
+      MediaRow(2L, "aud/x", payload("  ")),    // silence only
+      MediaRow(3L, "aud/x", payload("zzz"))    // one full run
+    ).toDS()
+    val frames = Multimodal.audioFrameEnergies(media, frameSize = 32).toDF()
+    import org.apache.spark.sql.functions._
+    val got = frames
+      .withColumn("speech", col("sum_sq") >= lit(10000L) * col("n_bytes"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n"), sum(when(col("speech"), 1L).otherwise(0L)).as("sp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (4L, 3L), 2L -> (2L, 0L), 3L -> (3L, 3L)))
+    val vad = SparkEntry.queries("mm8_audio_vad")(
+      spark, "/root/testdata/sf0.001").collect()
+    // every item appears (silence-only rows emit 0/0/0, not vanish) and
+    // invariants hold: speech ≤ frames, segments ≤ speech, max ≤ speech
+    assert(vad.forall { r =>
+      val (n, sp, seg, mx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      sp <= n && seg <= sp && mx <= sp && (seg == 0) == (sp == 0)
+    })
+    assert(vad.exists(_.getLong(3) > 1), "some item should have ≥2 segments")
+  }
 }
