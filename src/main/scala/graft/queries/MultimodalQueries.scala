@@ -134,32 +134,36 @@ object MultimodalQueries {
     // "speech" iff Σb² ≥ 10000·n (exact integer compare — at the ASCII
     // byte distribution this splits ~33% speech / 67% silence, so the
     // segmentation below genuinely engages), and speech segments are the
-    // gaps-and-islands window (frame_idx − speech-ordinal = island key —
-    // q19's sessionize idiom keyed per media item). Emits the per-item
-    // VAD profile a speech pipeline filters/chunks on: total frames,
-    // speech frames, segment count, longest segment. Scale: decode is
-    // narrow and payload-bound; the only shuffle is the media_id-keyed
-    // window + roll-up (one exchange serves both — same key).
+    // gaps-and-islands idiom (q19's sessionize, keyed per media item)
+    // with the island key spelled as frame_idx − running-speech-count —
+    // identical values to the filtered-row_number spelling (which the
+    // oracle uses), but computable over the UNFILTERED frame, so silence
+    // frames ride along (isl NULL) and the whole profile — total frames,
+    // speech frames, segment count, longest segment, silence-only items
+    // included — falls out of one window + one two-level aggregation.
+    // Scale: decode is narrow and payload-bound; ONE media_id Exchange
+    // serves the window AND both groupBys (hash-partitioning on media_id
+    // satisfies the (media_id, isl) clustering — subset rule), pinned by
+    // PlanShapeSpec.
     "mm8_audio_vad" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val frames = Multimodal.audioFrameEnergies(
         Multimodal.mediaFromDocuments(s, dir), frameSize = 32).toDF()
-      val speech = frames
-        .filter(col("sum_sq") >= lit(10000L) * col("n_bytes"))
-        .withColumn("isl", col("frame_idx") - row_number().over(
-          Window.partitionBy("media_id").orderBy("frame_idx")))
-      val segs = speech.groupBy("media_id", "isl")
-        .agg(count(lit(1)).as("seg_len"))
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = frames
+        .withColumn("sp", col("sum_sq") >= lit(10000L) * col("n_bytes"))
+        .withColumn("isl", when(col("sp"), col("frame_idx") -
+          sum(when(col("sp"), 1L).otherwise(0L)).over(w)))
+      flagged.groupBy("media_id", "isl")
+        .agg(count(lit(1)).as("n_rows"))
         .groupBy("media_id")
-        .agg(count(lit(1)).as("n_segments"),
-          sum("seg_len").as("n_speech_frames"),
-          max("seg_len").as("max_seg_frames"))
-      frames.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
-        .join(segs, Seq("media_id"), "left")
-        .select(col("media_id"), col("n_frames"),
-          coalesce(col("n_speech_frames"), lit(0L)).as("n_speech_frames"),
-          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
-          coalesce(col("max_seg_frames"), lit(0L)).as("max_seg_frames"))
+        .agg(sum("n_rows").as("n_frames"),
+          sum(when(col("isl").isNotNull, col("n_rows")).otherwise(0L))
+            .as("n_speech_frames"),
+          count(col("isl")).as("n_segments"),
+          coalesce(max(when(col("isl").isNotNull, col("n_rows"))), lit(0L))
+            .as("max_seg_frames"))
     })
   )
 

@@ -115,6 +115,31 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s17/dd17/mm8 plans: broadcast probe, equi-joins only, one Exchange") {
+    // NOTE both s17 and dd17 embed ivfAssign's cached build, whose
+    // broadcast N×C assignment fan-out IS a BroadcastNestedLoopJoin by
+    // design (C = cell count, broadcast side — the pattern s4's own plan
+    // test documents), so a blanket no-BNLJ assert would be wrong here;
+    // the quadratic killer to pin against is an unbroadcast cartesian.
+    // s17: the nprobe cell list joins back as a BROADCAST hash join (2
+    // driver-bounded rows) — a shuffled probe join would defeat the IVF
+    // design
+    val s17 = plan("s17_ivfpq_knn")
+    assert(s17.contains("BroadcastHashJoin"), s"s17 probe not broadcast:\n$s17")
+    assert(!s17.contains("CartesianProduct"), "s17 has a cartesian join")
+    // dd17: the intra-cell pair join is an EQUI join on cent_id — a
+    // cartesian here would be the corpus² SemDeDup explicitly avoids
+    val dd17 = plan("dd17_semdedup")
+    assert(!dd17.contains("CartesianProduct"), "dd17 has a cartesian join")
+    // mm8: ONE media_id Exchange serves the island window and both
+    // aggregation levels (hash-partitioning on media_id satisfies the
+    // (media_id, isl) clustering — subset rule); a second Exchange means
+    // the single-pass design regressed to the join-of-branches shape
+    val mm8 = plan("mm8_audio_vad")
+    val mm8Ex = "Exchange hashpartitioning".r.findAllIn(mm8).size
+    assert(mm8Ex == 1, s"mm8 expected 1 Exchange, got $mm8Ex:\n$mm8")
+  }
+
   test("p8 composition stays shuffle-bounded: no BNLJ, bounded Exchanges") {
     // the full-pipeline composition must not quietly multiply shuffles:
     // its stages are scan-local filters, doc_id/token-keyed aggs, and

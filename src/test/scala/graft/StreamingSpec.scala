@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.api.GridFields
+import graft.multimodal.Multimodal
 import graft.source.{GridFixtures, GridReader}
-import graft.streaming.{EventStream, GridStream}
+import graft.streaming.{EventStream, GridStream, MediaStream}
 
 class StreamingSpec extends SparkSuite {
 
@@ -203,6 +204,37 @@ class StreamingSpec extends SparkSuite {
       .toMap
     q.stop()
     assert(stream == batch, "stream ewma != batch ewma (bit-exact)")
+  }
+
+  test("VAD parity: streaming open-run state == mm8's batch profile") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: mm8's per-item profile
+    val batch = SparkEntry.queries("mm8_audio_vad")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // per-item ordered delivery (the twin's contract): global sort by
+    // (media_id, frame_idx) keeps each item's frames in order however
+    // the chunking slices them
+    val frames = Multimodal.audioFrameEnergies(
+        Multimodal.mediaFromDocuments(spark, dir), frameSize = 32)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    val mem = MemoryStream[Multimodal.FrameEnergy]
+    val q = MediaStream.vadProfile(mem.toDS()).writeStream
+      .format("memory").queryName("vad").outputMode("update").start()
+    frames.grouped(frames.length / 5 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // n_frames is monotone, so the max-n_frames snapshot is final state
+    val stream = spark.table("vad").as[MediaStream.VadSnapshot].collect()
+      .groupBy(_.media_id).map { case (id, snaps) =>
+        val last = snaps.maxBy(_.n_frames)
+        id -> ((last.n_frames, last.n_speech_frames,
+          last.n_segments, last.max_seg_frames))
+      }
+    q.stop()
+    assert(stream == batch, "stream VAD profile != batch mm8")
   }
 
   test("windowed-distinct parity: stateful type map == q53's batch bitmask") {
