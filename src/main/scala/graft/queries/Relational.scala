@@ -1518,6 +1518,40 @@ object Relational {
           col("valid_from_us"))
     }),
 
+    // Rolling median — ORDER STATISTICS over a moving frame, the window
+    // capability the sum/avg pack (q15/q51/q62) doesn't cover: per-user
+    // trailing-10-event median of the (integerized) event value, the
+    // robust-smoothing baseline a telemetry pipeline prefers over EWMA
+    // when spikes must not drag the level. Values are integerized to
+    // cents FIRST (round, half away from zero — both engines agree) so
+    // the even-count interpolation step (lower + 0.5·(upper − lower) in
+    // Spark vs (lower+upper)/2 spellings elsewhere) is EXACT in IEEE
+    // doubles — integer-valued operands make the two spellings
+    // bit-identical, where raw doubles could differ in the last ulp.
+    // One user_id Exchange serves the window. Spark refuses `median`
+    // over a moving frame (TypedImperativeAggregate + frame), so the
+    // order statistic is COMPOSED from frame-supported ops: a
+    // collect_list over the 10-row frame (bounded by the frame, so
+    // per-row state is 10 doubles — this is NOT the unbounded
+    // collect_list anti-pattern), array_sort, exact middle pick.
+    "q64_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).as("cents"))
+        .withColumn("lst", collect_list(col("cents")).over(w))
+        .withColumn("med_cents", expr(
+          """CASE WHEN size(lst) % 2 = 1
+            |  THEN element_at(array_sort(lst), CAST((size(lst) + 1) div 2 AS INT))
+            |  ELSE (element_at(array_sort(lst), CAST(size(lst) div 2 AS INT)) +
+            |        element_at(array_sort(lst), CAST(size(lst) div 2 + 1 AS INT))) / 2.0
+            |END""".stripMargin))
+        .drop("ts", "lst")
+    }),
+
     // Co-occurrence mining — the market-basket / "items bought together"
     // pair counts (association rules, co-view graphs, recommendation
     // candidates). Baskets = orders, items = parts: distinct
@@ -2541,6 +2575,16 @@ object Relational {
          |WHERE valid_from_us <= $TimeTravelUs
          |  AND (valid_to_us IS NULL OR valid_to_us > $TimeTravelUs)"""
         .stripMargin,
+
+    // integerized-cents median: the even-count interpolation is exact on
+    // integer-valued doubles, so Spark's lower + 0.5·(upper−lower) and
+    // DuckDB's midpoint agree bit-for-bit (see the query's Scaladoc)
+    "q64_rolling_median" ->
+      """SELECT user_id, event_id, round(value * 100) AS cents,
+        |  median(round(value * 100)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med_cents
+        |FROM events WHERE user_id < 20""".stripMargin,
 
     // replays the adaptive basket-size cap exactly (dd2's pattern): the
     // cap integer is re-derived from the same basket-size histogram via
