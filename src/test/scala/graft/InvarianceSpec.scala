@@ -73,7 +73,12 @@ class InvarianceSpec extends SparkSuite {
         "q62_ewma", "p15_shard_manifest",
         // q63 filters q56's windowed frame (integer µs bounds); mm7's
         // min-label components are partition-order-free by construction
-        "q63_time_travel", "mm7_phash_clusters")) {
+        "q63_time_travel", "mm7_phash_clusters",
+        // round-7b: dd17/mm8 emit only integers; s17's dot/ADC folds are
+        // row-local (LUT is a plan literal) with id-broken ties; q64's
+        // medians are exact on integerized cents — all strict material
+        "dd17_semdedup", "s17_ivfpq_knn", "mm8_audio_vad",
+        "q64_rolling_median")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
