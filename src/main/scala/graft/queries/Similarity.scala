@@ -105,21 +105,31 @@ object Similarity {
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
       .persist()
+    (assignFromUnits(e), e)
+  }
+
+  /** The assignment join factored over a prepared (vec_id, unit) frame —
+    * separated from the table read so ScaleShapeSpec can drive it with
+    * synthetic corpora of controlled size (dd17's Σ cell² ≈ N·cell
+    * scale-shape contract: cells = every 53rd id, so cell COUNT grows
+    * with the corpus and occupancy stays ~constant).
+    *
+    * argmax by (sim, then smallest cent_id): max of the (sim, -cent_id)
+    * struct is lexicographic, reproducing the old window's deterministic
+    * ORDER BY sim DESC, cent_id tie-break. unit is constant per vec_id
+    * (one embedding row fanned out over C centroids), so first() is
+    * deterministic-by-construction here.
+    */
+  private[graft] def assignFromUnits(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") % 53 === 0)
       .select(col("vec_id").as("cent_id"), col("unit").as("cent"))
-    // argmax by (sim, then smallest cent_id): max of the (sim, -cent_id)
-    // struct is lexicographic, reproducing the old window's deterministic
-    // ORDER BY sim DESC, cent_id tie-break. unit is constant per vec_id
-    // (one embedding row fanned out over C centroids), so first() is
-    // deterministic-by-construction here.
-    val assigned = e.join(broadcast(cents))
+    e.join(broadcast(cents))
       .withColumn("sim", dot(col("unit"), col("cent")))
       .groupBy("vec_id")
       .agg(
         max_by(col("cent_id"), struct(col("sim"), (-col("cent_id")).as("nc")))
           .as("cent_id"),
         first("unit").as("unit"))
-    (assigned, e)
   }
 
   /** s9's quantizer-training budget: Lloyd runs over a

@@ -180,4 +180,47 @@ class ScaleShapeSpec extends SparkSuite {
       .count()
     assert(tri == 60L, s"expected 60 hub-ring triangles, got $tri")
   }
+
+  test("dd17 intra-cell pairs grow ~linearly: cells scale with the corpus") {
+    // the SemDeDup scaling contract measured, not asserted: the coarse
+    // quantizer takes every 53rd id as a centroid, so doubling the
+    // corpus doubles the CELL COUNT while the occupancy distribution
+    // stays put — Σ cell² (the pair-join fan-out) and total shuffle
+    // records must both ~double. A fixed-k regression (cells constant,
+    // occupancy doubling) or an uncapped cross-cell join would show ≥4×.
+    import spark.implicits._
+    def units(n: Int): DataFrame = {
+      val rnd = new scala.util.Random(7)
+      (0 until n).map { i =>
+        val v = Array.fill(16)(rnd.nextGaussian())
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (i.toLong, v.map(_ / nrm).toSeq)
+      }.toDF("vec_id", "unit").repartition(4, col("vec_id"))
+    }
+    def run(n: Int): (Long, Long) = {
+      val e = units(n).persist()
+      var pairs = 0L
+      val records = shuffleRecords {
+        val assigned = graft.queries.Similarity.assignFromUnits(e).persist()
+        val scoped = graft.operators.BucketCap.capBuckets(
+          assigned, Seq("cent_id"), 1000)
+        val a = scoped.alias("a")
+        val b = scoped.alias("b")
+        pairs = a.join(b, col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") < col("b.vec_id")).count()
+        assigned.unpersist(blocking = true)
+        e.unpersist(blocking = true)
+        spark.catalog.clearCache()
+      }
+      (records, pairs)
+    }
+    val (r1, p1) = run(800)
+    val (r2, p2) = run(1600)
+    assert(p1 > 0 && p2 > p1, s"implausible pair counts: $p1 -> $p2")
+    assert(p2.toDouble / p1.toDouble < 3.0,
+      s"superlinear pair growth: $p1 -> $p2")
+    assert(r1 > 0 && r2 > r1, s"implausible shuffle measurements: $r1 -> $r2")
+    assert(r2.toDouble / r1.toDouble < 3.0,
+      s"superlinear shuffle growth: $r1 -> $r2 records")
+  }
 }
