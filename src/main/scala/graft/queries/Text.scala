@@ -915,6 +915,39 @@ object Text {
       }
     }),
 
+    // XML ingest round-trip (Spark 4's built-in XML source — the last
+    // raw-dump format in the family after JSONL/CSV/ORC): write with an
+    // explicit rowTag, read back with an explicit schema (inference is
+    // the same extra full pass it is for JSON/CSV). Whitespace is the
+    // XML-specific trap: the reader's ignoreSurroundingSpaces defaults
+    // to TRUE (trimming element text on read — the univocity-trim story
+    // from t16, other direction), so it is pinned off. Entity escaping
+    // (&, <, >) must cancel out exactly; the gate's md5s catch any
+    // escape/trim/null-coercion asymmetry because the oracle reads the
+    // parquet truth, not the XML.
+    "t27_xml_roundtrip" -> ((s, dir) => {
+      val tmp = graft.util.Fs.mkStagingDir(s, "graft_xml_")
+      try {
+        Tables.documents(s, dir).select("doc_id", "lang", "text")
+          .write.mode("overwrite")
+          .option("rowTag", "doc")
+          .format("xml").save(s"$tmp/docs")
+        val back = s.read
+          .schema("doc_id LONG, lang STRING, text STRING")
+          .option("rowTag", "doc")
+          .option("ignoreSurroundingSpaces", "false")
+          .format("xml").load(s"$tmp/docs")
+        val agg = back.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(octet_length(col("text"))).as("sum_bytes"),
+            min(md5(col("text"))).as("h_lo"),
+            max(md5(col("text"))).as("h_hi"))
+        QueryCache.materializeLocal(agg)
+      } finally {
+        graft.util.Fs.rmTree(s, tmp)
+      }
+    }),
+
     // Schema-evolution read (the lakehouse drift case: a 100 TB table
     // written over months accretes columns): two parquet generations —
     // v1 without n_chars, v2 with it — read through ONE scan with
@@ -1630,6 +1663,15 @@ object Text {
     // originals (the corpus is ASCII, so octet_length == length and the
     // JSON escape round trip is exact)
     "t14_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(octet_length(encode(text)))::BIGINT AS sum_bytes,
+        |  min(md5(text)) AS h_lo, max(md5(text)) AS h_hi
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
+
+    // same lossless-roundtrip contract as t14/t16/t18: the oracle reads
+    // the parquet truth, so any XML escape/trim/null asymmetry breaks it
+    "t27_xml_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(octet_length(encode(text)))::BIGINT AS sum_bytes,
         |  min(md5(text)) AS h_lo, max(md5(text)) AS h_hi
