@@ -164,6 +164,54 @@ object MultimodalQueries {
           count(col("isl")).as("n_segments"),
           coalesce(max(when(col("isl").isNotNull, col("n_rows"))), lit(0L))
             .as("max_seg_frames"))
+    }),
+
+    // Binary-FILE ingest — how image/audio payloads actually enter a
+    // pipeline: one file per item on the staging store, read back
+    // through Spark's built-in `binaryFile` source (path + content
+    // columns, one task per file-split), item id recovered from the
+    // file name (the reference's own provenance pattern — timestamps
+    // live in file names, SURVEY §1.1), then the SAME batched codec as
+    // mm1. The write is executor-side via the staging scheme's Hadoop
+    // FS — distributed, no driver collect; 300 items bound the
+    // small-file count at every SF (at 100 TB the item store is object
+    // storage and the listing is the catalog's job, not a glob).
+    // Oracle: the round trip cancels out — mm1's byte arithmetic over
+    // the parquet truth, restricted to the same ids.
+    "mm9_binary_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.util.Fs.mkStagingDir(s, "graft_bin_")
+      try {
+        Multimodal.mediaFromDocuments(s, dir)
+          .filter(col("media_id") < 300)
+          .foreachPartition { (it: Iterator[Multimodal.MediaRow]) =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            val base = new org.apache.hadoop.fs.Path(s"$tmp/docs")
+            val fs = base.getFileSystem(conf)
+            it.foreach { m =>
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(base, s"${m.media_id}.bin"),
+                true)
+              try out.write(m.payload) finally out.close()
+            }
+          }
+        val back = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin")
+          .load(s"$tmp/docs")
+          .select(
+            regexp_extract(element_at(split(col("path"), "/"), -1),
+              "^(\\d+)", 1).cast("long").as("media_id"),
+            lit("img/ingest").as("kind"),
+            col("content").as("payload"))
+          .as[Multimodal.MediaRow]
+        QueryCache.materializeLocal(
+          Multimodal.decodeMeta(back).toDF()
+            .select(col("media_id"), col("n_bytes"), col("width"),
+              col("height"),
+              element_at(col("channel_means"), 1).as("mean_c0")))
+      } finally {
+        graft.util.Fs.rmTree(s, tmp)
+      }
     })
   )
 
@@ -372,6 +420,18 @@ object MultimodalQueries {
         |  coalesce(st.n_speech_frames, 0)::BIGINT AS n_speech_frames,
         |  coalesce(st.n_segments, 0)::BIGINT AS n_segments,
         |  coalesce(st.max_seg_frames, 0)::BIGINT AS max_seg_frames
-        |FROM tot LEFT JOIN st USING (media_id)""".stripMargin
+        |FROM tot LEFT JOIN st USING (media_id)""".stripMargin,
+
+    // the file round trip cancels out: mm1's byte arithmetic over the
+    // parquet truth, restricted to the ingested id range
+    "mm9_binary_ingest" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  (octet_length(encode(text)) % 256 + 1)::INT AS width,
+        |  (octet_length(encode(text)) // 256 + 1)::INT AS height,
+        |  list_aggregate([ascii(substr(text, p, 1))
+        |                  for p in range(1, len(text) + 1)
+        |                  if (p - 1) % 3 = 0], 'avg') AS mean_c0
+        |FROM documents WHERE doc_id < 300""".stripMargin
   )
 }
