@@ -257,6 +257,36 @@ object GridQueries {
           ((col("vn") - col("vp")) / (col("tn") - col("tp"))).as("dvdt"))
     }),
 
+    // Axis integration — g9's counterpart on the other side of calculus,
+    // and the reference-domain op behind "column density"/TEC: integrate
+    // a gridded series along one axis by the trapezoid rule (here the
+    // 600 s time axis of the bucketed event field, per type; on the 4-D
+    // grid the same shape integrates density over h per (time,lon,lat)
+    // column). Arithmetic is EXACT by construction: values integerize to
+    // cents at the source, per-bucket masses are BIGINT sums, each
+    // trapezoid term (Δt)·(m_i + m_{i−1}) is a BIGINT product, and the
+    // emitted integral is 2× the trapezoid (mass2x) so no /2 ever
+    // leaves integers — the float-summation-order hash risk g9's dvdt
+    // avoids by being row-local, this op avoids by never leaving ℤ.
+    // Non-uniform spacing is handled naturally (gaps widen Δt — real
+    // trapezoid semantics). One shuffle on (type, bucket), the window
+    // and final roll-up reuse the type partitioning.
+    "g11_column_integral" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("t")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 600) * 600)
+            .cast("long").as("t"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("m"))
+        .withColumn("tp", lag("t", 1).over(w))
+        .withColumn("mp", lag("m", 1).over(w))
+        .filter(col("tp").isNotNull)
+        .select(col("event_type"),
+          ((col("t") - col("tp")) * (col("m") + col("mp"))).as("term"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"), sum("term").as("mass2x"))
+    }),
+
     // Conservative regridding — remap a gridded field onto a coarser,
     // NON-ALIGNED target grid weighting each source cell by its overlap
     // with the target cell (the ESMF/climate-model remap; kamodo users
@@ -679,6 +709,22 @@ object GridQueries {
         |    lead(t) OVER win AS tn, lead(v) OVER win AS vn
         |  FROM s WINDOW win AS (PARTITION BY event_type ORDER BY t))
         |SELECT event_type, t, (vn - vp) / (tn - tp) AS dvdt
-        |FROM w WHERE tp IS NOT NULL AND tn IS NOT NULL""".stripMargin
+        |FROM w WHERE tp IS NOT NULL AND tn IS NOT NULL""".stripMargin,
+
+    // integer trapezoid replay: cents at the source, BIGINT all the way
+    "g11_column_integral" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS t,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, t, m, lag(t) OVER win AS tp,
+        |    lag(m) OVER win AS mp
+        |  FROM s WINDOW win AS (PARTITION BY event_type ORDER BY t))
+        |SELECT event_type, count(*) AS n_intervals,
+        |  CAST(sum((t - tp) * (m + mp)) AS BIGINT) AS mass2x
+        |FROM w WHERE tp IS NOT NULL
+        |GROUP BY event_type""".stripMargin
   )
 }
