@@ -635,20 +635,37 @@ object Text {
     // bytes per shard. The gate certifies the signature arithmetic
     // itself, so a manifest mismatch in production means the DATA
     // differs, not the engines.
-    "p15_shard_manifest" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          md5(col("doc_id").cast("string")).as("h"),
-          tokenCount(col("text")).cast("long").as("tok"))
-        .withColumn("shard", expr(
-          "CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) DIV 2" +
-            " AS BIGINT)"))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("tok").as("n_tokens"),
-          countDistinct("lang").as("n_langs"),
-          expr("bit_xor(CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT))")
-            .as("content_sig"))
+    "p15_shard_manifest" -> ((s, dir) =>
+      shardManifest(Tables.documents(s, dir))
+        .select("shard", "n_docs", "n_tokens", "n_langs", "content_sig")),
+
+    // Release diffing — the decision p15's manifests exist to serve:
+    // given two corpus releases (synthesized here by dropping a
+    // different md5-independent doc slice from each: A = all but the
+    // %10==8 bucket, B = all but the %10==3 bucket, so the diff has
+    // BOTH additions and removals in every shard), compare per-shard
+    // manifests instead of per-doc contents. The full-outer join of two
+    // 8-row manifest frames is the ENTIRE cost of answering "what
+    // changed between releases" — no doc-level join, no text read
+    // beyond the manifest build itself; `unchanged` is the 8-byte
+    // signature compare a release pipeline gates re-publication on.
+    // All emissions integer/boolean — hash-exact.
+    "p16_release_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val a = shardManifest(d.filter(col("doc_id") % 10 =!= 8))
+      val b = shardManifest(d.filter(col("doc_id") % 10 =!= 3))
+      a.select(col("shard"), col("n_docs").as("n_docs_a"),
+          col("n_tokens").as("tok_a"), col("content_sig").as("sig_a"))
+        .join(b.select(col("shard"), col("n_docs").as("n_docs_b"),
+          col("n_tokens").as("tok_b"), col("content_sig").as("sig_b")),
+          Seq("shard"), "full_outer")
+        .select(col("shard"),
+          coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+          coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+          (coalesce(col("tok_b"), lit(0L)) - coalesce(col("tok_a"), lit(0L)))
+            .as("d_tokens"),
+          (coalesce(col("sig_a"), lit(0L)) === coalesce(col("sig_b"), lit(0L)))
+            .as("unchanged"))
     }),
 
     // Corpus-wide frequent n-grams (boilerplate mining) via the TWO-PASS
@@ -1070,6 +1087,26 @@ object Text {
     * oracles' gram CTEs (the same single-source rule as mm5/mm7's
     * phashScoredPairs).
     */
+  /** p15/p16's shared manifest build over an arbitrary document slice:
+    * p5's md5-derived 8-way shard key, per-shard doc/token/lang counts
+    * and the order-free 60-bit bit_xor content signature. ONE definition
+    * so a release and its diff can never disagree on what a manifest is.
+    */
+  private def shardManifest(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"),
+        tokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("shard", expr(
+        "CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) DIV 2" +
+          " AS BIGINT)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        expr("bit_xor(CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT))")
+          .as("content_sig"))
+
   private[graft] def trigrams(withToks: DataFrame,
       keep: Seq[String] = Nil): DataFrame =
     withToks.filter(size(col("t")) >= 3)
@@ -1796,6 +1833,31 @@ object Text {
         |  count(DISTINCT lang)::BIGINT AS n_langs,
         |  bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS content_sig
         |FROM s GROUP BY shard""".stripMargin,
+
+    // the same manifest arithmetic computed per release slice, then the
+    // shard-keyed full-outer compare — the whole release diff in SQL
+    "p16_release_diff" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    len(string_split(text, ' '))::BIGINT AS tok,
+        |    ((strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+        |      // 2)::BIGINT AS shard
+        |  FROM documents),
+        |ma AS (SELECT shard, count(*)::BIGINT AS n_docs_a,
+        |         sum(tok)::BIGINT AS tok_a,
+        |         bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS sig_a
+        |       FROM d WHERE doc_id % 10 <> 8 GROUP BY shard),
+        |mb AS (SELECT shard, count(*)::BIGINT AS n_docs_b,
+        |         sum(tok)::BIGINT AS tok_b,
+        |         bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS sig_b
+        |       FROM d WHERE doc_id % 10 <> 3 GROUP BY shard)
+        |SELECT shard,
+        |  coalesce(n_docs_a, 0)::BIGINT AS n_docs_a,
+        |  coalesce(n_docs_b, 0)::BIGINT AS n_docs_b,
+        |  (coalesce(tok_b, 0) - coalesce(tok_a, 0))::BIGINT AS d_tokens,
+        |  coalesce(sig_a, 0) = coalesce(sig_b, 0) AS unchanged
+        |FROM ma FULL OUTER JOIN mb USING (shard)""".stripMargin,
 
     // the oracle is the sketch-free spelling: plain GROUP BY + HAVING at
     // the same derived threshold — identical output by the MG guarantee
