@@ -1552,6 +1552,30 @@ object Relational {
         .drop("ts", "lst")
     }),
 
+    // Sequential path mining — q52's adjacent-step matrix extended to
+    // order-3 journeys (the "top paths" view every product-analytics
+    // funnel tool ships; sequence n-grams are also the event-stream twin
+    // of t9's text bigrams): two lead() shifts over the per-user order
+    // materialize each 3-step window in place — no self-join, no
+    // explode; the path roll-up is one hash agg on the (s1,s2,s3) key
+    // with map-side combine, TakeOrderedAndProject for the head. At
+    // 100 TB: one user_id Exchange for the window (shared by both
+    // leads), one path-keyed agg bounded by |type|³ distinct keys.
+    "q65_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("s1"))
+        .withColumn("s2", lead("s1", 1).over(w))
+        .withColumn("s3", lead("s1", 2).over(w))
+        .filter(col("s3").isNotNull)
+        .groupBy("s1", "s2", "s3")
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("s1"), col("s2"), col("s3"))
+        .limit(20)
+    }),
+
     // Co-occurrence mining — the market-basket / "items bought together"
     // pair counts (association rules, co-view graphs, recommendation
     // candidates). Baskets = orders, items = parts: distinct
@@ -2575,6 +2599,20 @@ object Relational {
          |WHERE valid_from_us <= $TimeTravelUs
          |  AND (valid_to_us IS NULL OR valid_to_us > $TimeTravelUs)"""
         .stripMargin,
+
+    // two leads over the same per-user order, path roll-up, exact head
+    "q65_event_paths" ->
+      """WITH w AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER win AS s2,
+        |    lead(event_type, 2) OVER win AS s3
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s1, s2, s3, count(*) AS n_paths
+        |FROM w WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, s1, s2, s3
+        |LIMIT 20""".stripMargin,
 
     // integerized-cents median: the even-count interpolation is exact on
     // integer-valued doubles, so Spark's lower + 0.5·(upper−lower) and
