@@ -133,6 +133,24 @@ object Sketches {
     }.toArray
   })
 
+  /** Sign-bit binarization: bit i of the 64-bit code = 1 iff component i
+    * is strictly positive (ties/zeros → 0; dims beyond 64 ignored). The
+    * 1-bit/dim memory tier under int8 — sign agreement of two vectors
+    * tracks their angle (the SRP bound at hyperplanes = coordinate
+    * axes), so Hamming distance on codes is the candidate metric.
+    * Null in → 0 would alias a real code; null propagates instead.
+    */
+  val binarize64Udf = udf((v: Seq[Float]) => {
+    if (v == null) null
+    else {
+      var h = 0L
+      var i = 0
+      val n = math.min(v.length, 64)
+      while (i < n) { if (v(i) > 0f) h |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(h)
+    }
+  })
+
   /** Integer dot product of two int8-valued code arrays (compiled; exact
     * — max |dim · 127²| ≈ 10⁶ per 64-dim pair, far inside Int).
     * Null → null.

@@ -55,6 +55,11 @@ object VectorFunctions {
     */
   def quantize8(unit: Column): Column = Sketches.quantizeUnitUdf(unit)
 
+  /** Sign-bit 64-bit binarization of a float vector (the 1-bit/dim tier
+    * under int8 — see [[Sketches.binarize64Udf]]).
+    */
+  def binarize64(v: Column): Column = Sketches.binarize64Udf(v)
+
   /** Exact integer dot product of two int8 code arrays. */
   def intDot(a: Column, b: Column): Column = Sketches.intDotUdf(a, b)
 

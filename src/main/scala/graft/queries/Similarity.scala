@@ -502,6 +502,41 @@ object Similarity {
         assigned, eCache, codes)
     }),
 
+    // Binary-code kNN — the 1-bit/dim memory tier below int8 (s6) and
+    // PQ (s8): sign-bit binarization packs each 64-dim vector into ONE
+    // long (8 B — a 32× cut vs float32), the first pass ranks by
+    // Hamming distance (xor + popcount — the cheapest possible scan
+    // arithmetic, SIMD/bitwise all the way down), and the top-50
+    // survivors re-rank on exact float cosine (the family discipline).
+    // Sign agreement tracks angle (SRP with hyperplanes = coordinate
+    // axes), which is what makes Hamming a usable candidate metric.
+    // The oracle RECOMPUTES the codes from the raw embeddings (mm5's
+    // HUGEINT two's-complement fold), so the gate certifies the
+    // binarization itself — no side dump needed.
+    "s18_binary_knn" -> ((s, dir) => {
+      val base = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("embedding"),
+          binarize64(col("embedding")).as("code"))
+        .persist()
+      val qRow = base.filter(col("vec_id") === 0L)
+        .select("code", "embedding").head()
+      val qCode = qRow.getLong(0)
+      val qVec = typedlit(qRow.getSeq[Float](1).map(_.toDouble))
+      val cands = base.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          graft.functions.HashFunctions.hamming64(
+            col("code"), lit(qCode)).as("hd"))
+        .orderBy(col("hd"), col("vec_id"))
+        .limit(50)
+      QueryCache.resultThenRelease(
+        cands.join(base.select("vec_id", "embedding"), "vec_id")
+          .select(col("vec_id"),
+            cosine(col("embedding"), qVec).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        base)
+    }),
+
     // Maximal Marginal Relevance — diversified retrieval (Carbonell &
     // Goldstein 1998): greedy top-k where each pick maximizes
     // λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s), the de-dup-aware
@@ -745,7 +780,7 @@ object Similarity {
   /** The ANN tiers s16 certifies (each emits vec-0's top-10 like s1). */
   private val RecallMethods =
     Seq("s4_ivf_knn", "s6_quantized_knn", "s8_pq_knn", "s9_ivf_trained",
-      "s17_ivfpq_knn")
+      "s17_ivfpq_knn", "s18_binary_knn")
 
   /** Driver-side lookup of one embedding to use as the query point —
     * becomes an array literal in the plan (implicit broadcast).
@@ -1069,6 +1104,31 @@ object Similarity {
         |WHERE a.vec_id <> 0
         |ORDER BY cos_sim DESC, a.vec_id
         |LIMIT 10""".stripMargin,
+
+    // binarization recomputed from the raw embeddings via the HUGEINT
+    // two's-complement fold (mm5's idiom), Hamming cut, exact re-rank
+    "s18_binary_knn" ->
+      s"""WITH cb AS (
+         |  SELECT vec_id, embedding,
+         |    COALESCE(CAST(list_sum(
+         |      [CASE WHEN embedding[i+1] > 0 THEN (1::HUGEINT << i)
+         |            ELSE 0::HUGEINT END
+         |       for i in range(0, least(len(embedding), 64))]) AS HUGEINT),
+         |      0::HUGEINT) AS h
+         |  FROM embeddings),
+         |c AS (SELECT vec_id, embedding,
+         |        CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+         |                      THEN 18446744073709551616::HUGEINT
+         |                      ELSE 0::HUGEINT END AS BIGINT) AS code
+         |      FROM cb),
+         |q AS (SELECT code AS qc, embedding AS qe FROM c WHERE vec_id = 0),
+         |cand AS (SELECT c.vec_id, bit_count(xor(c.code, q.qc)) AS hd
+         |         FROM c, q WHERE c.vec_id <> 0
+         |         ORDER BY hd, c.vec_id LIMIT 50)
+         |SELECT c.vec_id, ${cosSql("c.embedding", "q.qe")} AS cos_sim
+         |FROM cand JOIN c USING (vec_id), q
+         |ORDER BY cos_sim DESC, c.vec_id
+         |LIMIT 10""".stripMargin,
 
     // the IVFADC composition replayed by JOINING the two component
     // dumps: probe list from the assignment dump (s4's replay), ADC

@@ -406,6 +406,19 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"IVF-PQ recall too low: $recall")
   }
 
+  test("binary-code kNN recovers a fair share of the exact top-10") {
+    val exact = SparkEntry.queries("s1_knn_brute")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val bin = SparkEntry.queries("s18_binary_knn")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(bin.size == 10)
+    // 64 sign bits is the coarsest sketch in the family (1 bit/dim);
+    // measured 0.5-0.9 across SFs — the floor catches a broken
+    // binarization or a Hamming cut that stopped correlating with angle
+    val recall = (exact intersect bin).size.toDouble / exact.size
+    assert(recall >= 0.2, s"binary-code recall too low: $recall")
+  }
+
   test("SemDeDup summary matches a scalar reimplementation end-to-end") {
     // dd17's whole decision pipeline — normalize, assign to the %53
     // coarse cells by max-dot (ties to smallest cent), intra-cell i<j
