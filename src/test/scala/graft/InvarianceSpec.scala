@@ -78,7 +78,12 @@ class InvarianceSpec extends SparkSuite {
         // row-local (LUT is a plan literal) with id-broken ties; q64's
         // medians are exact on integerized cents — all strict material
         "dd17_semdedup", "s17_ivfpq_knn", "mm8_audio_vad",
-        "q64_rolling_median")) {
+        "q64_rolling_median",
+        // round-7c: q65/g11/p16/t27 emit integers/strings/booleans;
+        // mm9's channel mean is a row-local byte fold; s18's Hamming
+        // cut is integer with id ties and its cosines row-local
+        "q65_event_paths", "g11_column_integral", "p16_release_diff",
+        "t27_xml_roundtrip", "mm9_binary_ingest", "s18_binary_knn")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
