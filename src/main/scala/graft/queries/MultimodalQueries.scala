@@ -182,10 +182,21 @@ object MultimodalQueries {
       import s.implicits._
       val tmp = graft.util.Fs.mkStagingDir(s, "graft_bin_")
       try {
+        // the SESSION Hadoop conf must reach the executors (shipped as
+        // plain KV pairs — SerializableConfiguration is private[spark]):
+        // a bare `new Configuration()` would drop every session-level fs
+        // setting, e.g. GraftS3's fs.s3a.* credentials, breaking the
+        // scheme-agnostic staging contract Fs.scala documents
+        val hconf = s.sessionState.newHadoopConf()
+        val confKv: Array[(String, String)] = {
+          import scala.jdk.CollectionConverters._
+          hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+        }
         Multimodal.mediaFromDocuments(s, dir)
           .filter(col("media_id") < 300)
           .foreachPartition { (it: Iterator[Multimodal.MediaRow]) =>
-            val conf = new org.apache.hadoop.conf.Configuration()
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confKv.foreach { case (k, v) => conf.set(k, v) }
             val base = new org.apache.hadoop.fs.Path(s"$tmp/docs")
             val fs = base.getFileSystem(conf)
             it.foreach { m =>

@@ -1542,14 +1542,14 @@ object Relational {
         .filter(col("user_id") < 20)
         .select(col("user_id"), col("event_id"), col("ts"),
           round(col("value") * 100).as("cents"))
-        .withColumn("lst", collect_list(col("cents")).over(w))
+        .withColumn("srt", array_sort(collect_list(col("cents")).over(w)))
         .withColumn("med_cents", expr(
-          """CASE WHEN size(lst) % 2 = 1
-            |  THEN element_at(array_sort(lst), CAST((size(lst) + 1) div 2 AS INT))
-            |  ELSE (element_at(array_sort(lst), CAST(size(lst) div 2 AS INT)) +
-            |        element_at(array_sort(lst), CAST(size(lst) div 2 + 1 AS INT))) / 2.0
+          """CASE WHEN size(srt) % 2 = 1
+            |  THEN element_at(srt, CAST((size(srt) + 1) div 2 AS INT))
+            |  ELSE (element_at(srt, CAST(size(srt) div 2 AS INT)) +
+            |        element_at(srt, CAST(size(srt) div 2 + 1 AS INT))) / 2.0
             |END""".stripMargin))
-        .drop("ts", "lst")
+        .drop("ts", "srt")
     }),
 
     // Sequential path mining — q52's adjacent-step matrix extended to

@@ -757,7 +757,8 @@ object Similarity {
 
     // ANN recall certification — the evaluation gate a pipeline runs
     // before swapping an approximate index in for brute force: recall@10
-    // of every ANN tier (IVF s4, int8 s6, PQ s8, trained-IVF s9) against
+    // of every [[RecallMethods]] tier (IVF s4, int8 s6, PQ s8,
+    // trained-IVF s9, IVF-PQ s17, binary s18) against
     // s1's exact top-10, as a FRAME under the oracle gate rather than a
     // spec-only assertion — the gate certifies the measurement itself
     // (both engines replay each ANN pipeline end-to-end and intersect

@@ -1077,16 +1077,6 @@ object Text {
     })
   )
 
-  /** Stand-in scrub pattern (see t8): \b-anchored alternation, identical
-    * semantics in Java regex and DuckDB's RE2.
-    */
-  /** Word-trigram stream of a frame carrying a `t` token-array column:
-    * one row per trigram (`gram`), `keep` columns carried through,
-    * sub-3-token docs dropped. t25, t26 and StreamingSpec's sketch twin
-    * all build grams HERE — one definition to keep in lockstep with the
-    * oracles' gram CTEs (the same single-source rule as mm5/mm7's
-    * phashScoredPairs).
-    */
   /** p15/p16's shared manifest build over an arbitrary document slice:
     * p5's md5-derived 8-way shard key, per-shard doc/token/lang counts
     * and the order-free 60-bit bit_xor content signature. ONE definition
@@ -1107,6 +1097,13 @@ object Text {
         expr("bit_xor(CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT))")
           .as("content_sig"))
 
+  /** Word-trigram stream of a frame carrying a `t` token-array column:
+    * one row per trigram (`gram`), `keep` columns carried through,
+    * sub-3-token docs dropped. t25, t26 and StreamingSpec's sketch twin
+    * all build grams HERE — one definition to keep in lockstep with the
+    * oracles' gram CTEs (the same single-source rule as mm5/mm7's
+    * phashScoredPairs).
+    */
   private[graft] def trigrams(withToks: DataFrame,
       keep: Seq[String] = Nil): DataFrame =
     withToks.filter(size(col("t")) >= 3)
@@ -1141,6 +1138,9 @@ object Text {
       .when(h < "3333", "validation")
       .otherwise("train")
 
+  /** Stand-in scrub pattern (see t8): \b-anchored alternation, identical
+    * semantics in Java regex and DuckDB's RE2.
+    */
   private val ScrubPattern = "\\b(the|a|of|and|in|to|is)\\b"
 
   /** t24's stand-in blocklist: whole-word alternation over corpus-present
