@@ -196,8 +196,13 @@ object Similarity {
       .withColumn("cnorm", dot(col("cent"), col("cent")))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
+  /** Raw (unmemoized) builders for the exact kNN baseline and the six
+    * ANN tiers s16 certifies. Split out of [[queries]] so plan-shape
+    * specs can pin the REAL pipeline plans (a memoized call returns a
+    * LocalRelation) and so [[memoTier]] can wrap them uniformly.
+    */
+  private[graft] val tierBuilders
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact k-NN: cosine of every corpus vector against the query literal,
     // top-10. One scan + TakeOrderedAndProject; no shuffle, no broadcast
     // exchange (the vector is folded into the plan).
@@ -209,6 +214,278 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     }),
+    // IVF-flat ANN: nearest-centroid assignment (broadcast join + max_by
+    // hash agg — see ivfAssign), then the query probes its nprobe=4
+    // nearest cells and exact-ranks only those cells' vectors. At 100 TB
+    // the assignment is one broadcast join + write partitioned by cell; a
+    // probe then reads nprobe partitions instead of the corpus. Oracled
+    // via the side_s4_assign dump replay; recall vs s1's exact top-10 is
+    // asserted by DedupSimilaritySpec.
+    "s4_ivf_knn" -> ((s, dir) => {
+      val (assigned0, eCache) = ivfAssign(s, dir)
+      val assigned = assigned0.persist()
+      val cents = assigned.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
+      // query = vec 0; probe its 4 nearest centroids
+      val qUnit = typedlit(
+        assigned.filter(col("vec_id") === 0L).select("unit")
+          .head().getSeq[Double](0))
+      val probed = cents
+        .withColumn("qsim", dot(col("cent"), qUnit))
+        .orderBy(col("qsim").desc, col("pc_id"))
+        .limit(4)
+        .select(col("pc_id").as("cent_id"))
+      QueryCache.resultThenRelease(
+        assigned.join(broadcast(probed), "cent_id")
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        assigned, eCache)
+    }),
+    // Scalar-quantized (int8) kNN — the memory-bandwidth scale path: the
+    // first pass scans 8×-smaller int8 codes with an exact *integer* dot
+    // product (top-50 candidates via TakeOrderedAndProject), and only the
+    // 50 survivors touch float vectors for the exact cosine re-rank. At
+    // 100 TB the code table is what stays hot (64 B/vector instead of
+    // 512 B); the integer first pass is also oracle-exact by construction
+    // — no float-order concerns in the candidate cut. Quantization error
+    // only affects which 50 candidates are seen; the emitted scores are
+    // exact cosines (recall vs s1's exact top-10 asserted by
+    // DedupSimilaritySpec). Oracled via the side_sq_codes dump replay.
+    "s6_quantized_knn" -> ((s, dir) => {
+      val base = sqBase(s, dir).persist()
+      val q = base.filter(col("vec_id") === 0L)
+        .select("codes", "unit").head()
+      val qCodes = typedlit(q.getSeq[Int](0))
+      val qUnit = typedlit(q.getSeq[Double](1))
+      val cands = base.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), intDot(col("codes"), qCodes).as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id"))
+        .limit(50)
+      QueryCache.resultThenRelease(
+        cands.join(base.select("vec_id", "unit"), "vec_id")
+          .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        base)
+    }),
+    // Product-quantization ADC kNN — the remaining canonical ANN memory
+    // tier after IVF (s4) and scalar int8 (s6): each vector is PqM code
+    // ids (32 B here; 1 B/code with a trained 256-entry codebook) instead
+    // of 64 doubles — a 16-64× memory-bandwidth cut on the first pass.
+    // Query path is asymmetric distance computation: the per-subspace
+    // dot(query_sub, codebook entry) lookup tables are computed ONCE
+    // (M·K dots, driver-side, broadcast as map literals), then the scan
+    // scores each vector with M map lookups + a fixed-order sum — no
+    // join, no shuffle, one TakeOrderedAndProject for the candidate cut.
+    // The 50 survivors re-rank on exact float cosine (s6's discipline:
+    // quantization error moves only WHICH candidates are seen, emitted
+    // scores are exact). Oracled via the side_s8_codes dump replay —
+    // LUT, fixed-order ADC sum, cut, and re-rank all replayed in SQL;
+    // encode correctness + recall pinned in DedupSimilaritySpec.
+    "s8_pq_knn" -> ((s, dir) => {
+      val base = pqBase(s, dir).persist()
+      val qUnit = base.filter(col("vec_id") === 0L)
+        .select("unit").head().getSeq[Double](0)
+      val cbRows = base.filter(col("vec_id") % 53 === 0)
+        .select("vec_id", "unit").collect()
+      // LUT per subspace: cb_id -> dot(q_m, c_m), both slices walked in
+      // ascending index order (matches the kernel and list_dot_product)
+      val luts: Seq[Map[Long, Double]] = (0 until PqM).map { m =>
+        cbRows.map { r =>
+          val c = r.getSeq[Double](1)
+          val d = (0 until PqD).foldLeft(0.0)((acc, i) =>
+            acc + qUnit(m * PqD + i) * c(m * PqD + i))
+          r.getLong(0) -> d
+        }.toMap
+      }
+      val adc = (0 until PqM)
+        .map(m => element_at(typedlit(luts(m)), col("codes")(m)))
+        .reduce(_ + _)
+      val cands = base.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), adc.as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id"))
+        .limit(50)
+      QueryCache.resultThenRelease(
+        cands.join(base.select("vec_id", "unit"), "vec_id")
+          .select(col("vec_id"),
+            dot(col("unit"), typedlit(qUnit)).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        base)
+    }),
+    // Trained-IVF ANN: s4's pipeline with the coarse quantizer actually
+    // TRAINED (MLlib k-means, memoized — see [[trainedCentroids]])
+    // instead of modular-sampled. Assignment and probe both rank by the
+    // exact k-means objective (2·dot − ‖c‖², ties to smallest cent_id)
+    // computed with the fixed-order codegen dot — NOT the model's BLAS
+    // transform — so the DuckDB oracle RECOMPUTES the assignment from
+    // the dumped centroids and the srp unit dump: unlike s4's
+    // trusted-assignment replay, the gate here certifies the argmin
+    // itself. At 100 TB: train on a sample (k-means cost is per-point ×
+    // iterations — the sample bounds it), broadcast the k×d centroid
+    // matrix (KBs), assignment is one broadcast join + map-side-combined
+    // max_by, probes read nprobe cells.
+    "s9_ivf_trained" -> ((s, dir) => {
+      val cents = ivfTrainedCents(s, dir)
+      val e = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+        .persist()
+      val assigned = e.join(broadcast(cents))
+        .withColumn("score",
+          lit(2.0) * dot(col("unit"), col("cent")) - col("cnorm"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cent_id"),
+            struct(col("score"), (-col("cent_id")).as("nc"))).as("cent_id"),
+          first("unit").as("unit"))
+      val qUnit = typedlit(
+        e.filter(col("vec_id") === 0L).select("unit")
+          .head().getSeq[Double](0))
+      val probed = cents
+        .withColumn("qscore",
+          lit(2.0) * dot(col("cent"), qUnit) - col("cnorm"))
+        .orderBy(col("qscore").desc, col("cent_id"))
+        .limit(4)
+        .select("cent_id")
+      QueryCache.resultThenRelease(
+        assigned.join(broadcast(probed), "cent_id")
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        e)
+    }),
+    // IVF-ADC — the COMPOSED production ANN layout (inverted file +
+    // product-quantization scoring: Jégou/Douze/Schmid, "Product
+    // Quantization for Nearest Neighbor Search", TPAMI 2011 — the layout
+    // behind FAISS's IndexIVFPQ): the coarse quantizer (s4's cell
+    // assignment, the frame side_s4_assign certifies) restricts the scan
+    // to the nprobe=2 cells nearest the query; the PQ codes (s8's 4×16
+    // geometry from side_s8_codes) score ONLY those cells' members via
+    // the broadcast ADC lookup tables; the top-50 ADC survivors re-rank
+    // on exact float cosine (the family discipline: quantization error
+    // moves WHICH candidates are seen, never an emitted score). The two
+    // compression axes multiply at 100 TB — cells cut the scan to
+    // ~nprobe/k of the corpus, codes cut its bandwidth to M bytes per
+    // visited vector — so the first pass reads nprobe/k × M B/vector
+    // with no shuffle and no join beyond the broadcast probe list.
+    // Oracled by COMPOSING the two dumps the component tiers already
+    // certify; recall vs s1 is certified inside s16 (RecallMethods).
+    "s17_ivfpq_knn" -> ((s, dir) => {
+      val (assigned0, eCache) = ivfAssign(s, dir)
+      val assigned = assigned0.persist()
+      val codes = pqBase(s, dir).persist()
+      val qUnit = codes.filter(col("vec_id") === 0L)
+        .select("unit").head().getSeq[Double](0)
+      val q = typedlit(qUnit)
+      val probed = assigned.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
+        .withColumn("qsim", dot(col("cent"), q))
+        .orderBy(col("qsim").desc, col("pc_id"))
+        .limit(2)
+        .select(col("pc_id").as("cent_id"))
+      // ADC lookup tables — s8's construction verbatim: per subspace,
+      // cb_id -> dot(q_m, c_m), slices walked in ascending index order so
+      // the fold matches the oracle's list_dot_product
+      val cbRows = codes.filter(col("vec_id") % 53 === 0)
+        .select("vec_id", "unit").collect()
+      val luts: Seq[Map[Long, Double]] = (0 until PqM).map { m =>
+        cbRows.map { r =>
+          val c = r.getSeq[Double](1)
+          val d = (0 until PqD).foldLeft(0.0)((acc, i) =>
+            acc + qUnit(m * PqD + i) * c(m * PqD + i))
+          r.getLong(0) -> d
+        }.toMap
+      }
+      val adc = (0 until PqM)
+        .map(m => element_at(typedlit(luts(m)), col("codes")(m)))
+        .reduce(_ + _)
+      val cands = assigned.join(broadcast(probed), "cent_id")
+        .filter(col("vec_id") =!= 0L)
+        .select("vec_id")
+        .join(codes, "vec_id")
+        .select(col("vec_id"), adc.as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id"))
+        .limit(50)
+      QueryCache.resultThenRelease(
+        cands.join(codes.select("vec_id", "unit"), "vec_id")
+          .select(col("vec_id"), dot(col("unit"), q).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        assigned, eCache, codes)
+    }),
+    // Binary-code kNN — the 1-bit/dim memory tier below int8 (s6) and
+    // PQ (s8): sign-bit binarization packs each 64-dim vector into ONE
+    // long (8 B — a 32× cut vs float32), the first pass ranks by
+    // Hamming distance (xor + popcount — the cheapest possible scan
+    // arithmetic, SIMD/bitwise all the way down), and the top-50
+    // survivors re-rank on exact float cosine (the family discipline).
+    // Sign agreement tracks angle (SRP with hyperplanes = coordinate
+    // axes), which is what makes Hamming a usable candidate metric.
+    // The oracle RECOMPUTES the codes from the raw embeddings (mm5's
+    // HUGEINT two's-complement fold), so the gate certifies the
+    // binarization itself — no side dump needed.
+    "s18_binary_knn" -> ((s, dir) => {
+      val base = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("embedding"),
+          binarize64(col("embedding")).as("code"))
+        .persist()
+      val qRow = base.filter(col("vec_id") === 0L)
+        .select("code", "embedding").head()
+      val qCode = qRow.getLong(0)
+      val qVec = typedlit(qRow.getSeq[Float](1).map(_.toDouble))
+      val cands = base.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          graft.functions.HashFunctions.hamming64(
+            col("code"), lit(qCode)).as("hd"))
+        .orderBy(col("hd"), col("vec_id"))
+        .limit(50)
+      QueryCache.resultThenRelease(
+        cands.join(base.select("vec_id", "embedding"), "vec_id")
+          .select(col("vec_id"),
+            cosine(col("embedding"), qVec).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        base)
+    }),
+  )
+
+  /** Session-scoped top-10 shortlist memo for the ANN tier queries (the
+    * [[trainedCentroids]] pattern, VERDICT r7 ask #3): within one JVM,
+    * each tier's 10-row shortlist for the fixed probe vector is computed
+    * ONCE whether s16 or the tier query itself asks — s16 previously
+    * re-executed all seven pipelines from scratch on every run (7.6 s,
+    * the suite's heaviest row). The shortlist is bounded by construction
+    * (ten rows — the P4 driver tier), deterministic (every tier is
+    * hash-gated), and the rebuilt LocalRelation hashes identically under
+    * the gate, so Verify dumps it unchanged. The memo key includes the
+    * session's shuffle-partition setting so the partition-invariance
+    * sweep still exercises the real pipelines under its changed layout —
+    * a layout-blind memo would make that sweep vacuous for the tiers.
+    */
+  private val tierTopk = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String),
+      (org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])]
+
+  private def memoTier(name: String)(s: SparkSession, dir: String)
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val key = (dir, name,
+      s.conf.get("spark.sql.shuffle.partitions", ""))
+    val (schema, rows) = tierTopk.getOrElseUpdate(key, {
+      val df = tierBuilders(name)(s, dir)
+      val out = (df.schema, df.collect().toSeq)
+      df.unpersist(blocking = false) // resultThenRelease hands back a cached frame
+      out
+    })
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+
 
     // All-pairs top-20 by cosine, blocked i<j by label band to show the
     // blocked-pair shape (label is a coarse cluster id). Exact; the
@@ -273,79 +550,7 @@ object Similarity {
         e)
     }),
 
-    // Scalar-quantized (int8) kNN — the memory-bandwidth scale path: the
-    // first pass scans 8×-smaller int8 codes with an exact *integer* dot
-    // product (top-50 candidates via TakeOrderedAndProject), and only the
-    // 50 survivors touch float vectors for the exact cosine re-rank. At
-    // 100 TB the code table is what stays hot (64 B/vector instead of
-    // 512 B); the integer first pass is also oracle-exact by construction
-    // — no float-order concerns in the candidate cut. Quantization error
-    // only affects which 50 candidates are seen; the emitted scores are
-    // exact cosines (recall vs s1's exact top-10 asserted by
-    // DedupSimilaritySpec). Oracled via the side_sq_codes dump replay.
-    "s6_quantized_knn" -> ((s, dir) => {
-      val base = sqBase(s, dir).persist()
-      val q = base.filter(col("vec_id") === 0L)
-        .select("codes", "unit").head()
-      val qCodes = typedlit(q.getSeq[Int](0))
-      val qUnit = typedlit(q.getSeq[Double](1))
-      val cands = base.filter(col("vec_id") =!= 0L)
-        .select(col("vec_id"), intDot(col("codes"), qCodes).as("qscore"))
-        .orderBy(col("qscore").desc, col("vec_id"))
-        .limit(50)
-      QueryCache.resultThenRelease(
-        cands.join(base.select("vec_id", "unit"), "vec_id")
-          .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10),
-        base)
-    }),
 
-    // Product-quantization ADC kNN — the remaining canonical ANN memory
-    // tier after IVF (s4) and scalar int8 (s6): each vector is PqM code
-    // ids (32 B here; 1 B/code with a trained 256-entry codebook) instead
-    // of 64 doubles — a 16-64× memory-bandwidth cut on the first pass.
-    // Query path is asymmetric distance computation: the per-subspace
-    // dot(query_sub, codebook entry) lookup tables are computed ONCE
-    // (M·K dots, driver-side, broadcast as map literals), then the scan
-    // scores each vector with M map lookups + a fixed-order sum — no
-    // join, no shuffle, one TakeOrderedAndProject for the candidate cut.
-    // The 50 survivors re-rank on exact float cosine (s6's discipline:
-    // quantization error moves only WHICH candidates are seen, emitted
-    // scores are exact). Oracled via the side_s8_codes dump replay —
-    // LUT, fixed-order ADC sum, cut, and re-rank all replayed in SQL;
-    // encode correctness + recall pinned in DedupSimilaritySpec.
-    "s8_pq_knn" -> ((s, dir) => {
-      val base = pqBase(s, dir).persist()
-      val qUnit = base.filter(col("vec_id") === 0L)
-        .select("unit").head().getSeq[Double](0)
-      val cbRows = base.filter(col("vec_id") % 53 === 0)
-        .select("vec_id", "unit").collect()
-      // LUT per subspace: cb_id -> dot(q_m, c_m), both slices walked in
-      // ascending index order (matches the kernel and list_dot_product)
-      val luts: Seq[Map[Long, Double]] = (0 until PqM).map { m =>
-        cbRows.map { r =>
-          val c = r.getSeq[Double](1)
-          val d = (0 until PqD).foldLeft(0.0)((acc, i) =>
-            acc + qUnit(m * PqD + i) * c(m * PqD + i))
-          r.getLong(0) -> d
-        }.toMap
-      }
-      val adc = (0 until PqM)
-        .map(m => element_at(typedlit(luts(m)), col("codes")(m)))
-        .reduce(_ + _)
-      val cands = base.filter(col("vec_id") =!= 0L)
-        .select(col("vec_id"), adc.as("qscore"))
-        .orderBy(col("qscore").desc, col("vec_id"))
-        .limit(50)
-      QueryCache.resultThenRelease(
-        cands.join(base.select("vec_id", "unit"), "vec_id")
-          .select(col("vec_id"),
-            dot(col("unit"), typedlit(qUnit)).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10),
-        base)
-    }),
 
     // The SQL entry path itself under the hash gate: the same exact-kNN
     // shape as s1, but declared entirely through `spark.sql` against the
@@ -370,172 +575,9 @@ object Similarity {
           |LIMIT 10""".stripMargin)
     }),
 
-    // IVF-flat ANN: nearest-centroid assignment (broadcast join + max_by
-    // hash agg — see ivfAssign), then the query probes its nprobe=4
-    // nearest cells and exact-ranks only those cells' vectors. At 100 TB
-    // the assignment is one broadcast join + write partitioned by cell; a
-    // probe then reads nprobe partitions instead of the corpus. Oracled
-    // via the side_s4_assign dump replay; recall vs s1's exact top-10 is
-    // asserted by DedupSimilaritySpec.
-    "s4_ivf_knn" -> ((s, dir) => {
-      val (assigned0, eCache) = ivfAssign(s, dir)
-      val assigned = assigned0.persist()
-      val cents = assigned.filter(col("vec_id") % 53 === 0)
-        .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
-      // query = vec 0; probe its 4 nearest centroids
-      val qUnit = typedlit(
-        assigned.filter(col("vec_id") === 0L).select("unit")
-          .head().getSeq[Double](0))
-      val probed = cents
-        .withColumn("qsim", dot(col("cent"), qUnit))
-        .orderBy(col("qsim").desc, col("pc_id"))
-        .limit(4)
-        .select(col("pc_id").as("cent_id"))
-      QueryCache.resultThenRelease(
-        assigned.join(broadcast(probed), "cent_id")
-          .filter(col("vec_id") =!= 0L)
-          .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10),
-        assigned, eCache)
-    }),
 
-    // Trained-IVF ANN: s4's pipeline with the coarse quantizer actually
-    // TRAINED (MLlib k-means, memoized — see [[trainedCentroids]])
-    // instead of modular-sampled. Assignment and probe both rank by the
-    // exact k-means objective (2·dot − ‖c‖², ties to smallest cent_id)
-    // computed with the fixed-order codegen dot — NOT the model's BLAS
-    // transform — so the DuckDB oracle RECOMPUTES the assignment from
-    // the dumped centroids and the srp unit dump: unlike s4's
-    // trusted-assignment replay, the gate here certifies the argmin
-    // itself. At 100 TB: train on a sample (k-means cost is per-point ×
-    // iterations — the sample bounds it), broadcast the k×d centroid
-    // matrix (KBs), assignment is one broadcast join + map-side-combined
-    // max_by, probes read nprobe cells.
-    "s9_ivf_trained" -> ((s, dir) => {
-      val cents = ivfTrainedCents(s, dir)
-      val e = Tables.spread(Tables.embeddings(s, dir))
-        .select(col("vec_id"), normalized(col("embedding")).as("unit"))
-        .persist()
-      val assigned = e.join(broadcast(cents))
-        .withColumn("score",
-          lit(2.0) * dot(col("unit"), col("cent")) - col("cnorm"))
-        .groupBy("vec_id")
-        .agg(max_by(col("cent_id"),
-            struct(col("score"), (-col("cent_id")).as("nc"))).as("cent_id"),
-          first("unit").as("unit"))
-      val qUnit = typedlit(
-        e.filter(col("vec_id") === 0L).select("unit")
-          .head().getSeq[Double](0))
-      val probed = cents
-        .withColumn("qscore",
-          lit(2.0) * dot(col("cent"), qUnit) - col("cnorm"))
-        .orderBy(col("qscore").desc, col("cent_id"))
-        .limit(4)
-        .select("cent_id")
-      QueryCache.resultThenRelease(
-        assigned.join(broadcast(probed), "cent_id")
-          .filter(col("vec_id") =!= 0L)
-          .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10),
-        e)
-    }),
 
-    // IVF-ADC — the COMPOSED production ANN layout (inverted file +
-    // product-quantization scoring: Jégou/Douze/Schmid, "Product
-    // Quantization for Nearest Neighbor Search", TPAMI 2011 — the layout
-    // behind FAISS's IndexIVFPQ): the coarse quantizer (s4's cell
-    // assignment, the frame side_s4_assign certifies) restricts the scan
-    // to the nprobe=2 cells nearest the query; the PQ codes (s8's 4×16
-    // geometry from side_s8_codes) score ONLY those cells' members via
-    // the broadcast ADC lookup tables; the top-50 ADC survivors re-rank
-    // on exact float cosine (the family discipline: quantization error
-    // moves WHICH candidates are seen, never an emitted score). The two
-    // compression axes multiply at 100 TB — cells cut the scan to
-    // ~nprobe/k of the corpus, codes cut its bandwidth to M bytes per
-    // visited vector — so the first pass reads nprobe/k × M B/vector
-    // with no shuffle and no join beyond the broadcast probe list.
-    // Oracled by COMPOSING the two dumps the component tiers already
-    // certify; recall vs s1 is certified inside s16 (RecallMethods).
-    "s17_ivfpq_knn" -> ((s, dir) => {
-      val (assigned0, eCache) = ivfAssign(s, dir)
-      val assigned = assigned0.persist()
-      val codes = pqBase(s, dir).persist()
-      val qUnit = codes.filter(col("vec_id") === 0L)
-        .select("unit").head().getSeq[Double](0)
-      val q = typedlit(qUnit)
-      val probed = assigned.filter(col("vec_id") % 53 === 0)
-        .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
-        .withColumn("qsim", dot(col("cent"), q))
-        .orderBy(col("qsim").desc, col("pc_id"))
-        .limit(2)
-        .select(col("pc_id").as("cent_id"))
-      // ADC lookup tables — s8's construction verbatim: per subspace,
-      // cb_id -> dot(q_m, c_m), slices walked in ascending index order so
-      // the fold matches the oracle's list_dot_product
-      val cbRows = codes.filter(col("vec_id") % 53 === 0)
-        .select("vec_id", "unit").collect()
-      val luts: Seq[Map[Long, Double]] = (0 until PqM).map { m =>
-        cbRows.map { r =>
-          val c = r.getSeq[Double](1)
-          val d = (0 until PqD).foldLeft(0.0)((acc, i) =>
-            acc + qUnit(m * PqD + i) * c(m * PqD + i))
-          r.getLong(0) -> d
-        }.toMap
-      }
-      val adc = (0 until PqM)
-        .map(m => element_at(typedlit(luts(m)), col("codes")(m)))
-        .reduce(_ + _)
-      val cands = assigned.join(broadcast(probed), "cent_id")
-        .filter(col("vec_id") =!= 0L)
-        .select("vec_id")
-        .join(codes, "vec_id")
-        .select(col("vec_id"), adc.as("qscore"))
-        .orderBy(col("qscore").desc, col("vec_id"))
-        .limit(50)
-      QueryCache.resultThenRelease(
-        cands.join(codes.select("vec_id", "unit"), "vec_id")
-          .select(col("vec_id"), dot(col("unit"), q).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10),
-        assigned, eCache, codes)
-    }),
 
-    // Binary-code kNN — the 1-bit/dim memory tier below int8 (s6) and
-    // PQ (s8): sign-bit binarization packs each 64-dim vector into ONE
-    // long (8 B — a 32× cut vs float32), the first pass ranks by
-    // Hamming distance (xor + popcount — the cheapest possible scan
-    // arithmetic, SIMD/bitwise all the way down), and the top-50
-    // survivors re-rank on exact float cosine (the family discipline).
-    // Sign agreement tracks angle (SRP with hyperplanes = coordinate
-    // axes), which is what makes Hamming a usable candidate metric.
-    // The oracle RECOMPUTES the codes from the raw embeddings (mm5's
-    // HUGEINT two's-complement fold), so the gate certifies the
-    // binarization itself — no side dump needed.
-    "s18_binary_knn" -> ((s, dir) => {
-      val base = Tables.spread(Tables.embeddings(s, dir))
-        .select(col("vec_id"), col("embedding"),
-          binarize64(col("embedding")).as("code"))
-        .persist()
-      val qRow = base.filter(col("vec_id") === 0L)
-        .select("code", "embedding").head()
-      val qCode = qRow.getLong(0)
-      val qVec = typedlit(qRow.getSeq[Float](1).map(_.toDouble))
-      val cands = base.filter(col("vec_id") =!= 0L)
-        .select(col("vec_id"),
-          graft.functions.HashFunctions.hamming64(
-            col("code"), lit(qCode)).as("hd"))
-        .orderBy(col("hd"), col("vec_id"))
-        .limit(50)
-      QueryCache.resultThenRelease(
-        cands.join(base.select("vec_id", "embedding"), "vec_id")
-          .select(col("vec_id"),
-            cosine(col("embedding"), qVec).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10),
-        base)
-    }),
 
     // Maximal Marginal Relevance — diversified retrieval (Carbonell &
     // Goldstein 1998): greedy top-k where each pick maximizes
@@ -776,7 +818,7 @@ object Similarity {
             (col("hits").cast("double") / lit(10.0)).as("recall_at_10"))
       }.reduce(_ union _)
     })
-  )
+  ) ++ tierBuilders.map { case (n, _) => n -> (memoTier(n) _) }
 
   /** The ANN tiers s16 certifies (each emits vec-0's top-10 like s1). */
   private val RecallMethods =

@@ -20,6 +20,13 @@ class PlanShapeSpec extends SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  // ANN tier queries memoize their 10-row shortlist (Similarity.memoTier),
+  // so SparkEntry.queries returns a LocalRelation on a memo hit — plan
+  // pins for the tiers must read the RAW pipeline builders instead.
+  private def tierPlan(name: String): String =
+    graft.queries.Similarity.tierBuilders(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
   test("events ts range predicate reaches the parquet scan (PushedFilters)") {
     // eventsTsBetween dispatches on the physical encoding: µs-native data
     // filters the public ts (cast-unwrap restores pushdown through the
@@ -124,7 +131,7 @@ class PlanShapeSpec extends SparkSuite {
     // s17: the nprobe cell list joins back as a BROADCAST hash join (2
     // driver-bounded rows) — a shuffled probe join would defeat the IVF
     // design
-    val s17 = plan("s17_ivfpq_knn")
+    val s17 = tierPlan("s17_ivfpq_knn")
     assert(s17.contains("BroadcastHashJoin"), s"s17 probe not broadcast:\n$s17")
     assert(!s17.contains("CartesianProduct"), "s17 has a cartesian join")
     // dd17: the intra-cell pair join is an EQUI join on cent_id — a
@@ -213,7 +220,7 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("s4 assignment aggregates instead of window-sorting N×C rows") {
-    val p = plan("s4_ivf_knn")
+    val p = tierPlan("s4_ivf_knn")
     assert(!p.contains("Window"), "nearest-centroid should be max_by, not row_number")
     assert(p.contains("Aggregate"), "expected partial/final aggregation")
   }
