@@ -1673,19 +1673,31 @@ object Relational {
     // transacting in closed triads = collusion flags). Edges are q57's
     // basket-capped co-purchase pairs RESTRICTED to support ≥ 2 —
     // repeat co-purchases, not single-basket noise; the cut also bounds
-    // the wedge join (measured at sf0.1: 1.2M raw edges → 49M wedges,
-    // vs 3.6k support-2 edges → ~450). Triangles enumerate as wedge +
-    // closing edge via DEGREE orientation ([[orientByDegree]]): each
-    // edge points low-(deg,id) → high-(deg,id), so a triangle a≺b≺c is
-    // counted exactly once as e1:a→b, e2:a→c (b≺c), e3:b→c, and a
-    // high-degree hub generates ~0 wedges instead of O(deg²) — total
-    // wedge work is the standard O(Σ deg_min) ≤ O(|E|^1.5) bound
-    // (ScaleShapeSpec measures the hub-skew drop vs id-orientation).
-    // Id is the tie-break only, keeping the enumeration deterministic
-    // and oracle-replayable (the oracle joins the same degree table
-    // into its CTE).
+    // the candidate work (measured at sf0.1: 1.2M raw edges → 49M
+    // wedges, vs 3.6k support-2 edges → ~450). Triangles count under
+    // DEGREE orientation ([[orientByDegree]]): each edge points
+    // low-(deg,id) → high-(deg,id), so a triangle a≺b≺c is counted
+    // exactly once from its lowest corner, and a high-degree hub
+    // contributes ~0 candidate pairs instead of O(deg²) — total work is
+    // the standard O(Σ deg_min) ≤ O(|E|^1.5) bound (ScaleShapeSpec
+    // measures the hub-skew drop vs id-orientation). Id is the
+    // tie-break only, keeping the enumeration deterministic and
+    // oracle-replayable (the oracle joins the same degree table into
+    // its CTE; the COUNT is formulation-independent, so the oracle's
+    // wedge-join spelling certifies this adjacency-set spelling).
     "q60_triangle_count" -> ((s, dir) => {
       val (lik, liCache, cap) = cappedBasketItems(s, dir)
+      // e IS a persist point: the support-2 edge frame is the expansion
+      // choke — deg references it twice (union), o three times (via the
+      // two degree joins), and the triangle stage three more.
+      // Unpersisted, Catalyst expands the whole lineitem→distinct→
+      // semi-join→pair-agg pipeline into every one of those branches
+      // (measured: a 380-Exchange plan and +1 s vs the cached form at
+      // sf0.1 — exchange reuse does not rescue a tree this bushy,
+      // because each branch pushes different IsNotNull filters into the
+      // shared scan and the subtrees stop canonicalizing equal). deg
+      // stays unpersisted: recomputing it from the cached e is one
+      // cheap union-agg.
       val e = lik.select(col("ok"), col("pk").as("p1"))
         .join(lik.select(col("ok"), col("pk").as("p2")), "ok")
         .filter(col("p1") < col("p2"))
@@ -1693,24 +1705,45 @@ object Relational {
         .filter(col("sup") >= 2)
         .select("p1", "p2")
         .persist()
-      // the degree frame is shared FOUR ways (both orientation joins +
-      // both graph stats: n_nodes = |deg|, n_edges = Σdeg/2) — one union
-      // + one agg over the cached e instead of three separate scans
-      val deg = degrees(e).persist()
+      // materialize the cache BEFORE the consumers are declared: the
+      // triangle and stats branches are independent subtrees, so Spark
+      // launches their stages concurrently — against a cold cache each
+      // would race through the full basket pipeline (measured 2-4×
+      // duplicate compute of the lineitem distinct at sf0.1). One
+      // |edges|-row count is the cheapest possible sequencing barrier.
+      e.count()
+      val deg = degrees(e)
       val o = orientWithDegrees(e, deg).persist()
-      val tri = o.alias("e1")
-        .join(o.alias("e2"), col("e1.src") === col("e2.src") &&
-          struct(col("e1.ddst"), col("e1.dst")) <
-            struct(col("e2.ddst"), col("e2.dst")))
-        .join(o.alias("e3"),
-          col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
-        .agg(count(lit(1)).as("n_triangles"))
+      // triangles via adjacency-set intersection rather than the 3-way
+      // wedge self-join: tri = Σ over oriented edges (u,v) of
+      // |N⁺(u) ∩ N⁺(v)| — the same degree-oriented enumeration (each
+      // triangle counted once from its lowest-(deg,id) corner), two
+      // joins + one array_intersect instead of three joins over the
+      // wedge fan-out (measured 2.1s → 1.5s at sf0.1, same count). The
+      // N⁺ arrays are bounded by the orientation's O(√E) out-degree cap
+      // — the same bound that kept the wedge join's fan-out safe keeps
+      // this collect_list's per-row state safe; total intersect work is
+      // Σ min-degrees ≤ O(|E|^1.5), identical to the wedge bound.
+      val nbrs = o.groupBy(col("src")).agg(
+        sort_array(collect_list(col("dst"))).as("ns"))
+      val tri = o
+        .join(nbrs.select(col("src"), col("ns").as("nu")), Seq("src"))
+        .join(nbrs.select(col("src").as("dst"), col("ns").as("nv")),
+          Seq("dst"))
+        .agg(coalesce(sum(size(array_intersect(col("nu"), col("nv")))),
+          lit(0)).cast("long").as("n_triangles"))
       val stats = deg.agg(count(lit(1)).as("n_nodes"),
         (sum("deg") / 2).cast("long").as("n_edges"))
-      QueryCache.resultThenRelease(
-        tri.crossJoin(stats)
-          .withColumn("cap_baskets", lit(cap)),
-        e, o, deg, liCache)
+      // the result is ONE row by construction — materializeLocal cuts
+      // the lineage outright (no result persist + re-read), and the
+      // finally releases the caches whether or not the job succeeds
+      try QueryCache.materializeLocal(
+        tri.crossJoin(stats).withColumn("cap_baskets", lit(cap)))
+      finally {
+        o.unpersist(blocking = false)
+        e.unpersist(blocking = false)
+        liCache.unpersist(blocking = false)
+      }
     })
   )
 
@@ -1735,6 +1768,17 @@ object Relational {
     * and both self-join sides) — the caller must hand it to
     * [[QueryCache.resultThenRelease]]; releasing `items` itself would be
     * a no-op, it carries no storage of its own.
+    *
+    * Why the cap is a driver Long and not an in-plan 1-row frame: a
+    * plan-side cap frame was tried in round 8 and REVERTED — the cap
+    * subtree (distinct → sizes → histogram → cumsum) then rides inside
+    * `keep` AND the final emission, and because each consuming branch
+    * pushes different IsNotNull filters into the shared lineitem scan,
+    * the branches canonicalize differently and exchange reuse cannot
+    * collapse them: the distinct pipeline re-executed per branch
+    * (measured 2× slower at sf0.1 with a 380-Exchange q60 plan). The
+    * persisted frame + collected integer is the structure that bounds
+    * the lineitem work to ONE distinct whatever the consumer shape.
     */
   private def cappedBasketItems(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) = {
