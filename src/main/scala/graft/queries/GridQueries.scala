@@ -269,8 +269,15 @@ object GridQueries {
     // leaves integers — the float-summation-order hash risk g9's dvdt
     // avoids by being row-local, this op avoids by never leaving ℤ.
     // Non-uniform spacing is handled naturally (gaps widen Δt — real
-    // trapezoid semantics). One shuffle on (type, bucket), the window
-    // and final roll-up reuse the type partitioning.
+    // trapezoid semantics). TWO Exchanges by design: the corpus-sized
+    // bucket agg shuffles on (type, bucket) — full key parallelism —
+    // and the per-type window/roll-up re-shuffles the |types|×|buckets|-
+    // bounded bucket frame on type alone (hashpartitioning(type, t)
+    // does not satisfy the window's type-only clustering; the subset
+    // rule runs the other way). Forcing one shuffle by pre-partitioning
+    // the RAW events on type would cap the corpus agg's parallelism at
+    // |event types| — the wrong trade at 100 TB. PlanShapeSpec pins the
+    // two-Exchange shape.
     "g11_column_integral" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("t")
       Tables.events(s, dir)

@@ -200,6 +200,14 @@ object MultimodalQueries {
             val base = new org.apache.hadoop.fs.Path(s"$tmp/docs")
             val fs = base.getFileSystem(conf)
             it.foreach { m =>
+              // no commit protocol, BY DESIGN and load-bearing: each
+              // file's bytes are a deterministic function of media_id
+              // alone, so a retried or speculative task rewrites
+              // IDENTICAL content and overwrite=true makes the write
+              // idempotent. If payloads ever become attempt-dependent
+              // (timestamps, randomness), this must switch to
+              // attempt-unique temp names + rename — a half-written
+              // rerun would otherwise corrupt the binaryFile read-back.
               val out = fs.create(
                 new org.apache.hadoop.fs.Path(base, s"${m.media_id}.bin"),
                 true)

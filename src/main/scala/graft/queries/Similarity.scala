@@ -1152,13 +1152,18 @@ object Similarity {
     // two's-complement fold (mm5's idiom), Hamming cut, exact re-rank
     "s18_binary_knn" ->
       s"""WITH cb AS (
+         |  -- embedding IS NOT NULL matches binarize64's null contract
+         |  -- (null in -> null code, row dropped from the Hamming cut);
+         |  -- the COALESCE covers only the EMPTY-list case (list_sum of
+         |  -- [] is NULL in DuckDB, the kernel folds it to code 0)
          |  SELECT vec_id, embedding,
          |    COALESCE(CAST(list_sum(
          |      [CASE WHEN embedding[i+1] > 0 THEN (1::HUGEINT << i)
          |            ELSE 0::HUGEINT END
          |       for i in range(0, least(len(embedding), 64))]) AS HUGEINT),
          |      0::HUGEINT) AS h
-         |  FROM embeddings),
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL),
          |c AS (SELECT vec_id, embedding,
          |        CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
          |                      THEN 18446744073709551616::HUGEINT

@@ -114,6 +114,15 @@ class PlanShapeSpec extends SparkSuite {
     val t26 = plan("t26_ngram_novelty")
     assert(!t26.contains("BroadcastNestedLoopJoin") &&
       !t26.contains("CartesianProduct"), "t26 has a nested-loop join")
+    // g11: exactly TWO Exchanges by design — the corpus bucket agg
+    // shuffles on (type, bucket) with full key parallelism, and the
+    // per-type window + roll-up share one type-only re-shuffle of the
+    // bounded bucket frame. One Exchange would mean the corpus agg got
+    // pre-partitioned on |types| keys (a parallelism cap at 100 TB);
+    // three would mean the window and the roll-up stopped sharing.
+    val g11 = plan("g11_column_integral")
+    val g11Ex = "Exchange hashpartitioning".r.findAllIn(g11).size
+    assert(g11Ex == 2, s"g11 expected 2 Exchanges, got $g11Ex:\n$g11")
   }
 
   test("dd7 plan has no nested-loop or cartesian join") {
@@ -175,10 +184,14 @@ class PlanShapeSpec extends SparkSuite {
     // below would pass vacuously — fail loudly on format drift instead
     assert(all.nonEmpty, "no [plan_id=N]-tagged Exchange lines found — " +
       "the plan print format changed; update the extraction")
-    // 13 distinct ids in the current static plan; 14 leaves one id of
-    // headroom for print-format jitter while still firing on a stage
-    // recomputation, which adds 2+ (measured: removing one barrier → 16)
-    assert(all.size <= 14,
+    // 15 distinct ids in the current static plan (13 stage exchanges +
+    // 2 added by canChangeCachedPlanOutputPartitioning=true, which
+    // plans an explicit re-partition above cached reads instead of
+    // trusting the cache's layout — AQE elides/coalesces those at
+    // runtime); 16 leaves one id of headroom for print-format jitter
+    // while still firing on a stage recomputation, which adds 2+
+    // (measured: removing one barrier → +3)
+    assert(all.size <= 16,
       s"p8 plans ${all.size} distinct non-broadcast Exchanges:\n" +
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
     // the barriers themselves: the plan must reference ≥3 DISTINCT
