@@ -965,6 +965,89 @@ object Text {
       }
     }),
 
+    // TRUE BPE tokenizer training — the iterative merge loop of Sennrich
+    // et al. 2016 ("Neural Machine Translation of Rare Words with
+    // Subword Units"), not t6's fixed pre-tokenizer: count adjacent
+    // symbol-pair frequencies over the word-frequency table, merge the
+    // argmax pair everywhere (greedy left-to-right, non-overlapping),
+    // repeat. The emitted frame is the MERGE TABLE itself — (step, pair,
+    // frequency) — i.e. the trained tokenizer, and the oracle replays
+    // the entire k-round loop in one DuckDB recursive CTE (argmax via a
+    // global window per iteration, the rewrite via the same fold), so
+    // the gate certifies every round's argmax AND every rewrite, not
+    // just the final vocabulary. Determinism: counts are integers, ties
+    // break (count DESC, left, right) on binary string order — both
+    // engines total-order identically.
+    //
+    // 100 TB shape: ONE corpus scan builds the word-frequency table
+    // (vocab-sized — sublinear in corpus, the standard BPE working set);
+    // every round after that touches only the vocab table: one
+    // pair-keyed shuffle for the count (map-side combined, pairs
+    // bounded by Σ|word| symbols) and a 1-row argmax collect (P4
+    // driver tier). Each round persists its state and releases the
+    // previous one — the PageRank iteration discipline — so lineage
+    // stays one cache deep. k is a fixed training knob (real runs use
+    // 30k-100k merges; the loop shape is identical).
+    "t28_bpe_train" -> ((s, dir) => {
+      val k = 12
+      val init = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        // Sennrich's end-of-word marker: merges may not cross word
+        // boundaries, and word-final units stay distinct from in-word
+        // ones ("er" vs "er</w>")
+        .select(col("n"),
+          concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+      var state = init.persist()
+      state.count()
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var step = 1
+      var dry = false
+      while (step <= k && !dry) {
+        // adjacent pairs, weighted by word frequency; words collapsed
+        // to a single symbol generate none and simply sit out the round
+        val best = state
+          .select(col("n"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) dry = true
+        else {
+          val (bl, br, cnt) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((step.toLong, bl, br, cnt))
+          // greedy left-to-right rewrite: fold the symbol list, merging
+          // an occurrence only when the PREVIOUS emitted symbol is an
+          // unconsumed `bl` — "aaa" under (a,a) becomes [aa, a], never
+          // [aa, aa]. The merged token bl||br can never alias bl (br is
+          // non-empty), so a fresh merge is never re-consumed.
+          val next = state.select(col("n"), aggregate(
+            col("syms"),
+            typedlit(Seq.empty[String]),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(bl) &&
+                x === lit(br),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(bl + br))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+            .persist()
+          next.count()
+          state.unpersist(blocking = false)
+          state = next
+          step += 1
+        }
+      }
+      state.unpersist(blocking = false)
+      import s.implicits._
+      merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_n")
+    }),
+
     // Schema-evolution read (the lakehouse drift case: a 100 TB table
     // written over months accretes columns): two parquet generations —
     // v1 without n_chars, v2 with it — read through ONE scan with
@@ -1714,6 +1797,60 @@ object Text {
         |  min(md5(text)) AS h_lo, max(md5(text)) AS h_hi
         |FROM documents
         |GROUP BY lang""".stripMargin,
+
+    // the ENTIRE k-round merge loop in one recursive CTE: per iteration,
+    // pair totals via a window over the unnested adjacent pairs (the
+    // (last, NULL) zip row keeps single-symbol words alive as state),
+    // the argmax via a global first_value window ordered exactly like
+    // the Spark side (count DESC, left, right), and the greedy
+    // left-to-right rewrite via the same fold — on a chr(31)-joined
+    // string because list_reduce's accumulator must be scalar; the
+    // ends_with(sep || bl) test is segment-exact, and tokens
+    // ([a-z]+ / '</w>') can never contain the separator
+    "t28_bpe_train" ->
+      """WITH RECURSIVE wc AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |st AS (
+        |  SELECT 0 AS iter, w AS word, n,
+        |    list_append(string_split(w, ''), '</w>') AS syms,
+        |    NULL::VARCHAR AS bl, NULL::VARCHAR AS br, NULL::BIGINT AS bn
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT iter + 1, word, n,
+        |    CASE WHEN bn IS NULL THEN syms
+        |         ELSE string_split(list_reduce(syms, (acc, x) ->
+        |           CASE WHEN (acc = bl OR ends_with(acc, chr(31) || bl))
+        |                     AND x = br
+        |                THEN left(acc, length(acc) - length(bl)) || bl || br
+        |                ELSE acc || chr(31) || x END), chr(31))
+        |    END AS syms,
+        |    bl, br, bn
+        |  FROM (
+        |    SELECT iter, word, n, syms, bl2 AS bl, br2 AS br, bn2 AS bn
+        |    FROM (
+        |      SELECT iter, word, n, syms,
+        |        first_value(l) OVER wbest AS bl2,
+        |        first_value(r) OVER wbest AS br2,
+        |        first_value(tot) OVER wbest AS bn2,
+        |        row_number() OVER (PARTITION BY word) AS rn
+        |      FROM (
+        |        SELECT iter, word, n, syms, l, r,
+        |          CASE WHEN r IS NULL THEN NULL
+        |               ELSE sum(n) OVER (PARTITION BY l, r) END AS tot
+        |        FROM (
+        |          SELECT st.iter, st.word, st.n, st.syms,
+        |            u.p[1] AS l, u.p[2] AS r
+        |          FROM st, UNNEST(list_zip(st.syms, st.syms[2:])) AS u(p)
+        |          WHERE st.iter < 12))
+        |      WINDOW wbest AS (ORDER BY (tot IS NULL), tot DESC, l, r
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |    WHERE rn = 1))
+        |SELECT iter::BIGINT AS step, bl AS merge_left, br AS merge_right,
+        |  bn AS pair_n
+        |FROM st WHERE bn IS NOT NULL
+        |GROUP BY ALL ORDER BY step""".stripMargin,
 
     // the two generations replay as a UNION ALL of the same table with
     // and without the evolved column

@@ -91,4 +91,32 @@ class TextQualitySpec extends SparkSuite {
       assert(dupes.filter(col("nb") =!= 1 || col("drift") > 1e-12).isEmpty)
     } finally r.unpersist()
   }
+  test("t28 BPE: greedy non-overlap, argmax ties, dry stop — hand-computed") {
+    // fixture: words aaa×3, ab×1, b×3. Exercises the three hazards a
+    // naive merge loop gets wrong:
+    //  - greedy left-to-right on a run: "aaa" under (a,a) → [aa, a],
+    //    never [aa, aa];
+    //  - argmax ties break (left, right) ascending on BINARY order:
+    //    round 3 has (a,</w>)=3 vs (aa,a)=3 → "a" < "aa" wins;
+    //  - the loop stops when no pair remains (5 merges, not k=12).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-docs").toString
+    Seq((0L, "aaa aaa ab b b"), (1L, "aaa b"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t28_bpe_train")(spark, dir)
+      .orderBy("step")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val want = Seq(
+      (1L, "a", "a", 6L),
+      (2L, "b", "</w>", 4L),
+      (3L, "a", "</w>", 3L),
+      (4L, "aa", "a</w>", 3L),
+      (5L, "a", "b</w>", 1L))
+    assert(got == want, s"merge table mismatch:\n got $got\nwant $want")
+    graft.util.Fs.rmTree(new java.io.File(dir))
+  }
+
 }
