@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftexpr.{CosineSim, DotProduct, SigAgree}
+import org.apache.spark.sql.graftexpr.{CosineSim, DotProduct, LinearTextScore, SigAgree}
 
 /** Session extension: registers the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) …")` reaches the
@@ -41,6 +41,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"graft_sig_agree expects 2 arguments, got ${children.length}")
         SigAgree(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_text_score"),
+      new ExpressionInfo(classOf[LinearTextScore].getName, "graft_text_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_text_score expects 2 arguments, got ${children.length}")
+        LinearTextScore(children.head, children(1))
       }))
 
   /** Register on an already-built session (tests, spark-shell): the SQL

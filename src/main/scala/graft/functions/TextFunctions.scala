@@ -143,4 +143,16 @@ object TextFunctions {
       }
       acc
     })
+
+  /** Linear classifier score over hashed bag-of-token features — native
+    * codegen Expression ([[org.apache.spark.sql.graftexpr.LinearTextScore]]):
+    * tokenize + hash + accumulate in ONE byte-level loop inside the
+    * whole-stage-generated method. The composed-builtin spelling
+    * (regexp_extract_all → transform → aggregate) allocates a token
+    * array and two HOF closures per row and breaks the codegen stage.
+    */
+  def linearTextScore(text: Column, weights: Column): Column = {
+    import org.apache.spark.sql.graftexpr.{GraftExprBridge => B, LinearTextScore}
+    B.column(LinearTextScore(B.expression(text), B.expression(weights)))
+  }
 }

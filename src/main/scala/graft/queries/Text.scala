@@ -1048,6 +1048,33 @@ object Text {
       merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_n")
     }),
 
+    // Learned quality-classifier inference — the fastText/CCNet-style
+    // linear model over hashed bag-of-token features (Joulin et al.
+    // 2016; the learned-filter leg Dolma/CCNet run beside rule-based
+    // scoring), completing the quality family next to t2's rules, t15's
+    // Gopher repetition, t23's perplexity and t24's blocklist. The
+    // scoring is the [[graft.functions.TextFunctions.linearTextScore]]
+    // codegen Expression — tokenize [A-Za-z]+ / lowercase / rolling
+    // 31-poly hash mod 2²⁰ mod |w| / mean of bucket weights, all in one
+    // byte-level loop IN-ROW at the scan (also registered as SQL
+    // `graft_text_score`). The weight vector is a broadcast plan
+    // literal; here it is a deterministic integer-formula stand-in
+    // (training is a separate concern — any w plugs in), chosen DYADIC
+    // (k/1024) so every term and sum is an exact double and the DuckDB
+    // replay — which recomputes the same hashed features and weights
+    // from the same integer formula — hash-matches bit for bit.
+    // 100 TB: pure map over the corpus scan, no shuffle, no state.
+    "t29_quality_score" -> ((s, dir) => {
+      val w = typedlit(QualityWeights)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+            .cast("long").as("n_feat_tokens"),
+          graft.functions.TextFunctions.linearTextScore(col("text"), w)
+            .as("quality_score"))
+        .withColumn("keep", col("quality_score") > 0.0)
+    }),
+
     // Schema-evolution read (the lakehouse drift case: a 100 TB table
     // written over months accretes columns): two parquet generations —
     // v1 without n_chars, v2 with it — read through ONE scan with
@@ -1313,6 +1340,18 @@ object Text {
   }
 
   private val stopList = EnglishStopwords.mkString("['", "','", "']")
+
+  /** t29's weight vector: 512 buckets, w(j) = (((j·2654435761) mod
+    * 1000003) mod 1001 − 500) / 1024 — a deterministic integer formula
+    * both engines derive independently (the oracle never reads a dumped
+    * weight table), with DYADIC values (k/1024, |k| ≤ 500) so per-token
+    * terms and their sums are exact doubles: summation order cannot
+    * move the hash. A trained model would simply replace this array —
+    * the inference path is identical.
+    */
+  private[graft] val QualityWeights: Seq[Double] =
+    (0 until 512).map(j =>
+      (((j.toLong * 2654435761L) % 1000003L) % 1001L - 500L) / 1024.0)
 
   val oracleSql: Map[String, String] = Map(
     "t1_text_stats" ->
@@ -1797,6 +1836,33 @@ object Text {
         |  min(md5(text)) AS h_lo, max(md5(text)) AS h_hi
         |FROM documents
         |GROUP BY lang""".stripMargin,
+
+    // replays the hashed-feature pipeline from scratch: the same
+    // [A-Za-z]+ tokens, the same 31-poly fold over lowercased ASCII
+    // codes (prepended 0 supplies the fold's init — list_reduce has
+    // none), the same integer weight formula; dyadic weights make
+    // list_sum order-independent, so the division is bit-identical
+    "t29_quality_score" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '[A-Za-z]+'), t ->
+        |      list_reduce(
+        |        list_prepend(0::BIGINT,
+        |          list_transform(string_split(lower(t), ''),
+        |            c -> ascii(c)::BIGINT)),
+        |        (acc, c) -> (acc * 31 + c) % 1048576)) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(hs)::BIGINT AS n_feat_tokens,
+        |  CASE WHEN len(hs) = 0 THEN 0.0
+        |       ELSE list_sum(list_transform(hs, h ->
+        |         ((((h % 512) * 2654435761) % 1000003) % 1001 - 500)
+        |           / 1024.0)) / len(hs) END AS quality_score,
+        |  CASE WHEN len(hs) = 0 THEN 0.0
+        |       ELSE list_sum(list_transform(hs, h ->
+        |         ((((h % 512) * 2654435761) % 1000003) % 1001 - 500)
+        |           / 1024.0)) / len(hs) END > 0.0 AS keep
+        |FROM scored""".stripMargin,
 
     // the ENTIRE k-round merge loop in one recursive CTE: per iteration,
     // pair totals via a window over the unnested adjacent pairs (the

@@ -124,4 +124,60 @@ class DotProductSpec extends SparkSuite {
     assert(plan.contains("*(1) Project [graft_sig_agree"),
       s"no codegen span:\n$plan")
   }
+  test("LinearTextScore: tokenization, hashing, edge cases, parity") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.linearTextScore
+    val w = typedlit(graft.queries.Text.QualityWeights)
+    // reference model in plain Scala: [A-Za-z]+ runs, lowercase, 31-poly
+    def ref(text: String): Double = {
+      val toks = "[A-Za-z]+".r.findAllIn(text).map(_.toLowerCase).toSeq
+      if (toks.isEmpty) 0.0
+      else toks.map { t =>
+        val h = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1048576L)
+        graft.queries.Text.QualityWeights((h % 512).toInt)
+      }.sum / toks.size
+    }
+    val texts = Seq(
+      "The quick-BROWN fox, jumps!",   // mixed case + punctuation
+      "caf\u00e9 na\u00efve r\u00e9sum\u00e9",  // multi-byte bytes must separate
+      "a",                              // single 1-char token
+      "123 456 !!!",                    // no letter runs -> 0.0
+      "")                               // empty -> 0.0
+    val got = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+      .select($"id", linearTextScore($"t", w).as("sc"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == ref(t), s"text '$t': got ${got(i)} want ${ref(t)}")
+    }
+    // null text -> null score
+    val n = Seq((1L, Option.empty[String])).toDF("id", "t")
+      .select(linearTextScore($"t", w).as("sc")).head()
+    assert(n.isNullAt(0))
+    // codegen parity: the parquet-backed scan runs the generated loop —
+    // same values as the literal-frame (interpreted/fallback) path
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val plan = docs.select(linearTextScore(col("text"), w).as("sc"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_text_score"), s"expression missing:\n$plan")
+    val fromScan = docs.select($"doc_id",
+      linearTextScore(col("text"), w).as("sc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ref(r.getString(1))).toMap
+    assert(fromScan == local, "codegen path diverges from reference model")
+  }
+
+  test("graft_text_score registered as a SQL function via extensions") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val v = spark.sql(
+      """SELECT graft_text_score('aa bb', array(0.5D, -0.25D)) AS s""")
+      .head().getDouble(0)
+    // h('aa') = (0*31+97)*31+97 mod 2^20 = 3104; h('bb') = 3170 — both
+    // even -> bucket parity decides which weight each token reads
+    val wAA = if (3104 % 2 == 0) 0.5 else -0.25
+    val wBB = if (3170 % 2 == 0) 0.5 else -0.25
+    assert(v == (wAA + wBB) / 2.0)
+  }
+
 }
