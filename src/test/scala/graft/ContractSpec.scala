@@ -166,4 +166,46 @@ class ContractSpec extends SparkSuite {
     }
     assert(empty.isEmpty, s"empty side dumps: $empty")
   }
+  /** Verify-side dump-schema canary (the table-footer canary's sibling,
+    * VERDICT r7 ask #8): the oracle SQL for the sketch queries replays
+    * pipelines FROM these dumped frames by column name and type, so a
+    * refactor that renames/retypes a dump column would surface as
+    * hash-mismatches in every downstream sketch query instead of one
+    * named failure. Pins each sidecar's (name -> Spark type) exactly —
+    * additions are failures too (the dump is Verify cost; an unread
+    * column is dead weight the unused-dump test above cannot see).
+    */
+  test("side-dump schemas match the pinned contract") {
+    val expected: Map[String, Map[String, String]] = Map(
+      "side_dd4_sketches" -> Map("doc_id" -> "bigint", "sh" -> "bigint"),
+      "side_doc_sigs" -> Map("doc_id" -> "bigint", "lang" -> "string",
+        "sig" -> "array<bigint>"),
+      "side_hll_est" -> Map("source" -> "string", "n_est" -> "bigint"),
+      "side_s4_assign" -> Map("vec_id" -> "bigint", "cent_id" -> "bigint",
+        "unit" -> "array<double>"),
+      "side_s8_codes" -> Map("vec_id" -> "bigint",
+        "unit" -> "array<double>", "codes" -> "array<bigint>"),
+      "side_s9_cents" -> Map("cent_id" -> "bigint",
+        "cent" -> "array<double>", "cnorm" -> "double"),
+      "side_sq_codes" -> Map("vec_id" -> "bigint",
+        "unit" -> "array<double>", "codes" -> "array<int>"),
+      "side_srp_sigs" -> Map("vec_id" -> "bigint",
+        "unit" -> "array<double>", "sig" -> "bigint"))
+    assert(SparkEntry.sideDumps.keySet == expected.keySet,
+      s"side-dump set drifted: only-code=${SparkEntry.sideDumps.keySet -- expected.keySet} " +
+        s"only-pin=${expected.keySet -- SparkEntry.sideDumps.keySet} — " +
+        "update this pin AND the oracle SQL that reads the dump")
+    val drifted = SparkEntry.sideDumps.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val actual = fn(spark, sf).schema.fields
+          .map(f => f.name -> f.dataType.simpleString).toMap
+        spark.catalog.clearCache()
+        if (actual != expected(name))
+          Some(s"$name: $actual (pinned ${expected(name)})")
+        else None
+    }
+    assert(drifted.isEmpty, drifted.mkString("\n") +
+      " — the oracle replays read these columns by name; update both")
+  }
+
 }
