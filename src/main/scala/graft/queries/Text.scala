@@ -989,63 +989,30 @@ object Text {
     // stays one cache deep. k is a fixed training knob (real runs use
     // 30k-100k merges; the loop shape is identical).
     "t28_bpe_train" -> ((s, dir) => {
-      val k = 12
-      val init = Tables.documents(s, dir)
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        // Sennrich's end-of-word marker: merges may not cross word
-        // boundaries, and word-final units stay distinct from in-word
-        // ones ("er" vs "er</w>")
-        .select(col("n"),
-          concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
-      var state = init.persist()
-      state.count()
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, String, Long)]
-      var step = 1
-      var dry = false
-      while (step <= k && !dry) {
-        // adjacent pairs, weighted by word frequency; words collapsed
-        // to a single symbol generate none and simply sit out the round
-        val best = state
-          .select(col("n"), explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum("n").as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (best.isEmpty) dry = true
-        else {
-          val (bl, br, cnt) =
-            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          merges += ((step.toLong, bl, br, cnt))
-          // greedy left-to-right rewrite: fold the symbol list, merging
-          // an occurrence only when the PREVIOUS emitted symbol is an
-          // unconsumed `bl` — "aaa" under (a,a) becomes [aa, a], never
-          // [aa, aa]. The merged token bl||br can never alias bl (br is
-          // non-empty), so a fresh merge is never re-consumed.
-          val next = state.select(col("n"), aggregate(
-            col("syms"),
-            typedlit(Seq.empty[String]),
-            (acc, x) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(bl) &&
-                x === lit(br),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(lit(bl + br))))
-              .otherwise(concat(acc, array(x)))).as("syms"))
-            .persist()
-          next.count()
-          state.unpersist(blocking = false)
-          state = next
-          step += 1
-        }
-      }
+      val (merges, state) = bpeTrainLoop(s, dir, BpeRounds)
       state.unpersist(blocking = false)
       import s.implicits._
-      merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_n")
+      merges.toDF("step", "merge_left", "merge_right", "pair_n")
+    }),
+
+    // BPE tokenizer APPLICATION — the other half of t28: segment the
+    // corpus with the trained merges and emit the resulting subword
+    // vocabulary with corpus frequencies (the table a data pipeline
+    // ships to the trainer as "tokens/doc" truth, and the direct view
+    // of what k merge rounds bought: which subwords exist and how much
+    // of the corpus they cover). The segmentation IS t28's final state
+    // — training and application share one loop (bpeTrainLoop), so the
+    // two gated queries can never disagree on the merge semantics; the
+    // oracle composes the same recursive CTE and reads the iter=k
+    // state, certifying the APPLIED segmentation end-to-end, not just
+    // the merge table. Same scale shape as t28 plus one vocab-sized
+    // explode + hash agg.
+    "t30_bpe_apply" -> ((s, dir) => {
+      val (_, state) = bpeTrainLoop(s, dir, BpeRounds)
+      QueryCache.resultThenRelease(
+        state.select(explode(col("syms")).as("token"), col("n"))
+          .groupBy("token").agg(sum("n").as("n_occ")),
+        state)
     }),
 
     // Learned quality-classifier inference — the fastText/CCNet-style
@@ -1341,6 +1308,76 @@ object Text {
 
   private val stopList = EnglishStopwords.mkString("['", "','", "']")
 
+  /** t28/t30's merge-round budget — a fixed training knob (real runs
+    * use 30k-100k; the loop shape is identical).
+    */
+  private[graft] val BpeRounds = 12
+
+  /** The shared BPE training loop (Sennrich et al. 2016): word-frequency
+    * table → k rounds of (weighted pair count → argmax merge → greedy
+    * left-to-right rewrite). Returns the merge table and the FINAL
+    * per-word segmentation state (n, syms) — PERSISTED; the caller owns
+    * its release. One definition serves both gated queries: t28 emits
+    * the merges, t30 the applied segmentation's vocabulary.
+    */
+  private def bpeTrainLoop(s: SparkSession, dir: String, k: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val init = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      // Sennrich's end-of-word marker: merges may not cross word
+      // boundaries, and word-final units stay distinct from in-word
+      // ones ("er" vs "er</w>")
+      .select(col("n"),
+        concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+    var state = init.persist()
+    state.count()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= k && !dry) {
+      // adjacent pairs, weighted by word frequency; words collapsed
+      // to a single symbol generate none and simply sit out the round
+      val best = state
+        .select(col("n"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (bl, br, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step.toLong, bl, br, cnt))
+        // greedy left-to-right rewrite: fold the symbol list, merging
+        // an occurrence only when the PREVIOUS emitted symbol is an
+        // unconsumed `bl` — "aaa" under (a,a) becomes [aa, a], never
+        // [aa, aa]. The merged token bl||br can never alias bl (br is
+        // non-empty), so a fresh merge is never re-consumed.
+        val next = state.select(col("n"), aggregate(
+          col("syms"),
+          typedlit(Seq.empty[String]),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(bl) &&
+              x === lit(br),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(lit(bl + br))))
+            .otherwise(concat(acc, array(x)))).as("syms"))
+          .persist()
+        next.count()
+        state.unpersist(blocking = false)
+        state = next
+        step += 1
+      }
+    }
+    (merges.toSeq, state)
+  }
+
   /** t29's weight vector: 512 buckets, w(j) = (((j·2654435761) mod
     * 1000003) mod 1001 − 500) / 1024 — a deterministic integer formula
     * both engines derive independently (the oracle never reads a dumped
@@ -1352,6 +1389,52 @@ object Text {
   private[graft] val QualityWeights: Seq[Double] =
     (0 until 512).map(j =>
       (((j.toLong * 2654435761L) % 1000003L) % 1001L - 500L) / 1024.0)
+
+  /** The t28/t30-shared oracle CTE: the full BPE merge loop as one
+    * recursive CTE (see the t28 oracle comment for the window/fold
+    * construction). One string serves both gates, mirroring
+    * `bpeTrainLoop` on the Spark side.
+    */
+  private val BpeCteSql: String =
+    s"""WITH RECURSIVE wc AS (
+      |  SELECT w, count(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |st AS (
+      |  SELECT 0 AS iter, w AS word, n,
+      |    list_append(string_split(w, ''), '</w>') AS syms,
+      |    NULL::VARCHAR AS bl, NULL::VARCHAR AS br, NULL::BIGINT AS bn
+      |  FROM wc
+      |  UNION ALL
+      |  SELECT iter + 1, word, n,
+      |    CASE WHEN bn IS NULL THEN syms
+      |         ELSE string_split(list_reduce(syms, (acc, x) ->
+      |           CASE WHEN (acc = bl OR ends_with(acc, chr(31) || bl))
+      |                     AND x = br
+      |                THEN left(acc, length(acc) - length(bl)) || bl || br
+      |                ELSE acc || chr(31) || x END), chr(31))
+      |    END AS syms,
+      |    bl, br, bn
+      |  FROM (
+      |    SELECT iter, word, n, syms, bl2 AS bl, br2 AS br, bn2 AS bn
+      |    FROM (
+      |      SELECT iter, word, n, syms,
+      |        first_value(l) OVER wbest AS bl2,
+      |        first_value(r) OVER wbest AS br2,
+      |        first_value(tot) OVER wbest AS bn2,
+      |        row_number() OVER (PARTITION BY word) AS rn
+      |      FROM (
+      |        SELECT iter, word, n, syms, l, r,
+      |          CASE WHEN r IS NULL THEN NULL
+      |               ELSE sum(n) OVER (PARTITION BY l, r) END AS tot
+      |        FROM (
+      |          SELECT st.iter, st.word, st.n, st.syms,
+      |            u.p[1] AS l, u.p[2] AS r
+      |          FROM st, UNNEST(list_zip(st.syms, st.syms[2:])) AS u(p)
+      |          WHERE st.iter < $BpeRounds))
+      |      WINDOW wbest AS (ORDER BY (tot IS NULL), tot DESC, l, r
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |    WHERE rn = 1))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t1_text_stats" ->
@@ -1874,49 +1957,20 @@ object Text {
     // ends_with(sep || bl) test is segment-exact, and tokens
     // ([a-z]+ / '</w>') can never contain the separator
     "t28_bpe_train" ->
-      """WITH RECURSIVE wc AS (
-        |  SELECT w, count(*) AS n
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY w),
-        |st AS (
-        |  SELECT 0 AS iter, w AS word, n,
-        |    list_append(string_split(w, ''), '</w>') AS syms,
-        |    NULL::VARCHAR AS bl, NULL::VARCHAR AS br, NULL::BIGINT AS bn
-        |  FROM wc
-        |  UNION ALL
-        |  SELECT iter + 1, word, n,
-        |    CASE WHEN bn IS NULL THEN syms
-        |         ELSE string_split(list_reduce(syms, (acc, x) ->
-        |           CASE WHEN (acc = bl OR ends_with(acc, chr(31) || bl))
-        |                     AND x = br
-        |                THEN left(acc, length(acc) - length(bl)) || bl || br
-        |                ELSE acc || chr(31) || x END), chr(31))
-        |    END AS syms,
-        |    bl, br, bn
-        |  FROM (
-        |    SELECT iter, word, n, syms, bl2 AS bl, br2 AS br, bn2 AS bn
-        |    FROM (
-        |      SELECT iter, word, n, syms,
-        |        first_value(l) OVER wbest AS bl2,
-        |        first_value(r) OVER wbest AS br2,
-        |        first_value(tot) OVER wbest AS bn2,
-        |        row_number() OVER (PARTITION BY word) AS rn
-        |      FROM (
-        |        SELECT iter, word, n, syms, l, r,
-        |          CASE WHEN r IS NULL THEN NULL
-        |               ELSE sum(n) OVER (PARTITION BY l, r) END AS tot
-        |        FROM (
-        |          SELECT st.iter, st.word, st.n, st.syms,
-        |            u.p[1] AS l, u.p[2] AS r
-        |          FROM st, UNNEST(list_zip(st.syms, st.syms[2:])) AS u(p)
-        |          WHERE st.iter < 12))
-        |      WINDOW wbest AS (ORDER BY (tot IS NULL), tot DESC, l, r
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-        |    WHERE rn = 1))
+      s"""$BpeCteSql
         |SELECT iter::BIGINT AS step, bl AS merge_left, br AS merge_right,
         |  bn AS pair_n
         |FROM st WHERE bn IS NOT NULL
         |GROUP BY ALL ORDER BY step""".stripMargin,
+
+    // the same CTE's iter=k state IS the applied segmentation — unnest
+    // the final symbol lists weighted by word frequency
+    "t30_bpe_apply" ->
+      s"""$BpeCteSql
+        |SELECT u.tok AS token, sum(st.n)::BIGINT AS n_occ
+        |FROM st, UNNEST(st.syms) AS u(tok)
+        |WHERE st.iter = $BpeRounds
+        |GROUP BY u.tok""".stripMargin,
 
     // the two generations replay as a UNION ALL of the same table with
     // and without the evolved column

@@ -83,7 +83,12 @@ class InvarianceSpec extends SparkSuite {
         // mm9's channel mean is a row-local byte fold; s18's Hamming
         // cut is integer with id ties and its cosines row-local
         "q65_event_paths", "g11_column_integral", "p16_release_diff",
-        "t27_xml_roundtrip", "mm9_binary_ingest", "s18_binary_knn")) {
+        "t27_xml_roundtrip", "mm9_binary_ingest", "s18_binary_knn",
+        // round-8: t28/t30 emit integers+strings (the merge argmax is
+        // integer-total + binary-string ordered, partition-layout-free
+        // by the map-side-combined pair agg); t29's score sums DYADIC
+        // (k/1024) weights — exact doubles, order cannot move them
+        "t28_bpe_train", "t29_quality_score", "t30_bpe_apply")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq

@@ -223,4 +223,42 @@ class ScaleShapeSpec extends SparkSuite {
     assert(r2.toDouble / r1.toDouble < 3.0,
       s"superlinear shuffle growth: $r1 -> $r2 records")
   }
+  test("t28 BPE rounds shuffle vocab-bounded records: 8x corpus, flat rounds") {
+    // the BPE scale claim: after the one corpus-sized word-count pass,
+    // every merge round touches only the VOCAB-sized word table — so
+    // growing the corpus 8x while holding the vocabulary fixed must not
+    // grow the per-round shuffle. Docs draw 30 words from a FIXED
+    // 300-word vocabulary; at n=100 the vocab is already saturated, so
+    // n=800 has the same word table and the rounds' pair shuffles carry
+    // the same records. Only the initial word-count aggregation sees 8x
+    // input — and its shuffle carries one record per (partition, word)
+    // thanks to map-side combine, so even it is vocab-bounded.
+    import spark.implicits._
+    def corpusFixedVocab(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(7)
+      val docs = (0 until n).map(i =>
+        (i.toLong, Array.fill(30)("w" + rnd.nextInt(300)).mkString(" ")))
+      docs.toDF("doc_id", "text").repartition(4, col("doc_id"))
+    }
+    def run(n: Int): Long = {
+      val dir = java.nio.file.Files.createTempDirectory(s"bpe-scale-$n").toString
+      corpusFixedVocab(n).coalesce(4).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val recs = shuffleRecords {
+        SparkEntry.queries("t28_bpe_train")(spark, dir).collect()
+      }
+      graft.util.Fs.rmTree(new java.io.File(dir))
+      recs
+    }
+    val r1 = run(100)
+    val r8 = run(800)
+    assert(r1 > 0 && r8 > 0, s"implausible shuffle counts: $r1 / $r8")
+    // vocab saturated at both sizes -> same word table, same rounds; the
+    // 1.5 factor absorbs partition-layout jitter, while a corpus-scaled
+    // regression (rounds re-scanning documents) would show ~8x
+    val ratio = r8.toDouble / r1.toDouble
+    assert(ratio < 1.5,
+      s"BPE round shuffles grew with the corpus: $r1 -> $r8 (ratio $ratio)")
+  }
+
 }
