@@ -49,11 +49,17 @@ object GridCatalog {
   def discover(spark: SparkSession, dir: String,
       prefix: String = "", postfix: String = ".parquet"): Seq[GridFile] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Seq.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    // the discovery RPCs carry the reference's retry envelope ([[Retry]]:
+    // boto3-standard 10 attempts + exponential backoff, dask_config.py:
+    // 49-52) — the one driver-side store call that runs outside the s3a
+    // client's own retries
+    val attempts = Retry.attemptsFrom(conf)
+    if (!Retry.withRetries(attempts)(fs.exists(p))) return Seq.empty
     val re = (java.util.regex.Pattern.quote(prefix) + TsRegex +
       java.util.regex.Pattern.quote(postfix)).r
-    fs.listStatus(p).toSeq.flatMap { st =>
+    Retry.withRetries(attempts)(fs.listStatus(p)).toSeq.flatMap { st =>
       val name = st.getPath.getName
       re.findFirstMatchIn(name).filter(_.matched == name).map { m =>
         GridFile(st.getPath.toString, parseTs(m.group(1)))

@@ -29,6 +29,13 @@ object GraftTestFs {
   @volatile var seenS3aConf: Map[String, String] = Map.empty
   val opens = new AtomicInteger(0)
   val creates = new AtomicInteger(0)
+  /** Transient-failure injection: while > 0, each listStatus throws an
+    * IOException (and decrements) — simulates the flaky object-store
+    * listing the Retry envelope exists for. `listings` counts ALL
+    * listStatus calls including the failed ones.
+    */
+  val failNextListings = new AtomicInteger(0)
+  val listings = new AtomicInteger(0)
   val S3aKeys: Seq[String] = Seq(
     "fs.s3a.connection.maximum", "fs.s3a.attempts.maximum",
     "fs.s3a.retry.limit", "fs.s3a.access.key", "fs.s3a.secret.key")
@@ -56,6 +63,14 @@ class GraftTestFs extends RawLocalFileSystem {
       : org.apache.hadoop.fs.FSDataInputStream = {
     GraftTestFs.opens.incrementAndGet()
     super.open(f, bufferSize)
+  }
+
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    GraftTestFs.listings.incrementAndGet()
+    if (GraftTestFs.failNextListings.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new java.io.IOException(
+        "grafts3: injected transient listing failure")
+    super.listStatus(f)
   }
 
   // every create overload in RawLocalFileSystem funnels through this
