@@ -1169,6 +1169,30 @@ object Text {
         .select(col("doc_id"), array_join(col("h"), ",").as("hits"),
           size(col("h")).cast("long").as("n_hits"),
           (size(col("h")) === 0).as("keep"))
+    }),
+
+    // Blocklist tagging at PRODUCTION dictionary size — t24's semantics
+    // (lowercase, \b-bounded, distinct sorted hits, keep verdict) with
+    // the matcher t24's 100 TB note prescribes: an Aho-Corasick
+    // automaton ([[graft.functions.AhoCorasick]]) over a 200-term
+    // dictionary (words + multi-word phrases + filler terms), built once
+    // on the driver and BROADCAST — matching is O(|text| + hits) per row
+    // regardless of dictionary size, where the regex alternation grows
+    // with every term. Still one scan, no shuffle before the emission
+    // projection; text dies at the scan. The oracle replays every term
+    // as an independent \b-regex existence test and re-aggregates —
+    // engine-independent semantics, so the gate certifies the automaton
+    // against the regex definition at corpus scale (AhoCorasickSpec
+    // pins it property-style on adversarial overlaps).
+    "t31_blocklist_automaton" -> ((s, dir) => {
+      val ac = s.sparkContext.broadcast(
+        new graft.functions.AhoCorasick(BigBlocklist))
+      val hitsUdf = udf((t: String) => ac.value.matchedPatterns(t).sorted)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), hitsUdf(lower(col("text"))).as("h"))
+        .select(col("doc_id"), array_join(col("h"), ",").as("hits"),
+          size(col("h")).cast("long").as("n_hits"),
+          (size(col("h")) === 0).as("keep"))
     })
   )
 
@@ -1244,6 +1268,23 @@ object Text {
     * the IDENTICAL pattern.
     */
   private val BlocklistPattern = "\\b(dup|slow|error|corrupt)\\b"
+
+  /** t31's production-size dictionary: corpus words, two-word phrases
+    * (the automaton matches across spaces — a regex alternation's \b
+    * semantics preserved), and deterministic filler terms that will
+    * never match — the dictionary SIZE is the point (the automaton's
+    * cost is independent of it). Shared verbatim with the oracle SQL,
+    * which replays each term as its own \b-regex existence test.
+    */
+  private[graft] val BigBlocklist: Seq[String] = {
+    val words = Seq("dup", "slow", "scan", "merge", "batch", "vector",
+      "customer", "window", "stream", "filter", "query", "hash")
+    val phrases = Seq("key order", "data group", "slow query", "hash join",
+      "table scan", "fast key", "merge part", "big data", "row value",
+      "sort merge")
+    val filler = (0 until 178).map(i => f"blockterm$i%03d")
+    words ++ phrases ++ filler
+  }
 
   /** t10's fixed retrieval query (terms present across the corpus with
     * differing document frequencies, so idf actually discriminates).
@@ -2104,6 +2145,23 @@ object Text {
         |  coalesce(array_to_string(h, ','), '') AS hits, -- [] joins to NULL
         |  len(h)::BIGINT AS n_hits, len(h) = 0 AS keep
         |FROM h""".stripMargin,
+
+    // each dictionary term as an independent \b-regex existence test,
+    // re-aggregated to t24's emission shape — the engine-neutral
+    // definition the automaton must reproduce
+    "t31_blocklist_automaton" ->
+      s"""WITH hits AS (
+        |  SELECT d.doc_id, t.term
+        |  FROM documents d, (VALUES ${BigBlocklist.map(t => s"('$t')").mkString(", ")}) t(term)
+        |  WHERE regexp_matches(lower(d.text), '\\b' || t.term || '\\b')),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(term, ',' ORDER BY term) AS hits,
+        |    count(*)::BIGINT AS n_hits
+        |  FROM hits GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.hits, '') AS hits,
+        |  coalesce(a.n_hits, 0) AS n_hits, a.doc_id IS NULL AS keep
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // same salted-md5 order currency (p5/p8's rule); the running window's
     // RANGE-vs-ROWS default is moot because (ord, doc_id) is unique
