@@ -816,4 +816,46 @@ class StreamingSpec extends SparkSuite {
     assert(batchCounts.values.sum == rows.size.toLong)
   }
 
+  test("ingest-time quality scoring + blocklist tagging: stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // t29's codegen expression and t31's broadcast automaton are both
+    // stateless per-row maps, so they run UNCHANGED on a streaming frame
+    // (append mode, no watermark, no state) — the ingest-time corpus
+    // tagging shape. Parity: the streamed tags must equal the batch
+    // queries' rows for the same docs.
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val w = org.apache.spark.sql.functions.typedlit(
+      graft.queries.Text.QualityWeights)
+    val ac = spark.sparkContext.broadcast(
+      new graft.functions.AhoCorasick(graft.queries.Text.BigBlocklist))
+    val hitsUdf = udf((t: String) => ac.value.matchedPatterns(t).sorted)
+    val tagged = mem.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.linearTextScore(col("text"), w)
+          .as("quality_score"),
+        array_join(hitsUdf(lower(col("text"))), ",").as("hits"))
+    val q = tagged.writeStream.format("memory").queryName("tag_stream")
+      .outputMode("append").start()
+    docs.grouped((docs.size + 1) / 2).foreach { c =>
+      mem.addData(c: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("tag_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val batchQ = SparkEntry.queries("t29_quality_score")(spark, sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batchB = SparkEntry.queries("t31_blocklist_automaton")(spark, sf)
+      .select("doc_id", "hits").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.map { case (id, _) => (id, batchQ(id), batchB(id)) }.toSet
+    assert(streamed == want,
+      s"ingest tags diverge from batch (sample diff: ${(streamed -- want).take(3)})")
+    assert(streamed.exists(_._3.nonEmpty), "fixture has no blocklist hits — vacuous")
+  }
+
 }
