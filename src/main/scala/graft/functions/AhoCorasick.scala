@@ -13,9 +13,9 @@ import scala.collection.mutable
   *
   * Built ONCE driver-side from the pattern list (goto trie + BFS
   * failure links + merged output sets — the textbook construction),
-  * then broadcast; matching is per-row with zero allocation until a
-  * hit. Serializable so executors receive the finished automaton, never
-  * rebuild it.
+  * then broadcast; per-row matching work and allocation are
+  * O(|text| + hits), independent of dictionary size. Serializable so
+  * executors receive the finished automaton, never rebuild it.
   *
   * [[matchedPatterns]] applies the \b word-boundary rule at emission
   * (word chars = [A-Za-z0-9_], the Java/RE2 definition): a hit counts
@@ -69,11 +69,14 @@ final class AhoCorasick(val patterns: Seq[String]) extends Serializable {
       (c >= '0' && c <= '9') || c == '_'
 
   /** Distinct patterns occurring in `text` with \b boundaries on both
-    * ends, in pattern-list order. Null-safe (null → empty).
+    * ends, in pattern-list order. Null-safe (null → empty). Per-row work
+    * and allocation are O(|text| + hits) — the hit set accumulates in a
+    * small hash set, never a |dictionary|-sized buffer, so a zero-hit
+    * row over a 10⁶-term dictionary costs only the text scan.
     */
   def matchedPatterns(text: String): Seq[String] = {
     if (text == null) return Seq.empty
-    val hit = new Array[Boolean](patterns.size)
+    val hit = mutable.HashSet.empty[Int]
     var node = 0
     var i = 0
     while (i < text.length) {
@@ -81,15 +84,15 @@ final class AhoCorasick(val patterns: Seq[String]) extends Serializable {
       while (node != 0 && !goto_(node).contains(c)) node = fail(node)
       node = goto_(node).getOrElse(c, 0)
       out(node).foreach { idx =>
-        if (!hit(idx)) {
+        if (!hit.contains(idx)) {
           val start = i - patterns(idx).length + 1
           val okL = start == 0 || !isWord(text.charAt(start - 1))
           val okR = i == text.length - 1 || !isWord(text.charAt(i + 1))
-          if (okL && okR) hit(idx) = true
+          if (okL && okR) hit += idx
         }
       }
       i += 1
     }
-    patterns.zipWithIndex.collect { case (p, idx) if hit(idx) => p }
+    hit.toSeq.sorted.map(patterns)
   }
 }

@@ -155,4 +155,13 @@ object TextFunctions {
     import org.apache.spark.sql.graftexpr.{GraftExprBridge => B, LinearTextScore}
     B.column(LinearTextScore(B.expression(text), B.expression(weights)))
   }
+
+  /** [[linearTextScore]]'s feature-token count — the same byte-level
+    * scan without the hash/weight work (vs `size(regexp_extract_all)`:
+    * no regex engine, no token-array allocation, stays in codegen).
+    */
+  def asciiTokenCount(text: Column): Column = {
+    import org.apache.spark.sql.graftexpr.{AsciiTokenCount, GraftExprBridge => B}
+    B.column(AsciiTokenCount(B.expression(text)))
+  }
 }

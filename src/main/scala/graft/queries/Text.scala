@@ -1053,8 +1053,8 @@ object Text {
       val w = typedlit(QualityWeights)
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
-            .cast("long").as("n_feat_tokens"),
+          graft.functions.TextFunctions.asciiTokenCount(col("text"))
+            .as("n_feat_tokens"),
           graft.functions.TextFunctions.linearTextScore(col("text"), w)
             .as("quality_score"))
         .withColumn("keep", col("quality_score") > 0.0)

@@ -58,7 +58,10 @@ object Retry {
       } catch {
         case t: Throwable if isRetriable(t) && k < attempts - 1 =>
           prior = t :: prior
-          sleep(baseMs << k)
+          // cap at ~20 s (boto3 standard's MAX_BACKOFF): an unbounded
+          // shift overflows negative past k=57 (Thread.sleep throws) and
+          // is a multi-year sleep long before that
+          sleep(math.min(baseMs << math.min(k, 30), 20000L))
           k += 1
         case t: Throwable =>
           prior.reverse.foreach(t.addSuppressed) // chronological order

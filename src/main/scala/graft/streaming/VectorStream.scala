@@ -24,14 +24,17 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   *    rule), emitting each touched cell's current count every trigger.
   *
   * Numeric parity with the batch assignment is BIT-exact by
-  * construction: the score is the k-means objective 2·⟨u,c⟩ − ‖c‖²
-  * (correct for non-unit trained centroids), the dot folds
+  * construction WHEN the scoring forms match: the dot folds
   * `zip_with → aggregate` in index order — the same sequence of IEEE
-  * adds as the batch `graft_dot` kernel — and ‖c‖² folds driver-side in
-  * the same order; ties break to the smallest cent_id exactly like the
-  * batch `max_by(struct(sim, -cent_id))`. StreamingSpec pins streamed
-  * assignments == batch `ivfAssign` on the union of the micro-batches,
-  * and final cell counts == the batch per-cell GROUP BY.
+  * adds as the batch `graft_dot` kernel — ‖c‖² folds driver-side in the
+  * same order, and ties break to the smallest cent_id exactly like the
+  * batch `max_by(struct(sim, -cent_id))`. The scoring form is a
+  * parameter because plain-dot (s4's unit-centroid ranking) and the
+  * k-means objective (s9's trained form) agree only in exact
+  * arithmetic, not bit-for-bit — see [[assignAgainst]]. StreamingSpec
+  * pins streamed assignments == batch `ivfAssign` on the union of the
+  * micro-batches (plain-dot form), the two forms' agreement on the
+  * fixture, and final cell counts == the batch per-cell GROUP BY.
   */
 object VectorStream {
 
@@ -43,22 +46,35 @@ object VectorStream {
     * centroid array — works identically on a static frame and a
     * streaming one (the spec runs both and compares).
     *
-    * @param cents (cent_id, centroid vector) — the fixed quantizer;
-    *              centroids need NOT be unit-norm (trained k-means means
-    *              are not), hence the 2·dot − ‖c‖² scoring.
+    * @param cents (cent_id, centroid vector) — the fixed quantizer.
+    * @param kmeansObjective scoring form. `true` (default): the k-means
+    *              objective 2·dot − ‖c‖² — REQUIRED for trained non-unit
+    *              centroids (s9's form). `false`: plain dot — the exact
+    *              ranking batch `ivfAssign`/s4 uses for its unit-norm
+    *              centroids. The two orders agree in exact arithmetic
+    *              for unit centroids, but NOT bit-for-bit: computed
+    *              ‖c‖² values differ from 1.0 by per-centroid ulps, so
+    *              near-tied dots could argmax differently. A caller
+    *              pinning parity against a plain-dot batch assignment
+    *              must pass false; defaulting to the objective keeps
+    *              the trained path correct.
     */
   def assignAgainst(vecs: DataFrame,
-      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      cents: Seq[(Long, Seq[Double])],
+      kmeansObjective: Boolean = true): DataFrame = {
     require(cents.nonEmpty, "assignAgainst needs at least one centroid")
     // (cent_id, cent, cnorm): cnorm folds in index order, matching the
     // batch dot(cent, cent) bit for bit
     val centLit = typedlit(cents.map { case (id, c) =>
       (id, c, c.foldLeft(0.0)((a, x) => a + x * x))
     })
-    def score(c: Column): Column =
-      lit(2.0) * aggregate(
+    def dotc(c: Column): Column =
+      aggregate(
         zip_with(col("unit"), c.getField("_2"), (x, y) => x * y),
-        lit(0.0), (a, x) => a + x) - c.getField("_3")
+        lit(0.0), (a, x) => a + x)
+    def score(c: Column): Column =
+      if (kmeansObjective) lit(2.0) * dotc(c) - c.getField("_3")
+      else dotc(c)
     val best = aggregate(
       centLit,
       struct(lit(Double.NegativeInfinity).as("s"),

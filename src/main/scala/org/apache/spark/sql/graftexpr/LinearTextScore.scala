@@ -34,7 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * same features hash-matches bit for bit.
   *
   * Null semantics match the builtins: null if text or weights is null.
-  * Elements of `weights` are assumed non-null.
+  * Elements of `weights` are assumed non-null; an EMPTY weights array is
+  * a degenerate model and scores 0.0 (the same no-information sentinel
+  * as token-free text — never a divide-by-zero out of the registered
+  * SQL function).
   */
 case class LinearTextScore(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -56,6 +59,10 @@ case class LinearTextScore(left: Expression, right: Expression)
     val s = t.asInstanceOf[UTF8String]
     val weights = w.asInstanceOf[ArrayData]
     val b = weights.numElements()
+    // empty weight vector = degenerate model: score 0.0 (the same
+    // no-information sentinel as token-free text), never a divide-by-
+    // zero crash out of the registered SQL function
+    if (b == 0) return 0.0
     val nb = s.numBytes()
     var h = 0L
     var in = false
@@ -91,17 +98,19 @@ case class LinearTextScore(left: Expression, right: Expression)
          |int $nb = $t.numBytes();
          |int $b = $w.numElements();
          |long $h = 0L; boolean $in = false; int $tok = 0; double $sum = 0.0;
-         |for (int $i = 0; $i < $nb; $i++) {
-         |  byte $c = $t.getByte($i);
-         |  if (($c >= 'A' && $c <= 'Z') || ($c >= 'a' && $c <= 'z')) {
-         |    $h = ($h * 31L + (long) ($c | 0x20)) % ${HashMod}L;
-         |    $in = true;
-         |  } else if ($in) {
-         |    $sum += $w.getDouble((int) ($h % $b)); $tok++;
-         |    $h = 0L; $in = false;
+         |if ($b > 0) {
+         |  for (int $i = 0; $i < $nb; $i++) {
+         |    byte $c = $t.getByte($i);
+         |    if (($c >= 'A' && $c <= 'Z') || ($c >= 'a' && $c <= 'z')) {
+         |      $h = ($h * 31L + (long) ($c | 0x20)) % ${HashMod}L;
+         |      $in = true;
+         |    } else if ($in) {
+         |      $sum += $w.getDouble((int) ($h % $b)); $tok++;
+         |      $h = 0L; $in = false;
+         |    }
          |  }
+         |  if ($in) { $sum += $w.getDouble((int) ($h % $b)); $tok++; }
          |}
-         |if ($in) { $sum += $w.getDouble((int) ($h % $b)); $tok++; }
          |${ev.value} = ($tok == 0) ? 0.0 : $sum / $tok;
        """.stripMargin
     })
@@ -109,4 +118,63 @@ case class LinearTextScore(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LinearTextScore =
     copy(left = newLeft, right = newRight)
+}
+
+/** Count of [[LinearTextScore]]'s feature tokens (`[A-Za-z]+` runs) —
+  * the same byte-level scan with the hash/weight work stripped, so a
+  * query that emits both the score and its token count (t29) pays two
+  * cheap byte passes instead of a Java-regex pass plus a token-array
+  * allocation (`size(regexp_extract_all(...))`, the spelling this
+  * replaced). Null in → null out; empty text → 0.
+  */
+case class AsciiTokenCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_token_count"
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val nb = s.numBytes()
+    var in = false
+    var tok = 0L
+    var i = 0
+    while (i < nb) {
+      val c = s.getByte(i)
+      val letter = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+      if (letter && !in) tok += 1L
+      in = letter
+      i += 1
+    }
+    tok
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val nb = ctx.freshName("nb")
+      val in = ctx.freshName("in")
+      val tok = ctx.freshName("tok")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val letter = ctx.freshName("letter")
+      s"""
+         |int $nb = $t.numBytes();
+         |boolean $in = false; long $tok = 0L;
+         |for (int $i = 0; $i < $nb; $i++) {
+         |  byte $c = $t.getByte($i);
+         |  boolean $letter =
+         |    ($c >= 'A' && $c <= 'Z') || ($c >= 'a' && $c <= 'z');
+         |  if ($letter && !$in) $tok++;
+         |  $in = $letter;
+         |}
+         |${ev.value} = $tok;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AsciiTokenCount = copy(child = newChild)
 }

@@ -173,10 +173,10 @@ class DotProductSpec extends SparkSuite {
     val v = spark.sql(
       """SELECT graft_text_score('aa bb', array(0.5D, -0.25D)) AS s""")
       .head().getDouble(0)
-    // h('aa') = (0*31+97)*31+97 mod 2^20 = 3104; h('bb') = 3170 — both
-    // even -> bucket parity decides which weight each token reads
+    // h('aa') = (0*31+97)*31+97 mod 2^20 = 3104; h('bb') = (0*31+98)*31
+    // + 98 = 3136 — bucket = h mod 2 decides which weight each token reads
     val wAA = if (3104 % 2 == 0) 0.5 else -0.25
-    val wBB = if (3170 % 2 == 0) 0.5 else -0.25
+    val wBB = if (3136 % 2 == 0) 0.5 else -0.25
     assert(v == (wAA + wBB) / 2.0)
   }
 

@@ -58,6 +58,19 @@ class GraftS3Spec extends SparkSuite {
     assert(calls == 3 && e.getMessage == "flaky 3")
     assert(e.getSuppressed.map(_.getMessage).toSeq == Seq("flaky 1", "flaky 2"))
     assert(sleeps.toSeq == Seq(1L, 2L))
+    // backoff is CAPPED at 20s (boto3 standard's MAX_BACKOFF): a large
+    // configured attempt budget must not shift into negative sleeps or
+    // multi-year waits
+    sleeps.clear(); calls = 0
+    intercept[java.io.IOException] {
+      Retry.withRetries(65, baseMs = 100, sleep = sleeps += _) {
+        calls += 1; throw new java.io.IOException("flaky")
+      }
+    }
+    assert(calls == 65)
+    assert(sleeps.forall(s => s > 0 && s <= 20000L),
+      s"backoff left the cap envelope: ${sleeps.filterNot(s => s > 0 && s <= 20000L).take(3)}")
+    assert(sleeps.count(_ == 20000L) >= 50, "cap never engaged")
     // non-IO failures are bugs, not transience: exactly one call
     calls = 0
     intercept[IllegalArgumentException] {

@@ -783,10 +783,13 @@ class StreamingSpec extends SparkSuite {
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
     val chunks = rows.grouped((rows.size + 2) / 3).toSeq
     val mem = MemoryStream[(Long, Seq[Float])]
+    // plain-dot form: the EXACT ranking batch ivfAssign uses for its
+    // unit centroids (the k-means-objective form agrees only in exact
+    // arithmetic — see assignAgainst's doc)
     val assigned = VectorStream.assignAgainst(
       mem.toDS().toDF("vec_id", "embedding")
         .withColumn("unit", normalized(col("embedding"))),
-      cents)
+      cents, kmeansObjective = false)
     val qa = assigned.select("vec_id", "cent_id")
       .writeStream.format("memory").queryName("ivf_assign_stream")
       .outputMode("append").start()
@@ -810,10 +813,22 @@ class StreamingSpec extends SparkSuite {
     val batchCounts = batchAssign.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     assert(finalCounts == batchCounts,
       s"cell counts diverge: $finalCounts vs $batchCounts")
-    // the stateful counts really accumulated ACROSS batches: at least
-    // one cell must have been touched by more than one micro-batch
-    val perBatchMax = chunks.map(_.size).max.toLong
     assert(batchCounts.values.sum == rows.size.toLong)
+    // the stateful counts really accumulated ACROSS batches: update
+    // mode re-emits a touched cell every trigger, so a cell hit in two
+    // micro-batches appears twice in the sink — more emissions than
+    // distinct cells proves cross-batch state (a state store that reset
+    // each batch would still end at per-batch counts, not totals)
+    assert(spark.table("ivf_cells_stream").count() > finalCounts.size,
+      "no cell was touched by more than one micro-batch — vacuous")
+    // both scoring forms agree on this fixture (unit centroids): the
+    // trained-form path is exercised and consistent
+    val kmeans = VectorStream.assignAgainst(
+        units.select(col("vec_id"), col("unit")), cents)
+      .select("vec_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kmeans == batchAssign,
+      "k-means-objective form diverges from plain dot on unit centroids")
   }
 
   test("ingest-time quality scoring + blocklist tagging: stream == batch") {

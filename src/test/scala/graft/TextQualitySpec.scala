@@ -104,19 +104,20 @@ class TextQualitySpec extends SparkSuite {
     Seq((0L, "aaa aaa ab b b"), (1L, "aaa b"))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = SparkEntry.queries("t28_bpe_train")(spark, dir)
-      .orderBy("step")
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .toSeq
-    val want = Seq(
-      (1L, "a", "a", 6L),
-      (2L, "b", "</w>", 4L),
-      (3L, "a", "</w>", 3L),
-      (4L, "aa", "a</w>", 3L),
-      (5L, "a", "b</w>", 1L))
-    assert(got == want, s"merge table mismatch:\n got $got\nwant $want")
-    graft.util.Fs.rmTree(new java.io.File(dir))
+    try {
+      val got = SparkEntry.queries("t28_bpe_train")(spark, dir)
+        .orderBy("step")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val want = Seq(
+        (1L, "a", "a", 6L),
+        (2L, "b", "</w>", 4L),
+        (3L, "a", "</w>", 3L),
+        (4L, "aa", "a</w>", 3L),
+        (5L, "a", "b</w>", 1L))
+      assert(got == want, s"merge table mismatch:\n got $got\nwant $want")
+    } finally graft.util.Fs.rmTree(new java.io.File(dir))
   }
 
 }
