@@ -53,8 +53,10 @@ object PageRank {
     *   over frames the setup already built.
     */
   def run(edges: DataFrame, damping: Double = 0.85, iters: Int = 10,
-      requireFullDegree: Boolean = false): DataFrame =
-    runWithStats(edges, damping, iters, requireFullDegree)._1
+      requireFullDegree: Boolean = false,
+      checkpointEvery: Int = 1): DataFrame =
+    runWithStats(edges, damping, iters, requireFullDegree,
+      checkpointEvery = checkpointEvery)._1
 
   /** [[run]] plus an optional residual-based early exit, returning
     * `(ranks, iterationsRun)`.
@@ -75,11 +77,14 @@ object PageRank {
     */
   def runWithStats(edges: DataFrame, damping: Double = 0.85,
       iters: Int = 10, requireFullDegree: Boolean = false,
-      tolerance: Option[Double] = None, checkEvery: Int = 2)
+      tolerance: Option[Double] = None, checkEvery: Int = 2,
+      checkpointEvery: Int = 1)
       : (DataFrame, Int) = {
     require(damping > 0 && damping < 1, s"damping $damping outside (0,1)")
     require(iters >= 1, s"iters $iters must be >= 1")
     require(checkEvery >= 1, s"checkEvery $checkEvery must be >= 1")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery $checkpointEvery must be >= 1")
     tolerance.foreach(t => require(t > 0, s"tolerance $t must be > 0"))
     // per-edge transition probability, the only frame iterations re-scan
     val norm = edges
@@ -102,6 +107,7 @@ object PageRank {
     // failures — direct library callers have no Verify-style clearCache
     // backstop
     var ranks: DataFrame = null
+    var lastCp: DataFrame = null
     var done = false
     try {
       val n = nodes.count().toDouble // materializes both persists
@@ -120,6 +126,10 @@ object PageRank {
 
       ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
         .localCheckpoint() // eager
+      // the latest CHECKPOINTED round: intermediate (uncheckpointed)
+      // rounds keep their lineage anchored on this frame's blocks, so
+      // it is freed only when a NEWER checkpoint exists
+      lastCp = ranks
       var it = 0
       var converged = false
       while (it < iters && !converged) {
@@ -132,16 +142,28 @@ object PageRank {
           .join(ranks.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("rank") * col("p")).as("contrib"))
-        val next = nodes.join(contrib, Seq("node"), "left")
+        val plan = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit((1 - damping) / n) + lit(damping) *
               (coalesce(col("contrib"), lit(0.0)) + lit(dang / n)))
               .as("rank"))
-          .localCheckpoint() // eager: materializes + flattens the plan
+        // checkpoint cadence: every checkpointEvery-th round (plus the
+        // final round and any residual-check round — the residual join
+        // must read two MATERIALIZED frames). cadence 1 is r7's
+        // round-per-action loop; cadence k trades k rounds per action
+        // against a k-join-deep plan between cuts — the analysis cost
+        // that cadence ∞ (per-round persist) paid catastrophically
+        // (BASELINE r6: 69.8s vs 2.4s) stays negligible at small k.
+        val residualDue = tolerance.isDefined &&
+          it % checkEvery == 0 && it < iters
+        val isCp = it % checkpointEvery == 0 || it == iters || residualDue
+        val next =
+          if (isCp) plan.localCheckpoint() // eager: materialize + flatten
+          else plan
         // residual BEFORE freeing the previous round — both operands are
         // checkpointed, so this is a small co-keyed join, no recompute
         converged = tolerance match {
-          case Some(tol) if it % checkEvery == 0 && it < iters =>
+          case Some(tol) if residualDue =>
             val resid = next.select(col("node"), col("rank").as("r2"))
               .join(ranks.select(col("node"), col("rank").as("r1")), "node")
               .agg(coalesce(sum(abs(col("r2") - col("r1"))), lit(0.0)))
@@ -149,7 +171,7 @@ object PageRank {
             resid < tol
           case _ => false
         }
-        Checkpoints.free(ranks)
+        if (isCp) { Checkpoints.free(lastCp); lastCp = next }
         ranks = next
       }
       done = true
@@ -162,7 +184,8 @@ object PageRank {
       // blocks (clearCache can't free them — see Checkpoints); on success
       // the final frame's blocks are the caller's, like dd8's contract.
       // null guard: a validation failure trips before ranks exists.
-      if (!done && ranks != null) Checkpoints.free(ranks)
+      if (!done && ranks != null) { Checkpoints.free(ranks)
+        if (!(lastCp eq ranks) && lastCp != null) Checkpoints.free(lastCp) }
     }
   }
 }

@@ -1629,8 +1629,13 @@ object Relational {
       // |event types| rows). requireFullDegree: the recursive-CTE oracle
       // can't express dangling mass, so a regeneration that introduces a
       // terminal-only or entry-only event type fails HERE by name.
+      // checkpointEvery=2: half the iteration actions; the 2-join-deep
+      // plan between cuts keeps Catalyst analysis flat (PageRankSpec
+      // pins cadence bit-exactness; interleaved A/B at sf0.1: 2.83s
+      // cadence-1 -> 2.23s cadence-2, while cadence-5's deeper plans
+      // give the win back to analysis cost)
       graft.operators.PageRank.run(edges, damping = 0.85, iters = 10,
-          requireFullDegree = true)
+          requireFullDegree = true, checkpointEvery = 2)
         .select(col("node"), col("rank"))
     }),
 
