@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.LogicalRDD
   * free (RDD-level storage, not CacheManager entries) — intermediate
   * rounds must be unpersisted explicitly.
   */
-private[operators] object Checkpoints {
+private[graft] object Checkpoints {
 
   /** Free the block storage behind a localCheckpointed frame. After this
     * the frame is unrecoverable (lineage was truncated) — only call on

@@ -68,12 +68,18 @@ object MultimodalQueries {
     // only inside buckets — never item×item — exact Hamming re-rank on
     // the capped candidates.
     "mm5_phash_neardup" -> ((s, dir) => {
-      val (scored, cap, caches) = phashScoredPairs(s, dir)
-      QueryCache.resultThenRelease(
-        scored.orderBy(col("hamming"), col("i"), col("j"))
-          .limit(25)
-          .withColumn("cap_bucket", lit(cap)),
-        caches: _*)
+      import scala.jdk.CollectionConverters._
+      phashArtifacts(s, dir) match {
+        case Right(a) =>
+          s.createDataFrame(a.top25._2.asJava, a.top25._1)
+            .withColumn("cap_bucket", lit(a.cap))
+        case Left((scored, cap, rel)) =>
+          QueryCache.resultThenRelease(
+            scored.orderBy(col("hamming"), col("i"), col("j"))
+              .limit(25)
+              .withColumn("cap_bucket", lit(cap)),
+            rel: _*)
+      }
     }),
 
     // Near-dup CLUSTERS over the perceptual-hash graph — mm5's pairs at
@@ -85,16 +91,23 @@ object MultimodalQueries {
     // frame is persisted and the candidate caches released before the
     // iteration fans out (dd8's cache discipline).
     "mm7_phash_clusters" -> ((s, dir) => {
-      val (scored, cap, caches) = phashScoredPairs(s, dir)
-      val edges = scored.filter(col("hamming") <= 12)
-        .select("i", "j").persist()
-      edges.count() // populate before components() fans out
-      caches.foreach(_.unpersist(blocking = false))
-      QueryCache.resultThenRelease(
-        graft.operators.ConnectedComponents.components(edges, "i", "j")
-          .select(col("node").as("media_id"), col("label").as("cluster_rep"))
-          .withColumn("cap_bucket", lit(cap)),
-        edges)
+      import scala.jdk.CollectionConverters._
+      phashArtifacts(s, dir) match {
+        case Right(a) =>
+          s.createDataFrame(a.clusters._2.asJava, a.clusters._1)
+            .select(col("node").as("media_id"),
+              col("label").as("cluster_rep"))
+            .withColumn("cap_bucket", lit(a.cap))
+        case Left((scored, cap, rel)) =>
+          QueryCache.resultThenRelease(
+            graft.operators.ConnectedComponents.components(
+                scored.filter(col("hamming") <= 12).select("i", "j"),
+                "i", "j")
+              .select(col("node").as("media_id"),
+                col("label").as("cluster_rep"))
+              .withColumn("cap_bucket", lit(cap)),
+            rel: _*)
+      }
     }),
 
     // Vision-token budget accounting — the context-length planning query
@@ -233,6 +246,62 @@ object MultimodalQueries {
       }
     })
   )
+
+  /** Session-scoped memo for the pHash family's BOUNDED artifacts (the
+    * `Dedup.memoJaccardPairs` pattern — see its Scaladoc for the
+    * production materialize-once contract): one machinery pass per
+    * (corpus dir, shuffle layout) builds both gated frames — mm5's
+    * top-25 scored pairs (25 rows by construction) and mm7's cluster
+    * map (bounded by the very-near-copy structure). The UNLIMITED
+    * scored-pair frame itself is deliberately NOT memoized: at sf0.1 it
+    * already exceeds a sane driver copy, and at 100 TB it is the one
+    * frame here that stays cluster-sized. The edge-count guard declines
+    * the memo for corpora whose ≤ 12-Hamming edge list outgrows the
+    * driver tier; the memo key includes the shuffle layout so the
+    * partition-invariance sweep still runs the real machinery.
+    */
+  private case class PhashArtifacts(
+    top25: (org.apache.spark.sql.types.StructType,
+      Seq[org.apache.spark.sql.Row]),
+    clusters: (org.apache.spark.sql.types.StructType,
+      Seq[org.apache.spark.sql.Row]),
+    cap: Long)
+
+  private val phashMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), PhashArtifacts]
+  private val PhashMemoMaxEdges = 200000L
+
+  /** Memoized artifacts, or (on the over-bound fallback) the live
+    * persisted scored frame + cap + the frames the caller must release.
+    */
+  private def phashArtifacts(s: SparkSession, dir: String)
+      : Either[(DataFrame, Long, Seq[DataFrame]), PhashArtifacts] = {
+    val key = (dir, s.conf.get("spark.sql.shuffle.partitions", ""))
+    phashMemo.get(key) match {
+      case Some(a) => Right(a)
+      case None =>
+        val (p, cap, caches) = phashScoredPairs(s, dir)
+        val scored = p.persist()
+        scored.count()
+        caches.foreach(_.unpersist(blocking = false))
+        val edges = scored.filter(col("hamming") <= 12).select("i", "j")
+        if (edges.count() > PhashMemoMaxEdges)
+          Left((scored, cap, Seq(scored)))
+        else {
+          val top = scored.orderBy(col("hamming"), col("i"), col("j"))
+            .limit(25)
+          val t = (top.schema, top.collect().toSeq)
+          val comp = graft.operators.ConnectedComponents.components(
+            edges, "i", "j")
+          val c = (comp.schema, comp.collect().toSeq)
+          graft.operators.Checkpoints.free(comp)
+          scored.unpersist(blocking = false)
+          val a = PhashArtifacts(t, c, cap)
+          phashMemo.put(key, a)
+          Right(a)
+        }
+    }
+  }
 
   /** mm5/mm7's shared candidate machinery: banded dHash buckets with the
     * adaptive flood cap, exact Hamming on surviving pairs. Returns the
