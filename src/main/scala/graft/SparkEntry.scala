@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, GridQueries, MultimodalQueries, Relational, Similarity, Text}
+import graft.queries.{Dedup, GridQueries, MultimodalQueries, Profiling, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,7 +32,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Text.queries ++ Dedup.queries ++
-      Similarity.queries ++ MultimodalQueries.queries ++ GridQueries.queries
+      Similarity.queries ++ MultimodalQueries.queries ++
+      GridQueries.queries ++ Profiling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may
@@ -41,7 +42,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Text.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ MultimodalQueries.oracleSql ++ GridQueries.oracleSql
+      Similarity.oracleSql ++ MultimodalQueries.oracleSql ++
+      GridQueries.oracleSql ++ Profiling.oracleSql
 
   /** Signature side-tables for the sketch queries: Spark-computed frames
     * (xxhash64-based, not recomputable in DuckDB) that Verify dumps as

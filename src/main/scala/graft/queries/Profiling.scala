@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality profiling and distribution-drift monitoring — the
+  * validation stages a production corpus pipeline runs BESIDE the
+  * transform queries (the Deequ / TFDV role: Schelter et al., "Automating
+  * Large-Scale Data Quality Verification", VLDB 2018; PSI is the standard
+  * population-stability metric of model-monitoring practice):
+  *
+  *   - p17 profiles every column of a table in ONE scan — row count,
+  *     completeness, exact distinct cardinality, numeric min/max — the
+  *     metrics a pipeline gates ingests on ("n_chars suddenly 40% null"
+  *     fails here, not three stages later in a tokenizer);
+  *   - p18 quantifies distribution shift between two corpus snapshots
+  *     (reference vs current) as the Population Stability Index over a
+  *     fixed binning — the "did this release's length/language mix move"
+  *     alarm that catches silent upstream filter changes.
+  *
+  * Scale design: p17 is one Aggregate over a narrow projection — the
+  * exact multi-column `count(DISTINCT)` plans as one Expand(k+1 branches)
+  * + two hash aggregations, still a single corpus scan; at 100 TB the
+  * `exact = false` form swaps in HLL (`approx_count_distinct`, dd13's
+  * mergeable-sketch scale path) and drops the Expand entirely —
+  * ProfilingSpec pins the two forms agree within HLL tolerance. p18's
+  * corpus cost is ONE ≤ `PsiBins`-key hash aggregation (map-side
+  * combined, conditional sums for the two snapshots in the same pass);
+  * everything after is arithmetic on a 20-row frame against 1-row total
+  * frames (the bounded crossJoin tier).
+  */
+object Profiling {
+
+  /** Fixed PSI binning: n_chars DIV 256, capped into the last bin. A
+    * FIXED bin domain (not data-derived quantiles) is deliberate — drift
+    * alarms must compare releases on identical bins, and a binning
+    * derived from the drifted data would partially absorb the drift it
+    * is measuring.
+    */
+  private val PsiBins = 20L
+  private val PsiBinWidth = 256L
+
+  /** One-scan column profile: per column, the table row count, non-null
+    * count (completeness numerator), distinct cardinality, and numeric
+    * min/max (NULL for non-numeric columns — the emission stays
+    * type-stable so the frame hashes deterministically).
+    *
+    * `exact = true` uses `count(DISTINCT …)` (the oracle-replayable
+    * gate form); `exact = false` uses HLL (`approx_count_distinct`),
+    * the 100 TB form — distinctness is the one profile metric whose
+    * exact computation shuffles per-column value domains, and ±2%
+    * answers the completeness/cardinality questions profiling asks.
+    */
+  private[graft] def columnProfile(df: DataFrame,
+      cols: Seq[(String, Boolean)], exact: Boolean): DataFrame = {
+    def nd(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap {
+      case (c, numeric) => Seq(
+        count(col(c)).as(s"nn_$c"),
+        nd(c).as(s"nd_$c"),
+        (if (numeric) min(col(c)).cast("long")
+         else lit(null).cast("long")).as(s"mn_$c"),
+        (if (numeric) max(col(c)).cast("long")
+         else lit(null).cast("long")).as(s"mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the 1-row metric frame to one row per column — driver-tier
+    // reshaping of |cols| values, the corpus never sees it
+    val rows = cols.map { case (c, _) =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("num_min"), col(s"mx_$c").as("num_max"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** PSI terms between two already-binned count frames. Laplace add-1
+    * smoothing over the FIXED `PsiBins`-bin domain keeps every log
+    * finite (empty bins carry probability 1/(N+B), not 0) — the
+    * standard monitoring-practice smoothing, and the reason the bin
+    * spine below materializes all 20 bins rather than only occupied
+    * ones: a bin that empties out IS drift and must contribute.
+    */
+  private def psiTerm(nRef: Column, nCur: Column,
+      totRef: Column, totCur: Column): Column = {
+    val p = (nRef.cast("double") + lit(1.0)) /
+      (totRef.cast("double") + lit(PsiBins.toDouble))
+    val q = (nCur.cast("double") + lit(1.0)) /
+      (totCur.cast("double") + lit(PsiBins.toDouble))
+    (p - q) * log(p / q)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deequ-style table profile of `documents` — see [[columnProfile]].
+    // The gate runs the exact form; the HLL scale form is pinned against
+    // it in ProfilingSpec.
+    "p17_column_profile" -> ((s, dir) =>
+      columnProfile(Tables.documents(s, dir),
+        Seq("doc_id" -> true, "text" -> false, "lang" -> false,
+          "source" -> false, "n_chars" -> true), exact = true)),
+
+    // Population Stability Index between two corpus snapshots —
+    // reference = even doc_ids, current = odd (standing in for release
+    // N vs N+1). One ≤ 20-key conditional-sum aggregation over the
+    // corpus; the per-bin PSI terms and their total ride on a 20-row
+    // frame. Emits the full per-bin evidence (counts + term), not just
+    // the scalar — the triage view a drift alarm links to.
+    "p18_drift_psi" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        least(expr(s"n_chars DIV $PsiBinWidth"), lit(PsiBins - 1))
+          .as("bin"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+      val counts = d.groupBy("bin").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      // all-bin spine: empty bins participate in the smoothed PSI (see
+      // psiTerm); 20 rows, broadcast side of the join
+      val spine = d.sparkSession.range(0, PsiBins).select(col("id").as("bin"))
+      val filled = spine.join(counts, Seq("bin"), "left")
+        .select(col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val totals = filled.agg(sum("n_ref").as("tot_ref"),
+        sum("n_cur").as("tot_cur"))
+      // 20-row × 1-row crossJoin — the bounded stats-frame tier
+      filled.crossJoin(totals)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          psiTerm(col("n_ref"), col("n_cur"),
+            col("tot_ref"), col("tot_cur")).as("psi_term"))
+        .withColumn("psi_total",
+          sum("psi_term").over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(1))
+              .rowsBetween(Long.MinValue, Long.MaxValue)))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "p17_column_profile" ->
+      """WITH s AS (SELECT count(*)::BIGINT AS n_rows,
+        |  count(doc_id)::BIGINT AS nn_doc_id,
+        |  count(DISTINCT doc_id)::BIGINT AS nd_doc_id,
+        |  min(doc_id)::BIGINT AS mn_doc_id, max(doc_id)::BIGINT AS mx_doc_id,
+        |  count(text)::BIGINT AS nn_text,
+        |  count(DISTINCT text)::BIGINT AS nd_text,
+        |  count(lang)::BIGINT AS nn_lang,
+        |  count(DISTINCT lang)::BIGINT AS nd_lang,
+        |  count(source)::BIGINT AS nn_source,
+        |  count(DISTINCT source)::BIGINT AS nd_source,
+        |  count(n_chars)::BIGINT AS nn_n_chars,
+        |  count(DISTINCT n_chars)::BIGINT AS nd_n_chars,
+        |  min(n_chars)::BIGINT AS mn_n_chars, max(n_chars)::BIGINT AS mx_n_chars
+        |  FROM documents)
+        |SELECT 'doc_id' AS col_name, n_rows, nn_doc_id AS n_nonnull,
+        |  nd_doc_id AS n_distinct, mn_doc_id AS num_min, mx_doc_id AS num_max
+        |FROM s
+        |UNION ALL SELECT 'text', n_rows, nn_text, nd_text,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM s
+        |UNION ALL SELECT 'lang', n_rows, nn_lang, nd_lang,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM s
+        |UNION ALL SELECT 'source', n_rows, nn_source, nd_source,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM s
+        |UNION ALL SELECT 'n_chars', n_rows, nn_n_chars, nd_n_chars,
+        |  mn_n_chars, mx_n_chars FROM s""".stripMargin,
+
+    // identical smoothing arithmetic, identical double-op order; the
+    // psi_total window sum may fold in a different order — covered by
+    // the gate's 1e-9 relative tolerance (t21's discipline)
+    "p18_drift_psi" ->
+      """WITH b AS (SELECT least(n_chars // 256, 19)::BIGINT AS bin,
+        |    doc_id % 2 = 0 AS is_ref FROM documents),
+        |c AS (SELECT bin,
+        |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+        |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+        |  FROM b GROUP BY bin),
+        |sp AS (SELECT unnest(range(0, 20))::BIGINT AS bin),
+        |j AS (SELECT sp.bin, coalesce(c.n_ref, 0)::BIGINT AS n_ref,
+        |    coalesce(c.n_cur, 0)::BIGINT AS n_cur
+        |  FROM sp LEFT JOIN c ON sp.bin = c.bin),
+        |t AS (SELECT sum(n_ref)::BIGINT AS tot_ref,
+        |    sum(n_cur)::BIGINT AS tot_cur FROM j),
+        |e AS (SELECT bin, n_ref, n_cur,
+        |    ((n_ref + 1.0) / (tot_ref + 20.0) -
+        |     (n_cur + 1.0) / (tot_cur + 20.0)) *
+        |    ln(((n_ref + 1.0) / (tot_ref + 20.0)) /
+        |       ((n_cur + 1.0) / (tot_cur + 20.0))) AS psi_term
+        |  FROM j, t)
+        |SELECT bin, n_ref, n_cur, psi_term,
+        |  sum(psi_term) OVER () AS psi_total FROM e""".stripMargin
+  )
+}
