@@ -9,16 +9,20 @@ import graft.Tables
   * validation stages a production corpus pipeline runs BESIDE the
   * transform queries (the Deequ / TFDV role: Schelter et al., "Automating
   * Large-Scale Data Quality Verification", VLDB 2018; PSI is the standard
-  * population-stability metric of model-monitoring practice):
+  * population-stability metric of model-monitoring practice). Completes
+  * the family q32 (events profile) and q55 (constraint report) started:
   *
-  *   - p17 profiles every column of a table in ONE scan — row count,
-  *     completeness, exact distinct cardinality, numeric min/max — the
-  *     metrics a pipeline gates ingests on ("n_chars suddenly 40% null"
-  *     fails here, not three stages later in a tokenizer);
+  *   - p17 generalizes q32's one-scan profile into a reusable operator
+  *     ([[columnProfile]]: any table, any column list) and adds the two
+  *     metrics q32 lacks — numeric min/max and the exact↔HLL switch as a
+  *     parameter rather than a separate code path. The documents-table
+  *     gate means BOTH driver fact tables now have an oracled profile;
   *   - p18 quantifies distribution shift between two corpus snapshots
   *     (reference vs current) as the Population Stability Index over a
   *     fixed binning — the "did this release's length/language mix move"
-  *     alarm that catches silent upstream filter changes.
+  *     alarm that catches silent upstream filter changes. Profiles say
+  *     what a snapshot looks like; PSI says how far two snapshots have
+  *     moved apart — the monitoring half validation was missing.
   *
   * Scale design: p17 is one Aggregate over a narrow projection — the
   * exact multi-column `count(DISTINCT)` plans as one Expand(k+1 branches)
