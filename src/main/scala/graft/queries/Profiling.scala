@@ -41,10 +41,18 @@ object Profiling {
     * FIXED bin domain (not data-derived quantiles) is deliberate — drift
     * alarms must compare releases on identical bins, and a binning
     * derived from the drifted data would partially absorb the drift it
-    * is measuring.
+    * is measuring. Shared with the ingest-time monitor
+    * (`streaming/DriftStream`) so stream and batch alarm on the same
+    * histogram.
     */
-  private val PsiBins = 20L
-  private val PsiBinWidth = 256L
+  private[graft] val PsiBins = 20L
+  private[graft] val PsiBinWidth = 256L
+
+  /** The shared binning expression: `least(<col> DIV width, bins-1)`.
+    * DIV (not `/`) keeps the arithmetic integer-exact on both engines.
+    */
+  private[graft] def psiBin(colName: String): Column =
+    least(expr(s"$colName DIV $PsiBinWidth"), lit(PsiBins - 1))
 
   /** One-scan column profile: per column, the table row count, non-null
     * count (completeness numerator), distinct cardinality, and numeric
@@ -88,7 +96,7 @@ object Profiling {
     * spine below materializes all 20 bins rather than only occupied
     * ones: a bin that empties out IS drift and must contribute.
     */
-  private def psiTerm(nRef: Column, nCur: Column,
+  private[graft] def psiTerm(nRef: Column, nCur: Column,
       totRef: Column, totCur: Column): Column = {
     val p = (nRef.cast("double") + lit(1.0)) /
       (totRef.cast("double") + lit(PsiBins.toDouble))
@@ -115,8 +123,7 @@ object Profiling {
     // the scalar — the triage view a drift alarm links to.
     "p18_drift_psi" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(
-        least(expr(s"n_chars DIV $PsiBinWidth"), lit(PsiBins - 1))
-          .as("bin"),
+        psiBin("n_chars").as("bin"),
         (col("doc_id") % 2 === 0).as("is_ref"))
       val counts = d.groupBy("bin").agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
@@ -128,20 +135,29 @@ object Profiling {
         .select(col("bin"),
           coalesce(col("n_ref"), lit(0L)).as("n_ref"),
           coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      val totals = filled.agg(sum("n_ref").as("tot_ref"),
-        sum("n_cur").as("tot_cur"))
-      // 20-row × 1-row crossJoin — the bounded stats-frame tier
-      filled.crossJoin(totals)
-        .select(col("bin"), col("n_ref"), col("n_cur"),
-          psiTerm(col("n_ref"), col("n_cur"),
-            col("tot_ref"), col("tot_cur")).as("psi_term"))
-        .withColumn("psi_total",
-          sum("psi_term").over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(lit(1))
-              .rowsBetween(Long.MinValue, Long.MaxValue)))
+      psiOverCounts(filled)
     })
   )
+
+  /** PSI terms + total over an already-binned, already-spined count
+    * frame (bin, n_ref, n_cur) — the arithmetic half of p18, factored
+    * out so the streaming monitor (`streaming/DriftStream`) scores its
+    * live counts through the EXACT definition the batch gate certifies.
+    */
+  private[graft] def psiOverCounts(filled: DataFrame): DataFrame = {
+    val totals = filled.agg(sum("n_ref").as("tot_ref"),
+      sum("n_cur").as("tot_cur"))
+    // 20-row × 1-row crossJoin — the bounded stats-frame tier
+    filled.crossJoin(totals)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        psiTerm(col("n_ref"), col("n_cur"),
+          col("tot_ref"), col("tot_cur")).as("psi_term"))
+      .withColumn("psi_total",
+        sum("psi_term").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+  }
 
   val oracleSql: Map[String, String] = Map(
 

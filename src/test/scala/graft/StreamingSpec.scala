@@ -873,4 +873,51 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exists(_._3.nonEmpty), "fixture has no blocklist hits — vacuous")
   }
 
+  test("streaming drift monitor: live PSI == batch p18 on the same split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // p18's snapshots: reference = even doc_ids, current = odd. Stream
+    // the CURRENT half as micro-batches through DriftStream's stateful
+    // bin counts, score against the statically-built reference
+    // histogram, and demand the live PSI equals the batch gate's
+    // psi_total on the full table — same binning (Profiling.psiBin),
+    // same spine, same smoothing arithmetic (Profiling.psiOverCounts).
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val curBins = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(graft.queries.Profiling.psiBin("n_chars")).as[Long]
+      .collect().toSeq
+    val reference = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(graft.queries.Profiling.psiBin("n_chars").as("bin"))
+      .agg(count(lit(1)).as("n_ref"))
+
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.DriftStream.binCounts(mem.toDS())
+      .writeStream.format("memory").queryName("drift_bins")
+      .outputMode("update").start()
+    curBins.grouped((curBins.size + 2) / 3).foreach { c =>
+      mem.addData(c: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val live = graft.streaming.DriftStream.psiAgainst(
+      spark.table("drift_bins"), reference)
+    val batch = SparkEntry.queries("p18_drift_psi")(spark, sf)
+    // per-bin counts AND terms bit-match (same longs through the same
+    // expression tree); the folded total only up to summation order
+    def byBin(df: org.apache.spark.sql.DataFrame) =
+      df.select("bin", "n_ref", "n_cur", "psi_term").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val liveBins = byBin(live)
+    assert(liveBins == byBin(batch),
+      "streamed histogram/terms != batch p18")
+    val livePsi = live.agg(max("psi_total")).head().getDouble(0)
+    val batchPsi = batch.agg(max("psi_total")).head().getDouble(0)
+    assert(math.abs(livePsi - batchPsi) <= 1e-12 * math.abs(batchPsi),
+      s"streamed PSI $livePsi != batch $batchPsi")
+    assert(liveBins.values.map(_._2).sum == curBins.size,
+      "streamed counts lost documents")
+  }
+
 }
