@@ -330,9 +330,12 @@ object Dedup {
   /** The dd2 pair list (i, j, jac) + the cap it used, memoized. The
     * third element is the frames the CALLER must release after
     * materializing its result — empty on the memo path, the live
-    * persisted pair frame on the over-bound fallback path.
+    * persisted pair frame on the over-bound fallback path. `maxRows`
+    * is injectable so the spec can force the fallback (the 100 TB
+    * path) on the driver fixture and pin it result-identical.
     */
-  private[graft] def memoJaccardPairs(s: SparkSession, dir: String)
+  private[graft] def memoJaccardPairs(s: SparkSession, dir: String,
+      maxRows: Long = PairMemoMaxRows)
       : (DataFrame, Long, Seq[DataFrame]) = {
     import scala.jdk.CollectionConverters._
     val key = memoKey(s, dir, "jaccard_pairs")
@@ -344,7 +347,7 @@ object Dedup {
         val pairs = p.persist()
         val n = pairs.count() // populates the cache either way
         caches.foreach(_.unpersist(blocking = false))
-        if (n <= PairMemoMaxRows) {
+        if (n <= maxRows) {
           val v = (pairs.schema, pairs.collect().toSeq, cap)
           pairs.unpersist(blocking = false)
           dedupMemo.put(key, v)
@@ -356,9 +359,11 @@ object Dedup {
   /** The component map over [[memoJaccardPairs]] — (node, label) for
     * every doc incident to a near-dup pair — memoized under the same
     * guard (the map has ≤ 2·|pairs| rows, the same driver tier).
-    * Same release contract as [[memoJaccardPairs]].
+    * Same release contract and injectable bound as
+    * [[memoJaccardPairs]].
     */
-  private[graft] def memoClusters(s: SparkSession, dir: String)
+  private[graft] def memoClusters(s: SparkSession, dir: String,
+      maxRows: Long = PairMemoMaxRows)
       : (DataFrame, Seq[DataFrame]) = {
     import scala.jdk.CollectionConverters._
     val key = memoKey(s, dir, "neardup_clusters")
@@ -366,7 +371,7 @@ object Dedup {
       case Some((schema, rows, _)) =>
         (s.createDataFrame(rows.asJava, schema), Nil)
       case None =>
-        val (pairs, _, rel) = memoJaccardPairs(s, dir)
+        val (pairs, _, rel) = memoJaccardPairs(s, dir, maxRows)
         val comp = ConnectedComponents.components(
           pairs.select("i", "j"), "i", "j")
         if (rel.isEmpty) {

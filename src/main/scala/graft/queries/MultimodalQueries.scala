@@ -260,7 +260,7 @@ object MultimodalQueries {
     * driver tier; the memo key includes the shuffle layout so the
     * partition-invariance sweep still runs the real machinery.
     */
-  private case class PhashArtifacts(
+  private[graft] case class PhashArtifacts(
     top25: (org.apache.spark.sql.types.StructType,
       Seq[org.apache.spark.sql.Row]),
     clusters: (org.apache.spark.sql.types.StructType,
@@ -273,8 +273,11 @@ object MultimodalQueries {
 
   /** Memoized artifacts, or (on the over-bound fallback) the live
     * persisted scored frame + cap + the frames the caller must release.
+    * `maxEdges` is injectable so the spec can force the fallback (the
+    * 100 TB path) on the driver fixture and pin it result-identical.
     */
-  private def phashArtifacts(s: SparkSession, dir: String)
+  private[graft] def phashArtifacts(s: SparkSession, dir: String,
+      maxEdges: Long = PhashMemoMaxEdges)
       : Either[(DataFrame, Long, Seq[DataFrame]), PhashArtifacts] = {
     val key = (dir, s.conf.get("spark.sql.shuffle.partitions", ""))
     phashMemo.get(key) match {
@@ -285,7 +288,7 @@ object MultimodalQueries {
         scored.count()
         caches.foreach(_.unpersist(blocking = false))
         val edges = scored.filter(col("hamming") <= 12).select("i", "j")
-        if (edges.count() > PhashMemoMaxEdges)
+        if (edges.count() > maxEdges)
           Left((scored, cap, Seq(scored)))
         else {
           val top = scored.orderBy(col("hamming"), col("i"), col("j"))

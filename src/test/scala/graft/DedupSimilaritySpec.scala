@@ -468,4 +468,64 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got == expected)
     assert(dropped.nonEmpty, "fixture should drop at least one vector")
   }
+
+  test("pair-memo over-bound fallback (the 100 TB path) is result-identical") {
+    import org.apache.spark.sql.functions.col
+    // unique shuffle layout → fresh memo key → a maxRows = -1 call is
+    // guaranteed to take the live-frame fallback branch
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try {
+      val (livePairs, liveCap, rel) =
+        graft.queries.Dedup.memoJaccardPairs(spark, sf, maxRows = -1L)
+      assert(rel.nonEmpty, "fallback must hand back frames to release")
+      val live = livePairs.select("i", "j", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val (liveComp, rel2) =
+        graft.queries.Dedup.memoClusters(spark, sf, maxRows = -1L)
+      val comp = liveComp.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      rel.foreach(_.unpersist(blocking = false))
+      rel2.foreach(_.unpersist(blocking = false))
+      // memo path under the same layout (fresh key still: the fallback
+      // never wrote the memo, so this builds + memoizes)
+      val (memoPairs, memoCap, relM) =
+        graft.queries.Dedup.memoJaccardPairs(spark, sf)
+      assert(relM.isEmpty, "default bound should memoize on this fixture")
+      val memo = memoPairs.select("i", "j", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val (memoComp, _) = graft.queries.Dedup.memoClusters(spark, sf)
+      val compM = memoComp.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(live == memo && liveCap == memoCap,
+        "fallback pair list diverges from the memoized one")
+      assert(comp == compM,
+        "fallback component map diverges from the memoized one")
+      assert(live.nonEmpty, "fixture has no near-dup pairs — vacuous")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  test("pHash-memo over-bound fallback is result-identical to the artifacts") {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.shuffle.partitions", "6")
+    try {
+      val top25 = graft.queries.MultimodalQueries
+        .phashArtifacts(spark, sf, maxEdges = -1L) match {
+        case Left((scored, cap, rel)) =>
+          val t = scored.orderBy(col("hamming"), col("i"), col("j"))
+            .limit(25).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+          rel.foreach(_.unpersist(blocking = false))
+          (t, cap)
+        case Right(_) => fail("maxEdges = -1 must take the fallback")
+      }
+      val memo = graft.queries.MultimodalQueries
+        .phashArtifacts(spark, sf) match {
+        case Right(a) =>
+          (a.top25._2.map(r =>
+            (r.getLong(0), r.getLong(1), r.getInt(2))).toSet, a.cap)
+        case Left(_) => fail("default bound should memoize on this fixture")
+      }
+      assert(top25 == memo, "fallback top-25 diverges from the artifacts")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
 }
