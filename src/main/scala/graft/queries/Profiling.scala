@@ -89,6 +89,50 @@ object Profiling {
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** One declarative data-quality constraint (the Deequ `Check` shape).
+    * Three kinds, all reporting a BIGINT violation count:
+    *   - [[RowCheck]]: a per-row violation predicate — folds into the
+    *     single wide aggregation pass;
+    *   - [[AggCheck]]: a violation-count aggregate expression (key
+    *     uniqueness, cardinality floors) — same pass;
+    *   - [[RefCheck]]: a pre-aggregated 1-row violations frame for
+    *     checks that need their own plan (referential anti-joins) —
+    *     crossJoined in (1-row × 1-row, the bounded stats tier).
+    */
+  sealed trait Check { def name: String }
+  final case class RowCheck(name: String, violation: Column) extends Check
+  final case class AggCheck(name: String, violations: Column) extends Check
+  final case class RefCheck(name: String, violations: DataFrame) extends Check
+
+  /** Declarative constraint suite over a table — q55's shape factored
+    * into the reusable operator (ONE definition, q55 and p19 both run
+    * through it): every scan-level check folds into ONE wide
+    * partial+final hash aggregation over a single pass of the table —
+    * N checks never mean N scans — and each [[RefCheck]]'s 1-row frame
+    * joins in at driver-tier cost. Emits one row per check in the
+    * declared order: (check_name, violations, total, pass).
+    */
+  private[graft] def constraintReport(df: DataFrame,
+      checks: Seq[Check]): DataFrame = {
+    val scanAggs = count(lit(1)).as("total") +: checks.zipWithIndex.collect {
+      case (RowCheck(_, pred), i) =>
+        sum(when(pred, 1L).otherwise(0L)).as(s"v_$i")
+      case (AggCheck(_, v), i) => v.cast("long").as(s"v_$i")
+    }
+    val scanMetrics = df.agg(scanAggs.head, scanAggs.tail: _*)
+    val withRefs = checks.zipWithIndex.collect {
+      case (RefCheck(_, frame), i) =>
+        frame.select(frame.columns.head).toDF(s"v_$i")
+    }.foldLeft(scanMetrics)(_ crossJoin _)
+    val stackArgs = checks.zipWithIndex
+      .map { case (c, i) => s"'${c.name}', v_$i" }.mkString(", ")
+    withRefs
+      .select(expr(s"stack(${checks.length}, $stackArgs)" +
+        " AS (check_name, violations)"), col("total"))
+      .select(col("check_name"), col("violations"), col("total"),
+        (col("violations") === 0L).as("pass"))
+  }
+
   /** PSI terms between two already-binned count frames. Laplace add-1
     * smoothing over the FIXED `PsiBins`-bin domain keeps every log
     * finite (empty bins carry probability 1/(N+B), not 0) — the
@@ -136,6 +180,27 @@ object Profiling {
           coalesce(col("n_ref"), lit(0L)).as("n_ref"),
           coalesce(col("n_cur"), lit(0L)).as("n_cur"))
       psiOverCounts(filled)
+    }),
+
+    // Documents-table constraint suite through [[constraintReport]] —
+    // q55's operator on the corpus table: text completeness, the
+    // n_chars == length(text) cross-column consistency a broken
+    // upstream writer breaks first, non-negativity, doc_id uniqueness
+    // (AggCheck), and a language allow-list. The allow-list DELIBERATELY
+    // omits zh, so `domain_lang_allowed` fails with a real count at
+    // every SF — the q55 rule: a report that can only pass tests
+    // nothing. One scan; no ref check here (q55 exercises that arm).
+    "p19_doc_constraints" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      constraintReport(d, Seq(
+        RowCheck("completeness_text", col("text").isNull),
+        RowCheck("consistent_n_chars",
+          col("n_chars") =!= length(col("text"))),
+        RowCheck("nonneg_n_chars", col("n_chars") < 0),
+        RowCheck("domain_lang_allowed",
+          !col("lang").isin("en", "fr", "es", "de")),
+        AggCheck("unique_doc_id",
+          count(lit(1)) - countDistinct(col("doc_id")))))
     })
   )
 
@@ -211,6 +276,26 @@ object Profiling {
         |       ((n_cur + 1.0) / (tot_cur + 20.0))) AS psi_term
         |  FROM j, t)
         |SELECT bin, n_ref, n_cur, psi_term,
-        |  sum(psi_term) OVER () AS psi_total FROM e""".stripMargin
+        |  sum(psi_term) OVER () AS psi_total FROM e""".stripMargin,
+
+    "p19_doc_constraints" ->
+      """WITH s AS (SELECT count(*)::BIGINT AS total,
+        |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
+        |  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT
+        |    AS v1,
+        |  sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END)::BIGINT AS v2,
+        |  sum(CASE WHEN lang NOT IN ('en','fr','es','de') THEN 1 ELSE 0 END)
+        |    ::BIGINT AS v3,
+        |  (count(*) - count(DISTINCT doc_id))::BIGINT AS v4
+        |  FROM documents),
+        |u AS (
+        |  SELECT 'completeness_text' AS check_name, v0 AS violations, total
+        |    FROM s
+        |  UNION ALL SELECT 'consistent_n_chars', v1, total FROM s
+        |  UNION ALL SELECT 'nonneg_n_chars', v2, total FROM s
+        |  UNION ALL SELECT 'domain_lang_allowed', v3, total FROM s
+        |  UNION ALL SELECT 'unique_doc_id', v4, total FROM s)
+        |SELECT check_name, violations, total, violations = 0 AS pass
+        |FROM u""".stripMargin
   )
 }

@@ -1442,35 +1442,29 @@ object Relational {
     // l_linenumber) genuinely collides, so `unique_order_line` FAILS
     // while the other five pass — a dq report that can only say "pass"
     // tests nothing.
+    // Body: the generic [[Profiling.constraintReport]] operator (ONE
+    // definition — p19 runs the same code over documents); the
+    // completeness check is spelled as a per-row IS NULL predicate
+    // (identical to the original count-difference arithmetic), the
+    // uniqueness check is the AggCheck arm, the referential anti-join
+    // the RefCheck arm.
     "q55_dq_report" -> ((s, dir) => {
+      import Profiling.{AggCheck, RefCheck, RowCheck}
       val li = Tables.lineitem(s, dir)
-      val scanMetrics = li.agg(
-        count(lit(1)).as("total"),
-        (count(lit(1)) - count(col("l_shipdate"))).as("v_null"),
-        (count(lit(1)) -
-          countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"),
-        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
-          .as("v_range"),
-        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
-          .as("v_domain"),
-        sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("v_neg"))
       val orphans = li.select(col("l_orderkey"))
         .join(broadcast(Tables.orders(s, dir).select(col("o_orderkey"))),
           col("l_orderkey") === col("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("v_ref"))
-      scanMetrics.crossJoin(orphans)
-        .select(expr(
-          """stack(6,
-            |  'completeness_shipdate', v_null,
-            |  'unique_order_line', v_uniq,
-            |  'range_quantity_1_50', v_range,
-            |  'domain_returnflag', v_domain,
-            |  'nonneg_extendedprice', v_neg,
-            |  'ref_orderkey_in_orders', v_ref) AS (check_name, violations)
-            |""".stripMargin),
-          col("total"))
-        .select(col("check_name"), col("violations"), col("total"),
-          (col("violations") === 0L).as("pass"))
+      Profiling.constraintReport(li, Seq(
+        RowCheck("completeness_shipdate", col("l_shipdate").isNull),
+        AggCheck("unique_order_line", count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))),
+        RowCheck("range_quantity_1_50",
+          !col("l_quantity").between(1, 50)),
+        RowCheck("domain_returnflag",
+          !col("l_returnflag").isin("A", "N", "R")),
+        RowCheck("nonneg_extendedprice", col("l_extendedprice") < 0),
+        RefCheck("ref_orderkey_in_orders", orphans)))
     }),
 
     // SCD type-2 history build — turn a change log into validity-ranged

@@ -207,6 +207,41 @@ class ProfilingSpec extends SparkSuite {
     }
   }
 
+  test("constraintReport: declared order, kinds fold correctly, one scan") {
+    import spark.implicits._
+    import graft.queries.Profiling
+    import graft.queries.Profiling.{AggCheck, RefCheck, RowCheck}
+    val df = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, null))
+      .toDF("k", "v")
+    val refViol = Seq(7L).toDF("violations").agg(sum("violations"))
+    val rep = Profiling.constraintReport(df, Seq(
+      RowCheck("v_complete", col("v").isNull),
+      AggCheck("k_unique", count(lit(1)) - countDistinct(col("k"))),
+      RefCheck("ref", refViol)))
+    val rows = rep.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("v_complete", "k_unique", "ref"), "declared order lost")
+    val byName = rows.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(byName("v_complete") == ((1L, 4L, false)))
+    assert(byName("k_unique") == ((1L, 4L, false))) // 4 rows, 3 distinct k
+    assert(byName("ref") == ((7L, 4L, false)))
+  }
+
+  test("p19 doc constraints: the lang allow-list fails non-vacuously, " +
+      "the rest pass") {
+    val rows = SparkEntry.queries("p19_doc_constraints")(spark, sfSmall)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(rows.size == 5)
+    assert(!rows("domain_lang_allowed")._2 &&
+      rows("domain_lang_allowed")._1 > 0,
+      "zh must violate the deliberate allow-list — vacuous otherwise")
+    (rows - "domain_lang_allowed").foreach { case (c, (v, pass)) =>
+      assert(pass && v == 0L, s"$c unexpectedly failing: $v violations")
+    }
+  }
+
   test("p18's corpus aggregation plans without a sort-merge join") {
     val plan = SparkEntry.queries("p18_drift_psi")(spark, sfSmall)
       .queryExecution.executedPlan.toString
