@@ -218,9 +218,12 @@ object Profiling {
         psiTerm(col("n_ref"), col("n_cur"),
           col("tot_ref"), col("tot_cur")).as("psi_term"))
       .withColumn("psi_total",
+        // orderBy(bin) + full frame: the sort fixes the 20-term fold
+        // order, so the total is bit-deterministic across partition
+        // layouts (an unordered frame would fold in physical row order)
         sum("psi_term").over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(lit(1))
+            .partitionBy(lit(1)).orderBy("bin")
             .rowsBetween(Long.MinValue, Long.MaxValue)))
   }
 

@@ -88,7 +88,13 @@ class InvarianceSpec extends SparkSuite {
         // integer-total + binary-string ordered, partition-layout-free
         // by the map-side-combined pair agg); t29's score sums DYADIC
         // (k/1024) weights — exact doubles, order cannot move them
-        "t28_bpe_train", "t29_quality_score", "t30_bpe_apply")) {
+        "t28_bpe_train", "t29_quality_score", "t30_bpe_apply",
+        // round-8 session-2: p17/p19 emit only integers/booleans/strings
+        // (exact counts, min/max of longs); p18's bin counts are exact
+        // longs and psi_term is computed from them row-locally, so even
+        // its doubles are layout-free — only psi_total's fold order
+        // could move, and it sums 20 terms from a fixed-order spine
+        "p17_column_profile", "p18_drift_psi", "p19_doc_constraints")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
