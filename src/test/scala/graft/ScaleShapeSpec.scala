@@ -261,4 +261,30 @@ class ScaleShapeSpec extends SparkSuite {
       s"BPE round shuffles grew with the corpus: $r1 -> $r8 (ratio $ratio)")
   }
 
+  test("p18 PSI shuffle records stay flat: 8x corpus, same <= 20-key agg") {
+    // PLANS.md's p18 claim measured: the corpus contributes ONLY
+    // map-side-combined partials of the fixed 20-bin histogram to the
+    // shuffle, so total shuffle records are bounded by tasks x bins +
+    // the constant 20-row tail arithmetic — an 8x corpus must not move
+    // them (a regression that aggregates before binning, or bins on a
+    // data-derived domain, shows up as ~8x record growth)
+    import spark.implicits._
+    def run(n: Int): Long = {
+      val docs = (0L until n.toLong).map(i => (i, (i % 37) * 64L))
+        .toDF("doc_id", "n_chars").repartition(4, col("doc_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("psisc").toString
+      try {
+        docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        shuffleRecords {
+          SparkEntry.queries("p18_drift_psi")(spark, tmp).collect()
+        }
+      } finally graft.util.Fs.rmTree(spark, tmp)
+    }
+    val r1 = run(2000)
+    val r8 = run(16000)
+    val ratio = r8.toDouble / math.max(r1, 1L).toDouble
+    assert(ratio < 1.5,
+      s"PSI shuffle grew with the corpus: $r1 -> $r8 (ratio $ratio)")
+  }
+
 }
