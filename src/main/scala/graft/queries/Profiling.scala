@@ -112,11 +112,19 @@ object Profiling {
     * joins in at driver-tier cost. Emits one row per check in the
     * declared order: (check_name, violations, total, pass).
     */
+  /** The per-row violation fold — ONE definition for batch and stream:
+    * [[constraintReport]] builds its RowCheck lanes from it, and
+    * `EventStream.dqMonitor` folds the same expression over the ingest
+    * stream (an agg in complete/update mode), so a constraint cannot
+    * mean different things at rest and in flight.
+    */
+  private[graft] def rowViolations(pred: Column): Column =
+    sum(when(pred, 1L).otherwise(0L))
+
   private[graft] def constraintReport(df: DataFrame,
       checks: Seq[Check]): DataFrame = {
     val scanAggs = count(lit(1)).as("total") +: checks.zipWithIndex.collect {
-      case (RowCheck(_, pred), i) =>
-        sum(when(pred, 1L).otherwise(0L)).as(s"v_$i")
+      case (RowCheck(_, pred), i) => rowViolations(pred).as(s"v_$i")
       case (AggCheck(_, v), i) => v.cast("long").as(s"v_$i")
     }
     val scanMetrics = df.agg(scanAggs.head, scanAggs.tail: _*)

@@ -399,14 +399,17 @@ object EventStream {
     * the fixture produces real violations, so the parity check cannot
     * pass vacuously on zeros.
     */
-  def dqMonitor(events: Dataset[Event]): DataFrame =
+  def dqMonitor(events: Dataset[Event]): DataFrame = {
+    // the same per-row violation fold the batch constraint suites use
+    // (Profiling.constraintReport) — one definition at rest and in flight
+    import graft.queries.Profiling.rowViolations
     events.agg(
       count(lit(1)).as("total"),
-      sum(when(!col("value").between(0.0, 100.0), 1L).otherwise(0L))
-        .as("v_range"),
-      sum(when(!col("event_type").isin("click", "purchase", "signup",
-        "view"), 1L).otherwise(0L)).as("v_domain"),
-      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("v_null_ts"))
+      rowViolations(!col("value").between(0.0, 100.0)).as("v_range"),
+      rowViolations(!col("event_type").isin("click", "purchase", "signup",
+        "view")).as("v_domain"),
+      rowViolations(col("ts").isNull).as("v_null_ts"))
+  }
 
   /** Watermarked sliding-window event rates by type — the standard
     * dashboard aggregation; append-mode emits closed windows only.
