@@ -345,11 +345,22 @@ object Dedup {
       case None =>
         val (p, cap, caches) = shingleJaccardPairsWithCaches(s, dir)
         val pairs = p.persist()
-        val n = pairs.count() // populates the cache either way
-        caches.foreach(_.unpersist(blocking = false))
+        // failure path (QueryCache.resultThenRelease's discipline): a job
+        // error mid-build must not strand the corpus-sized caches for
+        // the rest of the session
+        val n = try {
+          val n0 = pairs.count() // populates the cache either way
+          caches.foreach(_.unpersist(blocking = false))
+          n0
+        } catch {
+          case e: Throwable =>
+            pairs.unpersist(blocking = false)
+            caches.foreach(_.unpersist(blocking = false))
+            throw e
+        }
         if (n <= maxRows) {
-          val v = (pairs.schema, pairs.collect().toSeq, cap)
-          pairs.unpersist(blocking = false)
+          val v = try (pairs.schema, pairs.collect().toSeq, cap)
+          finally pairs.unpersist(blocking = false)
           dedupMemo.put(key, v)
           (s.createDataFrame(v._2.asJava, v._1), cap, Nil)
         } else (pairs, cap, Seq(pairs))
@@ -372,19 +383,30 @@ object Dedup {
         (s.createDataFrame(rows.asJava, schema), Nil)
       case None =>
         val (pairs, _, rel) = memoJaccardPairs(s, dir, maxRows)
-        val comp = ConnectedComponents.components(
+        val comp = try ConnectedComponents.components(
           pairs.select("i", "j"), "i", "j")
+        catch {
+          case e: Throwable =>
+            rel.foreach(_.unpersist(blocking = false))
+            throw e
+        }
         if (rel.isEmpty) {
           // pairs fit the driver tier, so the map does too: collect it
           // and free the components' final checkpoint (normally the
-          // caller-owned block; here the memo is the caller)
-          val v = (comp.schema, comp.collect().toSeq, 0L)
-          graft.operators.Checkpoints.free(comp)
+          // caller-owned block; here the memo is the caller) — on the
+          // failure path too
+          val v = try (comp.schema, comp.collect().toSeq, 0L)
+          finally graft.operators.Checkpoints.free(comp)
           dedupMemo.put(key, v)
           (s.createDataFrame(v._2.asJava, v._1), Nil)
         } else (comp, rel)
     }
   }
+
+  /** Test hook: drop the session memo so hygiene/fallback specs can
+    * force the real machinery regardless of suite execution order.
+    */
+  private[graft] def clearMemo(): Unit = dedupMemo.clear()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

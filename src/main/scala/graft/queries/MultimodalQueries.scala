@@ -285,26 +285,40 @@ object MultimodalQueries {
       case None =>
         val (p, cap, caches) = phashScoredPairs(s, dir)
         val scored = p.persist()
-        scored.count()
-        caches.foreach(_.unpersist(blocking = false))
-        val edges = scored.filter(col("hamming") <= 12).select("i", "j")
-        if (edges.count() > maxEdges)
-          Left((scored, cap, Seq(scored)))
-        else {
-          val top = scored.orderBy(col("hamming"), col("i"), col("j"))
-            .limit(25)
-          val t = (top.schema, top.collect().toSeq)
-          val comp = graft.operators.ConnectedComponents.components(
-            edges, "i", "j")
-          val c = (comp.schema, comp.collect().toSeq)
-          graft.operators.Checkpoints.free(comp)
-          scored.unpersist(blocking = false)
-          val a = PhashArtifacts(t, c, cap)
-          phashMemo.put(key, a)
-          Right(a)
+        // failure path (QueryCache.resultThenRelease's discipline): any
+        // job error mid-build releases the corpus-sized caches first
+        try {
+          scored.count()
+          caches.foreach(_.unpersist(blocking = false))
+          val edges = scored.filter(col("hamming") <= 12).select("i", "j")
+          if (edges.count() > maxEdges)
+            Left((scored, cap, Seq(scored)))
+          else {
+            val top = scored.orderBy(col("hamming"), col("i"), col("j"))
+              .limit(25)
+            val t = (top.schema, top.collect().toSeq)
+            val comp = graft.operators.ConnectedComponents.components(
+              edges, "i", "j")
+            val c = try (comp.schema, comp.collect().toSeq)
+            finally graft.operators.Checkpoints.free(comp)
+            scored.unpersist(blocking = false)
+            val a = PhashArtifacts(t, c, cap)
+            phashMemo.put(key, a)
+            Right(a)
+          }
+        } catch {
+          case e: Throwable =>
+            scored.unpersist(blocking = false)
+            caches.foreach(_.unpersist(blocking = false))
+            throw e
         }
     }
   }
+
+  /** Test hook: drop the session memo so hygiene/fallback specs can
+    * force the real machinery regardless of suite execution order.
+    */
+  private[graft] def clearMemo(): Unit = phashMemo.clear()
 
   /** mm5/mm7's shared candidate machinery: banded dHash buckets with the
     * adaptive flood cap, exact Hamming on surviving pairs. Returns the

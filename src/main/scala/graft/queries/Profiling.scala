@@ -48,11 +48,18 @@ object Profiling {
   private[graft] val PsiBins = 20L
   private[graft] val PsiBinWidth = 256L
 
-  /** The shared binning expression: `least(<col> DIV width, bins-1)`.
-    * DIV (not `/`) keeps the arithmetic integer-exact on both engines.
+  /** The shared binning expression:
+    * `least(greatest(<col> DIV width, 0), bins-1)`. DIV (not `/`)
+    * keeps the arithmetic integer-exact on both engines; the
+    * greatest-0 clamp makes invalid negative values land in bin 0 on
+    * BOTH engines — without it Spark's DIV (truncate toward zero) and
+    * DuckDB's // (floor) disagree on negatives, and a bin below the
+    * spine would silently vanish from the histogram instead of
+    * alarming.
     */
   private[graft] def psiBin(colName: String): Column =
-    least(expr(s"$colName DIV $PsiBinWidth"), lit(PsiBins - 1))
+    least(greatest(expr(s"$colName DIV $PsiBinWidth"), lit(0L)),
+      lit(PsiBins - 1))
 
   /** One-scan column profile: per column, the table row count, non-null
     * count (completeness numerator), distinct cardinality, and numeric
@@ -123,6 +130,7 @@ object Profiling {
 
   private[graft] def constraintReport(df: DataFrame,
       checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "constraintReport needs at least one check")
     val scanAggs = count(lit(1)).as("total") +: checks.zipWithIndex.collect {
       case (RowCheck(_, pred), i) => rowViolations(pred).as(s"v_$i")
       case (AggCheck(_, v), i) => v.cast("long").as(s"v_$i")
@@ -132,13 +140,34 @@ object Profiling {
       case (RefCheck(_, frame), i) =>
         frame.select(frame.columns.head).toDF(s"v_$i")
     }.foldLeft(scanMetrics)(_ crossJoin _)
-    val stackArgs = checks.zipWithIndex
-      .map { case (c, i) => s"'${c.name}', v_$i" }.mkString(", ")
+    // typed unpivot (columnProfile's explode(array(struct…)) shape) —
+    // check names stay data, never spliced into SQL text, so a name
+    // with quotes/parens cannot break the plan
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"),
+        col(s"v_$i").cast("long").as("violations"))
+    }
     withRefs
-      .select(expr(s"stack(${checks.length}, $stackArgs)" +
-        " AS (check_name, violations)"), col("total"))
-      .select(col("check_name"), col("violations"), col("total"),
-        (col("violations") === 0L).as("pass"))
+      .select(explode(array(rows: _*)).as("r"), col("total"))
+      .select(col("r.check_name").as("check_name"),
+        col("r.violations").as("violations"), col("total"),
+        (col("r.violations") === 0L).as("pass"))
+  }
+
+  /** Zero-filled counts over the FULL fixed bin domain: every count
+    * frame (keyed `bin`) left-joins onto the 0..PsiBins-1 spine and
+    * absent bins coalesce to 0 — an emptied bin IS drift and must
+    * participate in the smoothing. ONE definition for batch (p18) and
+    * stream (`DriftStream.psiAgainst`), so the two cannot diverge on
+    * the bin domain or the fill semantics.
+    */
+  private[graft] def spineCounts(s: SparkSession,
+      parts: Seq[DataFrame]): DataFrame = {
+    val spine = s.range(0, PsiBins).select(col("id").as("bin"))
+    val joined = parts.foldLeft(spine)(_.join(_, Seq("bin"), "left"))
+    val valueCols = joined.columns.filter(_ != "bin")
+    joined.select(col("bin") +:
+      valueCols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
   }
 
   /** PSI terms between two already-binned count frames. Laplace add-1
@@ -180,14 +209,7 @@ object Profiling {
       val counts = d.groupBy("bin").agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
-      // all-bin spine: empty bins participate in the smoothed PSI (see
-      // psiTerm); 20 rows, broadcast side of the join
-      val spine = d.sparkSession.range(0, PsiBins).select(col("id").as("bin"))
-      val filled = spine.join(counts, Seq("bin"), "left")
-        .select(col("bin"),
-          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      psiOverCounts(filled)
+      psiOverCounts(spineCounts(s, Seq(counts)))
     }),
 
     // Documents-table constraint suite through [[constraintReport]] —
@@ -268,7 +290,8 @@ object Profiling {
     // psi_total window sum may fold in a different order — covered by
     // the gate's 1e-9 relative tolerance (t21's discipline)
     "p18_drift_psi" ->
-      """WITH b AS (SELECT least(n_chars // 256, 19)::BIGINT AS bin,
+      """WITH b AS (SELECT least(greatest(n_chars // 256, 0), 19)::BIGINT
+        |    AS bin,
         |    doc_id % 2 = 0 AS is_ref FROM documents),
         |c AS (SELECT bin,
         |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,

@@ -57,14 +57,7 @@ object DriftStream {
   def psiAgainst(latest: DataFrame, reference: DataFrame): DataFrame = {
     val last = latest
       .groupBy("bin").agg(max(col("n")).as("n_cur"))
-    val spine = latest.sparkSession.range(0, Profiling.PsiBins)
-      .select(col("id").as("bin"))
-    val filled = spine
-      .join(reference, Seq("bin"), "left")
-      .join(last, Seq("bin"), "left")
-      .select(col("bin"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    Profiling.psiOverCounts(filled)
+    Profiling.psiOverCounts(Profiling.spineCounts(
+      latest.sparkSession, Seq(reference, last)))
   }
 }

@@ -63,6 +63,12 @@ class CacheHygieneSpec extends SparkSuite {
 
   for (name <- persistingQueries)
     test(s"$name releases every intermediate cache") {
+      // the dd/mm session memos short-circuit the real machinery on a
+      // hit (a LocalRelation replay persists nothing) — clear them so
+      // this test exercises the build path's cache discipline no matter
+      // which suite ran first in the shared JVM
+      graft.queries.Dedup.clearMemo()
+      graft.queries.MultimodalQueries.clearMemo()
       // delta vs the session baseline: earlier suites may hold their own
       // persistent RDDs (this shared-JVM session runs suites sequentially)
       val before = spark.sparkContext.getPersistentRDDs.keySet
