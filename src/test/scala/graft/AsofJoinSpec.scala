@@ -10,6 +10,54 @@ class AsofJoinSpec extends SparkSuite {
 
   private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
 
+  test("randomized NULLABLE-payload differential: asof == brute-force") {
+    // OperatorPropertySpec's brute-force oracles run non-null payloads;
+    // this adds the randomized row-tearing surface: nullable payload
+    // values (a carried null from the NEWEST right row must win over an
+    // older non-null one), random tolerance presence, 8 seeds. Right
+    // (key, ts) pairs are unique so the reference's pick needs no
+    // struct-order modeling; equal-ts left/right ties (at-or-before
+    // visibility) occur constantly at this density.
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(4)
+      val left = (0 until 40).map(i =>
+        (rnd.nextInt(nKeys), rnd.nextInt(30).toLong, i.toLong))
+      val rightMap = scala.collection.mutable.Map.empty[(Int, Long), Option[Long]]
+      (0 until 40).foreach { _ =>
+        val k = (rnd.nextInt(nKeys), rnd.nextInt(30).toLong)
+        rightMap(k) =
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000).toLong)
+      }
+      val tol =
+        if (rnd.nextBoolean())
+          Some(java.time.Duration.ofSeconds(rnd.nextInt(10) + 1))
+        else None
+
+      val leftDf = left.map { case (k, s, id) => (k, ts(s), id) }
+        .toDF("k", "lts", "id")
+      val rightDf = rightMap.toSeq.map { case ((k, s), v) => (k, ts(s), v) }
+        .toDF("k", "rts", "value")
+      val got = AsofJoin.asof(leftDf, rightDf, "k", "lts", "rts",
+          Map("value" -> "v"), tol)
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+      val expected = left.map { case (k, s, id) =>
+        val cands = rightMap.toSeq.collect {
+          case ((rk, rs), v) if rk == k && rs <= s => (rs, v)
+        }
+        val pick = cands.sortBy(_._1).lastOption.flatMap { case (rs, v) =>
+          if (tol.forall(d => (s - rs) <= d.getSeconds)) v else None
+        }
+        id -> pick
+      }.toMap
+      assert(got == expected, s"seed=$seed tol=$tol nKeys=$nKeys")
+    }
+  }
+
   test("asof picks latest right row at-or-before; null when none precedes") {
     import spark.implicits._
     val left = Seq(
