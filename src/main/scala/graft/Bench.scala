@@ -44,6 +44,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_NO_MEMO=1: bypass the session query-result memos so
+    // every run measures its raw pipeline end-to-end (the honest
+    // per-query measurement switch — see QueryCache.memoDisabled)
+    if (sys.env.get("SPARK_GRAFT_NO_MEMO").contains("1"))
+      spark.conf.set("spark.graft.memo.disabled", "true")
+
     // JVM/codegen warm-up on the smallest sf so first-query JIT cost does
     // not land on an arbitrary alphabetically-first query.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

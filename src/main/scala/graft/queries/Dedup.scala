@@ -338,8 +338,11 @@ object Dedup {
       maxRows: Long = PairMemoMaxRows)
       : (DataFrame, Long, Seq[DataFrame]) = {
     import scala.jdk.CollectionConverters._
+    // the raw-measurement switch: bypass lookup AND store, forcing the
+    // over-bound (live-frame) contract every call
+    val effMaxRows = if (QueryCache.memoDisabled(s)) -1L else maxRows
     val key = memoKey(s, dir, "jaccard_pairs")
-    dedupMemo.get(key) match {
+    (if (QueryCache.memoDisabled(s)) None else dedupMemo.get(key)) match {
       case Some((schema, rows, cap)) =>
         (s.createDataFrame(rows.asJava, schema), cap, Nil)
       case None =>
@@ -358,7 +361,7 @@ object Dedup {
             caches.foreach(_.unpersist(blocking = false))
             throw e
         }
-        if (n <= maxRows) {
+        if (n <= effMaxRows) {
           val v = try (pairs.schema, pairs.collect().toSeq, cap)
           finally pairs.unpersist(blocking = false)
           dedupMemo.put(key, v)
@@ -378,7 +381,9 @@ object Dedup {
       : (DataFrame, Seq[DataFrame]) = {
     import scala.jdk.CollectionConverters._
     val key = memoKey(s, dir, "neardup_clusters")
-    dedupMemo.get(key) match {
+    // under the raw-measurement switch memoJaccardPairs hands back live
+    // frames, so the rel.isEmpty store arm below never runs either
+    (if (QueryCache.memoDisabled(s)) None else dedupMemo.get(key)) match {
       case Some((schema, rows, _)) =>
         (s.createDataFrame(rows.asJava, schema), Nil)
       case None =>
@@ -403,10 +408,12 @@ object Dedup {
     }
   }
 
-  /** Test hook: drop the session memo so hygiene/fallback specs can
-    * force the real machinery regardless of suite execution order.
+  /** Test hooks: drop the session memo so hygiene/fallback specs can
+    * force the real machinery regardless of suite execution order, and
+    * observe its size (the raw-measurement switch must store nothing).
     */
   private[graft] def clearMemo(): Unit = dedupMemo.clear()
+  private[graft] def memoSize: Int = dedupMemo.size
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

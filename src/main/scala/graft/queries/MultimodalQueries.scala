@@ -280,7 +280,9 @@ object MultimodalQueries {
       maxEdges: Long = PhashMemoMaxEdges)
       : Either[(DataFrame, Long, Seq[DataFrame]), PhashArtifacts] = {
     val key = (dir, s.conf.get("spark.sql.shuffle.partitions", ""))
-    phashMemo.get(key) match {
+    // the raw-measurement switch forces the over-bound (live) contract
+    val effMaxEdges = if (QueryCache.memoDisabled(s)) -1L else maxEdges
+    (if (QueryCache.memoDisabled(s)) None else phashMemo.get(key)) match {
       case Some(a) => Right(a)
       case None =>
         val (p, cap, caches) = phashScoredPairs(s, dir)
@@ -291,7 +293,7 @@ object MultimodalQueries {
           scored.count()
           caches.foreach(_.unpersist(blocking = false))
           val edges = scored.filter(col("hamming") <= 12).select("i", "j")
-          if (edges.count() > maxEdges)
+          if (edges.count() > effMaxEdges)
             Left((scored, cap, Seq(scored)))
           else {
             val top = scored.orderBy(col("hamming"), col("i"), col("j"))
@@ -315,10 +317,12 @@ object MultimodalQueries {
     }
   }
 
-  /** Test hook: drop the session memo so hygiene/fallback specs can
-    * force the real machinery regardless of suite execution order.
+  /** Test hooks: drop the session memo so hygiene/fallback specs can
+    * force the real machinery regardless of suite execution order, and
+    * observe its size (the raw-measurement switch must store nothing).
     */
   private[graft] def clearMemo(): Unit = phashMemo.clear()
+  private[graft] def memoSize: Int = phashMemo.size
 
   /** mm5/mm7's shared candidate machinery: banded dHash buckets with the
     * adaptive flood cap, exact Hamming on surviving pairs. Returns the

@@ -25,6 +25,18 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object QueryCache {
 
+  /** True when the session asks the QUERY-RESULT memos (dd pair list /
+    * cluster map, pHash artifacts, ANN tier shortlists) to stand down
+    * so every run executes its raw pipeline end-to-end — the honest
+    * per-query measurement switch (Bench maps SPARK_GRAFT_NO_MEMO=1
+    * onto this conf). TRAINED-ARTIFACT memos (k-means centroids, BPE
+    * merge tables) are deliberately NOT covered: those memoize an
+    * input a production pipeline loads from storage, not the work the
+    * gated query is measured on.
+    */
+  def memoDisabled(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.getOption("spark.graft.memo.disabled").contains("true")
+
   /** Persist and fully materialize `result`, then release the
     * `intermediates` it was computed from. Results here are bounded (top-k
     * lists, pair survivors, probe rows — never corpus-sized), so caching

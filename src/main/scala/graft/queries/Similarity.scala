@@ -472,6 +472,9 @@ object Similarity {
   private def memoTier(name: String)(s: SparkSession, dir: String)
       : DataFrame = {
     import scala.jdk.CollectionConverters._
+    // the raw-measurement switch (QueryCache.memoDisabled): run the real
+    // pipeline on every call, store nothing
+    if (QueryCache.memoDisabled(s)) return tierBuilders(name)(s, dir)
     val key = (dir, name,
       s.conf.get("spark.sql.shuffle.partitions", ""))
     val (schema, rows) = tierTopk.getOrElseUpdate(key, {

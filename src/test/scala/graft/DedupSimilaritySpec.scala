@@ -504,6 +504,26 @@ class DedupSimilaritySpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
+  test("spark.graft.memo.disabled runs raw pipelines and stores nothing") {
+    graft.queries.Dedup.clearMemo()
+    spark.conf.set("spark.graft.memo.disabled", "true")
+    try {
+      // dd2 through the public entry: must produce the gated frame from
+      // the LIVE machinery (no memo entry before, none after)
+      val live = SparkEntry.queries("dd2_shingle_jaccard")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(graft.queries.Dedup.memoSize == 0,
+        "raw-measurement switch stored a memo entry")
+      spark.conf.unset("spark.graft.memo.disabled")
+      graft.queries.Dedup.clearMemo()
+      val memo = SparkEntry.queries("dd2_shingle_jaccard")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(graft.queries.Dedup.memoSize > 0,
+        "memo path did not store — vacuous comparison")
+      assert(live == memo, "raw and memoized dd2 frames diverge")
+    } finally spark.conf.unset("spark.graft.memo.disabled")
+  }
+
   test("pHash-memo over-bound fallback is result-identical to the artifacts") {
     import org.apache.spark.sql.functions.col
     spark.conf.set("spark.sql.shuffle.partitions", "6")
