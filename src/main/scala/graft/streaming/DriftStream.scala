@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.queries.Profiling
 
@@ -45,6 +46,37 @@ object DriftStream {
           state.update(next)
           next
       }
+  }
+
+  /** [[binCounts]] on Spark 4's `transformWithState` — the
+    * current-generation arbitrary-state API (SPARK-46815) that
+    * supersedes `mapGroupsWithState`: named typed state primitives from
+    * a handle (here ONE `ValueState[Long]` per bin) instead of a single
+    * opaque GroupState value, with timers and per-state TTL available
+    * when a production deployment wants bounded-lifetime drift windows.
+    * Requires the RocksDB state store provider. StreamingSpec pins the
+    * two formulations emission-identical on the same micro-batches, so
+    * either can back the monitor.
+    */
+  final class BinCountProcessor
+      extends StatefulProcessor[Long, Long, BinCount] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(bin: Long, rows: Iterator[Long],
+        timers: TimerValues): Iterator[BinCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(BinCount(bin, n))
+    }
+  }
+
+  def binCountsTws(bins: Dataset[Long]): Dataset[BinCount] = {
+    import bins.sparkSession.implicits._
+    bins.groupByKey(identity)
+      .transformWithState(new BinCountProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Score the streamed counts against a static reference histogram

@@ -920,4 +920,43 @@ class StreamingSpec extends SparkSuite {
       "streamed counts lost documents")
   }
 
+  test("transformWithState drift counts == mapGroupsWithState (Spark 4 API)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same bin stream through BOTH state APIs; the new-API query
+    // needs the RocksDB provider, scoped to this test and restored after
+    val sf = "/root/testdata/sf0.001"
+    val curBins = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 =!= 0)
+      .select(graft.queries.Profiling.psiBin("n_chars")).as[Long]
+      .collect().toSeq
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.DriftStream.binCountsTws(mem.toDS())
+        .writeStream.format("memory").queryName("drift_bins_tws")
+        .outputMode("update").start()
+      curBins.grouped((curBins.size + 2) / 3).foreach { c =>
+        mem.addData(c: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val tws = spark.table("drift_bins_tws")
+        .groupBy("bin").agg(max("n").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // truth: exact per-bin counts of the streamed half
+      val exact = curBins.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      assert(tws == exact,
+        s"transformWithState counts diverge: $tws vs $exact")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
 }
