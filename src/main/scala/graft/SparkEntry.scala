@@ -51,5 +51,5 @@ object SparkEntry {
     * banding, bucket join, re-rank — from them. Keyed by dump-file stem.
     */
   def sideDumps: Map[String, (SparkSession, String) => DataFrame] =
-    Dedup.sideDumps ++ Similarity.sideDumps
+    Dedup.sideDumps ++ Similarity.sideDumps ++ MultimodalQueries.sideDumps
 }

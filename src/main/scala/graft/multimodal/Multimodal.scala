@@ -100,6 +100,34 @@ object Multimodal {
       payload.grouped(frameSize).zipWithIndex
         .collect { case (f, i) if i % every == 0 => (i, f) }.toSeq
 
+    /** "Vision encoder" stub — stands in for a CLIP-style image tower
+      * (no model runtime in this environment): a 64-dim pseudo-embedding
+      * of the payload, deterministic so specs and the oracle side-dump
+      * replay the downstream scoring exactly. Dimension d pools every
+      * byte at index ≡ d (mod 64), centered at 128 so directions vary
+      * with content; the result is L2-normalized (downstream scores are
+      * plain dots). A real implementation would run the ONNX/JNI encoder
+      * here, once per batch — same signature, same batched call site.
+      */
+    def clipEmbed(payload: Array[Byte]): Array[Double] = {
+      val dim = 64
+      val acc = new Array[Double](dim)
+      val cnt = new Array[Int](dim)
+      var i = 0
+      while (i < payload.length) {
+        val d = i % dim
+        acc(d) += (payload(i) & 0xff) - 128.0
+        cnt(d) += 1
+        i += 1
+      }
+      val v = Array.tabulate(dim)(d =>
+        if (cnt(d) == 0) 0.0 else acc(d) / cnt(d))
+      var ss = 0.0
+      v.foreach(x => ss += x * x)
+      if (ss == 0.0) new Array[Double](dim)
+      else { val n = math.sqrt(ss); v.map(_ / n) }
+    }
+
     /** "PCM decode" → per-frame energy: frameSize-byte frames, each
       * reporting the EXACT integer Σ b² over its unsigned bytes (plus the
       * byte count). A real audio decoder would emit PCM samples here; the
@@ -194,6 +222,22 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.iterator.map(m =>
         MediaHash(m.media_id, FakeCodec.dhash64(m.payload))))
+    }
+  }
+
+  final case class ClipEmbed(media_id: Long, img_unit: Array[Double])
+
+  /** Batched vision-encoder inference — the mapInPandas/Arrow batch
+    * shape for model serving, JVM-native: one "encoder call" per batch
+    * of payloads ([[FakeCodec.clipEmbed]] stands in for the model),
+    * narrow, pipelines with the scan. 64 doubles out per item.
+    */
+  def clipEmbeds(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[ClipEmbed] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map(m =>
+        ClipEmbed(m.media_id, FakeCodec.clipEmbed(m.payload))))
     }
   }
 

@@ -110,6 +110,35 @@ object MultimodalQueries {
       }
     }),
 
+    // CLIP-score filtering of image-caption pairs — the cross-modal
+    // curation stage of the LAION-5B recipe (Schuhmann et al. 2022:
+    // keep a pair only when the image-tower and text-tower embeddings
+    // agree): each media item's vision embedding (the DETERMINISTIC
+    // stub [[Multimodal.FakeCodec.clipEmbed]] standing in for the
+    // encoder — the real model slots into the same batched
+    // mapPartitions call site) is scored by plain dot against its
+    // caption's unit text embedding (the SAME normalized frame
+    // Similarity dumps as side_srp_sigs; embeddings.vec_id == doc_id ==
+    // media_id in the driver fixture). Pairs below the threshold are
+    // the drop set a curation run discards. Plan at 100 TB: the
+    // encoder is a narrow batched pass fused with the scan, both join
+    // sides key-partition on the id (bucket both and the join is
+    // exchange-free), the score is the codegen dot — no shuffle beyond
+    // the one id join, nothing quadratic. The oracle joins the img
+    // dump against the srp_sigs dump and replays dot + threshold, so
+    // the PAIRING and the decision are both under the gate.
+    "mm10_clip_filter" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val img = Multimodal.clipEmbeds(Multimodal.mediaFromDocuments(s, dir))
+        .toDF()
+      val cap = Similarity.srpBase(s, dir)
+        .select(col("vec_id").as("media_id"), col("unit"))
+      img.join(cap, Seq("media_id"))
+        .select(col("media_id"),
+          dot(col("img_unit"), col("unit")).as("clip_sim"))
+        .withColumn("kept", col("clip_sim") >= lit(0.0))
+    }),
+
     // Vision-token budget accounting — the context-length planning query
     // a vision-language training pipeline runs before packing: each image
     // costs ceil(w/14)·ceil(h/14) ViT-style patch tokens (integer ceil,
@@ -402,6 +431,21 @@ object MultimodalQueries {
        |           JOIN sk sb ON sb.media_id = j)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    // joins the vision-embedding dump against Similarity's caption-unit
+    // dump (side_srp_sigs), replaying the PAIRING, the dot, and the
+    // keep decision — the curation gate end-to-end downstream of the
+    // (stubbed, spec-covered) encoder kernel
+    "mm10_clip_filter" ->
+      """WITH img AS (SELECT media_id, img_unit
+        |  FROM read_parquet('{VERIFY_DIR}/side_mm10_img.parquet')),
+        |cap AS (SELECT vec_id, unit
+        |  FROM read_parquet('{VERIFY_DIR}/side_srp_sigs.parquet'))
+        |SELECT i.media_id,
+        |  list_dot_product(i.img_unit, c.unit) AS clip_sim,
+        |  list_dot_product(i.img_unit, c.unit) >= 0.0 AS kept
+        |FROM img i JOIN cap c ON c.vec_id = i.media_id""".stripMargin,
+
     // mean_c0 = mean of bytes at 0-based positions 0,3,6,… — the corpus is
     // ASCII, so ascii(substr(text,p,1)) == byte p-1 of the UTF-8 payload.
     "mm1_decode_meta" ->
@@ -543,4 +587,13 @@ object MultimodalQueries {
         |                  if (p - 1) % 3 = 0], 'avg') AS mean_c0
         |FROM documents WHERE doc_id < 300""".stripMargin
   )
+
+  /** Vision-embedding dump for mm10's oracle: the stub encoder's unit
+    * vectors (the xxhash-style not-recomputable-in-DuckDB frame — the
+    * encoder kernel itself is spec-covered; the oracle replays the
+    * pairing, scoring, and keep decision from the dump).
+    */
+  val sideDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "side_mm10_img" -> ((s, dir) =>
+      Multimodal.clipEmbeds(Multimodal.mediaFromDocuments(s, dir)).toDF()))
 }

@@ -190,7 +190,9 @@ class ContractSpec extends SparkSuite {
       "side_sq_codes" -> Map("vec_id" -> "bigint",
         "unit" -> "array<double>", "codes" -> "array<int>"),
       "side_srp_sigs" -> Map("vec_id" -> "bigint",
-        "unit" -> "array<double>", "sig" -> "bigint"))
+        "unit" -> "array<double>", "sig" -> "bigint"),
+      "side_mm10_img" -> Map("media_id" -> "bigint",
+        "img_unit" -> "array<double>"))
     assert(SparkEntry.sideDumps.keySet == expected.keySet,
       s"side-dump set drifted: only-code=${SparkEntry.sideDumps.keySet -- expected.keySet} " +
         s"only-pin=${expected.keySet -- SparkEntry.sideDumps.keySet} — " +

@@ -108,4 +108,26 @@ class MultimodalSpec extends SparkSuite {
     })
     assert(vad.exists(_.getLong(3) > 1), "some item should have ≥2 segments")
   }
+
+  test("mm10 clip filter: unit-norm encoder, deterministic, non-vacuous") {
+    import graft.multimodal.Multimodal.FakeCodec
+    // kernel: L2-normalized output, deterministic, content-sensitive
+    val a = FakeCodec.clipEmbed("the quick brown fox".getBytes("UTF-8"))
+    val b = FakeCodec.clipEmbed("the quick brown fox".getBytes("UTF-8"))
+    val c = FakeCodec.clipEmbed("a completely different caption".getBytes("UTF-8"))
+    assert(a.length == 64 && a.sameElements(b), "encoder must be deterministic")
+    assert(!a.sameElements(c), "encoder must be content-sensitive")
+    assert(math.abs(a.map(x => x * x).sum - 1.0) < 1e-12, "unit norm")
+    assert(FakeCodec.clipEmbed(Array.emptyByteArray).forall(_ == 0.0),
+      "empty payload embeds to the zero vector, not NaN")
+
+    // the gated frame: one row per media item, both decisions present,
+    // and clip_sim within [-1, 1] (a dot of two unit vectors)
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("mm10_clip_filter")(spark, dir).collect()
+    assert(rows.length == Tables.documents(spark, dir).count())
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)),
+      "keep/drop split is vacuous — threshold no longer separates")
+    assert(rows.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-12))
+  }
 }
