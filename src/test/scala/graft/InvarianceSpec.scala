@@ -93,8 +93,11 @@ class InvarianceSpec extends SparkSuite {
         // (exact counts, min/max of longs); p18's bin counts are exact
         // longs and psi_term is computed from them row-locally, so even
         // its doubles are layout-free — only psi_total's fold order
-        // could move, and it sums 20 terms from a fixed-order spine
-        "p17_column_profile", "p18_drift_psi", "p19_doc_constraints")) {
+        // could move, and it sums 20 terms from a fixed-order spine;
+        // mm10's clip_sim is a row-local dot of two per-row vectors
+        // (partitioning cannot reorder an in-row fold)
+        "p17_column_profile", "p18_drift_psi", "p19_doc_constraints",
+        "mm10_clip_filter")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
