@@ -53,6 +53,12 @@ object Verify {
         "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_NO_MEMO=1 (Bench's raw-measurement switch, honored
+    // here too): every memoized query dumps its RAW pipeline's frame —
+    // running the full oracle gate under this proves the raw paths
+    // hash-green end-to-end, not just the replay paths
+    if (sys.env.get("SPARK_GRAFT_NO_MEMO").contains("1"))
+      spark.conf.set("spark.graft.memo.disabled", "true")
     new java.io.File(outDir).mkdirs()
     val outAbs = new java.io.File(outDir).getAbsolutePath
     // a filtered run is a DEV run: make it unmistakable in both the log
