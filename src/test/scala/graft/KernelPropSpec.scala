@@ -108,6 +108,42 @@ class KernelPropSpec extends AnyFunSuite {
     })
   }
 
+  // ---- clipEmbed (mm10's stub vision tower) ----
+
+  private val payloadGen: Gen[Array[Byte]] = Gen.oneOf(
+    Gen.const(Array.emptyByteArray),
+    Gen.choose(0, 255).map(b => Array.fill(100)(b.toByte)), // uniform bytes
+    for {
+      n <- Gen.choose(1, 4000)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(n)(rnd.nextInt(256).toByte)
+    })
+
+  test("clipEmbed: 64 dims, norm exactly 0 or ~1, never NaN") {
+    check(Prop.forAll(payloadGen) { p =>
+      val e = graft.multimodal.Multimodal.FakeCodec.clipEmbed(p)
+      val ss = e.map(x => x * x).sum
+      val ok = e.length == 64 && !e.exists(_.isNaN) &&
+        (ss == 0.0 || math.abs(ss - 1.0) < 1e-9)
+      // uniform payloads center to exactly 128-mean per dim → zero
+      // vector (the documented no-signal case), not NaN from 0/0
+      Prop(ok) :| s"len=${p.length} ss=$ss"
+    })
+  }
+
+  test("clipEmbed: uniform bytes embed to the zero vector (no signal)") {
+    check(Prop.forAll(Gen.choose(1, 2000), Gen.choose(0, 255)) { (n, b) =>
+      val e = graft.multimodal.Multimodal.FakeCodec
+        .clipEmbed(Array.fill(n)(b.toByte))
+      // every dim pools the same centered value v=b-128: v/1 per dim,
+      // normalized → ±1/8 each — EXCEPT b=128 where all dims are 0
+      if (b == 128) Prop(e.forall(_ == 0.0)) :| "128 must be silent"
+      else Prop(math.abs(e.map(x => x * x).sum - 1.0) < 1e-9) :| s"b=$b"
+    })
+  }
+
   // ---- Units algebra ----
 
   /** Compatible unit families the registry declares (same dimension
