@@ -156,7 +156,14 @@ object PageRank {
         // (BASELINE r6: 69.8s vs 2.4s) stays negligible at small k.
         val residualDue = tolerance.isDefined &&
           it % checkEvery == 0 && it < iters
-        val isCp = it % checkpointEvery == 0 || it == iters || residualDue
+        // ...and the round PRECEDING a due residual check (predictable:
+        // the check at it+1 joins THIS round's frame; if this round were
+        // left as a plan the residual would recompute up to
+        // checkpointEvery-1 rounds from the last checkpoint every check)
+        val nextResidualDue = tolerance.isDefined &&
+          (it + 1) % checkEvery == 0 && (it + 1) < iters
+        val isCp = it % checkpointEvery == 0 || it == iters ||
+          residualDue || nextResidualDue
         val next =
           if (isCp) plan.localCheckpoint() // eager: materialize + flatten
           else plan

@@ -404,7 +404,34 @@ object Dedup {
           finally graft.operators.Checkpoints.free(comp)
           dedupMemo.put(key, v)
           (s.createDataFrame(v._2.asJava, v._1), Nil)
-        } else (comp, rel)
+        } else {
+          // fallback (over-bound pairs, or the raw-measurement switch):
+          // the map is ≤ 2·|pairs| rows but pairs may be past the driver
+          // tier, so count it first (cheap — comp is checkpointed) and
+          // hold a driver copy only when it fits. The copy lets the
+          // components' checkpoint blocks be freed HERE instead of
+          // leaking for the session (clearCache cannot free LogicalRDD
+          // storage — see Checkpoints); nothing is stored in the memo,
+          // so the raw-measurement contract is untouched. A genuinely
+          // over-bound map stays live with caller-owned blocks — the
+          // same contract as dd8's returned frame.
+          val fits = try comp.count() <= 2L * PairMemoMaxRows
+          catch {
+            case e: Throwable =>
+              rel.foreach(_.unpersist(blocking = false))
+              throw e
+          }
+          if (fits) {
+            val v = try (comp.schema, comp.collect().toSeq)
+            catch {
+              case e: Throwable =>
+                rel.foreach(_.unpersist(blocking = false))
+                throw e
+            }
+            finally graft.operators.Checkpoints.free(comp)
+            (s.createDataFrame(v._2.asJava, v._1), rel)
+          } else (comp, rel)
+        }
     }
   }
 

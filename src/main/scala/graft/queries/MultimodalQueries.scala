@@ -99,10 +99,34 @@ object MultimodalQueries {
               col("label").as("cluster_rep"))
             .withColumn("cap_bucket", lit(a.cap))
         case Left((scored, cap, rel)) =>
+          // the component map is ≤ 2·|edges| rows; when it fits the
+          // driver tier, hold a copy so the propagation's checkpoint
+          // blocks can be freed HERE instead of leaking for the session
+          // (clearCache cannot free LogicalRDD storage — Checkpoints);
+          // a genuinely over-bound map stays live, caller-owned blocks
+          // (dd8's contract). Same discipline as Dedup.memoClusters'
+          // fallback arm.
+          val comp0 = try graft.operators.ConnectedComponents.components(
+            scored.filter(col("hamming") <= 12).select("i", "j"),
+            "i", "j")
+          catch {
+            case e: Throwable =>
+              rel.foreach(_.unpersist(blocking = false))
+              throw e
+          }
+          val comp = try {
+            if (comp0.count() <= 2L * PhashMemoMaxEdges) {
+              val v = try (comp0.schema, comp0.collect().toSeq)
+              finally graft.operators.Checkpoints.free(comp0)
+              s.createDataFrame(v._2.asJava, v._1)
+            } else comp0
+          } catch {
+            case e: Throwable =>
+              rel.foreach(_.unpersist(blocking = false))
+              throw e
+          }
           QueryCache.resultThenRelease(
-            graft.operators.ConnectedComponents.components(
-                scored.filter(col("hamming") <= 12).select("i", "j"),
-                "i", "j")
+            comp
               .select(col("node").as("media_id"),
                 col("label").as("cluster_rep"))
               .withColumn("cap_bucket", lit(cap)),

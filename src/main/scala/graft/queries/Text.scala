@@ -1283,7 +1283,18 @@ object Text {
       "table scan", "fast key", "merge part", "big data", "row value",
       "sort merge")
     val filler = (0 until 178).map(i => f"blockterm$i%03d")
-    words ++ phrases ++ filler
+    val all = words ++ phrases ++ filler
+    // t31's oracle splices these terms RAW into single-quoted SQL VALUES
+    // and into a '\b'||term||'\b' regex; the automaton matches them as
+    // literals. A quote would break the oracle SQL, a regex
+    // metacharacter would silently diverge regex-oracle from automaton —
+    // so pin the alphabet the equivalence assumes instead of escaping in
+    // three dialects
+    all.foreach(t => require(t.matches("[a-z0-9 ]+"),
+      s"blocklist term '$t' outside [a-z0-9 ] — the oracle splices terms " +
+        "unescaped into SQL/regex; extend the escaping before widening " +
+        "the alphabet"))
+    all
   }
 
   /** t10's fixed retrieval query (terms present across the corpus with

@@ -40,7 +40,23 @@ object Retry {
   def attemptsFrom(conf: Configuration): Int =
     math.max(1, conf.getInt(AttemptsKey, 10))
 
-  def isRetriable(t: Throwable): Boolean = t.isInstanceOf[IOException]
+  /** Transient-transport-shaped failures only. Two IOException
+    * SUBCLASSES are explicitly non-retriable because they encode a
+    * definitive store answer, not a flake — boto3 "standard" mode
+    * likewise does not retry 404/403-shaped errors:
+    *   - [[java.io.FileNotFoundException]]: a path that vanished between
+    *     the retried `exists()` and `listStatus()` is gone; burning the
+    *     full backoff budget (~50 s of sleeps at defaults) only delays
+    *     the real error;
+    *   - `AccessControlException`: a permission denial is configuration,
+    *     never transient.
+    */
+  def isRetriable(t: Throwable): Boolean = t match {
+    case _: java.io.FileNotFoundException => false
+    case _: org.apache.hadoop.security.AccessControlException => false
+    case _: IOException => true
+    case _ => false
+  }
 
   /** Run `body`, retrying retriable failures up to `attempts` total
     * tries with exponential backoff. The LAST failure is rethrown

@@ -79,6 +79,25 @@ class GraftS3Spec extends SparkSuite {
       }
     }
     assert(calls == 1)
+    // definitive store answers are NOT transient even though they are
+    // IOExceptions: a vanished path (404-shaped) or a permission denial
+    // (403-shaped) fails fast instead of burning the full backoff budget
+    // — boto3 standard mode's behavior
+    calls = 0
+    intercept[java.io.FileNotFoundException] {
+      Retry.withRetries(10, sleep = _ => ()) {
+        calls += 1; throw new java.io.FileNotFoundException("gone")
+      }
+    }
+    assert(calls == 1, "FileNotFoundException must fail fast, not retry")
+    calls = 0
+    intercept[org.apache.hadoop.security.AccessControlException] {
+      Retry.withRetries(10, sleep = _ => ()) {
+        calls += 1
+        throw new org.apache.hadoop.security.AccessControlException("denied")
+      }
+    }
+    assert(calls == 1, "AccessControlException must fail fast, not retry")
   }
 
   test("discovery through grafts3:// survives injected transient listing failures") {
