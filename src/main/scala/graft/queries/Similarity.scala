@@ -158,30 +158,80 @@ object Similarity {
   private val trainedCentroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Double])]]
 
+  /** The training knobs the s9 artifact manifest pins — a loaded
+    * artifact serves only while these match ([[graft.source
+    * .ArtifactStore.loadLatestMatching]]); change a knob and the next
+    * ask retrains and writes a new version.
+    */
+  private[graft] val CentroidParams = Map(
+    "k" -> "8", "seed" -> "7", "maxIter" -> "5",
+    "trainBudget" -> TrainBudget.toString)
+
+  private[graft] val CentroidArtifact = "s9_centroids"
+
+  /** Test hook: drop the in-session trained-state caches so the
+    * artifact specs can drive cold-start/load paths deterministically.
+    */
+  private[graft] def clearTrainedCaches(): Unit = {
+    trainedCentroidCache.clear()
+    tierTopk.clear()
+  }
+
   private def trainedCentroids(
       s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
     trainedCentroidCache.getOrElseUpdate(dir, {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val emb = Tables.spread(Tables.embeddings(s, dir))
-      // count → fraction: the one count is the price of a fixed-size
-      // budget (a fraction alone would grow the training set with the
-      // corpus); at the test SFs the sample path genuinely engages
-      // (500–2000 vectors vs budget 256)
-      val n = emb.count()
-      val frac = math.min(1.0, TrainBudget.toDouble / math.max(n, 1L))
-      val slice = DeterministicSample.stratified(
-        emb, col("vec_id"), lit("all"), Map("all" -> frac))
-      val feats = slice
-        .select(array_to_vector(normalized(col("embedding"))).as("fv"))
-      val model = new KMeans()
-        .setK(8).setSeed(7).setMaxIter(5)
-        .setFeaturesCol("fv").setPredictionCol("cid")
-        .fit(feats)
-      model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) =>
-        (i.toLong, v.toArray.toSeq)
+      // the session memo is a CACHE OVER STORAGE (VERDICT r8 ask #1):
+      // with an artifact store configured, a committed build is loaded
+      // and served; only a miss (or a params mismatch — stale build)
+      // trains, and the fresh build is persisted for the next session.
+      // Store unset (the gate's default): train in-session as before.
+      import graft.source.ArtifactStore
+      val loaded = ArtifactStore.root(s).flatMap { r =>
+        ArtifactStore
+          .loadLatestMatching(s, r, CentroidArtifact, CentroidParams)
+          .map(_.select("cent_id", "cent").collect()
+            .map(row => (row.getLong(0), row.getSeq[Double](1)))
+            .toSeq.sortBy(_._1))
+      }
+      loaded.getOrElse {
+        val cents = trainCentroids(s, dir)
+        ArtifactStore.root(s).foreach { r =>
+          import s.implicits._
+          ArtifactStore.save(cents.toDF("cent_id", "cent"), r,
+            CentroidArtifact, CentroidParams)
+        }
+        cents
       }
     })
+
+  /** The raw Lloyd training step (MLlib k-means over the deterministic
+    * sample) — [[trainedCentroids]] adds the memo and artifact layers.
+    */
+  private def trainCentroids(
+      s: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    // count → fraction: the one count is the price of a fixed-size
+    // budget (a fraction alone would grow the training set with the
+    // corpus); at the test SFs the sample path genuinely engages
+    // (500–2000 vectors vs budget 256)
+    val n = emb.count()
+    val frac = math.min(1.0, TrainBudget.toDouble / math.max(n, 1L))
+    val slice = DeterministicSample.stratified(
+      emb, col("vec_id"), lit("all"), Map("all" -> frac))
+    val feats = slice
+      .select(array_to_vector(normalized(col("embedding"))).as("fv"))
+    val model = new KMeans() // knobs single-sourced from the manifest map
+      .setK(CentroidParams("k").toInt)
+      .setSeed(CentroidParams("seed").toLong)
+      .setMaxIter(CentroidParams("maxIter").toInt)
+      .setFeaturesCol("fv").setPredictionCol("cid")
+      .fit(feats)
+    model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toArray.toSeq)
+    }
+  }
 
   /** Centroid frame (cent_id, cent, cnorm) for s9 and its oracle replay —
     * dumped by Verify as `side_s9_cents`. cnorm rides along because the
@@ -387,15 +437,17 @@ object Similarity {
         .select(col("pc_id").as("cent_id"))
       // ADC lookup tables — s8's construction verbatim: per subspace,
       // cb_id -> dot(q_m, c_m), slices walked in ascending index order so
-      // the fold matches the oracle's list_dot_product
-      val cbRows = codes.filter(col("vec_id") % 53 === 0)
-        .select("vec_id", "unit").collect()
+      // the fold matches the oracle's list_dot_product. The codebook rows
+      // come through [[pqCodebookDf]], so with an artifact store
+      // configured s17's LUTs are built from the LOADED codebook (the
+      // serve path) — bit-identical to the in-session derivation
+      val cbRows = pqCodebookDf(s, dir).collect()
       val luts: Seq[Map[Long, Double]] = (0 until PqM).map { m =>
-        cbRows.map { r =>
-          val c = r.getSeq[Double](1)
+        cbRows.iterator.filter(_.getInt(0) == m).map { r =>
+          val c = r.getSeq[Double](2)
           val d = (0 until PqD).foldLeft(0.0)((acc, i) =>
-            acc + qUnit(m * PqD + i) * c(m * PqD + i))
-          r.getLong(0) -> d
+            acc + qUnit(m * PqD + i) * c(i))
+          r.getLong(1) -> d
         }.toMap
       }
       val adc = (0 until PqM)
@@ -855,6 +907,44 @@ object Similarity {
   private[graft] val PqM = 4
   private[graft] val PqD = 16
 
+  /** Every `PqAnchorStride`-th vector anchors the deterministic
+    * codebook (see [[pqBase]]'s scaladoc for why determinism over
+    * trained k-means here).
+    */
+  private[graft] val PqAnchorStride = 53
+
+  private[graft] val PqCodebookArtifact = "s8_pq_codebook"
+  private[graft] val PqParams = Map(
+    "M" -> PqM.toString, "D" -> PqD.toString,
+    "anchorStride" -> PqAnchorStride.toString)
+
+  /** The PQ codebook frame (m, cb_id, cvec) — loaded from the artifact
+    * store when one is configured and a committed build matches
+    * [[PqParams]] (build-once/load-many, VERDICT r8 ask #1), derived
+    * from the corpus otherwise (and saved, so the NEXT session loads).
+    * Doubles round-trip parquet bit-exactly, so the loaded codebook is
+    * bit-identical to the derivation and the hash gate cannot tell the
+    * two paths apart.
+    */
+  private[graft] def pqCodebookDf(s: SparkSession, dir: String): DataFrame = {
+    import graft.source.ArtifactStore
+    val loaded = ArtifactStore.root(s).flatMap(r =>
+      ArtifactStore.loadLatestMatching(s, r, PqCodebookArtifact, PqParams))
+    loaded.getOrElse {
+      val e = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+      val cb = e.filter(col("vec_id") % PqAnchorStride === 0)
+        .select(col("vec_id"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"),
+            slice(col("unit"), m * PqD + 1, PqD).as("sub"))): _*)).as("x"))
+        .select(col("x.m").as("m"), col("vec_id").as("cb_id"),
+          col("x.sub").as("cvec"))
+      ArtifactStore.root(s).foreach(r =>
+        ArtifactStore.save(cb, r, PqCodebookArtifact, PqParams))
+      cb
+    }
+  }
+
   /** PQ frame (vec_id, unit, codes) — codes(m) = id of the subspace-m
     * codebook entry nearest the vector's m-th subvector (min L2, realized
     * as argmax of 2·dot − ‖c‖², ties to the smallest id). Encode shape:
@@ -872,8 +962,7 @@ object Similarity {
         struct(lit(m).as("m"),
           slice(col("unit"), m * PqD + 1, PqD).as("sub"))): _*)).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sub").as("sub"))
-    val cb = subs.filter(col("vec_id") % 53 === 0)
-      .select(col("m"), col("vec_id").as("cb_id"), col("sub").as("cvec"))
+    val cb = pqCodebookDf(s, dir)
       .withColumn("cnorm", dot(col("cvec"), col("cvec")))
     val codes = subs.join(broadcast(cb), "m")
       .withColumn("score", lit(2.0) * dot(col("sub"), col("cvec")) - col("cnorm"))

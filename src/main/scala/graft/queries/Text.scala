@@ -1050,7 +1050,7 @@ object Text {
     // from the same integer formula — hash-matches bit for bit.
     // 100 TB: pure map over the corpus scan, no shuffle, no state.
     "t29_quality_score" -> ((s, dir) => {
-      val w = typedlit(QualityWeights)
+      val w = typedlit(qualityWeightsFor(s))
       Tables.documents(s, dir)
         .select(col("doc_id"),
           graft.functions.TextFunctions.asciiTokenCount(col("text"))
@@ -1470,13 +1470,39 @@ object Text {
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), Seq[(Long, String, String, Long)]]
 
+  private[graft] val BpeArtifact = "t28_bpe_merges"
+  private[graft] val BpeParams = Map("rounds" -> BpeRounds.toString)
+
+  /** Test hook for the artifact specs (Dedup.clearMemo's sibling). */
+  private[graft] def clearBpeMemo(): Unit = bpeMemo.clear()
+
   private def bpeMerges(s: SparkSession, dir: String)
       : Seq[(Long, String, String, Long)] =
     bpeMemo.getOrElseUpdate(
       (dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
-        val (merges, state) = bpeTrainLoop(s, dir, BpeRounds)
-        state.unpersist(blocking = false)
-        merges
+        // memo over storage (VERDICT r8 ask #1): a committed merge-table
+        // artifact with a matching round budget serves; a miss trains
+        // and persists. Store unset (the gate default): train in-session.
+        import graft.source.ArtifactStore
+        val loaded = ArtifactStore.root(s).flatMap { r =>
+          ArtifactStore.loadLatestMatching(s, r, BpeArtifact, BpeParams)
+            .map(_.collect()
+              .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+                x.getLong(3)))
+              .toSeq.sortBy(_._1)) // training order — t30 replays the
+                                   // merges as a fold, order is semantics
+        }
+        loaded.getOrElse {
+          val (merges, state) = bpeTrainLoop(s, dir, BpeRounds)
+          state.unpersist(blocking = false)
+          ArtifactStore.root(s).foreach { r =>
+            import s.implicits._
+            ArtifactStore.save(
+              merges.toDF("step", "merge_left", "merge_right", "pair_n"),
+              r, BpeArtifact, BpeParams)
+          }
+          merges
+        }
       })
 
   /** t29's weight vector: 512 buckets, w(j) = (((j·2654435761) mod
@@ -1490,6 +1516,37 @@ object Text {
   private[graft] val QualityWeights: Seq[Double] =
     (0 until 512).map(j =>
       (((j.toLong * 2654435761L) % 1000003L) % 1001L - 500L) / 1024.0)
+
+  private[graft] val QualityWeightsArtifact = "t29_quality_weights"
+  private[graft] val QualityWeightsParams = Map(
+    "buckets" -> "512", "form" -> "dyadic-k-over-1024")
+
+  /** t29's serving-side weight source: the artifact store when one is
+    * configured (the model REGISTRY seam — a retrained classifier ships
+    * by writing a new version, inference code untouched), else the
+    * in-repo [[QualityWeights]] stand-in (which a first configured run
+    * persists as version 1). Dyadic values round-trip parquet exactly,
+    * so the two paths are bit-identical under the hash gate.
+    */
+  private[graft] def qualityWeightsFor(s: SparkSession): Seq[Double] = {
+    import graft.source.ArtifactStore
+    val loaded = ArtifactStore.root(s).flatMap { r =>
+      ArtifactStore.loadLatestMatching(
+          s, r, QualityWeightsArtifact, QualityWeightsParams)
+        .map(_.collect().map(x => (x.getInt(0), x.getDouble(1)))
+          .sortBy(_._1).map(_._2).toSeq)
+    }
+    loaded.getOrElse {
+      ArtifactStore.root(s).foreach { r =>
+        import s.implicits._
+        ArtifactStore.save(
+          QualityWeights.zipWithIndex.map { case (w, j) => (j, w) }
+            .toDF("bucket", "w"),
+          r, QualityWeightsArtifact, QualityWeightsParams)
+      }
+      QualityWeights
+    }
+  }
 
   /** The t28/t30-shared oracle CTE: the full BPE merge loop as one
     * recursive CTE (see the t28 oracle comment for the window/fold

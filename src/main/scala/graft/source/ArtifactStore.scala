@@ -1,0 +1,198 @@
+package graft.source
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.util.Json
+
+/** Versioned storage for TRAINED artifacts — the build-once / load-many
+  * seam between index BUILD and index SERVE that every production
+  * pipeline has and session memos only emulate (VERDICT r8 ask #1).
+  * The reference's own workflow has the same two phases — build the
+  * interpolator once, then register and evaluate it many times
+  * (`kamodo_dask/kamodo_dask.py:301-351`) — this is that seam for
+  * learned components: s9's k-means centroids, s8/s17's PQ codebook,
+  * t28/t30's BPE merge table, t29's classifier weights.
+  *
+  * Layout (one directory per artifact version):
+  *
+  * {{{ <root>/<name>/v=<version>/data/…parquet
+  *     <root>/<name>/v=<version>/MANIFEST.json }}}
+  *
+  * Commit protocol: `data/` is written FIRST, the manifest LAST — the
+  * manifest's existence IS the commit marker, so readers never need an
+  * atomic rename (object stores don't have one): a crashed writer
+  * leaves a version directory without a manifest, which every read
+  * path ignores and a later save overwrites. [[loadLatest]] serves the
+  * highest committed version.
+  *
+  * The manifest pins what a serving tier must check before trusting
+  * the bytes: artifact name, version, row count, result schema (DDL),
+  * and the training parameters that produced it (k/seed/iters for
+  * k-means, merge-round budget for BPE, …) — a loader that finds
+  * params diverging from its own constants is looking at a stale
+  * build and should retrain rather than silently serve it
+  * ([[loadLatestMatching]] enforces exactly that).
+  *
+  * Scale notes: artifacts are BOUNDED by construction (8 centroids,
+  * M·K codebook rows, k merge rows, a 512-float weight table) — KBs
+  * regardless of corpus size — so single-file parquet via
+  * `coalesce(1)` is the right layout (a serving tier reads the whole
+  * artifact; splitting it across files buys nothing and costs a
+  * listing). The store itself never touches corpus-sized data.
+  */
+object ArtifactStore {
+
+  /** Session conf holding the store root; UNSET → store disabled and
+    * every trainer falls back to its in-session path (the default for
+    * the driver's Verify/Bench runs — artifacts change WHERE trained
+    * state lives, never what the gated queries answer).
+    */
+  val DirKey = "spark.graft.artifacts.dir"
+
+  def root(s: SparkSession): Option[String] =
+    s.conf.getOption(DirKey).filter(_.nonEmpty)
+
+  final case class Manifest(name: String, version: Int, rows: Long,
+      schemaDdl: String, params: Map[String, String])
+
+  private def fs(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def versionDir(root: String, name: String, v: Int) =
+    new Path(new Path(root, name), f"v=$v%05d")
+
+  /** Committed (manifest-bearing) versions of `name`, ascending. */
+  def versions(s: SparkSession, root: String, name: String): Seq[Int] = {
+    val base = new Path(root, name)
+    val f = fs(s, base)
+    if (!f.exists(base)) Seq.empty
+    else
+      f.listStatus(base).toSeq
+        .filter(_.isDirectory)
+        .flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("v=")) n.drop(2).toIntOption else None
+        }
+        .filter(v => f.exists(new Path(versionDir(root, name, v), "MANIFEST.json")))
+        .sorted
+  }
+
+  /** Write `df` as the next version of `name`; returns that version.
+    * Bounded artifacts only — the frame is coalesced to one file.
+    */
+  def save(df: DataFrame, root: String, name: String,
+      params: Map[String, String]): Int = {
+    val s = df.sparkSession
+    val next = versions(s, root, name).lastOption.getOrElse(0) + 1
+    val vdir = versionDir(root, name, next)
+    val f = fs(s, vdir)
+    // a crashed previous attempt at this version number left no
+    // manifest (versions() skipped it) — clear its debris first
+    if (f.exists(vdir)) f.delete(vdir, true)
+    val data = new Path(vdir, "data")
+    df.coalesce(1).write.parquet(data.toString)
+    val rows = s.read.parquet(data.toString).count()
+    val manifest =
+      "{" +
+        s"""${Json.str("name")}: ${Json.str(name)}, """ +
+        s"""${Json.str("version")}: $next, """ +
+        s"""${Json.str("rows")}: $rows, """ +
+        s"""${Json.str("schema")}: ${Json.str(df.schema.toDDL)}, """ +
+        s"""${Json.str("params")}: {""" +
+        params.toSeq.sorted.map { case (k, v) =>
+          s"${Json.str(k)}: ${Json.str(v)}"
+        }.mkString(", ") +
+        "}}"
+    // manifest LAST — the commit marker
+    val mPath = new Path(vdir, "MANIFEST.json")
+    val out = f.create(mPath, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    next
+  }
+
+  /** Parse a version's manifest. Hand-rolled reader for the store's own
+    * flat emission above (no JSON library in the dependency set); any
+    * malformed manifest surfaces as a loud None, never a silent serve.
+    */
+  def manifest(s: SparkSession, root: String, name: String,
+      v: Int): Option[Manifest] = {
+    val mPath = new Path(versionDir(root, name, v), "MANIFEST.json")
+    val f = fs(s, mPath)
+    if (!f.exists(mPath)) return None
+    val in = f.open(mPath)
+    val raw =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    parseManifest(raw)
+  }
+
+  private[graft] def parseManifest(raw: String): Option[Manifest] = {
+    // the emitter never puts escaped quotes in keys and the only
+    // user-controlled strings (params, schema) round-trip through
+    // Json.str — a targeted regex scan is exact for this grammar
+    def strField(k: String): Option[String] =
+      ("\"" + k + "\": \"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(raw).map(m => unescape(m.group(1)))
+    def numField(k: String): Option[Long] =
+      ("\"" + k + "\": (\\d+)").r.findFirstMatchIn(raw).map(_.group(1).toLong)
+    val params = "\"params\": \\{(.*)\\}\\}".r.findFirstMatchIn(raw)
+      .map(_.group(1)).map { body =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\": \"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(body)
+          .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+      }
+    for {
+      n <- strField("name"); v <- numField("version")
+      r <- numField("rows"); ddl <- strField("schema"); p <- params
+    } yield Manifest(n, v.toInt, r, ddl, p)
+  }
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case o => b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** The highest committed version's frame + manifest, if any. */
+  def loadLatest(s: SparkSession, root: String,
+      name: String): Option[(DataFrame, Manifest)] =
+    versions(s, root, name).lastOption.flatMap { v =>
+      manifest(s, root, name, v).map { m =>
+        (s.read.parquet(new Path(versionDir(root, name, v), "data").toString), m)
+      }
+    }
+
+  /** [[loadLatest]] gated on parameter agreement: an artifact built
+    * under DIFFERENT training parameters than the caller's current
+    * constants is stale — serving it would silently pin old settings —
+    * so the loader declines and the caller retrains (and saves a new
+    * version). Only the keys the caller passes are compared, so adding
+    * a new param key later invalidates old artifacts by construction.
+    */
+  def loadLatestMatching(s: SparkSession, root: String, name: String,
+      params: Map[String, String]): Option[DataFrame] =
+    loadLatest(s, root, name).collect {
+      case (df, m) if params.forall { case (k, v) => m.params.get(k).contains(v) } =>
+        df
+    }
+}
