@@ -97,18 +97,69 @@ object Bench {
       val okTimes = times.collect { case (true, t) => t }
       name -> (if (okTimes.nonEmpty) Some(okTimes.min) else None)
     }
+    // Paired RAW rows for the memoized queries (VERDICT r8 ask #2):
+    // their memo-on rows above time a LocalRelation replay after the
+    // first run, so a second pass re-times exactly those queries under
+    // the raw-measurement switch in the SAME process — per-query
+    // numbers stay round-over-round comparable AND the memo story
+    // stays visible as the memo/raw pair. Skipped when the whole bench
+    // is already raw (SPARK_GRAFT_NO_MEMO=1 — the pair would be two
+    // identical columns).
+    val alreadyRaw = sys.env.get("SPARK_GRAFT_NO_MEMO").contains("1")
+    var nRawFailed = 0
+    val rawResults: Seq[(String, Option[Double])] =
+      if (alreadyRaw) Seq.empty
+      else {
+        spark.conf.set("spark.graft.memo.disabled", "true")
+        try SparkEntry.memoizedQueries.toSeq.sorted
+          .filter(name => only.forall(_.contains(name)))
+          .map { name =>
+            val fn = SparkEntry.queries(name)
+            val times = (1 to runs).map { _ =>
+              spark.catalog.clearCache()
+              // t28's cost IS training; its merge-table memo stands in
+              // for storage (the conf deliberately ignores it), so the
+              // raw pass resets it explicitly. Trained INPUTS (s9's
+              // centroids) stay memoized — a raw query run loads its
+              // model, it does not retrain it.
+              if (name == "t28_bpe_train")
+                graft.queries.Text.clearBpeMemo()
+              val t0 = System.nanoTime()
+              val ok =
+                try {
+                  fn(spark, sfDir).write.format("noop").mode("overwrite")
+                    .save()
+                  true
+                } catch {
+                  case e: Throwable =>
+                    nRawFailed += 1
+                    System.err.println(
+                      s"[bench] raw $name failed: ${e.getMessage}")
+                    false
+                }
+              (ok, (System.nanoTime() - t0) / 1e9)
+            }
+            val okTimes = times.collect { case (true, t) => t }
+            name -> (if (okTimes.nonEmpty) Some(okTimes.min) else None)
+          }
+        finally spark.conf.unset("spark.graft.memo.disabled")
+      }
+
     // ms precision: full-double decimals at ~100 queries push the JSON
     // line past what log-tail capture keeps, truncating the per-query map
     def fmt(t: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, t)
-    val qs = results.map { case (k, v) =>
+    def toJson(rs: Seq[(String, Option[Double])]): String =
+      rs.map { case (k, v) =>
         "\"" + k + "\":" + v.map(fmt).getOrElse("null")
       }.mkString("{", ",", "}")
+    val qs = toJson(results)
+    val raw = toJson(rawResults)
     val total = fmt(results.flatMap(_._2).sum)
     val failedQueries = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // "failures" makes a broken run visibly broken instead of reporting an
     // artificially fast success-shaped total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$nFailed,"failed_queries":$failedQueries,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"failures":$nFailed,"raw_failures":$nRawFailed,"failed_queries":$failedQueries,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,6 +45,18 @@ object SparkEntry {
       Similarity.oracleSql ++ MultimodalQueries.oracleSql ++
       GridQueries.oracleSql ++ Profiling.oracleSql
 
+  /** Queries whose answer (or a corpus-sized intermediate of it) is
+    * served from a session memo after its first computation — the rows
+    * whose memo-on bench numbers time a LocalRelation replay, not the
+    * pipeline. Bench runs exactly these a second time under the
+    * raw-measurement switch and reports both columns (VERDICT r8 ask
+    * #2), so per-query numbers stay round-over-round comparable
+    * without losing the compute-once story.
+    */
+  def memoizedQueries: Set[String] =
+    Similarity.memoizedNames ++ Dedup.memoizedNames ++
+      MultimodalQueries.memoizedNames ++ Text.memoizedNames
+
   /** Signature side-tables for the sketch queries: Spark-computed frames
     * (xxhash64-based, not recomputable in DuckDB) that Verify dumps as
     * parquet so the oracle SQL can replay the downstream pipeline —

@@ -442,6 +442,13 @@ object Dedup {
   private[graft] def clearMemo(): Unit = dedupMemo.clear()
   private[graft] def memoSize: Int = dedupMemo.size
 
+  /** Queries served from [[dedupMemo]] after first computation — Bench
+    * re-times these raw (SparkEntry.memoizedQueries).
+    */
+  val memoizedNames: Set[String] = Set(
+    "dd2_shingle_jaccard", "dd8_neardup_clusters", "dd9_edit_distance",
+    "dd14_canonical_pick", "dd15_split_leakage")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup keep-list: one survivor (min doc_id) per distinct text,

@@ -329,6 +329,12 @@ object MultimodalQueries {
     * `maxEdges` is injectable so the spec can force the fallback (the
     * 100 TB path) on the driver fixture and pin it result-identical.
     */
+  /** Queries served from the pHash artifact memo — Bench re-times
+    * these raw (SparkEntry.memoizedQueries).
+    */
+  val memoizedNames: Set[String] = Set("mm5_phash_neardup",
+    "mm7_phash_clusters")
+
   private[graft] def phashArtifacts(s: SparkSession, dir: String,
       maxEdges: Long = PhashMemoMaxEdges)
       : Either[(DataFrame, Long, Seq[DataFrame]), PhashArtifacts] = {

@@ -875,6 +875,15 @@ object Similarity {
     })
   ) ++ tierBuilders.map { case (n, _) => n -> (memoTier(n) _) }
 
+  /** Queries served from the session shortlist memo ([[memoTier]] /
+    * s16's tier replay) — Bench re-times these raw (SparkEntry
+    * .memoizedQueries).
+    */
+  val memoizedNames: Set[String] = Set(
+    "s1_knn_brute", "s4_ivf_knn", "s6_quantized_knn", "s8_pq_knn",
+    "s9_ivf_trained", "s17_ivfpq_knn", "s18_binary_knn",
+    "s16_recall_eval")
+
   /** The ANN tiers s16 certifies (each emits vec-0's top-10 like s1). */
   private val RecallMethods =
     Seq("s4_ivf_knn", "s6_quantized_knn", "s8_pq_knn", "s9_ivf_trained",
