@@ -18,7 +18,12 @@ object MultimodalQueries {
     // Decode metadata per media item (batched partition function), then a
     // plain DataFrame projection over the typed result.
     "mm1_decode_meta" -> ((s, dir) => {
-      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(s, dir))
+      // codecFor: the conf flag swaps the REAL javax.imageio decoder
+      // into this exact batched call site (MultimodalSpec does, over
+      // real PNG/JPEG bytes); the gate's synthetic payloads keep the
+      // oracle-replayable FakeCodec default
+      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(s, dir),
+          codec = Multimodal.codecFor(s))
         .toDF()
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
           col("channels"),

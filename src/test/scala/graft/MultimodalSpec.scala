@@ -130,4 +130,65 @@ class MultimodalSpec extends SparkSuite {
       "keep/drop split is vacuous — threshold no longer separates")
     assert(rows.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-12))
   }
+
+  test("real decoder through the seam: javax.imageio decodes PNG/JPEG in mm1's call site") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // a real 4×3 RGB PNG with KNOWN pixels: channel c of pixel (x, y)
+    // is a distinct value, so the expected per-band means are computed
+    // independently of any decoder
+    val (w, h) = (4, 3)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    def px(x: Int, y: Int, c: Int) = (40 * c + 16 * y + 4 * x) % 256
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (px(x, y, 0) << 16) | (px(x, y, 1) << 8) | px(x, y, 2))
+    def bytesOf(fmt: String, i: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(i, fmt, bos), s"no $fmt writer in this JDK")
+      bos.toByteArray
+    }
+    val png = bytesOf("png", img)
+    val jpg = bytesOf("jpg", img)
+    val expectedMeans = (0 until 3).map { band =>
+      (for (y <- 0 until h; x <- 0 until w) yield px(x, y, band))
+        .sum.toDouble / (w * h)
+    }
+    // the flag selects the REAL codec; the payloads flow through
+    // decodeMeta — mm1's exact batched mapPartitions call site
+    spark.conf.set("spark.graft.codec", "imageio")
+    try {
+      assert(Multimodal.codecFor(spark) eq Multimodal.ImageIoCodec)
+      val media = Seq(
+        MediaRow(1L, "image", png),
+        MediaRow(2L, "image", jpg)).toDS().repartition(2)
+      val meta = Multimodal
+        .decodeMeta(media, batchSize = 1, codec = Multimodal.codecFor(spark))
+        .collect().sortBy(_.media_id)
+      // PNG is lossless: dims, band count AND per-band means are exact.
+      // (ImageIO rasters are RGB-band-ordered for TYPE_3BYTE_BGR reads
+      // of PNG output — band b == channel c of setRGB above.)
+      val p = meta(0)
+      assert((p.width, p.height, p.channels) == (w, h, 3))
+      assert(p.channel_means.toSeq == expectedMeans,
+        s"PNG band means ${p.channel_means.toSeq} != $expectedMeans")
+      // JPEG is lossy: dims/bands exact, means near the PNG truth
+      val j = meta(1)
+      assert((j.width, j.height, j.channels) == (w, h, 3))
+      j.channel_means.zip(expectedMeans).foreach { case (got, want) =>
+        assert(math.abs(got - want) < 20.0,
+          s"JPEG band mean $got too far from $want")
+      }
+      // corrupt bytes fail LOUDLY, not as fake metadata
+      val boom = intercept[org.apache.spark.SparkException] {
+        Multimodal.decodeMeta(
+          Seq(MediaRow(3L, "image", Array[Byte](1, 2, 3))).toDS(),
+          codec = Multimodal.codecFor(spark)).collect()
+      }
+      assert(boom.getMessage != null)
+    } finally spark.conf.unset("spark.graft.codec")
+    // flag off: the gate's deterministic stand-in is back
+    assert(Multimodal.codecFor(spark) eq Multimodal.FakeCodec)
+  }
 }
