@@ -63,6 +63,101 @@ class AhoCorasickSpec extends AnyFunSuite {
     }
   }
 
+  test("pathological: 1000 nested suffixes — equivalence and boundary latching") {
+    // "a", "aa", …, "a"×1000: every trie node inherits EVERY shorter
+    // pattern's output via its fail link — the densest output-merging
+    // case the construction has. On an all-'a' text only a whole-run
+    // match can satisfy \b on both ends, so run-length texts make the
+    // truth computable exactly AND force the per-emission boundary
+    // check to reject thousands of candidates
+    val nested = (1 to 1000).map("a" * _)
+    val ac = new AhoCorasick(nested)
+    assert(ac.matchedPatterns("a" * 2000).isEmpty,
+      "no nested suffix spans the whole run — all must be \\b-rejected")
+    assert(ac.matchedPatterns("a" * 1000) == Seq("a" * 1000))
+    // runs of random lengths separated by non-word chars: run of length
+    // k ≤ 1000 matches exactly the k-length pattern
+    val rnd = new scala.util.Random(7)
+    val lens = (1 to 40).map(_ => 1 + rnd.nextInt(1200))
+    val text = lens.map("a" * _).mkString(" ")
+    val want = lens.filter(_ <= 1000).distinct.sorted.map("a" * _)
+    assert(ac.matchedPatterns(text).sortBy(_.length) == want)
+  }
+
+  test("pathological: single-char dictionary — every position emits") {
+    val singles = "abcdefghijklmnopqrstuvwxyz0123456789_".map(_.toString)
+    val ac = new AhoCorasick(singles)
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abc12_ .,"
+    for (_ <- 1 to 200) {
+      val text = (0 until rnd.nextInt(60))
+        .map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+      assert(ac.matchedPatterns(text).toSet ==
+        regexMatched(singles, text).toSet, s"text '$text'")
+    }
+  }
+
+  test("pathological: overlapping phrase chains across spaces") {
+    // phrases built from a 2-word vocabulary so every text position sits
+    // inside several simultaneous partial matches (the multi-word
+    // extension of he/she/hers nesting), including phrases that are
+    // prefixes/suffixes/infixes of each other
+    val phrases = Seq("a b", "b a", "a b a", "b a b", "a b a b",
+      "b a b a b", "a", "b", "a a", "ab a b")
+    val ac = new AhoCorasick(phrases)
+    val rnd = new scala.util.Random(99)
+    val tokens = Seq("a", "b", "ab", "ba", "c")
+    for (_ <- 1 to 300) {
+      val text = (0 until rnd.nextInt(12))
+        .map(_ => tokens(rnd.nextInt(tokens.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+      assert(ac.matchedPatterns(text).toSet ==
+        regexMatched(phrases, text).toSet,
+        s"text '$text': automaton vs regex diverge")
+    }
+  }
+
+  test("crossover: at 10^4 terms the automaton beats the regex alternation") {
+    // the scaladoc's claim, measured: ONE compiled \b(?:t1|...|tN)\b
+    // alternation (the t24 shape) vs the automaton, same distinct-hit
+    // extraction, 10^4-term dictionary over ~1000 docs. The margin at
+    // this size is large (≈20×+ on this box), so the 2× assertion bound
+    // has plenty of slack against shared-box noise; the measured pair is
+    // recorded in BASELINE.md.
+    val terms = (0 until 10000).map(i => f"term$i%05d")
+    val rnd = new scala.util.Random(5)
+    val fillers = Seq("lorem", "ipsum", "dolor", "sit", "amet", "data")
+    val docs = (0 until 1000).map { _ =>
+      (0 until 60).map { _ =>
+        if (rnd.nextInt(10) == 0) terms(rnd.nextInt(terms.length))
+        else fillers(rnd.nextInt(fillers.length))
+      }.mkString(" ")
+    }
+    val ac = new AhoCorasick(terms)
+    val re = java.util.regex.Pattern.compile(
+      terms.map(java.util.regex.Pattern.quote)
+        .mkString("\\b(?:", "|", ")\\b"))
+    def reMatched(text: String): Set[String] = {
+      val m = re.matcher(text)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (m.find()) out += m.group()
+      out.toSet
+    }
+    // warm-up (JIT) then timed passes
+    docs.take(50).foreach { d => ac.matchedPatterns(d); reMatched(d) }
+    val t0 = System.nanoTime()
+    val acHits = docs.map(d => ac.matchedPatterns(d).toSet)
+    val acMs = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime()
+    val reHits = docs.map(reMatched)
+    val reMs = (System.nanoTime() - t1) / 1e6
+    assert(acHits == reHits, "hit sets diverge — benchmark is vacuous")
+    assert(acHits.exists(_.nonEmpty), "no doc hit any term — vacuous")
+    info(f"10^4-term × 1000 docs: automaton $acMs%.0f ms, regex $reMs%.0f ms (${reMs / acMs}%.1f×)")
+    assert(acMs * 2 < reMs,
+      f"automaton ($acMs%.0f ms) not ≥2× faster than regex ($reMs%.0f ms)")
+  }
+
   test("dictionary size does not change per-text cost shape (smoke)") {
     // not a benchmark — just pins that a 5000-term dictionary builds and
     // scans without pathological behavior (the regex alternation
