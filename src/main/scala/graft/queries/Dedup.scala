@@ -447,7 +447,7 @@ object Dedup {
     */
   val memoizedNames: Set[String] = Set(
     "dd2_shingle_jaccard", "dd8_neardup_clusters", "dd9_edit_distance",
-    "dd14_canonical_pick", "dd15_split_leakage")
+    "dd14_canonical_pick", "dd15_split_leakage", "dd18_sketch_error")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -915,6 +915,33 @@ object Dedup {
             sum(when(col("is_drop").isNull, col("vec_id"))
               .otherwise(lit(0L))).as("kept_id_sum")),
         assigned, eCache)
+    }),
+
+    // MinHash estimator CALIBRATION — the measurement that justifies
+    // dd3's banding thresholds before they run blind at 100 TB: for
+    // every exact-verified near-dup pair (dd2's gated list), the
+    // 32-perm signature-agreement estimate (`graft_sig_agree`, the
+    // SAME codegen kernel dd3 ranks with) next to the exact Jaccard —
+    // an operator-level answer to "how biased is the sketch on MY
+    // corpus", the sketch-accuracy twin of s16's ANN recall
+    // certification. est_jac is dyadic (k/32 — exact IEEE), jac is the
+    // already-certified dd2 value, so the gate is tight. Cost: two
+    // broadcast-sized joins of the bounded pair list against the
+    // signature frame — the corpus-touching work (signatures) is one
+    // narrow pass dd3 already pays; nothing here is corpus².
+    "dd18_sketch_error" -> ((s, dir) => {
+      val (pairs, _, rel) = memoJaccardPairs(s, dir)
+      val sigs = docSigs(s, dir).select("doc_id", "sig").persist()
+      QueryCache.resultThenRelease(
+        pairs
+          .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")),
+            "i")
+          .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")),
+            "j")
+          .select(col("i"), col("j"), col("jac"),
+            graft.functions.HashFunctions
+              .minhashSimilarity(col("sig_i"), col("sig_j")).as("est_jac")),
+        (rel :+ sigs): _*)
     })
   )
 
@@ -1041,6 +1068,18 @@ object Dedup {
       s"""WITH $dd2CtesSql
          |SELECT i, j, jac, (SELECT cap FROM capdf) AS cap_df
          |FROM dd2res""".stripMargin,
+
+    // dd2's exact pairs joined against the dumped signatures; est_jac
+    // replays the sig-agreement kernel slot for slot
+    "dd18_sketch_error" ->
+      s"""WITH $dd2CtesSql,
+         |sigs AS (SELECT doc_id, sig
+         |         FROM read_parquet('{VERIFY_DIR}/side_doc_sigs.parquet'))
+         |SELECT p.i, p.j, p.jac,
+         |  ${sigAgreeSql("sa.sig", "sb.sig")} AS est_jac
+         |FROM dd2res p
+         |JOIN sigs sa ON sa.doc_id = p.i
+         |JOIN sigs sb ON sb.doc_id = p.j""".stripMargin,
 
     // same CTEs as dd2 through `scored` (all candidates, exact shared
     // counts — the Spark-side ub prefilter is result-invariant), then the

@@ -872,6 +872,33 @@ object Similarity {
           .select(lit(m).as("method"), col("hits"),
             (col("hits").cast("double") / lit(10.0)).as("recall_at_10"))
       }.reduce(_ union _)
+    }),
+
+    // IVF index-health statistics — the operational leg of the ANN
+    // family: per-cell occupancy, corpus share, and load factor vs a
+    // perfectly balanced index (1000‰ = uniform). The check a serving
+    // rollout runs BEFORE pointing traffic at an index: dead cells
+    // waste probes, hot cells (load ≫ 1000‰) blow the per-probe scan
+    // budget and are the split/retrain signal. 100 TB shape: ONE
+    // map-side-combined groupBy on cent_id (output bounded by k cells,
+    // never corpus rows) + a 1-row stats frame crossJoined at the
+    // stats tier; all emissions integer permille, so the gate is
+    // arithmetic-exact. Oracled from the side_s4_assign dump the s4
+    // family already certifies.
+    "s19_cell_stats" -> ((s, dir) => {
+      val (assigned0, eCache) = ivfAssign(s, dir)
+      val assigned = assigned0.persist()
+      val cells = assigned.groupBy("cent_id")
+        .agg(count(lit(1)).as("n_vectors"))
+      val tot = cells.agg(sum("n_vectors").as("n_total"),
+        count(lit(1)).as("n_cells"))
+      QueryCache.resultThenRelease(
+        cells.crossJoin(tot)
+          .select(col("cent_id"), col("n_vectors"),
+            expr("(1000 * n_vectors) DIV n_total").as("share_permille"),
+            expr("(1000 * n_vectors * n_cells) DIV n_total")
+              .as("load_permille")),
+        assigned, eCache)
     })
   ) ++ tierBuilders.map { case (n, _) => n -> (memoTier(n) _) }
 
@@ -1034,6 +1061,22 @@ object Similarity {
   }
 
   private val baseOracleSql: Map[String, String] = Map(
+    // per-cell occupancy + share/load permille from the certified
+    // assignment dump; casts pin BIGINT on every emission (DuckDB's
+    // sum() widens to HUGEINT)
+    "s19_cell_stats" ->
+      """WITH assign AS (SELECT vec_id, cent_id
+        |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+        |cells AS (SELECT cent_id, count(*) AS n_vectors
+        |          FROM assign GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total,
+        |               count(*) AS n_cells FROM cells)
+        |SELECT cent_id, n_vectors,
+        |  CAST((1000 * n_vectors) // n_total AS BIGINT) AS share_permille,
+        |  CAST((1000 * n_vectors * n_cells) // n_total AS BIGINT)
+        |    AS load_permille
+        |FROM cells, tot""".stripMargin,
+
     "s1_knn_brute" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, ${cosSql("embedding", "qe")} AS cos_sim
