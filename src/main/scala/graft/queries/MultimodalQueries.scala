@@ -63,6 +63,31 @@ object MultimodalQueries {
           sum(length(col("frame"))).as("kept_bytes"))
     }),
 
+    // Cross-item duplicate FRAME detection — sub-item dedup for video:
+    // the static intro/outro/test-card frames every video pipeline
+    // strips, and the storage-dedup unit (content-addressed chunk
+    // store). mm4's frame generator at every=1 (all 32-byte frames,
+    // ragged tail kept), each frame keyed by md5 of its BYTES, one
+    // 16-byte-key hash groupBy, keep only keys seen in ≥ 2 DISTINCT
+    // items. 100 TB shape: frames never pairwise-join — the only
+    // shuffle carries (16-byte key, ids), and the output is bounded by
+    // the corpus' duplicate-frame structure, not its size. Exact-dup
+    // frames (not near-dup): that is the storage/chunk semantics; mm5's
+    // perceptual banding is the near-dup leg at ITEM granularity.
+    "mm11_frame_dup_groups" -> ((s, dir) => {
+      Multimodal.sampleFrameRows(
+          Multimodal.mediaFromDocuments(s, dir), frameSize = 32, every = 1)
+        .toDF()
+        .select(col("media_id"), col("frame_idx").cast("long").as("fidx"),
+          md5(col("frame")).as("frame_key"))
+        .groupBy("frame_key")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct("media_id").as("n_media"),
+          min("media_id").as("first_media"),
+          min("fidx").as("min_idx"))
+        .filter(col("n_media") >= 2)
+    }),
+
     // Multimodal near-dup — dd4's banded-sketch machinery applied to the
     // PERCEPTUAL hash of the decoded payload ([[Multimodal.perceptualHash]],
     // a dHash: adjacent-"pixel" comparisons over the resized fake decode):
@@ -521,6 +546,25 @@ object MultimodalQueries {
         |                 if i % 2 = 0]) AS BIGINT) AS kept_bytes
         |FROM documents
         |WHERE octet_length(encode(text)) > 0""".stripMargin,
+
+    // every 32-byte frame re-keyed by md5 of the same bytes (substr is
+    // byte-faithful on this ASCII corpus — the PhashCtes convention;
+    // DuckDB hashes the substring's UTF-8 encoding, Spark the payload
+    // slice, identical bytes → identical hex), then the same
+    // group-and-threshold
+    "mm11_frame_dup_groups" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, k AS frame_idx,
+        |    md5(substr(text, CAST(k * 32 + 1 AS INT), 32)) AS frame_key
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0,
+        |            (octet_length(encode(text)) + 31) // 32)) AS k
+        |        FROM documents))
+        |SELECT frame_key, count(*) AS n_frames,
+        |  count(DISTINCT media_id) AS n_media,
+        |  min(media_id) AS first_media, min(frame_idx) AS min_idx
+        |FROM f GROUP BY 1
+        |HAVING count(DISTINCT media_id) >= 2""".stripMargin,
 
     // Full arithmetic replay of mm5 — the dHash itself is recomputed
     // from the text bytes (resize subsample indices via trunc, adjacent

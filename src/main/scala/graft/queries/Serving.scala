@@ -48,6 +48,17 @@ object Serving {
   /** Test hook. */
   private[graft] def clearIndexCache(): Unit = indexCache.clear()
 
+  /** Drop `dir`'s built index so the next [[serve]] rebuilds — the hook
+    * a serving process calls when notified of a new artifact version
+    * (the ArtifactStore seam: the store is append-only versions, so
+    * "reload" is just "rebuild from latest"). Deliberately explicit
+    * rather than a per-query version probe: a store listing on the hot
+    * path would cost more than the serve itself. ServingSpec pins that
+    * a reshipped codebook version reaches batch s17 and a refreshed
+    * server identically.
+    */
+  def refresh(dir: String): Unit = indexCache.remove(dir)
+
   /** Build (or reuse) the serving index for `dir`. One Spark pass:
     * the assignment frame joined to the PQ codes, plus the codebook
     * (artifact-aware). Build cost is the INDEX build every ANN system

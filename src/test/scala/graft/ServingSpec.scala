@@ -48,6 +48,45 @@ class ServingSpec extends SparkSuite {
     info(f"serving latency: $perQueryMs%.3f ms/query over 200 queries")
   }
 
+  test("a reshipped codebook version reaches batch s17 and a refreshed server identically") {
+    import graft.source.ArtifactStore
+    import org.apache.spark.sql.functions.{expr, lit, when}
+    val sf = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-serve-art").toString
+    spark.conf.set(ArtifactStore.DirKey, root)
+    try {
+      graft.queries.Similarity.clearTrainedCaches()
+      graft.queries.Serving.clearIndexCache()
+      // v1: first gated run derives + persists the codebook; serving
+      // parity against it
+      assert(Serving.serve(spark, sf, emb(sf, 0L), k = 10,
+        excludeId = 0L) == s17Rows(sf))
+      val cbName = graft.queries.Similarity.PqCodebookArtifact
+      assert(ArtifactStore.versions(spark, root, cbName) == Seq(1))
+      // reship v2 with ALTERED entries (subspace 0 doubled) under the
+      // same params — the model-registry update path
+      val (v1, _) = ArtifactStore.loadLatest(spark, root, cbName).get
+      val v2 = v1.withColumn("cvec",
+        when(expr("m = 0"), expr("transform(cvec, x -> x * 2.0)"))
+          .otherwise(expr("cvec")))
+      ArtifactStore.save(v2, root, cbName,
+        graft.queries.Similarity.PqParams)
+      assert(ArtifactStore.versions(spark, root, cbName) == Seq(1, 2))
+      // a refreshed server and a cold batch run must agree ON V2 —
+      // neither side may keep serving the stale build
+      graft.queries.Similarity.clearTrainedCaches()
+      Serving.refresh(sf)
+      assert(Serving.serve(spark, sf, emb(sf, 0L), k = 10,
+        excludeId = 0L) == s17Rows(sf),
+        "serving and batch diverge after the codebook reship")
+    } finally {
+      spark.conf.unset(ArtifactStore.DirKey)
+      graft.queries.Similarity.clearTrainedCaches()
+      graft.queries.Serving.clearIndexCache()
+    }
+  }
+
   test("knobs: k/nprobe/shortlist bound the work; excludeId drops self") {
     val sf = "/root/testdata/sf0.001"
     val q = emb(sf, 0L)
