@@ -1528,6 +1528,40 @@ object Relational {
     // collect_list over the 10-row frame (bounded by the frame, so
     // per-row state is 10 doubles — this is NOT the unbounded
     // collect_list anti-pattern), array_sort, exact middle pick.
+    // Rolling z-score outlier flags — the telemetry-anomaly counterpart
+    // to q62's EWMA and q64's rolling median: each event judged against
+    // its user's trailing-10-event mean/variance. The decision is
+    // INTEGER-EXACT by clearing denominators: (x−μ)² > 4σ² over the
+    // window ⇔ (n·x − Σx)² > 4·(n·Σx² − (Σx)²) with everything in
+    // BIGINT cents (c ≤ ~5.6e4 ⇒ worst term ~4e12, far inside BIGINT) —
+    // 2σ rather than the classic 3σ because the driver's near-uniform
+    // value distribution never leaves 3σ of a 10-event window (the flag
+    // would gate vacuously true-free; 2σ flags ~6% here) —
+    // no float boundary can flip an engine. Emissions are the window
+    // sums themselves plus the verdict, so the gate certifies the
+    // sufficient statistics AND the decision. One user_id Exchange
+    // serves all three window aggregates; at 100 TB this is a single
+    // window pass over the partitioned event log.
+    "q66_rolling_outliers" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("c"))
+        .withColumn("n_w", count(lit(1)).over(w))
+        .withColumn("sum_w", sum("c").over(w))
+        .withColumn("sumsq_w", sum(col("c") * col("c")).over(w))
+        .withColumn("is_outlier",
+          (col("n_w") * col("c") - col("sum_w")) *
+            (col("n_w") * col("c") - col("sum_w")) >
+            lit(4L) * (col("n_w") * col("sumsq_w") -
+              col("sum_w") * col("sum_w")))
+        .select("user_id", "event_id", "n_w", "sum_w", "sumsq_w",
+          "is_outlier")
+    }),
+
     "q64_rolling_median" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
@@ -2666,6 +2700,24 @@ object Relational {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med_cents
         |FROM events WHERE user_id < 20""".stripMargin,
+
+    // denominator-cleared integer z-score: BIGINT casts pin the dtypes
+    // DuckDB's window sum() would otherwise widen to HUGEINT
+    "q66_rolling_outliers" ->
+      """WITH base AS (SELECT user_id, event_id, ts,
+        |                CAST(round(value * 100) AS BIGINT) AS c
+        |              FROM events WHERE user_id < 20),
+        |w AS (SELECT user_id, event_id, c,
+        |        CAST(count(*) OVER win AS BIGINT) AS n_w,
+        |        CAST(sum(c) OVER win AS BIGINT) AS sum_w,
+        |        CAST(sum(c * c) OVER win AS BIGINT) AS sumsq_w
+        |      FROM base
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, n_w, sum_w, sumsq_w,
+        |  (n_w * c - sum_w) * (n_w * c - sum_w) >
+        |    4 * (n_w * sumsq_w - sum_w * sum_w) AS is_outlier
+        |FROM w""".stripMargin,
 
     // replays the adaptive basket-size cap exactly (dd2's pattern): the
     // cap integer is re-derived from the same basket-size histogram via

@@ -899,6 +899,41 @@ object Similarity {
             expr("(1000 * n_vectors * n_cells) DIV n_total")
               .as("load_permille")),
         assigned, eCache)
+    }),
+
+    // IVF-ROUTED batch kNN — the scale form of batch serving: s5
+    // answers a probe batch by scanning the WHOLE corpus once per
+    // batch; here each probe routes to its nprobe=4 nearest cells and
+    // only those cells' members score, so the scanned fraction is
+    // ~nprobe/k of the corpus per probe — the s4 single-probe path
+    // batched. Same probes and k as s5, so the spec can measure batch
+    // recall directly against the exact answers. Plan shape: the
+    // |probes|×|cells| routing fan-out is tiny and cut by TopKPerKey's
+    // bounded heaps; the routed (qid, cell) list BROADCASTS into the
+    // corpus-side join, so the corpus never shuffles — one scan,
+    // bounded heaps, TakeOrdered never sees more than
+    // partitions × probes × k survivors.
+    "s20_ivf_batch_knn" -> ((s, dir) => {
+      val (assigned0, eCache) = ivfAssign(s, dir)
+      val assigned = assigned0.persist()
+      val cents = assigned.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("unit").as("qu"))
+      val routed = graft.operators.TopKPerKey.topK(
+        probes.join(broadcast(cents))
+          .select(col("qid"), col("qu"), col("pc_id"),
+            dot(col("cent"), col("qu")).as("qsim")),
+        keyCol = "qid", scoreCol = "qsim", tieCol = "pc_id", k = 4)
+        .select(col("qid"), col("qu"), col("pc_id").as("cent_id"))
+      val cands = assigned.join(broadcast(routed), "cent_id")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          dot(col("unit"), col("qu")).as("cos_sim"))
+      QueryCache.resultThenRelease(
+        graft.operators.TopKPerKey.topK(cands,
+          keyCol = "qid", scoreCol = "cos_sim", tieCol = "vec_id", k = 5),
+        assigned, eCache)
     })
   ) ++ tierBuilders.map { case (n, _) => n -> (memoTier(n) _) }
 
@@ -1084,6 +1119,35 @@ object Similarity {
          |WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+
+    // routed batch kNN from the certified assignment dump: per-probe
+    // nprobe=4 routing window, candidates only from routed cells, then
+    // the per-probe top-5 window — s5's replay shape with the routing
+    // CTE in front
+    "s20_ivf_batch_knn" ->
+      """WITH assign AS (SELECT vec_id, cent_id, unit
+        |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+        |cents AS (SELECT vec_id AS pc_id, unit AS cent FROM assign
+        |          WHERE vec_id % 53 = 0),
+        |probes AS (SELECT vec_id AS qid, unit AS qu FROM assign
+        |           WHERE vec_id < 5),
+        |routed AS (SELECT qid, cent_id FROM (
+        |    SELECT p.qid, c.pc_id AS cent_id,
+        |      row_number() OVER (PARTITION BY p.qid
+        |        ORDER BY list_dot_product(c.cent, p.qu) DESC, c.pc_id)
+        |        AS rn
+        |    FROM probes p, cents c) WHERE rn <= 4),
+        |cand AS (SELECT p.qid, a.vec_id,
+        |           list_dot_product(a.unit, p.qu) AS cos_sim
+        |         FROM routed r
+        |         JOIN probes p ON p.qid = r.qid
+        |         JOIN assign a ON a.cent_id = r.cent_id
+        |         WHERE a.vec_id <> p.qid)
+        |SELECT qid, vec_id, cos_sim FROM (
+        |  SELECT qid, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM cand) WHERE rn <= 5""".stripMargin,
 
     "s11_filtered_knn" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -469,6 +469,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(dropped.nonEmpty, "fixture should drop at least one vector")
   }
 
+  test("s20 routed batch kNN: recall vs s5's exact batch answers") {
+    def perProbe(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = perProbe("s5_knn_batch")
+    val routed = perProbe("s20_ivf_batch_knn")
+    assert(routed.keySet == exact.keySet, "probe sets diverge")
+    val recalls = exact.map { case (q, ids) =>
+      (routed(q) & ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    // deterministic corpus → deterministic recall; 0.5 is a loose floor
+    // under the measured ~0.68-0.8 (nprobe=4 of ~vec/53 cells scans a
+    // minority of the corpus — that IS the point)
+    assert(mean >= 0.5, s"routed batch recall $mean below floor")
+    assert(recalls.exists(_ < 1.0) || exact.size < 2,
+      "every probe at recall 1.0 — routing may be scanning everything")
+  }
+
   test("pair-memo over-bound fallback (the 100 TB path) is result-identical") {
     import org.apache.spark.sql.functions.col
     // unique shuffle layout → fresh memo key → a maxRows = -1 call is
