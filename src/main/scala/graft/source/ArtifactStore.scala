@@ -80,15 +80,28 @@ object ArtifactStore {
 
   /** Write `df` as the next version of `name`; returns that version.
     * Bounded artifacts only — the frame is coalesced to one file.
+    *
+    * Concurrency: two racing writers can both compute the same `next`;
+    * the loser of the directory-creation race moves to the following
+    * number instead of clobbering a COMMITTED (manifest-bearing)
+    * version — only manifest-less debris (a crashed writer) is
+    * reclaimed. That makes concurrent trainers safe at the cost of
+    * possibly-duplicate version contents; readers always take the
+    * highest committed version, so duplicates are dead weight, never
+    * wrong answers.
     */
   def save(df: DataFrame, root: String, name: String,
       params: Map[String, String]): Int = {
     val s = df.sparkSession
-    val next = versions(s, root, name).lastOption.getOrElse(0) + 1
-    val vdir = versionDir(root, name, next)
+    var next = versions(s, root, name).lastOption.getOrElse(0) + 1
+    var vdir = versionDir(root, name, next)
     val f = fs(s, vdir)
-    // a crashed previous attempt at this version number left no
-    // manifest (versions() skipped it) — clear its debris first
+    // skip past committed versions a concurrent writer landed since the
+    // listing; reclaim only manifest-less debris
+    while (f.exists(new Path(vdir, "MANIFEST.json"))) {
+      next += 1
+      vdir = versionDir(root, name, next)
+    }
     if (f.exists(vdir)) f.delete(vdir, true)
     val data = new Path(vdir, "data")
     df.coalesce(1).write.parquet(data.toString)

@@ -69,6 +69,26 @@ class ArtifactStoreSpec extends SparkSuite {
       .collect().map(_.toString).toSeq == Seq("[3,4]"))
   }
 
+  test("a committed version is never clobbered by a racing writer") {
+    import spark.implicits._
+    val root = freshRoot()
+    ArtifactStore.save(Seq((1L, 1L)).toDF("a", "b"), root, "race", Map.empty)
+    // simulate the race: v2 was COMMITTED by another writer between this
+    // writer's listing and its write — drop a full committed v2 in place
+    val v2 = new java.io.File(s"$root/race/v=00002")
+    assert(new java.io.File(v2, "data").mkdirs())
+    java.nio.file.Files.write(v2.toPath.resolve("MANIFEST.json"),
+      ("""{"name": "race", "version": 2, "rows": 0, """ +
+        """"schema": "a BIGINT", "params": {}}""").getBytes)
+    // this save must land on v3, leaving the committed v2 intact
+    val v = ArtifactStore.save(Seq((3L, 3L)).toDF("a", "b"), root, "race",
+      Map.empty)
+    assert(v == 3, s"racing save clobbered or skipped wrong: landed v$v")
+    assert(ArtifactStore.versions(spark, root, "race") == Seq(1, 2, 3))
+    assert(java.nio.file.Files.exists(v2.toPath.resolve("MANIFEST.json")),
+      "the committed v2 manifest was destroyed")
+  }
+
   test("manifest escaping survives hostile param values") {
     val raw = ArtifactStore.parseManifest(
       """{"name": "x", "version": 3, "rows": 7, """ +
