@@ -97,7 +97,14 @@ class InvarianceSpec extends SparkSuite {
         // mm10's clip_sim is a row-local dot of two per-row vectors
         // (partitioning cannot reorder an in-row fold)
         "p17_column_profile", "p18_drift_psi", "p19_doc_constraints",
-        "mm10_clip_filter")) {
+        "mm10_clip_filter",
+        // round-9: q66/s19/mm11 emit only integers/booleans/strings
+        // (denominator-cleared z-score, permille stats, md5 keys +
+        // counts); dd18's est_jac is dyadic k/32 and its jac is the
+        // already-invariant dd2 value; s20's cosines are row-local
+        // codegen dots with id-broken ties — all strict material
+        "q66_rolling_outliers", "s19_cell_stats", "s20_ivf_batch_knn",
+        "dd18_sketch_error", "mm11_frame_dup_groups")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
