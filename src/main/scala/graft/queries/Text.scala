@@ -246,24 +246,15 @@ object Text {
     // shingle/word explodes; every join is either broadcast (eval set,
     // lang stats) or doc_id-keyed; one final tiny agg.
     "p8_full_pipeline" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"),
-          tokenCount(col("text")).as("n_tokens"),
-          qualityScore(col("text")).as("quality"))
-      val q = docs.filter(col("quality") >= 0.5)
-      val repKeep = q
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(sum("c").cast("long").as("n_words"),
-          count(lit(1)).as("n_distinct"), max("c").as("top_word_n"))
-        .filter(col("top_word_n") * 5 < col("n_words") &&
-          col("n_distinct") * 10 > col("n_words") * 3)
-        .select("doc_id")
+      // stage bodies factored into the private[graft] helpers below so
+      // the gated batch query and the streaming ingest twin
+      // (streaming/IngestPipeline) can never disagree on a stage's
+      // arithmetic — one definition each.
       // materialization barrier: rep feeds BOTH the decontamination
       // train side and the left_anti survivor join — without the persist
       // Catalyst instantiates the scan + quality filter + word-stats agg
       // subtree twice (PlanShapeSpec pins the resulting Exchange bound)
-      val rep = q.join(repKeep, "doc_id").persist()
+      val rep = repCleanDocs(Tables.documents(s, dir)).persist()
       val train = rep.filter(col("doc_id") % 97 =!= 0)
       val evalDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 97 === 0).select("doc_id", "text")
@@ -274,23 +265,11 @@ object Text {
       // second barrier: deduped feeds the lang-stats agg AND the mixture
       // join — doc-level metadata only (no text), tiny to cache, and it
       // cuts the whole upstream pipeline to exactly one execution
-      val deduped = clean.groupBy(md5(col("text")).as("tk"))
-        .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("d"))
-        .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
-          col("d.n_tokens").as("n_tokens"))
-        .persist()
+      val deduped = exactDedupMeta(clean).persist()
       val stats = deduped.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      val mixed = deduped.join(broadcast(stats), "lang")
-        .withColumn("thr_i", mixtureThreshold(col("n_lang")))
-        .filter(col("thr_i") >= 65536 ||
-          hexPrefix(col("doc_id"), "mix:") <
-            format_string("%04x", col("thr_i")))
+      val mixed = mixtureSurvivors(deduped, stats)
       QueryCache.resultThenRelease(
-        mixed
-          .withColumn("h", hexPrefix(col("doc_id"), "split:"))
-          .withColumn("split", splitOf(col("h")))
-          .groupBy("split", "lang")
-          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens")),
+        splitAccounting(mixed),
         rep, deduped)
     }),
 
@@ -1236,6 +1215,65 @@ object Text {
     * resulting hash independent of any other stage's hash of the same
     * key (p8's mixture-vs-split correlation rule).
     */
+  /** p8's quality + Gopher-repetition stages over a (doc_id, lang,
+    * text) frame: enrich with n_tokens/quality, keep quality ≥ 0.5,
+    * then drop repetition failures (top-word multiplicity and
+    * type-token ratio). Per-doc computation only — safe to run on a
+    * single micro-batch (IngestPipeline does exactly that).
+    */
+  private[graft] def repCleanDocs(docs0: DataFrame): DataFrame = {
+    val docs = docs0
+      .select(col("doc_id"), col("lang"), col("text"),
+        tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
+    val q = docs.filter(col("quality") >= 0.5)
+    val repKeep = q
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").cast("long").as("n_words"),
+        count(lit(1)).as("n_distinct"), max("c").as("top_word_n"))
+      .filter(col("top_word_n") * 5 < col("n_words") &&
+        col("n_distinct") * 10 > col("n_words") * 3)
+      .select("doc_id")
+    q.join(repKeep, "doc_id")
+  }
+
+  /** p8's exact-dedup stage: one surviving (min-doc_id) metadata row
+    * per distinct text, keyed by md5 (`tk` rides along so an
+    * incremental caller can screen future batches against it).
+    */
+  private[graft] def exactDedupMeta(clean: DataFrame): DataFrame =
+    clean.groupBy(md5(col("text")).as("tk"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("d"))
+      .select(col("tk"), col("d.doc_id").as("doc_id"),
+        col("d.lang").as("lang"), col("d.n_tokens").as("n_tokens"))
+
+  /** p8's temperature-mixture stage against a (lang, n_lang) stats
+    * frame — in batch the stats come from the deduped corpus itself;
+    * the streaming twin passes a REFERENCE stats frame (previous
+    * release / rolling estimate), which is the only honest option when
+    * the final corpus totals are unknowable mid-stream.
+    */
+  private[graft] def mixtureSurvivors(deduped: DataFrame,
+      stats: DataFrame): DataFrame =
+    deduped.join(broadcast(stats), "lang")
+      .withColumn("thr_i", mixtureThreshold(col("n_lang")))
+      .filter(col("thr_i") >= 65536 ||
+        hexPrefix(col("doc_id"), "mix:") <
+          format_string("%04x", col("thr_i")))
+
+  /** p8's final split accounting: deterministic split assignment +
+    * per-(split, lang) doc/token totals. Output is bounded by
+    * |splits|·|langs| whatever the corpus size, and the counts are
+    * pure sums — they accumulate across micro-batches by addition.
+    */
+  private[graft] def splitAccounting(mixed: DataFrame): DataFrame =
+    mixed
+      .withColumn("h", hexPrefix(col("doc_id"), "split:"))
+      .withColumn("split", splitOf(col("h")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+
   private def hexPrefix(key: Column, salt: String = ""): Column = {
     val k = if (salt.isEmpty) key.cast("string")
       else concat(lit(salt), key.cast("string"))

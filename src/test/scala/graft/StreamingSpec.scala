@@ -959,6 +959,68 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("ingest curation parity: streamed pipeline == p8's batch accounting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IngestPipeline
+    import graft.queries.{Dedup, Text}
+    val sf = "/root/testdata/sf0.001"
+    val batchTruth = SparkEntry.queries("p8_full_pipeline")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val docsAll = Tables.documents(spark, sf)
+    val evalDocs = docsAll.filter(col("doc_id") % 97 === 0)
+      .select("doc_id", "text")
+    // reference mixture stats derived through the SAME stage helpers the
+    // batch query composes — the parity setup's honest reference
+    val rep = Text.repCleanDocs(docsAll).filter(col("doc_id") % 97 =!= 0)
+    val flagged = Dedup.decontaminate(rep.select("doc_id", "text"),
+        evalDocs, 3)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = rep.join(flagged, Seq("doc_id"), "left_anti")
+    val nClean = clean.count()
+    val refStats = Text.exactDedupMeta(clean)
+      .groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .as[(String, Long)].collect().toSeq.toDF("lang", "n_lang")
+    // id-ordered arrival: first-seen winner == the batch global min
+    val train = docsAll.filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val pipeline = new IngestPipeline.Curation(spark, evalDocs, refStats)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = IngestPipeline.maintain(
+      mem.toDS().toDF("doc_id", "lang", "text"), pipeline)
+    try {
+      val chunks = train.grouped((train.size + 2) / 3).toSeq
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val streamed = pipeline.accounting.collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(streamed == batchTruth,
+        s"streamed accounting diverges from p8: " +
+          s"stream=$streamed batch=$batchTruth")
+      val nKeys = pipeline.corpusKeys.count()
+      assert(nKeys > 0 && nKeys <= nClean)
+      // non-vacuity of the incremental screen: RE-DELIVER the first
+      // batch (at-least-once delivery). Every re-delivered text is
+      // already in the key set, so the accounting must NOT move — a
+      // pipeline without the cross-batch anti-join would double-count
+      mem.addData(chunks.head: _*); q.processAllAvailable()
+      val afterRedelivery = pipeline.accounting.collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(afterRedelivery == batchTruth,
+        "re-delivered batch changed the accounting — the incremental " +
+          "dedup screen did not absorb it")
+      assert(pipeline.corpusKeys.count() == nKeys,
+        "re-delivery grew the key set")
+    } finally {
+      q.stop()
+      pipeline.close()
+    }
+  }
+
   test("incremental cluster maintenance: streamed map == batch dd8, re-delivery safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
