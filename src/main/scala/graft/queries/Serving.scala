@@ -113,6 +113,30 @@ object Serving {
     else { val n = math.sqrt(ss); v.map(_.toDouble / n) }
   }
 
+  /** EXACT single-probe top-k from the re-rank store — the
+    * ground-truth server a deployment runs beside [[serve]] to monitor
+    * online recall (s16's certification, continuously): one pass over
+    * the full refine map, no cells, no quantization. O(corpus) per
+    * query by design — the reference answer, not the scale path.
+    * Matches s1's gated frame for s1's probe at the oracle's own
+    * tolerance (ServingSpec): s1 computes cosine(raw, raw) in one
+    * fused loop while the store holds units — mathematically equal,
+    * ulp-level different — which is exactly the 1e-9 envelope the
+    * DuckDB gate already grants cosine emissions.
+    */
+  def serveExact(s: SparkSession, dir: String, query: Array[Float],
+      k: Int = 10, excludeId: Long = -1L): Seq[(Long, Double)] = {
+    val ix = index(s, dir)
+    val q = unitOf(query)
+    ix.refine.iterator
+      .filter { case (vid, _) => vid != excludeId }
+      .map { case (vid, unit) => (vid, dotAsc(unit, q)) }
+      .toArray
+      .sortBy { case (vid, cos) => (-cos, vid) }
+      .take(k)
+      .toSeq
+  }
+
   /** Single-probe top-k: s17's pipeline on the driver. `excludeId`
     * drops one corpus id (a query drawn from the corpus must not return
     * itself — s17's `vec_id =!= 0`); pass -1 to keep everything.

@@ -153,6 +153,53 @@ class ArtifactStoreSpec extends SparkSuite {
     graft.queries.Text.clearBpeMemo()
   }
 
+  test("streamed IVF assignment serves from the stored centroid artifact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.VectorFunctions.normalized
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    graft.queries.Similarity.clearTrainedCaches()
+    // train + persist the quantizer through the gated s9 path
+    withStore(root)(collectSorted("s9_ivf_trained"))
+    // the streaming maintainer loads the ARTIFACT — no retraining, no
+    // session memo: index build → store → stream-serve end-to-end
+    val cents = ArtifactStore.loadLatest(spark, root,
+        graft.queries.Similarity.CentroidArtifact).get._1
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1)
+    assert(cents.size == 8)
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    // static truth: the same k-means-objective assignment over the
+    // loaded centroids (the s9 scoring form)
+    val units = Tables.spread(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+    val statics = graft.streaming.VectorStream
+      .assignAgainst(units, cents)
+      .select("vec_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.VectorStream.assignAgainst(
+        mem.toDS().toDF("vec_id", "embedding")
+          .withColumn("unit", normalized(col("embedding"))), cents)
+      .select("vec_id", "cent_id")
+      .writeStream.format("memory").queryName("art_assign_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        mem.addData(c: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("art_assign_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == statics,
+        "streamed artifact-fed assignment diverges from static")
+      assert(streamed.map(_._2).size > 1, "single-cell fixture — vacuous")
+    } finally q.stop()
+    graft.queries.Similarity.clearTrainedCaches()
+  }
+
   test("t29 weights: store→load→serve == in-session formula") {
     val root = freshRoot()
     val baseline = collectSorted("t29_quality_score")

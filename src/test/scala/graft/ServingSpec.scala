@@ -87,6 +87,24 @@ class ServingSpec extends SparkSuite {
     }
   }
 
+  test("serveExact == s1's gated answer (ids exact, cosines at oracle tolerance)") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("s1_knn_brute")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = Serving.serveExact(spark, sf, emb(sf, 0L), k = 10,
+      excludeId = 0L)
+    assert(served.map(_._1) == batch.map(_._1),
+      "exact-serving id ranking diverges from s1")
+    served.zip(batch).foreach { case ((_, c1), (_, c2)) =>
+      assert(math.abs(c1 - c2) < 1e-9, s"cosine drift $c1 vs $c2")
+    }
+    // the approximate tier's online-recall check a deployment would run
+    val approx = Serving.serve(spark, sf, emb(sf, 0L), k = 10,
+      excludeId = 0L)
+    val recall = (approx.map(_._1).toSet & batch.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.5, s"ivfpq online recall $recall vs exact server")
+  }
+
   test("knobs: k/nprobe/shortlist bound the work; excludeId drops self") {
     val sf = "/root/testdata/sf0.001"
     val q = emb(sf, 0L)
