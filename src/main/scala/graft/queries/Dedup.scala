@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -67,10 +67,21 @@ object Dedup {
     * dd3 (signatures) and dd6 (per-language merge), and dumped by Verify
     * as `side_doc_sigs` for their oracle replays.
     */
+  /** The one MinHash-signature expression (32-perm over word-trigram
+    * shingles) — dd3's batch path and the ingest-time screen
+    * (streaming/NearDupStream) both derive signatures through it, so
+    * the two can never hash differently.
+    */
+  private[graft] def sigExpr: Column =
+    minhash(shingles(tokens(col("text"))), k = 32)
+
   private[queries] def docSigs(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir))
-      .select(col("doc_id"), col("lang"),
-        minhash(shingles(tokens(col("text"))), k = 32).as("sig"))
+      .select(col("doc_id"), col("lang"), sigExpr.as("sig"))
+
+  /** Signatures over an arbitrary (doc_id, text) frame (micro-batches). */
+  private[graft] def sigsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sigExpr.as("sig"))
 
   /** dd3's banding pipeline from a PERSISTED (doc_id, sig) frame: band
     * keys → adaptive bucket cap → bucket self-join → signature-agreement

@@ -959,6 +959,63 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("ingest near-dup screen: streamed pairs ⊇ dd3 with identical estimates, clusters fold") {
+    import spark.implicits._
+    import graft.streaming.{ClusterStream, NearDupStream}
+    val sf = "/root/testdata/sf0.001"
+    val dd3 = SparkEntry.queries("dd3_minhash_lsh")(spark, sf).collect()
+    assert(dd3.nonEmpty, "no dd3 pairs at this SF — vacuous")
+    val cap = dd3.head.getLong(3).toInt // the batch-derived cap_bucket knob
+    val batchPairs = dd3
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val screen = new NearDupStream.PairScreen(spark, cap)
+    val clusters = new ClusterStream.ComponentMap(spark)
+    val streamed = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { c =>
+        val pairs = screen.ingest(c.toDF("doc_id", "text"))
+        pairs.collect().foreach { r =>
+          streamed((r.getLong(0), r.getLong(1))) = r.getDouble(2)
+        }
+        clusters.ingest(pairs.select("i", "j"))
+        graft.operators.Checkpoints.free(pairs)
+      }
+      // no-misses half of the contract: every batch pair, same estimate
+      batchPairs.foreach { case (k, est) =>
+        assert(streamed.contains(k), s"batch dd3 pair $k missed by the screen")
+        assert(streamed(k) == est, s"estimate differs on $k")
+      }
+      val extras = streamed.keySet -- batchPairs.keySet
+      // extras (if any) are exactly what the batch whole-bucket cap
+      // suppressed; all carry the same ≥ 0.5 floor by construction
+      assert(extras.forall(k => streamed(k) >= 0.5))
+      info(s"streamed ${streamed.size} pairs (${extras.size} extras vs " +
+        s"batch ${batchPairs.size})")
+      // the composed fold: the live cluster map equals an independent
+      // union-find over everything the screen emitted
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      streamed.keys.foreach { case (i, j) =>
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) { val m = math.min(ri, rj)
+          parent(math.max(ri, rj)) = m }
+      }
+      val want = streamed.keySet.flatMap(p => Seq(p._1, p._2))
+        .map(n => (n, find(n))).toSet
+      val got = clusters.snapshot.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, "composed cluster map diverges from union-find")
+    } finally {
+      screen.close()
+      clusters.close()
+    }
+  }
+
   test("ingest curation parity: streamed pipeline == p8's batch accounting") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
