@@ -54,6 +54,25 @@ object Relational {
       |FROM ranked
       |WHERE rn <= 2""".stripMargin
 
+  /** q67's shared string — the modern-dialect shorthand surface:
+    * GROUP BY ALL (group on every non-aggregate select item) and ORDER
+    * BY ALL, identical text in Spark 4 and DuckDB (which introduced
+    * the shorthand). The analytics-notebook dialect users actually
+    * write; the gate proves BOTH engines resolve the shorthand to the
+    * same explicit grouping. Cents-integerized sum (the q39 dtype
+    * rule) and an explicit BIGINT cast against HUGEINT widening.
+    */
+  private[queries] val Q67Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |       AS BIGINT) AS sum_price_cents,
+      |  CAST(min(l_orderkey) AS BIGINT) AS first_order
+      |FROM lineitem
+      |WHERE l_quantity < 25
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   /** q41's shared string — correlated LATERAL derived table with ORDER
     * BY + LIMIT (top-2 orders per customer), the SQL spelling of grouped
     * top-k. Spark decorrelates it into row_number + WindowGroupLimit
@@ -885,6 +904,12 @@ object Relational {
     "q61_recursive_spine" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(Q61Sql)
+    }),
+
+    // GROUP BY ALL / ORDER BY ALL shorthand — see [[Q67Sql]]
+    "q67_group_by_all" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Q67Sql)
     }),
 
     // Per-user exponential smoothing (EWMA, α = 0.3) — the order-
@@ -2255,6 +2280,7 @@ object Relational {
 
     // the same string spark.sql ran — zero translation is the claim
     "q39_sql_e2e" -> Q39Sql,
+    "q67_group_by_all" -> Q67Sql,
 
     "q61_recursive_spine" -> Q61Sql,
 

@@ -996,20 +996,42 @@ object Text {
       // merges in training order reproduces the loop's final state
       // exactly, so the oracle — which replays the loop — still
       // matches.
-      val ms = bpeMerges(s, dir).map { case (_, bl, br, _) => (bl, br) }
-      val applyAll = udf((syms: Seq[String]) =>
-        ms.foldLeft(syms) { case (cur, (bl, br)) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          cur.foreach { x =>
-            if (out.nonEmpty && out.last == bl && x == br)
-              out(out.length - 1) = bl + br
-            else out += x
-          }
-          out.toSeq
-        })
+      val applyAll = bpeApplyAllUdf(s, dir)
       bpeInitState(s, dir)
         .select(explode(applyAll(col("syms"))).as("token"), col("n"))
         .groupBy("token").agg(sum("n").as("n_occ"))
+    }),
+
+    // Per-language tokenizer FERTILITY — subword tokens per character
+    // under t28's trained merges, rolled up by language: the tokenizer-
+    // equity metric (a BPE trained on a skewed mix segments under-
+    // represented languages into more, shorter pieces — more tokens per
+    // character — which costs those languages context window and
+    // compute; measuring it per release is how pipelines catch the
+    // skew). One shared trained-merge application with t30 (a single
+    // UDF definition), the distinct-word table segmented ONCE and
+    // joined back to per-(lang, word) counts, so the corpus-sized work
+    // is two token-keyed hash aggs — the segmentation cost is
+    // vocab-sized, never corpus-sized. All emissions BIGINT +
+    // integer-permille, so the gate is arithmetic-exact.
+    "t32_tokenizer_fertility" -> ((s, dir) => {
+      val applyAll = bpeApplyAllUdf(s, dir)
+      val lw = Tables.documents(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      val words = lw.select("w").distinct()
+        .select(col("w"),
+          size(applyAll(concat(split(col("w"), ""), array(lit("</w>")))))
+            .cast("long").as("n_sub"),
+          length(col("w")).cast("long").as("n_chars_w"))
+      lw.join(words, "w")
+        .groupBy("lang")
+        .agg(sum(col("n") * col("n_sub")).as("sum_subwords"),
+          sum(col("n") * col("n_chars_w")).as("sum_chars"))
+        .select(col("lang"), col("sum_subwords"), col("sum_chars"),
+          expr("(1000 * sum_subwords) DIV sum_chars")
+            .as("fertility_permille"))
     }),
 
     // Learned quality-classifier inference — the fastText/CCNet-style
@@ -1468,6 +1490,32 @@ object Text {
       }
     }
     (merges.toSeq, state)
+  }
+
+  /** The trained-merge application fold as a UDF — ONE definition for
+    * t30 (subword vocab) and t32 (per-language fertility), so apply
+    * semantics cannot drift between them. The k rewrites run as a
+    * single closure fold (a k-deep chain of nested aggregate() HOF
+    * expressions was tried first and measured 14 s at sf0.1 on a
+    * 40-row vocab — Catalyst's nested-lambda analysis cost, not data;
+    * the UDF costs nothing on a HOF-interpreted path that was never
+    * codegen anyway). Applying merges in training order reproduces the
+    * loop's final state exactly, so the oracle — which replays the
+    * loop — still matches.
+    */
+  private def bpeApplyAllUdf(s: SparkSession, dir: String)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ms = bpeMerges(s, dir).map { case (_, bl, br, _) => (bl, br) }
+    udf((syms: Seq[String]) =>
+      ms.foldLeft(syms) { case (cur, (bl, br)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        cur.foreach { x =>
+          if (out.nonEmpty && out.last == bl && x == br)
+            out(out.length - 1) = bl + br
+          else out += x
+        }
+        out.toSeq
+      })
   }
 
   /** The round-0 BPE state: word frequencies with each word split to
@@ -2177,6 +2225,22 @@ object Text {
         |FROM st, UNNEST(st.syms) AS u(tok)
         |WHERE st.iter = $BpeRounds
         |GROUP BY u.tok""".stripMargin,
+
+    // the same loop's final per-word segmentation joined to per-(lang,
+    // word) counts — subwords/chars roll up per language in integers
+    "t32_tokenizer_fertility" ->
+      s"""$BpeCteSql,
+        |lw AS (SELECT lang, w, count(*) AS n
+        |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |             FROM documents)
+        |       WHERE w <> '' GROUP BY lang, w)
+        |SELECT lang,
+        |  CAST(sum(lw.n * len(st.syms)) AS BIGINT) AS sum_subwords,
+        |  CAST(sum(lw.n * length(lw.w)) AS BIGINT) AS sum_chars,
+        |  CAST((1000 * sum(lw.n * len(st.syms))) //
+        |       sum(lw.n * length(lw.w)) AS BIGINT) AS fertility_permille
+        |FROM lw JOIN st ON st.word = lw.w AND st.iter = $BpeRounds
+        |GROUP BY lang""".stripMargin,
 
     // the two generations replay as a UNION ALL of the same table with
     // and without the evolved column
