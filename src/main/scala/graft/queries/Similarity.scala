@@ -913,6 +913,43 @@ object Similarity {
     // corpus-side join, so the corpus never shuffles — one scan,
     // bounded heaps, TakeOrdered never sees more than
     // partitions × probes × k survivors.
+    // FILTERED ANN, IVF form — the production shape of s11's
+    // attribute-constrained kNN: s11 pre-filters then scans the whole
+    // corpus exactly; at scale the filter composes with the INDEX —
+    // probe the query's nprobe cells, apply the label predicate to
+    // only those cells' members, exact-rank the survivors. The hot
+    // topic in vector search (filtered HNSW/IVF) reduced to its Spark
+    // shape: the predicate lands AFTER the cell restriction, so the
+    // scanned fraction stays ~nprobe/k of the corpus whatever the
+    // filter selectivity, and under-population is visible (fewer than
+    // k results when the probed cells hold few label matches — the
+    // recall trade every filtered-ANN deployment tunes nprobe
+    // against; the spec measures it vs s11's exact answer).
+    "s21_ivf_filtered_knn" -> ((s, dir) => {
+      val (assigned0, eCache) = ivfAssign(s, dir)
+      val assigned = assigned0.persist()
+      val cents = assigned.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
+      val qUnit = typedlit(
+        assigned.filter(col("vec_id") === 0L).select("unit")
+          .head().getSeq[Double](0))
+      val probed = cents
+        .withColumn("qsim", dot(col("cent"), qUnit))
+        .orderBy(col("qsim").desc, col("pc_id"))
+        .limit(4)
+        .select(col("pc_id").as("cent_id"))
+      val labels = Tables.embeddings(s, dir).select("vec_id", "label")
+      QueryCache.resultThenRelease(
+        assigned.join(broadcast(probed), "cent_id")
+          .join(labels, "vec_id")
+          .filter(col("label") === 3 && col("vec_id") =!= 0L)
+          .select(col("vec_id"),
+            dot(col("unit"), qUnit).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10),
+        assigned, eCache)
+    }),
+
     "s20_ivf_batch_knn" -> ((s, dir) => {
       val (assigned0, eCache) = ivfAssign(s, dir)
       val assigned = assigned0.persist()
@@ -1119,6 +1156,23 @@ object Similarity {
          |WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+
+    // s4's probe CTEs + the label predicate on probed-cell members only
+    "s21_ivf_filtered_knn" ->
+      """WITH assign AS (SELECT vec_id, cent_id, unit
+        |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+        |cents AS (SELECT vec_id AS pc_id, unit AS cent FROM assign
+        |          WHERE vec_id % 53 = 0),
+        |q AS (SELECT unit AS qu FROM assign WHERE vec_id = 0),
+        |probed AS (SELECT pc_id AS cent_id FROM cents, q
+        |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
+        |           LIMIT 4)
+        |SELECT a.vec_id, list_dot_product(a.unit, q.qu) AS cos_sim
+        |FROM assign a JOIN probed USING (cent_id), q
+        |JOIN embeddings e ON e.vec_id = a.vec_id
+        |WHERE a.vec_id <> 0 AND e.label = 3
+        |ORDER BY cos_sim DESC, a.vec_id
+        |LIMIT 10""".stripMargin,
 
     // routed batch kNN from the certified assignment dump: per-probe
     // nprobe=4 routing window, candidates only from routed cells, then

@@ -489,6 +489,23 @@ class DedupSimilaritySpec extends SparkSuite {
       "every probe at recall 1.0 — routing may be scanning everything")
   }
 
+  test("s21 filtered-IVF: recall vs s11's exact filtered answer") {
+    def ids(name: String): Set[Long] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(_.getLong(0)).toSet
+    val exact = ids("s11_filtered_knn")
+    val routed = ids("s21_ivf_filtered_knn")
+    assert(exact.size == 10, "s11 under-returned — fixture changed")
+    val recall = (exact & routed).size.toDouble / exact.size
+    // nprobe=4 restricts the scan to a minority of cells, and the label
+    // predicate further thins each probed cell — 0.5 measured on the
+    // deterministic fixture, 0.3 the loose floor (the nprobe-vs-recall
+    // trade this operator exists to expose)
+    assert(recall >= 0.3, s"filtered-IVF recall $recall below floor")
+    assert(recall < 1.0 || exact == routed,
+      "routed result ignores the cell restriction — vacuous")
+  }
+
   test("pair-memo over-bound fallback (the 100 TB path) is result-identical") {
     import org.apache.spark.sql.functions.col
     // unique shuffle layout → fresh memo key → a maxRows = -1 call is
