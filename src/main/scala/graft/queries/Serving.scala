@@ -91,6 +91,67 @@ object Serving {
       Index(cents, members, codebook, refine)
     })
 
+  /** Persist the serving index for `dir` as the deployment artifact an
+    * index-BUILD job ships: cell-partitioned parquet of
+    * `(vec_id, cent_id, unit, codes)` — partitioned by `cent_id`, so a
+    * serving shard reads only its cells' directories and a probe's
+    * cell list maps to file paths — plus the bounded PQ codebook via
+    * the versioned [[graft.source.ArtifactStore]] under
+    * `<path>/codebook`. [[loadIndexInto]] cold-starts a server from
+    * exactly these files with NO corpus access — the build-once /
+    * serve-many seam at the INDEX level, one step up from the
+    * trained-artifact seam (ServingSpec pins cold-start == s17).
+    */
+  def persistIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val (assigned0, eCache) = Similarity.ivfAssign(s, dir)
+    val codes = Similarity.pqBase(s, dir).select(col("vec_id"), col("codes"))
+    assigned0.join(codes, "vec_id")
+      .select("vec_id", "cent_id", "unit", "codes")
+      .repartition(col("cent_id")) // one file set per cell directory
+      .write.partitionBy("cent_id").mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(path, "cells").toString)
+    eCache.unpersist(blocking = false)
+    graft.source.ArtifactStore.save(
+      Similarity.pqCodebookDf(s, dir),
+      new org.apache.hadoop.fs.Path(path, "codebook").toString,
+      "pq_codebook", Similarity.PqParams)
+  }
+
+  /** Cold-start the in-memory index for `dir` from [[persistIndex]]'s
+    * files — no ivfAssign, no pqBase, no corpus scan. The cell scan
+    * reads the partitioned layout back (partition pruning applies when
+    * a shard wants only its cells; the driver tier here loads all).
+    */
+  def loadIndexInto(s: SparkSession, dir: String, path: String): Unit = {
+    val rows = s.read.parquet(
+      new org.apache.hadoop.fs.Path(path, "cells").toString)
+      // partition-column type inference narrows small cent_ids to int —
+      // pin the written long
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
+        col("unit"), col("codes"))
+      .collect()
+    val cb = graft.source.ArtifactStore.loadLatestMatching(s,
+        new org.apache.hadoop.fs.Path(path, "codebook").toString,
+        "pq_codebook", Similarity.PqParams)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed pq_codebook under $path matching ${Similarity.PqParams}"))
+      .collect()
+    val cents = rows.iterator
+      .filter(_.getLong(0) % 53 == 0)
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray)
+      .toArray.sortBy(_._1)
+    val members = rows.groupBy(_.getLong(1)).map { case (cid, rs) =>
+      cid -> rs.map(r => (r.getLong(0), r.getSeq[Long](3).toArray))
+    }
+    val codebook = (0 until PqM).map { m =>
+      cb.iterator.filter(_.getInt(0) == m)
+        .map(r => r.getLong(1) -> r.getSeq[Double](2).toArray).toMap
+    }
+    val refine = rows.iterator
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    indexCache.put(dir, Index(cents, members, codebook, refine))
+  }
+
   /** Ascending-index dot — the order [[org.apache.spark.sql.graftexpr
     * .DotProduct]]'s loop folds in, so serving doubles are bit-identical
     * to the batch plan's.

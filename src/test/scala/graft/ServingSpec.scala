@@ -105,6 +105,28 @@ class ServingSpec extends SparkSuite {
     assert(recall >= 0.5, s"ivfpq online recall $recall vs exact server")
   }
 
+  test("index persistence: a cold server answers from files alone, == s17") {
+    val sf = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-serve-index").toString
+    val batch = s17Rows(sf)
+    Serving.persistIndex(spark, sf, path)
+    // the shipped layout is cell-partitioned — a serving shard maps its
+    // probe list to directories
+    val cellDirs = new java.io.File(path, "cells").list()
+    assert(cellDirs != null && cellDirs.exists(_.startsWith("cent_id=")),
+      s"cells are not partitioned by cent_id: ${cellDirs.mkString(",")}")
+    // cold start: wipe every in-memory trace, rebuild from files only
+    Serving.clearIndexCache()
+    graft.queries.Similarity.clearTrainedCaches()
+    Serving.loadIndexInto(spark, sf, path)
+    val served = Serving.serve(spark, sf, emb(sf, 0L), k = 10,
+      excludeId = 0L)
+    assert(served == batch,
+      "cold-started (files-only) serving diverges from s17")
+    Serving.clearIndexCache()
+  }
+
   test("knobs: k/nprobe/shortlist bound the work; excludeId drops self") {
     val sf = "/root/testdata/sf0.001"
     val q = emb(sf, 0L)
