@@ -928,6 +928,34 @@ object Dedup {
         assigned, eCache)
     }),
 
+    // SEMANTIC benchmark decontamination — dd10's embedding-space twin
+    // (the contamination n-gram overlap misses: paraphrases,
+    // translations, re-wordings of eval items — the "semantic
+    // contamination" concern behind SemDeDup-style screens): every
+    // train vector scored against every EVAL vector by exact cosine,
+    // flagged at the dd7/dd17 near-dup floor (0.4). Scale shape: eval
+    // sets are benchmarks — thousands of rows, KBs of units — so the
+    // BROADCAST exact cross-score IS the 100 TB plan: one corpus scan,
+    // |eval| codegen dots per row fused in the scan stage, no shuffle,
+    // output bounded by actual contamination. (A corpus-sized eval set
+    // would route through the IVF cells instead — s21's shape.)
+    "dd19_semantic_decontam" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.{dot, normalized}
+      val e = graft.Tables.spread(graft.Tables.embeddings(s, dir))
+        .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+        .persist()
+      val evalSet = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("eval_id"), col("unit").as("eu"))
+      QueryCache.resultThenRelease(
+        e.filter(col("vec_id") % 97 =!= 0)
+          .join(broadcast(evalSet))
+          .withColumn("cos_sim", dot(col("unit"), col("eu")))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("vec_id").as("train_id"), col("eval_id"),
+            col("cos_sim")),
+        e)
+    }),
+
     // MinHash estimator CALIBRATION — the measurement that justifies
     // dd3's banding thresholds before they run blind at 100 TB: for
     // every exact-verified near-dup pair (dd2's gated list), the
@@ -1079,6 +1107,17 @@ object Dedup {
       s"""WITH $dd2CtesSql
          |SELECT i, j, jac, (SELECT cap FROM capdf) AS cap_df
          |FROM dd2res""".stripMargin,
+
+    // exact cross-score replayed from the unit dump the s3/s9 oracles
+    // already certify — same dot, same threshold, same split rule
+    "dd19_semantic_decontam" ->
+      """WITH u AS (SELECT vec_id, unit
+        |          FROM read_parquet('{VERIFY_DIR}/side_srp_sigs.parquet'))
+        |SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+        |  list_dot_product(t.unit, e.unit) AS cos_sim
+        |FROM u t, u e
+        |WHERE t.vec_id % 97 <> 0 AND e.vec_id % 97 = 0
+        |  AND list_dot_product(t.unit, e.unit) >= 0.4""".stripMargin,
 
     // dd2's exact pairs joined against the dumped signatures; est_jac
     // replays the sig-agreement kernel slot for slot

@@ -112,4 +112,44 @@ class OperatorPropertySpec extends SparkSuite {
     }
     assert(got.keySet == nodes.toSet)
   }
+
+  test("ClusterStream == batch ConnectedComponents on random graphs, any split") {
+    import spark.implicits._
+    // the incremental union-find claim, property-swept: random graphs,
+    // random batch partitions, random arrival order, random re-delivery
+    // — the final map must equal batch CC over the union every time
+    val rnd = new scala.util.Random(1311)
+    for (trial <- 1 to 8) {
+      val n = 20 + rnd.nextInt(60)
+      val m = 10 + rnd.nextInt(80)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val batch = graft.operators.ConnectedComponents
+          .components(edges.toDF("i", "j"), "i", "j", maxIter = 64)
+        val want = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        graft.operators.Checkpoints.free(batch)
+        val shuffled = rnd.shuffle(edges)
+        val nBatches = 1 + rnd.nextInt(4)
+        val chunks0 = shuffled.grouped(
+          math.max(1, (shuffled.size + nBatches - 1) / nBatches)).toSeq
+        // random re-delivery of one chunk
+        val chunks =
+          if (rnd.nextBoolean()) chunks0 :+ chunks0(rnd.nextInt(chunks0.size))
+          else chunks0
+        val state = new graft.streaming.ClusterStream.ComponentMap(spark)
+        try {
+          chunks.foreach(c => state.ingest(c.toDF("i", "j")))
+          val got = state.snapshot.collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(got == want,
+            s"trial $trial (n=$n m=${edges.size} batches=${chunks.size}): " +
+              s"only-stream=${(got -- want).take(5)} " +
+              s"only-batch=${(want -- got).take(5)}")
+        } finally state.close()
+      }
+    }
+  }
 }
