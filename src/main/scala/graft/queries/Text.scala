@@ -1016,22 +1016,28 @@ object Text {
     // integer-permille, so the gate is arithmetic-exact.
     "t32_tokenizer_fertility" -> ((s, dir) => {
       val applyAll = bpeApplyAllUdf(s, dir)
+      // persisted: feeds both the distinct-word segmentation and the
+      // rollup join — without the barrier the corpus explode + agg
+      // subtree runs twice
       val lw = Tables.documents(s, dir)
         .select(col("lang"), explode(tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
         .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+        .persist()
       val words = lw.select("w").distinct()
         .select(col("w"),
           size(applyAll(concat(split(col("w"), ""), array(lit("</w>")))))
             .cast("long").as("n_sub"),
           length(col("w")).cast("long").as("n_chars_w"))
-      lw.join(words, "w")
-        .groupBy("lang")
-        .agg(sum(col("n") * col("n_sub")).as("sum_subwords"),
-          sum(col("n") * col("n_chars_w")).as("sum_chars"))
-        .select(col("lang"), col("sum_subwords"), col("sum_chars"),
-          expr("(1000 * sum_subwords) DIV sum_chars")
-            .as("fertility_permille"))
+      QueryCache.resultThenRelease(
+        lw.join(words, "w")
+          .groupBy("lang")
+          .agg(sum(col("n") * col("n_sub")).as("sum_subwords"),
+            sum(col("n") * col("n_chars_w")).as("sum_chars"))
+          .select(col("lang"), col("sum_subwords"), col("sum_chars"),
+            expr("(1000 * sum_subwords) DIV sum_chars")
+              .as("fertility_permille")),
+        lw)
     }),
 
     // Learned quality-classifier inference — the fastText/CCNet-style

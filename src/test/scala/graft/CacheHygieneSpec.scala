@@ -26,7 +26,11 @@ class CacheHygieneSpec extends SparkSuite {
     "q24_range_join", "p3_embed_keeplist", "q27_interval_overlap",
     "q29_bucketed_join", "p9_incremental_dedup", "dd11_span_coverage",
     "s13_label_prop", "s14_hard_negatives", "s15_hybrid_rrf",
-    "dd16_source_overlap", "q57_copurchase_pairs", "q60_triangle_count")
+    "dd16_source_overlap", "q57_copurchase_pairs", "q60_triangle_count",
+    // round-9 persisting queries
+    "s19_cell_stats", "s20_ivf_batch_knn", "s21_ivf_filtered_knn",
+    "dd18_sketch_error", "dd19_semantic_decontam",
+    "t32_tokenizer_fertility")
 
   test("resultThenRelease frees result and intermediates when the job fails") {
     import org.apache.spark.sql.functions._
@@ -59,6 +63,44 @@ class CacheHygieneSpec extends SparkSuite {
     val deadline = System.nanoTime() + seconds * 1e9.toLong
     while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
     cond
+  }
+
+  test("streaming state (ClusterStream/PairScreen/Curation) frees on close") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // ClusterStream: two batches then close
+    val cm = new graft.streaming.ClusterStream.ComponentMap(spark)
+    cm.ingest(Seq((1L, 2L), (2L, 3L)).toDF("i", "j"))
+    cm.ingest(Seq((3L, 4L), (10L, 11L)).toDF("i", "j"))
+    cm.close()
+    assert(pollUntil(added.isEmpty),
+      s"ClusterStream leaked after close: $added")
+    // PairScreen: two batches then close (the returned pair frames are
+    // caller-owned — freed here like maintain() does)
+    val ps = new graft.streaming.NearDupStream.PairScreen(spark, cap = 50)
+    Seq(Seq((1L, "alpha beta gamma delta epsilon zeta")),
+        Seq((2L, "alpha beta gamma delta epsilon zeta"))).foreach { b =>
+      val pairs = ps.ingest(b.toDF("doc_id", "text"))
+      pairs.count()
+      graft.operators.Checkpoints.free(pairs)
+    }
+    ps.close()
+    assert(pollUntil(added.isEmpty),
+      s"PairScreen leaked after close: $added")
+    // IngestPipeline.Curation: one batch then close
+    val evalDocs = Seq((97L, "held out")).toDF("doc_id", "text")
+    val stats = Seq(("en", 10L)).toDF("lang", "n_lang")
+    val cur = new graft.streaming.IngestPipeline.Curation(
+      spark, evalDocs, stats)
+    cur.ingest(Seq((1L, "en", ("the a of and to in is it word list " * 6)
+        .split(" ").zipWithIndex.map { case (w, i) => s"$w$i" }
+        .mkString(" ")))
+      .toDF("doc_id", "lang", "text"))
+    cur.close()
+    assert(pollUntil(added.isEmpty),
+      s"Curation leaked after close: $added")
   }
 
   for (name <- persistingQueries)

@@ -104,7 +104,11 @@ class InvarianceSpec extends SparkSuite {
         // already-invariant dd2 value; s20's cosines are row-local
         // codegen dots with id-broken ties — all strict material
         "q66_rolling_outliers", "s19_cell_stats", "s20_ivf_batch_knn",
-        "dd18_sketch_error", "mm11_frame_dup_groups")) {
+        "dd18_sketch_error", "mm11_frame_dup_groups",
+        // round-9b: q67/t32 emit integers/strings; dd19/s21 rank
+        // row-local codegen dots with id ties — strict material
+        "q67_group_by_all", "t32_tokenizer_fertility",
+        "dd19_semantic_decontam", "s21_ivf_filtered_knn")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
