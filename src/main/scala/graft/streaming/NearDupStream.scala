@@ -36,9 +36,17 @@ import graft.queries.Dedup
   *
   * State = the capped band postings (band, doc_id) plus one signature
   * row per admitted doc — both O(corpus) like any dedup index, 8-byte
-  * band keys and 32-long sigs, bucketed-by-band in production so only
-  * the batch side of the screen join moves. Frames follow the
-  * [[Checkpoints]] free-previous discipline.
+  * band keys and 32-long sigs. Per-batch cost, stated honestly: the
+  * candidate join's BATCH side broadcasts (tiny), so the postings scan
+  * streams in place, but the occupancy aggregate re-groups the full
+  * postings frame each batch — O(state) records through one shuffle in
+  * this self-contained form. The production fix is layout, not
+  * algorithm: keep the postings as a table BUCKETED by band
+  * (source/Bucketed's zero-Exchange contract) and the occupancy
+  * aggregate, the admission join, and the candidate join are all
+  * exchange-free on the state side, leaving only batch-sized movement
+  * per trigger. Frames follow the [[Checkpoints]] free-previous
+  * discipline.
   */
 object NearDupStream {
 
