@@ -287,4 +287,36 @@ class ScaleShapeSpec extends SparkSuite {
       s"PSI shuffle grew with the corpus: $r1 -> $r8 (ratio $ratio)")
   }
 
+  test("PairScreen per-batch cost grows at most linearly with state, never pair-quadratic") {
+    import spark.implicits._
+    // six equal unique-doc batches through the ingest screen: the
+    // documented per-batch cost is O(batch + state) — the occupancy
+    // re-group touches accumulated postings (state-linear; the bucketed
+    // layout removes it in production) — so the LAST batch may cost up
+    // to ~state/batch ≈ 6× the first. A candidate-explosion regression
+    // (pairs scaling with state×batch through an uncapped bucket join)
+    // lands far above that. Gate at 12× (2× slack on the linear bound).
+    val rnd = new scala.util.Random(23)
+    def batchDocs(b: Int, size: Int): DataFrame =
+      (0 until size).map { i =>
+        ((b * size + i).toLong,
+          Array.fill(30)("w" + rnd.nextInt(5000)).mkString(" "))
+      }.toDF("doc_id", "text")
+    val screen = new graft.streaming.NearDupStream.PairScreen(spark, cap = 32)
+    try {
+      val perBatch = (0 until 6).map { b =>
+        shuffleRecords {
+          val pairs = screen.ingest(batchDocs(b, 150))
+          pairs.count()
+          graft.operators.Checkpoints.free(pairs)
+        }
+      }
+      val ratio = perBatch.last.toDouble / math.max(perBatch.head, 1L)
+      assert(ratio < 12.0,
+        s"per-batch screen cost blew past the state-linear bound: " +
+          s"${perBatch.mkString(",")} (last/first $ratio)")
+      assert(perBatch.head > 0, "no shuffle measured — harness broken")
+    } finally screen.close()
+  }
+
 }
