@@ -125,4 +125,27 @@ class PageRankSpec extends SparkSuite {
     assert(leaked.size <= 3, s"cadence loop leaked blocks: $leaked")
   }
 
+  test("tolerance + cadence compose: pre-residual checkpoint keeps results bit-exact") {
+    import spark.implicits._
+    // the ADVICE-r8 path: with checkpointEvery > 1 the round PRECEDING a
+    // due residual check is now checkpointed too, so the residual join
+    // reads two materialized frames. Results must be bit-identical to
+    // cadence 1 (checkpoints move materialization, never arithmetic),
+    // with the same early-exit round, and nothing may leak.
+    val edges = Seq((0L, 1L, 2.0), (0L, 2L, 1.0), (1L, 2L, 1.0),
+      (2L, 0L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (r1, it1) = graft.operators.PageRank.runWithStats(edges,
+      damping = 0.5, iters = 60, tolerance = Some(1e-9), checkEvery = 2)
+    val (r3, it3) = graft.operators.PageRank.runWithStats(edges,
+      damping = 0.5, iters = 60, tolerance = Some(1e-9), checkEvery = 2,
+      checkpointEvery = 3)
+    assert(it1 == it3, s"cadence moved the early-exit round: $it1 vs $it3")
+    val m1 = r1.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val m3 = r3.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(m1 == m3, "cadence + tolerance changed ranks")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2, s"tolerance+cadence loop leaked: $leaked")
+  }
+
 }
