@@ -33,7 +33,8 @@ object MultimodalQueries {
     // Aggregate over decoded metadata: per-kind payload statistics — the
     // "profile your corpus before training" query.
     "mm2_kind_stats" -> ((s, dir) => {
-      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(s, dir))
+      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(s, dir),
+          codec = Multimodal.codecFor(s))
         .toDF()
         .groupBy("kind")
         .agg(count(lit(1)).as("n_items"),
@@ -46,7 +47,7 @@ object MultimodalQueries {
     "mm3_resize" -> ((s, dir) => {
       val resized = Multimodal.resize(
         Multimodal.mediaFromDocuments(s, dir), targetBytes = 128)
-      Multimodal.decodeMeta(resized).toDF()
+      Multimodal.decodeMeta(resized, codec = Multimodal.codecFor(s)).toDF()
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"))
         .filter(col("media_id") < 100)
     }),
@@ -205,7 +206,8 @@ object MultimodalQueries {
     // partition on the id and the roll-up is map-side combined.
     "mm6_patch_budget" -> ((s, dir) => {
       import graft.functions.TextFunctions.tokenCount
-      val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(s, dir))
+      val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(s, dir),
+        codec = Multimodal.codecFor(s))
         .toDF()
         .select(col("media_id"), col("kind"),
           expr("(width + 13) DIV 14").as("pw"),
@@ -320,7 +322,8 @@ object MultimodalQueries {
             col("content").as("payload"))
           .as[Multimodal.MediaRow]
         QueryCache.materializeLocal(
-          Multimodal.decodeMeta(back).toDF()
+          Multimodal.decodeMeta(back, codec = Multimodal.codecFor(s))
+            .toDF()
             .select(col("media_id"), col("n_bytes"), col("width"),
               col("height"),
               element_at(col("channel_means"), 1).as("mean_c0")))
