@@ -273,6 +273,49 @@ object Text {
         rep, deduped)
     }),
 
+    // Pipeline attrition report — the per-stage funnel table every
+    // published curation pipeline ships (RefinedWeb Fig. 2, Dolma's and
+    // FineWeb's removal-rate tables): how many documents and tokens
+    // survive each stage of p8's pipeline. This is the artifact a data
+    // lead actually reviews before a release ("the dedup stage suddenly
+    // dropped 40%" is the regression alarm). Stage bodies are the SAME
+    // private[graft] helpers p8 composes — one definition per stage — and
+    // the oracle composes the SAME [[P8Cte]] string as p8's, so the
+    // report provably describes the gated pipeline, not a lookalike. The
+    // 7 stage counts are independent tiny aggregates over the two
+    // persisted barriers p8 already uses; at 100 TB each count is one
+    // map-side-combined scan of a frame the pipeline materializes anyway.
+    "p20_stage_attrition" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tokens"))
+      val q = qualityDocs(Tables.documents(s, dir))
+      val rep = repCleanDocs(Tables.documents(s, dir)).persist()
+      val train = rep.filter(col("doc_id") % 97 =!= 0)
+      val evalDocs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val flagged = graft.queries.Dedup
+        .decontaminate(train.select("doc_id", "text"), evalDocs, 3)
+        .select(col("train_id").as("doc_id")).distinct()
+      val clean = train.join(flagged, Seq("doc_id"), "left_anti")
+      val deduped = exactDedupMeta(clean).persist()
+      val stats = deduped.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val mixed = mixtureSurvivors(deduped, stats)
+      def stage(name: String, ord: Long, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("n_tokens"), lit(0L)).as("sum_tokens"))
+          .select(lit(name).as("stage"), lit(ord).as("stage_ord"),
+            col("n_docs"), col("sum_tokens"))
+      val out = stage("0_raw", 0L, raw)
+        .unionByName(stage("1_quality", 1L, q))
+        .unionByName(stage("2_repetition", 2L, rep))
+        .unionByName(stage("3_train_holdout", 3L, train))
+        .unionByName(stage("4_decontaminated", 4L, clean))
+        .unionByName(stage("5_exact_dedup", 5L, deduped))
+        .unionByName(stage("6_mixture", 6L, mixed))
+      QueryCache.resultThenRelease(out, rep, deduped)
+    }),
+
     // Context-window chunking (the UDTF/generator shape of corpus prep):
     // split each document into 50-token windows with stride 40 (10-token
     // overlap) — one explode of the stride sequence + a slice per chunk,
@@ -1200,8 +1243,75 @@ object Text {
         .select(col("doc_id"), array_join(col("h"), ",").as("hits"),
           size(col("h")).cast("long").as("n_hits"),
           (size(col("h")) === 0).as("keep"))
+    }),
+
+    // PII detection + masking (the Dolma/BigScience-ROOTS pre-release
+    // redaction stage: emails, phone numbers, IP addresses replaced by
+    // typed mask tokens before a corpus ships). The driver corpus is
+    // PII-free by construction, so — t19's constructed-fixture pattern —
+    // the query first builds its dirty corpus DETERMINISTICALLY from
+    // doc_id arithmetic (both engines construct the identical strings),
+    // then runs the real redactor over it: three Java/RE2-common-subset
+    // regexes applied in a fixed order (email → phone → IP), each class
+    // counted at the stage where its replace runs so an earlier mask can
+    // never hide or fabricate a later match. Plan shape: everything up
+    // to the per-lang roll-up is in-row at the scan (codegen
+    // regexp_replace/regexp_count — no UDF, no explode, no shuffle);
+    // text dies at the scan, the agg carries 7 columns × |langs| rows.
+    // At 100 TB this IS the production plan — redaction cost is one
+    // linear pass, and the md5 extrema under the hash gate certify the
+    // redacted BYTES, not just the counts.
+    "t33_pii_redact" -> ((s, dir) => {
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        col("lang"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@mail"),
+            (col("doc_id") % 7).cast("string"), lit(".example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 1, concat(lit(" call 555-"),
+            (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+            (col("doc_id") % 9000 + 1000).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 2, concat(lit(" from 10."),
+            (col("doc_id") % 251).cast("string"), lit("."),
+            (col("doc_id") % 200).cast("string"), lit("."),
+            (col("doc_id") % 97).cast("string")))
+            .otherwise(lit("")))
+          .as("dirty"))
+      val st = dirty
+        .withColumn("n_email",
+          regexp_count(col("dirty"), lit(PiiEmailRe)).cast("long"))
+        .withColumn("e1",
+          regexp_replace(col("dirty"), PiiEmailRe, "<EMAIL>"))
+        .withColumn("n_phone",
+          regexp_count(col("e1"), lit(PiiPhoneRe)).cast("long"))
+        .withColumn("e2", regexp_replace(col("e1"), PiiPhoneRe, "<PHONE>"))
+        .withColumn("n_ip",
+          regexp_count(col("e2"), lit(PiiIpRe)).cast("long"))
+        .withColumn("red", regexp_replace(col("e2"), PiiIpRe, "<IP>"))
+      st.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_email").as("n_email"),
+          sum("n_phone").as("n_phone"),
+          sum("n_ip").as("n_ip"),
+          sum(when(col("n_email") + col("n_phone") + col("n_ip") === 0, 1L)
+            .otherwise(0L)).as("n_clean"),
+          min(md5(col("red"))).as("h_lo"),
+          max(md5(col("red"))).as("h_hi"))
     })
   )
+
+  /** t33's PII patterns — deliberately in the Java-regex/RE2 common
+    * subset (ASCII classes, `\b`, `\d`, bounded repetition) so Spark and
+    * DuckDB match byte-identically. Applied in declaration order; each
+    * class is counted at the stage where its replace runs.
+    */
+  private[graft] val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[graft] val PiiIpRe =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** p15/p16's shared manifest build over an arbitrary document slice:
     * p5's md5-derived 8-way shard key, per-shard doc/token/lang counts
@@ -1249,12 +1359,19 @@ object Text {
     * type-token ratio). Per-doc computation only — safe to run on a
     * single micro-batch (IngestPipeline does exactly that).
     */
-  private[graft] def repCleanDocs(docs0: DataFrame): DataFrame = {
-    val docs = docs0
+  /** p8's quality stage alone (enrich + threshold) — factored out so
+    * p20's attrition accounting counts the stage boundary p8 actually
+    * runs (one definition, the stage-helper rule).
+    */
+  private[graft] def qualityDocs(docs0: DataFrame): DataFrame =
+    docs0
       .select(col("doc_id"), col("lang"), col("text"),
         tokenCount(col("text")).as("n_tokens"),
         qualityScore(col("text")).as("quality"))
-    val q = docs.filter(col("quality") >= 0.5)
+      .filter(col("quality") >= 0.5)
+
+  private[graft] def repCleanDocs(docs0: DataFrame): DataFrame = {
+    val q = qualityDocs(docs0)
     val repKeep = q
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -1443,6 +1560,70 @@ object Text {
   }
 
   private val stopList = EnglishStopwords.mkString("['", "','", "']")
+
+  /** p8's full stage chain as one DuckDB CTE prefix (quality f →
+    * repetition rep → train slice tr → decontaminated clean → exact
+    * dedup ded → mixture keptm → split sp). p8's accounting oracle and
+    * p20's attrition oracle both compose from THIS string, so the two
+    * gates cannot disagree on any stage's arithmetic.
+    */
+  private lazy val P8Cte: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, text,
+       |    len(string_split(text,' ')) AS n_tokens,
+       |    len(list_filter(string_split(text,' '),
+       |        t -> list_contains($stopList, t)))::DOUBLE
+       |      / len(string_split(text,' ')) AS stopword_ratio,
+       |    len(list_distinct(string_split(text,' ')))::DOUBLE
+       |      / len(string_split(text,' ')) AS ttr
+       |  FROM documents),
+       |f AS (SELECT doc_id, lang, text, n_tokens FROM q
+       |      WHERE (least(stopword_ratio * 10.0, 1.0)
+       |             + least(n_tokens / 100.0, 1.0) + ttr) / 3.0 >= 0.5),
+       |wc AS (SELECT doc_id, w, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+       |             FROM f) GROUP BY 1, 2),
+       |reps AS (SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       |           count(*) AS n_distinct, max(c) AS top_word_n
+       |    FROM wc GROUP BY 1)
+       |  WHERE top_word_n * 5 < n_words AND n_distinct * 10 > n_words * 3),
+       |rep AS (SELECT f.* FROM f JOIN reps USING (doc_id)),
+       |tr AS (SELECT * FROM rep WHERE doc_id % 97 <> 0),
+       |shd AS (SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                             for i in range(1, len(toks) - 1)])
+       |    END AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |evp AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle
+       |        FROM shd WHERE doc_id % 97 = 0),
+       |trp AS (SELECT s.doc_id AS train_id, unnest(s.sh) AS shingle
+       |        FROM shd s JOIN tr ON s.doc_id = tr.doc_id),
+       |cont AS (SELECT DISTINCT train_id AS doc_id FROM (
+       |    SELECT train_id, eval_id, count(*) AS n
+       |    FROM trp JOIN evp USING (shingle)
+       |    GROUP BY 1, 2 HAVING count(*) >= 3)),
+       |clean AS (SELECT tr.* FROM tr ANTI JOIN cont USING (doc_id)),
+       |surv AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+       |ded AS (SELECT c.doc_id, c.lang, c.n_tokens
+       |        FROM clean c JOIN surv USING (doc_id)),
+       |st AS (SELECT lang, count(*) AS n_lang FROM ded GROUP BY 1),
+       |mix AS (SELECT ded.*, CAST(floor(least(65536.0,
+       |          262144.0 / sqrt(CAST(st.n_lang AS DOUBLE))))
+       |          AS INTEGER) AS thr_i
+       |        FROM ded JOIN st USING (lang)),
+       |keptm AS (SELECT * FROM mix WHERE thr_i >= 65536
+       |          OR substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |               < printf('%04x', thr_i)),
+       |sp AS (SELECT lang, n_tokens,
+       |         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+       |                1, 4) < '1999' THEN 'test'
+       |              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+       |                1, 4) < '3333' THEN 'validation'
+       |              ELSE 'train' END AS split
+       |       FROM keptm)""".stripMargin
 
   /** t28/t30's merge-round budget — a fixed training knob (real runs
     * use 30k-100k; the loop shape is identical).
@@ -1884,67 +2065,34 @@ object Text {
 
     // stage-for-stage replay: quality → repetition → decontamination →
     // dedup → mixture (post-dedup counts, 'mix:'-salted key) → split
-    // ('split:'-salted key) → accounting
+    // ('split:'-salted key) → accounting. The CTE chain is [[P8Cte]],
+    // SHARED with p20's attrition oracle — one definition of the stages.
     "p8_full_pipeline" ->
-      s"""WITH q AS (
-         |  SELECT doc_id, lang, text,
-         |    len(string_split(text,' ')) AS n_tokens,
-         |    len(list_filter(string_split(text,' '),
-         |        t -> list_contains($stopList, t)))::DOUBLE
-         |      / len(string_split(text,' ')) AS stopword_ratio,
-         |    len(list_distinct(string_split(text,' ')))::DOUBLE
-         |      / len(string_split(text,' ')) AS ttr
-         |  FROM documents),
-         |f AS (SELECT doc_id, lang, text, n_tokens FROM q
-         |      WHERE (least(stopword_ratio * 10.0, 1.0)
-         |             + least(n_tokens / 100.0, 1.0) + ttr) / 3.0 >= 0.5),
-         |wc AS (SELECT doc_id, w, count(*) AS c
-         |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
-         |             FROM f) GROUP BY 1, 2),
-         |reps AS (SELECT doc_id FROM (
-         |    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-         |           count(*) AS n_distinct, max(c) AS top_word_n
-         |    FROM wc GROUP BY 1)
-         |  WHERE top_word_n * 5 < n_words AND n_distinct * 10 > n_words * 3),
-         |rep AS (SELECT f.* FROM f JOIN reps USING (doc_id)),
-         |tr AS (SELECT * FROM rep WHERE doc_id % 97 <> 0),
-         |shd AS (SELECT doc_id,
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-         |                             for i in range(1, len(toks) - 1)])
-         |    END AS sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-         |        FROM documents)),
-         |evp AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle
-         |        FROM shd WHERE doc_id % 97 = 0),
-         |trp AS (SELECT s.doc_id AS train_id, unnest(s.sh) AS shingle
-         |        FROM shd s JOIN tr ON s.doc_id = tr.doc_id),
-         |cont AS (SELECT DISTINCT train_id AS doc_id FROM (
-         |    SELECT train_id, eval_id, count(*) AS n
-         |    FROM trp JOIN evp USING (shingle)
-         |    GROUP BY 1, 2 HAVING count(*) >= 3)),
-         |clean AS (SELECT tr.* FROM tr ANTI JOIN cont USING (doc_id)),
-         |surv AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
-         |ded AS (SELECT c.doc_id, c.lang, c.n_tokens
-         |        FROM clean c JOIN surv USING (doc_id)),
-         |st AS (SELECT lang, count(*) AS n_lang FROM ded GROUP BY 1),
-         |mix AS (SELECT ded.*, CAST(floor(least(65536.0,
-         |          262144.0 / sqrt(CAST(st.n_lang AS DOUBLE))))
-         |          AS INTEGER) AS thr_i
-         |        FROM ded JOIN st USING (lang)),
-         |keptm AS (SELECT * FROM mix WHERE thr_i >= 65536
-         |          OR substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
-         |               < printf('%04x', thr_i)),
-         |sp AS (SELECT lang, n_tokens,
-         |         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
-         |                1, 4) < '1999' THEN 'test'
-         |              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
-         |                1, 4) < '3333' THEN 'validation'
-         |              ELSE 'train' END AS split
-         |       FROM keptm)
+      s"""$P8Cte
          |SELECT split, lang, count(*) AS n_docs,
          |  sum(n_tokens)::BIGINT AS sum_tokens
          |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    // the SAME CTE chain as p8 ([[P8Cte]]) with one stage-count arm per
+    // pipeline stage — p20 and p8 cannot disagree on a stage's semantics
+    "p20_stage_attrition" ->
+      s"""$P8Cte
+         |SELECT '0_raw' AS stage, 0::BIGINT AS stage_ord,
+         |  count(*) AS n_docs,
+         |  sum(len(string_split(text,' ')))::BIGINT AS sum_tokens
+         |FROM documents
+         |UNION ALL SELECT '1_quality', 1::BIGINT, count(*),
+         |  sum(n_tokens)::BIGINT FROM f
+         |UNION ALL SELECT '2_repetition', 2::BIGINT, count(*),
+         |  sum(n_tokens)::BIGINT FROM rep
+         |UNION ALL SELECT '3_train_holdout', 3::BIGINT, count(*),
+         |  sum(n_tokens)::BIGINT FROM tr
+         |UNION ALL SELECT '4_decontaminated', 4::BIGINT, count(*),
+         |  sum(n_tokens)::BIGINT FROM clean
+         |UNION ALL SELECT '5_exact_dedup', 5::BIGINT, count(*),
+         |  sum(n_tokens)::BIGINT FROM ded
+         |UNION ALL SELECT '6_mixture', 6::BIGINT, count(*),
+         |  sum(n_tokens)::BIGINT FROM keptm""".stripMargin,
 
     // lateral unnest(range) is exclusive of len like Spark's
     // sequence(0, n-1, 40); DuckDB's 1-based end-inclusive slice
@@ -2348,6 +2496,51 @@ object Text {
         |SELECT d.doc_id, coalesce(a.hits, '') AS hits,
         |  coalesce(a.n_hits, 0) AS n_hits, a.doc_id IS NULL AS keep
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // the identical constructed dirty corpus (pure doc_id arithmetic),
+    // the identical regexes in the identical order ('g' = replace-all,
+    // Spark's default); md5 extrema certify the redacted bytes
+    "t33_pii_redact" ->
+      s"""WITH dirty AS (
+        |  SELECT lang, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@mail'
+        |         || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 1 THEN ' call 555-'
+        |         || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+        |         || CAST(1000 + doc_id % 9000 AS VARCHAR)
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 2 THEN ' from 10.'
+        |         || CAST(doc_id % 251 AS VARCHAR) || '.'
+        |         || CAST(doc_id % 200 AS VARCHAR) || '.'
+        |         || CAST(doc_id % 97 AS VARCHAR)
+        |       ELSE '' END AS dirty
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(dirty, '$PiiEmailRe'))::BIGINT
+        |      AS n_email,
+        |    regexp_replace(dirty, '$PiiEmailRe', '<EMAIL>', 'g') AS e1
+        |  FROM dirty),
+        |s2 AS (
+        |  SELECT lang, n_email,
+        |    len(regexp_extract_all(e1, '$PiiPhoneRe'))::BIGINT AS n_phone,
+        |    regexp_replace(e1, '$PiiPhoneRe', '<PHONE>', 'g') AS e2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT lang, n_email, n_phone,
+        |    len(regexp_extract_all(e2, '$PiiIpRe'))::BIGINT AS n_ip,
+        |    regexp_replace(e2, '$PiiIpRe', '<IP>', 'g') AS red
+        |  FROM s2)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(n_email)::BIGINT AS n_email,
+        |  sum(n_phone)::BIGINT AS n_phone,
+        |  sum(n_ip)::BIGINT AS n_ip,
+        |  sum(CASE WHEN n_email + n_phone + n_ip = 0 THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_clean,
+        |  min(md5(red)) AS h_lo, max(md5(red)) AS h_hi
+        |FROM s3 GROUP BY lang""".stripMargin,
 
     // same salted-md5 order currency (p5/p8's rule); the running window's
     // RANGE-vs-ROWS default is moot because (ord, doc_id) is unique

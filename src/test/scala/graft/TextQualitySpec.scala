@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{charEntropy, chars}
@@ -118,6 +119,72 @@ class TextQualitySpec extends SparkSuite {
         (5L, "a", "b</w>", 1L))
       assert(got == want, s"merge table mismatch:\n got $got\nwant $want")
     } finally graft.util.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("t33 PII redaction: exact masking on hand strings, idempotent, " +
+    "no residual matches") {
+    import spark.implicits._
+    import graft.queries.Text.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
+    val red: Column => Column = c =>
+      regexp_replace(regexp_replace(regexp_replace(c,
+        PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>"), PiiIpRe, "<IP>")
+    val got = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org today"),
+      (2L, "call 555-123-4567 or 555-000-1111 now"),
+      (3L, "server 192.168.0.1 and host 10.0.255.3"),
+      (4L, "mixed a@b.co 555-111-2222 1.2.3.4"),
+      (5L, "clean text with no pii at all"),
+      // traps: version strings are NOT IPs (\b-bounded 4-octet only),
+      // a 3-group number is NOT a phone
+      (6L, "v1.2.3 build 12-345-6789x"))
+      .toDF("id", "s").select(col("id"), red(col("s")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1) == "mail me at <EMAIL> today")
+    assert(got(2) == "call <PHONE> or <PHONE> now")
+    assert(got(3) == "server <IP> and host <IP>")
+    assert(got(4) == "mixed <EMAIL> <PHONE> <IP>")
+    assert(got(5) == "clean text with no pii at all")
+    assert(got(6) == "v1.2.3 build 12-345-6789x")
+    // idempotence: masking already-masked text changes nothing
+    val twice = Seq(got(4)).toDF("s").select(red(col("s"))).first.getString(0)
+    assert(twice == got(4))
+  }
+
+  test("t33 corpus law: constructed PII is fully redacted and accounted") {
+    val r = SparkEntry.queries("t33_pii_redact")(spark, sf).cache()
+    try {
+      // every lang row accounts all docs: clean + at least one PII class
+      assert(r.filter(col("n_clean") > col("n_docs")).isEmpty)
+      // construction guarantees matches exist at every SF (doc_id mod
+      // 3/4/5 residues all populated)
+      val tot = r.agg(sum("n_email"), sum("n_phone"), sum("n_ip")).first()
+      assert(tot.getLong(0) > 0 && tot.getLong(1) > 0 && tot.getLong(2) > 0)
+      // redacted corpus law: re-running the matchers over the redacted
+      // text finds nothing (no partial masks, no fabricated matches)
+      import graft.queries.Text.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
+      val redacted = Tables.documents(spark, sf).select(
+        regexp_replace(regexp_replace(regexp_replace(
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+              col("doc_id").cast("string"), lit("@mail"),
+              (col("doc_id") % 7).cast("string"), lit(".example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 4 === 1, concat(lit(" call 555-"),
+              (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+              (col("doc_id") % 9000 + 1000).cast("string")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 2, concat(lit(" from 10."),
+              (col("doc_id") % 251).cast("string"), lit("."),
+              (col("doc_id") % 200).cast("string"), lit("."),
+              (col("doc_id") % 97).cast("string")))
+              .otherwise(lit(""))),
+          PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>"), PiiIpRe, "<IP>")
+          .as("red"))
+      assert(redacted.filter(
+        regexp_count(col("red"), lit(PiiEmailRe)) > 0 ||
+        regexp_count(col("red"), lit(PiiPhoneRe)) > 0 ||
+        regexp_count(col("red"), lit(PiiIpRe)) > 0).isEmpty)
+    } finally r.unpersist()
   }
 
 }
