@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
   }
 }
 
@@ -59,10 +60,12 @@ object GraftExtensions {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.RangeJoinRewrite)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
-    }
+    Seq(graft.plans.RangeJoinRewrite, graft.plans.SummaryRewrite)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule)) {
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+        }
+      }
   }
 }

@@ -912,6 +912,99 @@ object Relational {
       s.sql(Q67Sql)
     }),
 
+    // Materialized-aggregate rewrite ([[graft.plans.SummaryRewrite]] —
+    // the summary-table/MV-matching optimization): a per-(returnflag,
+    // linestatus) summary of lineitem is built ONCE (count + per-measure
+    // sum/count/min/max partial states — q50's merge algebra as a
+    // layout), then the NAIVE aggregate over the base table is submitted
+    // unchanged and the optimizer rule serves it from the summary —
+    // count(*) → sum(cnt), sum/avg(l_quantity) and min/max
+    // (l_extendedprice) → state merges. At 100 TB the summary is ~10⁶×
+    // smaller than the fact table; the measures here are chosen
+    // order-insensitive-exact (integer-valued quantity sums, min/max,
+    // count — no float re-association), so summary-served and
+    // base-scanned answers are bit-identical and the hash gate certifies
+    // the REWRITE, while the require() proves the base table was never
+    // scanned (a silently-skipped rewrite would still pass the hash).
+    // The oracle runs the same naive aggregate over the base table —
+    // zero knowledge of the summary.
+    "q68_summary_rewrite" -> ((s, dir) => {
+      val tmp = graft.util.Fs.mkStagingDir(s, "graft_mv_")
+      val base = s"$dir/lineitem.parquet"
+      graft.GraftExtensions.register(s)
+      try {
+        graft.plans.SummaryRewrite.buildSummary(
+            s.read.parquet(base),
+            Seq("l_returnflag", "l_linestatus"),
+            Seq("l_quantity", "l_extendedprice"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/summary")
+        // confs only AFTER the build: the builder's own aggregate over
+        // the base table must not match its own output
+        s.conf.set(graft.plans.SummaryRewrite.BaseConf, base)
+        s.conf.set(graft.plans.SummaryRewrite.PathConf, s"$tmp/summary")
+        s.conf.set(graft.plans.SummaryRewrite.KeysConf,
+          "l_returnflag,l_linestatus")
+        s.conf.set(graft.plans.SummaryRewrite.MeasuresConf,
+          "l_quantity,l_extendedprice")
+        val naive = s.read.parquet(base)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_quantity").as("sum_qty"),
+            avg("l_quantity").as("avg_qty"),
+            min("l_extendedprice").as("min_price"),
+            max("l_extendedprice").as("max_price"))
+        val scans = naive.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scans.nonEmpty && scans.forall(_.contains("graft_mv_")),
+          s"summary rewrite did not fire: naive aggregate scans $scans")
+        QueryCache.materializeLocal(naive)
+      } finally {
+        Seq(graft.plans.SummaryRewrite.BaseConf,
+          graft.plans.SummaryRewrite.PathConf,
+          graft.plans.SummaryRewrite.KeysConf,
+          graft.plans.SummaryRewrite.MeasuresConf).foreach(s.conf.unset)
+        graft.util.Fs.rmTree(s, tmp)
+      }
+    }),
+
+    // Incremental summary refresh ([[graft.plans.SummaryRewrite
+    // .mergeSummaries]]) — the maintenance half of q68's materialized
+    // aggregate: the fact table arrives as base + today's delta, each is
+    // summarized independently (in production the base summary already
+    // EXISTS — only the delta is scanned), and the two state frames merge
+    // by q50's algebra (sum/sum/sum/min/max). The query then answers
+    // q68's aggregate FROM THE MERGED STATES alone — a projection, no
+    // base access — and the oracle aggregates the full base table
+    // naively: the hash match proves merged-refresh == full rebuild.
+    // At 100 TB this is the difference between a delta-sized nightly job
+    // and a full-corpus rescan; avg stays exact because it is derived
+    // from (sum, non-null count) at read, never stored.
+    "q69_summary_refresh" -> ((s, dir) => {
+      import graft.plans.SummaryRewrite
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      val baseS = SummaryRewrite.buildSummary(
+        li.filter(col("l_orderkey") % 10 =!= 0), keys, ms)
+      val deltaS = SummaryRewrite.buildSummary(
+        li.filter(col("l_orderkey") % 10 === 0), keys, ms)
+      SummaryRewrite.mergeSummaries(baseS, deltaS, keys, ms)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col(SummaryRewrite.CntCol).as("n_rows"),
+          col(SummaryRewrite.sumCol("l_quantity")).as("sum_qty"),
+          (col(SummaryRewrite.sumCol("l_quantity")) /
+            col(SummaryRewrite.cntCol("l_quantity"))).as("avg_qty"),
+          col(SummaryRewrite.minCol("l_extendedprice")).as("min_price"),
+          col(SummaryRewrite.maxCol("l_extendedprice")).as("max_price"))
+    }),
+
     // Per-user exponential smoothing (EWMA, α = 0.3) — the order-
     // dependent sequential-state op of the time-series family (q34/q46
     // carry VALUES forward; this carries accumulated STATE forward).
@@ -2281,6 +2374,30 @@ object Relational {
     // the same string spark.sql ran — zero translation is the claim
     "q39_sql_e2e" -> Q39Sql,
     "q67_group_by_all" -> Q67Sql,
+
+    // the naive aggregate over the BASE table, zero knowledge of the
+    // summary — the hash match proves summary-served == base-scanned
+    // (measures chosen order-insensitive-exact: integer-valued quantity,
+    // min/max, count)
+    "q68_summary_rewrite" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  avg(l_quantity) AS avg_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the full-table rebuild q69's base+delta state merge must equal —
+    // zero knowledge of the split or the summaries
+    "q69_summary_refresh" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  avg(l_quantity) AS avg_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q61_recursive_spine" -> Q61Sql,
 
