@@ -330,6 +330,40 @@ object MultimodalQueries {
       } finally {
         graft.util.Fs.rmTree(s, tmp)
       }
+    }),
+
+    // Aspect-ratio bucketing — the batching-efficiency planner for
+    // image training/inference (the NovelAI/SDXL bucket-sampler shape,
+    // and what any batched ViT server does to bound padding): each
+    // decoded image lands in one of four fixed aspect classes by integer
+    // permille ratio (1000·w DIV h — no float boundary can flip between
+    // engines), and per bucket the roll-up reports the pad target
+    // (max_w × max_h — items in a batch pad to their bucket's envelope),
+    // the real pixel mass, the padded mass, and the integer-permille
+    // padding waste — the number that decides whether a bucket needs
+    // splitting. Dims flow through mm1's batched mapPartitions codec;
+    // plan = decode-narrow scan → one 4-key map-side-combined agg. At
+    // 100 TB the bucket id also becomes the repartition key that forms
+    // homogeneous batches — same integer arithmetic, one shuffle.
+    "mm12_aspect_buckets" -> ((s, dir) => {
+      val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(s, dir),
+          codec = Multimodal.codecFor(s)).toDF()
+        .select(col("media_id"), col("width"), col("height"))
+        .withColumn("ar", expr("(1000 * width) DIV height"))
+        .withColumn("bucket",
+          when(col("ar") < 800, "portrait")
+            .when(col("ar") < 1250, "square")
+            .when(col("ar") < 2000, "landscape")
+            .otherwise("wide"))
+      meta.groupBy("bucket")
+        .agg(count(lit(1)).as("n_items"),
+          max("width").cast("long").as("max_w"),
+          max("height").cast("long").as("max_h"),
+          sum(col("width").cast("long") * col("height")).as("total_px"))
+        .withColumn("padded_px",
+          col("n_items") * col("max_w") * col("max_h"))
+        .withColumn("waste_permille",
+          expr("(1000 * (padded_px - total_px)) DIV padded_px"))
     })
   )
 
@@ -667,7 +701,32 @@ object MultimodalQueries {
         |  list_aggregate([ascii(substr(text, p, 1))
         |                  for p in range(1, len(text) + 1)
         |                  if (p - 1) % 3 = 0], 'avg') AS mean_c0
-        |FROM documents WHERE doc_id < 300""".stripMargin
+        |FROM documents WHERE doc_id < 300""".stripMargin,
+
+    // mm1's dim arithmetic + the same integer permille bucket thresholds
+    // + the same DIV padding-waste arithmetic — pure-integer end to end
+    "mm12_aspect_buckets" ->
+      """WITH m AS (
+        |  SELECT octet_length(encode(text)) % 256 + 1 AS w,
+        |    octet_length(encode(text)) // 256 + 1 AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT w, h,
+        |    CASE WHEN (1000 * w) // h < 800 THEN 'portrait'
+        |         WHEN (1000 * w) // h < 1250 THEN 'square'
+        |         WHEN (1000 * w) // h < 2000 THEN 'landscape'
+        |         ELSE 'wide' END AS bucket
+        |  FROM m),
+        |g AS (
+        |  SELECT bucket, count(*)::BIGINT AS n_items,
+        |    max(w)::BIGINT AS max_w, max(h)::BIGINT AS max_h,
+        |    sum(w * h)::BIGINT AS total_px
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n_items, max_w, max_h, total_px,
+        |  (n_items * max_w * max_h)::BIGINT AS padded_px,
+        |  ((1000 * (n_items * max_w * max_h - total_px))
+        |    // (n_items * max_w * max_h))::BIGINT AS waste_permille
+        |FROM g""".stripMargin
   )
 
   /** Vision-embedding dump for mm10's oracle: the stub encoder's unit
