@@ -34,6 +34,18 @@ final class BroadcastInterpolator(bc: Broadcast[RegularGrid]) extends Serializab
       .otherwise(f(array(cols: _*)))
   }
 
+  /** [[applySeq]]'s nearest-neighbor sibling — evaluates
+    * [[graft.model.RegularGrid.interpolateNearest]] over the same
+    * broadcast grid with the same null/out-of-hull fill semantics.
+    */
+  def applyNearestSeq(cols: Seq[Column]): Column = {
+    import org.apache.spark.sql.functions.{array, lit, when}
+    val g = bc
+    val f = udf((p: Seq[Double]) => g.value.interpolateNearest(p.toArray))
+    when(cols.map(_.isNull).reduce(_ || _), lit(g.value.fillValue))
+      .otherwise(f(array(cols: _*)))
+  }
+
   def grid: RegularGrid = bc.value
 }
 

