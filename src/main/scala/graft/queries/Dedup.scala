@@ -981,8 +981,67 @@ object Dedup {
             graft.functions.HashFunctions
               .minhashSimilarity(col("sig_i"), col("sig_j")).as("est_jac")),
         (rel :+ sigs): _*)
+    }),
+
+    // LSH banding-parameter planner — the design-time decision dd3's
+    // (16 bands × 2 rows) config encodes, made explicit: for every
+    // (b, r) split of the 32-perm budget, the S-curve collision
+    // probability P(j) = 1 − (1 − j^r)^b is evaluated on a dyadic
+    // Jaccard grid (j = k/16 — exact IEEE), and each config is scored
+    // by its false-positive mass below the τ = 0.5 target and its
+    // false-negative mass above (Leskovec/Rajaraman/Ullman MMDS §3.4 —
+    // the standard b·r trade). Cross-engine exactness is by
+    // CONSTRUCTION, not tolerance: both the Spark expression and the
+    // DuckDB oracle are generated from ONE Scala string ([[lshCurveCase]])
+    // that spells every power as an explicit left-associated product —
+    // the identical IEEE multiply sequence — and the masses integerize
+    // to micros before summing. Pure planning arithmetic (60 rows), no
+    // corpus touch; the VALUE is that the thresholds dd3/dd7 run blind
+    // at 100 TB are certified against an independent engine first.
+    "dd20_lsh_planner" -> ((s, dir) => {
+      import s.implicits._
+      val grid = for ((b, r) <- LshConfigs; k <- 1 to 15)
+        yield (b.toLong, r.toLong, k.toLong)
+      val p = grid.toDF("bands", "rows_per_band", "k")
+        .withColumn("j", expr("CAST(k AS DOUBLE) / 16.0"))
+        .withColumn("pc", expr(lshCurveCase))
+      val scored = p.groupBy("bands", "rows_per_band")
+        .agg(
+          sum(when(col("k") < 8,
+            floor(col("pc") * 1000000.0).cast("long")).otherwise(0L))
+            .as("fp_micros"),
+          sum(when(col("k") >= 8,
+            floor((lit(1.0) - col("pc")) * 1000000.0).cast("long"))
+            .otherwise(0L)).as("fn_micros"))
+        .withColumn("err_micros", col("fp_micros") + col("fn_micros"))
+      val best = scored.agg(min("err_micros").as("best_err"))
+      scored.crossJoin(broadcast(best))
+        .withColumn("best", col("err_micros") === col("best_err"))
+        .drop("best_err")
     })
   )
+
+  /** The (bands, rows-per-band) splits of dd3's 32-perm budget that
+    * dd20 scores.
+    */
+  private[graft] val LshConfigs: Seq[(Int, Int)] =
+    Seq((32, 1), (16, 2), (8, 4), (4, 8))
+
+  /** One SQL-dialect-common CASE expression computing the banding
+    * S-curve 1 − (1 − j^r)^b per config row, with every power spelled
+    * as an explicit LEFT-ASSOCIATED product — the same IEEE multiply
+    * sequence on any engine that folds left, which is what makes dd20
+    * hash-exact without a pow() portability assumption. Shared verbatim
+    * by the Spark query (via expr) and the DuckDB oracle.
+    */
+  private[graft] lazy val lshCurveCase: String = {
+    def prod(e: String, n: Int): String =
+      if (n == 1) e else Seq.fill(n)(e).mkString("(", " * ", ")")
+    val whens = LshConfigs.map { case (b, r) =>
+      s"WHEN bands = $b THEN 1.0 - ${prod(s"(1.0 - ${prod("j", r)})", b)}"
+    }
+    s"CASE ${whens.mkString(" ")} END"
+  }
 
   /** One row per (source, lang, 3-gram shingle) — the input both dd13 and
     * its side dump sketch, kept in one place so the dumped estimates are
@@ -1130,6 +1189,38 @@ object Dedup {
          |FROM dd2res p
          |JOIN sigs sa ON sa.doc_id = p.i
          |JOIN sigs sb ON sb.doc_id = p.j""".stripMargin,
+
+    // the identical generated product expression ([[lshCurveCase]] — one
+    // Scala string feeds both engines), floor-to-micros before summing;
+    // window sums cast ::BIGINT (the q19 lesson)
+    "dd20_lsh_planner" ->
+      s"""WITH grid AS (
+         |  SELECT bands, rows_per_band, k
+         |  FROM (VALUES ${LshConfigs.map { case (b, r) => s"($b, $r)" }
+                   .mkString(", ")}) c(bands, rows_per_band),
+         |       range(1, 16) t(k)),
+         |d AS (
+         |  SELECT bands, rows_per_band, k,
+         |    CAST(k AS DOUBLE) / 16.0 AS j
+         |  FROM grid),
+         |pc AS (SELECT bands, rows_per_band, k,
+         |         $lshCurveCase AS pc
+         |       FROM d),
+         |sc AS (
+         |  SELECT bands::BIGINT AS bands,
+         |    rows_per_band::BIGINT AS rows_per_band,
+         |    sum(CASE WHEN k < 8
+         |        THEN CAST(floor(pc * 1000000.0) AS BIGINT)
+         |        ELSE 0 END)::BIGINT AS fp_micros,
+         |    sum(CASE WHEN k >= 8
+         |        THEN CAST(floor((1.0 - pc) * 1000000.0) AS BIGINT)
+         |        ELSE 0 END)::BIGINT AS fn_micros
+         |  FROM pc GROUP BY 1, 2)
+         |SELECT bands, rows_per_band, fp_micros, fn_micros,
+         |  (fp_micros + fn_micros)::BIGINT AS err_micros,
+         |  fp_micros + fn_micros =
+         |    (SELECT min(fp_micros + fn_micros) FROM sc) AS best
+         |FROM sc""".stripMargin,
 
     // same CTEs as dd2 through `scored` (all candidates, exact shared
     // counts — the Spark-side ub prefilter is result-invariant), then the
