@@ -1129,4 +1129,108 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("SummaryStream: streamed state == one-shot summary; re-delivery " +
+    "no-op; maintained summary serves the q68 rule") {
+    import graft.plans.SummaryRewrite
+    import graft.streaming.SummaryStream
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val base = s"$sf/lineitem.parquet"
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val ms = Seq("l_quantity", "l_extendedprice")
+    val rows = spark.read.parquet(base)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    assert(chunks.size == 3, "fixture split degenerate")
+    implicit val sqlCtx = spark.sqlContext
+    val state = new SummaryStream.SummaryState(keys, ms)
+    val mem = MemoryStream[(String, String, Double, Double)]
+    val q = SummaryStream.maintain(
+      mem.toDS().toDF("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice"),
+      state)
+    val tmp = java.nio.file.Files.createTempDirectory("sumstream").toString
+    try {
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val got = state.snapshot.get.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      val want = SummaryRewrite.buildSummary(
+          spark.read.parquet(base), keys, ms).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      assert(got.keySet == want.keySet)
+      // states: cnt, (sum, cnt, min, max) per measure — quantity sums are
+      // integer-valued doubles (exact in any merge order); price sums get
+      // the 1e-9 envelope (association differs batch-vs-one-shot)
+      got.foreach { case (k, g) =>
+        val w = want(k)
+        g.zip(w).zipWithIndex.foreach { case ((gv, wv), ix) =>
+          (gv, wv) match {
+            case (a: Double, b: Double) =>
+              assert(math.abs(a - b) <= 1e-9 * math.max(math.abs(b), 1.0),
+                s"$k state $ix: $a != $b")
+            case _ => assert(gv == wv, s"$k state $ix: $gv != $wv")
+          }
+        }
+      }
+      // re-delivered batch id (restart replay) must be a no-op
+      val before = got
+      state.ingest(chunks.head
+        .toDF("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice"), batchId = 0L)
+      val after = state.snapshot.get.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      assert(after == before, "re-delivered batchId mutated the state")
+      // composition: the stream-maintained summary serves SummaryRewrite
+      state.snapshot.get.coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/summary")
+      GraftExtensions.register(spark)
+      spark.conf.set(SummaryRewrite.BaseConf, base)
+      spark.conf.set(SummaryRewrite.PathConf, s"$tmp/summary")
+      spark.conf.set(SummaryRewrite.KeysConf, keys.mkString(","))
+      spark.conf.set(SummaryRewrite.MeasuresConf, ms.mkString(","))
+      try {
+        val naive = spark.read.parquet(base)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_quantity").as("sum_qty"),
+            min("l_extendedprice").as("min_price"))
+        val scans = naive.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        assert(scans.nonEmpty && scans.forall(_.contains("sumstream")),
+          s"rule not served from the maintained summary: $scans")
+        val served = naive.collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+        spark.conf.unset(SummaryRewrite.BaseConf)
+        val truth = spark.read.parquet(base)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_quantity").as("sum_qty"),
+            min("l_extendedprice").as("min_price"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+        assert(served == truth,
+          s"stream-served != truth: ${served.toSeq.diff(truth.toSeq).take(3)}")
+      } finally {
+        Seq(SummaryRewrite.BaseConf, SummaryRewrite.PathConf,
+          SummaryRewrite.KeysConf, SummaryRewrite.MeasuresConf)
+          .foreach(spark.conf.unset)
+      }
+    } finally {
+      q.stop()
+      state.close()
+      graft.util.Fs.rmTree(new java.io.File(tmp))
+    }
+  }
+
 }
