@@ -345,6 +345,41 @@ object MultimodalQueries {
     // plan = decode-narrow scan → one 4-key map-side-combined agg. At
     // 100 TB the bucket id also becomes the repartition key that forms
     // homogeneous batches — same integer arithmetic, one shuffle.
+    // Shot segmentation — the video-curation stage between mm4's frame
+    // sampling and mm11's frame dedup: a cut is declared where the mean
+    // byte-energy of consecutive frames jumps by more than τ = 600
+    // (picked where the corpus segments at a ~25% cut rate — real
+    // multi-frame shots, not one-shot-per-frame noise), shots are the
+    // runs between cuts (running cut-count as the shot id — q19's
+    // islands idiom), and the per-item profile (frame count, shot
+    // count, longest shot) is what a sampler uses to pick K frames per
+    // SHOT instead of K per video. Integer-exact by cross-multiplying
+    // the mean compare (|ss_i·n_prev − ss_prev·n_i| > τ·n_i·n_prev —
+    // no division), over the SAME energy frames as mm8 (one generator
+    // definition); ONE media_id Exchange serves the lag window, the
+    // running sum, and both aggregation levels (mm8's subset-rule
+    // pattern).
+    "mm13_shot_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fr = Multimodal.audioFrameEnergies(
+        Multimodal.mediaFromDocuments(s, dir), frameSize = 32).toDF()
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      val cuts = fr
+        .withColumn("pss", lag("sum_sq", 1).over(w))
+        .withColumn("pn", lag("n_bytes", 1).over(w))
+        .withColumn("cut", when(col("pss").isNotNull &&
+          abs(col("sum_sq") * col("pn") - col("pss") * col("n_bytes")) >
+            lit(600L) * col("n_bytes") * col("pn"), 1L).otherwise(0L))
+        .withColumn("shot_id", sum("cut").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cuts.groupBy("media_id", "shot_id")
+        .agg(count(lit(1)).as("n_rows"))
+        .groupBy("media_id")
+        .agg(sum("n_rows").as("n_frames"),
+          count(lit(1)).as("n_shots"),
+          max("n_rows").as("max_shot_frames"))
+    }),
+
     "mm12_aspect_buckets" -> ((s, dir) => {
       val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(s, dir),
           codec = Multimodal.codecFor(s)).toDF()
@@ -527,6 +562,28 @@ object MultimodalQueries {
        |           JOIN sk sa ON sa.media_id = i
        |           JOIN sk sb ON sb.media_id = j)""".stripMargin
 
+  /** mm8's per-frame integer-energy replay (32-byte frames, Σb² and
+    * frame length from the text bytes) as a shared CTE prefix — mm8's
+    * VAD oracle and mm13's shot-segmentation oracle both compose from
+    * THIS string, so the two gates cannot disagree on frame geometry or
+    * energy arithmetic (the P8Cte rule applied to the media family).
+    */
+  private val FrameEnergyCte: String =
+    """fr AS (
+      |  SELECT doc_id AS media_id,
+      |    unnest(range(0, (octet_length(encode(text)) + 31) // 32))
+      |      AS frame_idx,
+      |    text, octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |e AS (
+      |  SELECT media_id, frame_idx,
+      |    CAST(list_sum([ascii(substr(text, p, 1)) * ascii(substr(text, p, 1))
+      |                   for p in range(frame_idx*32 + 1,
+      |                     least((frame_idx+1)*32, nb) + 1)]) AS BIGINT)
+      |      AS ss,
+      |    least((frame_idx+1)*32, nb) - frame_idx*32 AS n
+      |  FROM fr)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     // joins the vision-embedding dump against Similarity's caption-unit
@@ -658,20 +715,7 @@ object MultimodalQueries {
     // Zero-byte items yield no frames on the Spark side, so the oracle
     // excludes them (mm4's discipline).
     "mm8_audio_vad" ->
-      """WITH fr AS (
-        |  SELECT doc_id AS media_id,
-        |    unnest(range(0, (octet_length(encode(text)) + 31) // 32))
-        |      AS frame_idx,
-        |    text, octet_length(encode(text)) AS nb
-        |  FROM documents WHERE octet_length(encode(text)) > 0),
-        |e AS (
-        |  SELECT media_id, frame_idx,
-        |    CAST(list_sum([ascii(substr(text, p, 1)) * ascii(substr(text, p, 1))
-        |                   for p in range(frame_idx*32 + 1,
-        |                     least((frame_idx+1)*32, nb) + 1)]) AS BIGINT)
-        |      AS ss,
-        |    least((frame_idx+1)*32, nb) - frame_idx*32 AS n
-        |  FROM fr),
+      s"""WITH $FrameEnergyCte,
         |sp AS (
         |  SELECT media_id, frame_idx,
         |    frame_idx - row_number() OVER (PARTITION BY media_id
@@ -702,6 +746,33 @@ object MultimodalQueries {
         |                  for p in range(1, len(text) + 1)
         |                  if (p - 1) % 3 = 0], 'avg') AS mean_c0
         |FROM documents WHERE doc_id < 300""".stripMargin,
+
+    // the SAME energy CTE as mm8 ([[FrameEnergyCte]]), the same
+    // cross-multiplied integer cut compare, islands by running cut-count
+    "mm13_shot_segments" ->
+      s"""WITH $FrameEnergyCte,
+        |c AS (
+        |  SELECT media_id, frame_idx, ss, n,
+        |    lag(ss) OVER (PARTITION BY media_id ORDER BY frame_idx) AS pss,
+        |    lag(n) OVER (PARTITION BY media_id ORDER BY frame_idx) AS pn
+        |  FROM e),
+        |f AS (
+        |  SELECT media_id, frame_idx,
+        |    CASE WHEN pss IS NOT NULL
+        |              AND abs(ss * pn - pss * n) > 600 * n * pn
+        |         THEN 1 ELSE 0 END AS cut
+        |  FROM c),
+        |sh AS (
+        |  SELECT media_id, frame_idx,
+        |    sum(cut) OVER (PARTITION BY media_id ORDER BY frame_idx)
+        |      AS shot_id
+        |  FROM f),
+        |g AS (SELECT media_id, shot_id, count(*) AS n_rows
+        |      FROM sh GROUP BY 1, 2)
+        |SELECT media_id, sum(n_rows)::BIGINT AS n_frames,
+        |  count(*)::BIGINT AS n_shots,
+        |  max(n_rows)::BIGINT AS max_shot_frames
+        |FROM g GROUP BY media_id""".stripMargin,
 
     // mm1's dim arithmetic + the same integer permille bucket thresholds
     // + the same DIV padding-waste arithmetic — pure-integer end to end

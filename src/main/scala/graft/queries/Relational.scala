@@ -974,6 +974,53 @@ object Relational {
       }
     }),
 
+    // Small-file compaction — the table-maintenance job every
+    // streaming/CDC-fed lake needs (10-minute cadence ingest at the
+    // reference's own layout produces 52k files/year per table; small
+    // files are the #1 operational scan-latency killer at 100 TB:
+    // per-file open/footer costs dominate under ~8 MB). The query
+    // stages a deliberately shattered copy (64 splinter files), then
+    // runs the compactor: one scan → [[graft.Tables.repartitionBySize]]
+    // (stats-derived partition count toward a byte target — P2's
+    // operator reused as maintenance) → rewrite. The require() pins the
+    // operational claim (file count strictly drops) because the oracle
+    // cannot see the filesystem; the hash gate pins the CONTENT claim —
+    // per-flag row counts, cents-exact revenue mass and key extrema
+    // survive the rewrite byte-exactly (the round trip cancels, t14's
+    // discipline). Production form: same two jobs behind a manifest
+    // swap (q30's pattern) so readers never see a half-compacted table.
+    "q70_compact_small_files" -> ((s, dir) => {
+      val tmp = graft.util.Fs.mkStagingDir(s, "graft_compact_")
+      def nFiles(path: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+      }
+      try {
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey") % 4 === 0)
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$tmp/small")
+        val before = nFiles(s"$tmp/small")
+        graft.Tables.repartitionBySize(
+            s.read.parquet(s"$tmp/small"), targetBytes = 8L << 20)
+          .write.mode("overwrite").parquet(s"$tmp/compact")
+        val after = nFiles(s"$tmp/compact")
+        require(after < before,
+          s"compaction did not reduce file count: $before -> $after")
+        QueryCache.materializeLocal(
+          s.read.parquet(s"$tmp/compact")
+            .groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(floor(col("l_extendedprice") * 100).cast("long"))
+                .as("sum_price_cents"),
+              min("l_orderkey").as("min_key"),
+              max("l_orderkey").as("max_key")))
+      } finally {
+        graft.util.Fs.rmTree(s, tmp)
+      }
+    }),
+
     // Incremental summary refresh ([[graft.plans.SummaryRewrite
     // .mergeSummaries]]) — the maintenance half of q68's materialized
     // aggregate: the fact table arrives as base + today's delta, each is
@@ -2387,6 +2434,17 @@ object Relational {
         |  max(l_extendedprice) AS max_price
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the shatter → compact round trip cancels: the same slice straight
+    // from parquet (t14's cancellation discipline); cents-integerized
+    "q70_compact_small_files" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |    AS sum_price_cents,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem
+        |WHERE l_orderkey % 4 = 0
+        |GROUP BY l_returnflag""".stripMargin,
 
     // the full-table rebuild q69's base+delta state merge must equal —
     // zero knowledge of the split or the summaries
