@@ -108,7 +108,16 @@ class InvarianceSpec extends SparkSuite {
         // round-9b: q67/t32 emit integers/strings; dd19/s21 rank
         // row-local codegen dots with id ties — strict material
         "q67_group_by_all", "t32_tokenizer_fertility",
-        "dd19_semantic_decontam", "s21_ivf_filtered_knn")) {
+        "dd19_semantic_decontam", "s21_ivf_filtered_knn",
+        // round-9 session-2: t33/mm12/mm13/q70/p20 emit only integers/
+        // strings/booleans; dd20 integerizes to micros before summing;
+        // q68/q69's states are integer-valued doubles + one division of
+        // exact operands; g12 evaluates g1's machinery (already swept)
+        // through a row-local nearest kernel — all strict material
+        "t33_pii_redact", "mm12_aspect_buckets", "mm13_shot_segments",
+        "dd20_lsh_planner", "q68_summary_rewrite", "q69_summary_refresh",
+        "g12_interp_nearest", "q70_compact_small_files",
+        "p20_stage_attrition")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
