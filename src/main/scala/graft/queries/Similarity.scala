@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -422,51 +422,20 @@ object Similarity {
     // with no shuffle and no join beyond the broadcast probe list.
     // Oracled by COMPOSING the two dumps the component tiers already
     // certify; recall vs s1 is certified inside s16 (RecallMethods).
-    "s17_ivfpq_knn" -> ((s, dir) => {
-      val (assigned0, eCache) = ivfAssign(s, dir)
-      val assigned = assigned0.persist()
-      val codes = pqBase(s, dir).persist()
-      val qUnit = codes.filter(col("vec_id") === 0L)
-        .select("unit").head().getSeq[Double](0)
-      val q = typedlit(qUnit)
-      val probed = assigned.filter(col("vec_id") % 53 === 0)
-        .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
-        .withColumn("qsim", dot(col("cent"), q))
-        .orderBy(col("qsim").desc, col("pc_id"))
-        .limit(2)
-        .select(col("pc_id").as("cent_id"))
-      // ADC lookup tables — s8's construction verbatim: per subspace,
-      // cb_id -> dot(q_m, c_m), slices walked in ascending index order so
-      // the fold matches the oracle's list_dot_product. The codebook rows
-      // come through [[pqCodebookDf]], so with an artifact store
-      // configured s17's LUTs are built from the LOADED codebook (the
-      // serve path) — bit-identical to the in-session derivation
-      val cbRows = pqCodebookDf(s, dir).collect()
-      val luts: Seq[Map[Long, Double]] = (0 until PqM).map { m =>
-        cbRows.iterator.filter(_.getInt(0) == m).map { r =>
-          val c = r.getSeq[Double](2)
-          val d = (0 until PqD).foldLeft(0.0)((acc, i) =>
-            acc + qUnit(m * PqD + i) * c(i))
-          r.getLong(1) -> d
-        }.toMap
-      }
-      val adc = (0 until PqM)
-        .map(m => element_at(typedlit(luts(m)), col("codes")(m)))
-        .reduce(_ + _)
-      val cands = assigned.join(broadcast(probed), "cent_id")
-        .filter(col("vec_id") =!= 0L)
-        .select("vec_id")
-        .join(codes, "vec_id")
-        .select(col("vec_id"), adc.as("qscore"))
-        .orderBy(col("qscore").desc, col("vec_id"))
-        .limit(50)
-      QueryCache.resultThenRelease(
-        cands.join(codes.select("vec_id", "unit"), "vec_id")
-          .select(col("vec_id"), dot(col("unit"), q).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10),
-        assigned, eCache, codes)
-    }),
+    "s17_ivfpq_knn" -> ((s, dir) => ivfpqKnn(s, dir, tombstoned = None)),
+
+    // Index deletion without rebuild — the operational leg every served
+    // ANN deployment needs (GDPR erasure, licence revocation, corpus
+    // retractions): the IVF-PQ index FILES are immutable; deleted ids
+    // live in a tombstone set applied at candidate time (here a
+    // deterministic predicate; at scale a broadcast id set / Bloom
+    // filter maintained by the ingest stream — p9's machinery — with
+    // cell rewrites compacted on a cadence, never per delete). One
+    // shared [[ivfpqKnn]] body with s17 — the tombstone arm cannot
+    // drift from the index it filters; the oracle composes s17's
+    // replay string with the same predicate.
+    "s22_tombstone_knn" -> ((s, dir) =>
+      ivfpqKnn(s, dir, tombstoned = Some(col("vec_id") % 13 === 0))),
     // Binary-code kNN — the 1-bit/dim memory tier below int8 (s6) and
     // PQ (s8): sign-bit binarization packs each 64-dim vector into ONE
     // long (8 B — a 32× cut vs float32), the first pass ranks by
@@ -981,12 +950,65 @@ object Similarity {
   val memoizedNames: Set[String] = Set(
     "s1_knn_brute", "s4_ivf_knn", "s6_quantized_knn", "s8_pq_knn",
     "s9_ivf_trained", "s17_ivfpq_knn", "s18_binary_knn",
-    "s16_recall_eval")
+    "s16_recall_eval", "s22_tombstone_knn")
 
   /** The ANN tiers s16 certifies (each emits vec-0's top-10 like s1). */
   private val RecallMethods =
     Seq("s4_ivf_knn", "s6_quantized_knn", "s8_pq_knn", "s9_ivf_trained",
       "s17_ivfpq_knn", "s18_binary_knn")
+
+  /** s17's IVF-ADC pipeline, shared verbatim by s22's tombstone arm:
+    * `tombstoned` (when set) removes matching vec_ids at CANDIDATE time
+    * — after the probe restricts cells, before ADC scoring and re-rank —
+    * modeling deletion from an immutable index layout. ADC lookup
+    * tables are s8's construction verbatim: per subspace, cb_id →
+    * dot(q_m, c_m), slices walked in ascending index order so the fold
+    * matches the oracle's list_dot_product; the codebook rows come
+    * through [[pqCodebookDf]], so with an artifact store configured the
+    * LUTs are built from the LOADED codebook (the serve path),
+    * bit-identical to the in-session derivation.
+    */
+  private def ivfpqKnn(s: SparkSession, dir: String,
+      tombstoned: Option[Column]): DataFrame = {
+    val (assigned0, eCache) = ivfAssign(s, dir)
+    val assigned = assigned0.persist()
+    val codes = pqBase(s, dir).persist()
+    val qUnit = codes.filter(col("vec_id") === 0L)
+      .select("unit").head().getSeq[Double](0)
+    val q = typedlit(qUnit)
+    val probed = assigned.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
+      .withColumn("qsim", dot(col("cent"), q))
+      .orderBy(col("qsim").desc, col("pc_id"))
+      .limit(2)
+      .select(col("pc_id").as("cent_id"))
+    val cbRows = pqCodebookDf(s, dir).collect()
+    val luts: Seq[Map[Long, Double]] = (0 until PqM).map { m =>
+      cbRows.iterator.filter(_.getInt(0) == m).map { r =>
+        val c = r.getSeq[Double](2)
+        val d = (0 until PqD).foldLeft(0.0)((acc, i) =>
+          acc + qUnit(m * PqD + i) * c(i))
+        r.getLong(1) -> d
+      }.toMap
+    }
+    val adc = (0 until PqM)
+      .map(m => element_at(typedlit(luts(m)), col("codes")(m)))
+      .reduce(_ + _)
+    val live = assigned.join(broadcast(probed), "cent_id")
+      .filter(col("vec_id") =!= 0L)
+    val cands = tombstoned.fold(live)(t => live.filter(!t))
+      .select("vec_id")
+      .join(codes, "vec_id")
+      .select(col("vec_id"), adc.as("qscore"))
+      .orderBy(col("qscore").desc, col("vec_id"))
+      .limit(50)
+    QueryCache.resultThenRelease(
+      cands.join(codes.select("vec_id", "unit"), "vec_id")
+        .select(col("vec_id"), dot(col("unit"), q).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10),
+      assigned, eCache, codes)
+  }
 
   /** Driver-side lookup of one embedding to use as the query point —
     * becomes an array literal in the plan (implicit broadcast).
@@ -1444,41 +1466,53 @@ object Similarity {
     // dumps: probe list from the assignment dump (s4's replay), ADC
     // LUT + fixed-order sum from the codes dump (s8's replay), candidate
     // cut restricted to the probed cells, exact-cosine re-rank
-    "s17_ivfpq_knn" ->
-      """WITH assign AS (SELECT vec_id, cent_id, unit
-        |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
-        |c AS (SELECT vec_id, unit, codes
-        |      FROM read_parquet('{VERIFY_DIR}/side_s8_codes.parquet')),
-        |q AS (SELECT unit AS qu FROM c WHERE vec_id = 0),
-        |probed AS (SELECT pc_id AS cent_id
-        |           FROM (SELECT vec_id AS pc_id, unit AS cent
-        |                 FROM assign WHERE vec_id % 53 = 0), q
-        |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
-        |           LIMIT 2),
-        |lut AS (
-        |  SELECT t.m, vec_id AS cb_id,
-        |    list_dot_product(unit[t.m*16+1 : t.m*16+16],
-        |                     qu[t.m*16+1 : t.m*16+16]) AS d
-        |  FROM c, range(0, 4) t(m), q
-        |  WHERE vec_id % 53 = 0),
-        |cand AS (
-        |  SELECT c.vec_id, l0.d + l1.d + l2.d + l3.d AS qscore
-        |  FROM c
-        |  JOIN assign a ON a.vec_id = c.vec_id
-        |  JOIN probed p ON p.cent_id = a.cent_id
-        |  JOIN lut l0 ON l0.m = 0 AND l0.cb_id = c.codes[1]
-        |  JOIN lut l1 ON l1.m = 1 AND l1.cb_id = c.codes[2]
-        |  JOIN lut l2 ON l2.m = 2 AND l2.cb_id = c.codes[3]
-        |  JOIN lut l3 ON l3.m = 3 AND l3.cb_id = c.codes[4]
-        |  WHERE c.vec_id <> 0
-        |  ORDER BY qscore DESC, c.vec_id LIMIT 50)
-        |SELECT c.vec_id, list_dot_product(c.unit, q.qu) AS cos_sim
-        |FROM cand JOIN c USING (vec_id), q
-        |ORDER BY cos_sim DESC, c.vec_id
-        |LIMIT 10""".stripMargin,
+    "s17_ivfpq_knn" -> ivfpqKnnOracle(tombstonePred = ""),
+
+    // s17's replay with the tombstone predicate applied at the same
+    // candidate stage the engine applies it
+    "s22_tombstone_knn" ->
+      ivfpqKnnOracle(tombstonePred = " AND c.vec_id % 13 <> 0"),
 
     "s10_mmr_diverse" -> mmrOracleSql
   )
+
+  /** s17's dump-replay SQL, parameterized ONLY by the tombstone
+    * predicate appended to the candidate stage — s17 (empty predicate)
+    * and s22 share every other character, so the deletion arm cannot
+    * drift from the index replay it filters.
+    */
+  private def ivfpqKnnOracle(tombstonePred: String): String =
+    s"""WITH assign AS (SELECT vec_id, cent_id, unit
+      |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+      |c AS (SELECT vec_id, unit, codes
+      |      FROM read_parquet('{VERIFY_DIR}/side_s8_codes.parquet')),
+      |q AS (SELECT unit AS qu FROM c WHERE vec_id = 0),
+      |probed AS (SELECT pc_id AS cent_id
+      |           FROM (SELECT vec_id AS pc_id, unit AS cent
+      |                 FROM assign WHERE vec_id % 53 = 0), q
+      |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
+      |           LIMIT 2),
+      |lut AS (
+      |  SELECT t.m, vec_id AS cb_id,
+      |    list_dot_product(unit[t.m*16+1 : t.m*16+16],
+      |                     qu[t.m*16+1 : t.m*16+16]) AS d
+      |  FROM c, range(0, 4) t(m), q
+      |  WHERE vec_id % 53 = 0),
+      |cand AS (
+      |  SELECT c.vec_id, l0.d + l1.d + l2.d + l3.d AS qscore
+      |  FROM c
+      |  JOIN assign a ON a.vec_id = c.vec_id
+      |  JOIN probed p ON p.cent_id = a.cent_id
+      |  JOIN lut l0 ON l0.m = 0 AND l0.cb_id = c.codes[1]
+      |  JOIN lut l1 ON l1.m = 1 AND l1.cb_id = c.codes[2]
+      |  JOIN lut l2 ON l2.m = 2 AND l2.cb_id = c.codes[3]
+      |  JOIN lut l3 ON l3.m = 3 AND l3.cb_id = c.codes[4]
+      |  WHERE c.vec_id <> 0$tombstonePred
+      |  ORDER BY qscore DESC, c.vec_id LIMIT 50)
+      |SELECT c.vec_id, list_dot_product(c.unit, q.qu) AS cos_sim
+      |FROM cand JOIN c USING (vec_id), q
+      |ORDER BY cos_sim DESC, c.vec_id
+      |LIMIT 10""".stripMargin
 
   /** s16's oracle: each ANN tier's full replay SQL (dump-replay CTEs and
     * all) embedded as a parenthesized WITH-subquery, intersected with

@@ -585,4 +585,25 @@ class DedupSimilaritySpec extends SparkSuite {
       assert(top25 == memo, "fallback top-25 diverges from the artifacts")
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
+
+  test("s22 tombstones: no deleted id served, deletion non-vacuous, " +
+    "surviving scores identical to s17") {
+    val sf = "/root/testdata/sf0.001"
+    val s17 = SparkEntry.queries("s17_ivfpq_knn")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s22 = SparkEntry.queries("s22_tombstone_knn")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the deletion contract: no tombstoned id is ever served
+    assert(s22.keys.forall(_ % 13 != 0), s"tombstoned id served: ${s22.keys}")
+    // non-vacuous: the undeleted index actually served ids the deletion
+    // removes, and the freed slots were backfilled to a full k
+    assert(s17.keys.exists(_ % 13 == 0),
+      "fixture vacuous: s17 top-10 contains no tombstoned id")
+    assert(s22.size == 10)
+    // scores are read-only under deletion: every surviving id keeps its
+    // exact s17 cosine (deletion moves WHICH ids serve, never a score)
+    (s17.keySet & s22.keySet).foreach { id =>
+      assert(s17(id) == s22(id), s"score moved under deletion for $id")
+    }
+  }
 }
