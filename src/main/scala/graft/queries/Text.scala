@@ -316,6 +316,31 @@ object Text {
       QueryCache.resultThenRelease(out, rep, deduped)
     }),
 
+    // k-anonymity release audit — the privacy gate t33's redaction
+    // feeds (Sweeney 2002): after direct identifiers are masked, a
+    // released corpus can still re-identify through QUASI-identifier
+    // combinations; any combination shared by fewer than k records is a
+    // linkage handle. Here the QI tuple is (lang, source, length
+    // centile-bucket) — the metadata a release actually ships — and the
+    // audit reports every equivalence class with its size and at-risk
+    // verdict (n < k = 5), plus the suppression cost (how many docs a
+    // k-anonymous release must drop or generalize). One map-side-
+    // combined hash agg; output bounded by the QI domain, never corpus
+    // size. At 100 TB this IS the plan — the audit is one scan, and the
+    // bucket width is the generalization knob a release tunes until
+    // at_risk empties.
+    "p21_k_anonymity" -> ((s, dir) => {
+      val k = 5L
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          expr("n_chars DIV 100").as("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("at_risk", col("n_docs") < k)
+        .withColumn("suppression_cost",
+          when(col("n_docs") < k, col("n_docs")).otherwise(0L))
+    }),
+
     // Context-window chunking (the UDTF/generator shape of corpus prep):
     // split each document into 50-token windows with stride 40 (10-token
     // overlap) — one explode of the stride sequence + a slice per chunk,
@@ -2072,6 +2097,16 @@ object Text {
          |SELECT split, lang, count(*) AS n_docs,
          |  sum(n_tokens)::BIGINT AS sum_tokens
          |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    // the same QI bucketing and k threshold; pure-integer
+    "p21_k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket,
+        |  count(*) AS n_docs,
+        |  count(*) < 5 AS at_risk,
+        |  CASE WHEN count(*) < 5 THEN count(*) ELSE 0 END::BIGINT
+        |    AS suppression_cost
+        |FROM documents
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // the SAME CTE chain as p8 ([[P8Cte]]) with one stage-count arm per
     // pipeline stage — p20 and p8 cannot disagree on a stage's semantics

@@ -117,7 +117,7 @@ class InvarianceSpec extends SparkSuite {
         "t33_pii_redact", "mm12_aspect_buckets", "mm13_shot_segments",
         "dd20_lsh_planner", "q68_summary_rewrite", "q69_summary_refresh",
         "g12_interp_nearest", "q70_compact_small_files",
-        "p20_stage_attrition")) {
+        "p20_stage_attrition", "p21_k_anonymity", "s22_tombstone_knn")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
