@@ -125,6 +125,31 @@ class PlanShapeSpec extends SparkSuite {
     assert(g11Ex == 2, s"g11 expected 2 Exchanges, got $g11Ex:\n$g11")
   }
 
+  test("round-9 session-2 plans: scan-local redaction, one-Exchange media") {
+    // t33: construction + three regexp_replace stages + three
+    // regexp_count probes all run in-row at the scan; the ONLY Exchange
+    // is the final per-lang aggregate (7 columns × |langs| rows). A
+    // second Exchange would mean the redaction pipeline started
+    // shuffling text.
+    val t33 = plan("t33_pii_redact")
+    val t33Ex = "Exchange hashpartitioning".r.findAllIn(t33).size
+    assert(t33Ex == 1, s"t33 expected 1 Exchange, got $t33Ex:\n$t33")
+    // mm13: ONE media_id Exchange serves the lag window, the running
+    // cut-sum, and both aggregation levels (mm8's subset-rule pattern)
+    val mm13 = plan("mm13_shot_segments")
+    val mm13Ex = "Exchange hashpartitioning".r.findAllIn(mm13).size
+    assert(mm13Ex == 1, s"mm13 expected 1 Exchange, got $mm13Ex:\n$mm13")
+    // p21: one map-side-combined QI aggregate, nothing else
+    val p21 = plan("p21_k_anonymity")
+    val p21Ex = "Exchange hashpartitioning".r.findAllIn(p21).size
+    assert(p21Ex == 1, s"p21 expected 1 Exchange, got $p21Ex:\n$p21")
+    // mm12: decode-narrow scan into one 4-key aggregate; the trailing
+    // stats columns are projections over the agg, not new shuffles
+    val mm12 = plan("mm12_aspect_buckets")
+    val mm12Ex = "Exchange hashpartitioning".r.findAllIn(mm12).size
+    assert(mm12Ex == 1, s"mm12 expected 1 Exchange, got $mm12Ex:\n$mm12")
+  }
+
   test("dd7 plan has no nested-loop or cartesian join") {
     val p = plan("dd7_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
