@@ -1021,6 +1021,186 @@ object Relational {
       }
     }),
 
+    // Geospatial cell index — the geo leg the reference's own data model
+    // implies (its grid IS lon/lat; a point workload over the same
+    // space needs cells, not axes): each point lands in a 16-bit
+    // Z-curve cell — 8-bit quantized lon × lat through the SAME
+    // morton8 interleave as q28's layout (the Z-order curve IS the
+    // geohash curve; base32 rendering is presentation). Coordinates
+    // derive from event_id by pure INTEGER arithmetic (the t19/t33
+    // constructed-fixture pattern — the driver tables carry no
+    // coordinates), and the quantizer runs on the integers directly
+    // (k·256 DIV range), so the whole cell id is exact on both engines.
+    // Per-cell counts + coordinate extrema = the occupancy profile that
+    // sizes a cell-partitioned layout. At 100 TB the cell id is the
+    // write key (repartitionByRange(z) — q28's layout) and every
+    // radius/bbox query (q72) prunes to a handful of cells via footer
+    // stats before touching rows.
+    "q71_geo_cells" -> ((s, dir) => {
+      import graft.functions.LayoutFunctions.morton8
+      val pts = Tables.events(s, dir).select(
+        col("event_id"),
+        expr("(event_id * 7919) % 3600").as("klon"),
+        expr("(event_id * 104729) % 1600").as("klat"))
+      pts
+        .withColumn("qlon", expr("(klon * 256) DIV 3600"))
+        .withColumn("qlat", expr("(klat * 256) DIV 1600"))
+        .withColumn("cell", morton8(col("qlon"), col("qlat")))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_points"),
+          min("klon").as("klon_min"), max("klon").as("klon_max"),
+          min("klat").as("klat_min"), max("klat").as("klat_max"))
+    }),
+
+    // Geospatial radius search — the "everything within R of here"
+    // query over q71's point set: a conservative bounding-box prefilter
+    // (±4.51° lat, ±7.10° lon at the probe's latitude — a strict
+    // SUPERSET of the disc, so the prefilter is result-invariant and
+    // the oracle can skip it entirely) cuts the candidates, then the
+    // exact great-circle haversine residual ranks the survivors and
+    // TakeOrderedAndProject keeps the 20 nearest. The probe
+    // (10.037, 50.071) sits off the 0.1° lattice and off its midpoints,
+    // so no two candidate distances tie except bit-equal symmetric
+    // pairs (tie-broken by event_id identically on both engines).
+    // Distances are doubles under the gate's 1e-9 envelope (sin/cos
+    // differ across libms by ulps, ~1e-16 relative). At 100 TB the
+    // bbox becomes cell-range pruning over q71's layout — the residual
+    // math is unchanged.
+    "q72_geo_radius" -> ((s, dir) => {
+      val (lon0, lat0) = (10.037, 50.071)
+      val pts = Tables.events(s, dir).select(
+        col("event_id"),
+        (expr("(event_id * 7919) % 3600") / 10.0 - 180.0).as("lon"),
+        (expr("(event_id * 104729) % 1600") / 10.0 - 80.0).as("lat"))
+      val cand = pts.filter(
+        col("lat").between(lat0 - 4.51, lat0 + 4.51) &&
+        col("lon").between(lon0 - 7.10, lon0 + 7.10))
+      // powers spelled as explicit products (dd20's rule: the identical
+      // multiply sequence on both engines, no pow() portability bet)
+      val sLat = sin(radians((col("lat") - lat0) / 2.0))
+      val sLon = sin(radians((col("lon") - lon0) / 2.0))
+      val dist = lit(2.0 * 6371000.0) * asin(sqrt(
+        sLat * sLat +
+          cos(radians(lit(lat0))) * cos(radians(col("lat"))) *
+          (sLon * sLon)))
+      cand.withColumn("dist_m", dist)
+        .filter(col("dist_m") <= 500000.0)
+        .select("event_id", "dist_m")
+        .orderBy(col("dist_m"), col("event_id"))
+        .limit(20)
+    }),
+
+    // Geospatial distance join — the JOIN leg of the q71/q72 geo family:
+    // every (probe, point) pair within R = 100 km, between a probe set
+    // and the full point table, never all-pairs. Both sides land in
+    // coarse lon×lat cells (klon DIV 72 × klat DIV 16 = 7.2°×1.6° — one
+    // cell strictly exceeds the worst-case angular radius of 100 km at
+    // the data's |lat| < 80° extreme: Δlat ≤ 0.90° from d ≥ R·Δφ, and
+    // Δlon ≤ 5.19° from sin²(d/2R) ≥ cos²(80°)·sin²(Δλ/2)); the probe
+    // side explodes to its 3×3 neighbor cells — lon wraps mod 50
+    // because 72 divides 3600 exactly, so every cell is full-width and
+    // ±1 covers the antimeridian seam; lat does not wrap, and the two
+    // off-range ids (-1, 100) simply match nothing — and the cell-key
+    // equijoin BROADCASTS the (probes × 9)-row side: the 100 TB point
+    // table never shuffles (PlanShapeSpec pins BroadcastHashJoin, zero
+    // Exchanges). Each point holds exactly one cell id and the 9
+    // neighbor keys are distinct, so no pair can match twice — no
+    // dedup pass. The exact haversine residual (raw lon differences:
+    // sin²(Δλ/2) is 360°-periodic, so the seam needs no special-casing
+    // there either) then keeps true disc members. The oracle has NO
+    // blocking — probes × all points — so the hash match proves the
+    // cell cover is a true superset. At larger probe counts the explode
+    // side stops broadcasting and the same plan becomes q29's bucketed
+    // co-located join on the cell key over q71's layout.
+    "q73_geo_join" -> ((s, dir) => {
+      val pts = Tables.events(s, dir).select(
+        col("event_id"),
+        (expr("(event_id * 7919) % 3600") / 10.0 - 180.0).as("lon"),
+        (expr("(event_id * 104729) % 1600") / 10.0 - 80.0).as("lat"),
+        expr("((event_id * 7919) % 3600) DIV 72").as("clon"),
+        expr("((event_id * 104729) % 1600) DIV 16").as("clat"))
+      val probes = pts.filter(col("event_id") % 200 === 17)
+        .select(col("event_id").as("probe_id"), col("lon").as("plon"),
+          col("lat").as("plat"), col("clon").as("pclon"),
+          col("clat").as("pclat"))
+        .withColumn("dl", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dm", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("probe_id"), col("plon"), col("plat"),
+          ((col("pclon") + col("dl") + lit(50L)) % 50L).as("nclon"),
+          (col("pclat") + col("dm")).as("nclat"))
+      val cand = pts.join(broadcast(probes),
+        col("clon") === col("nclon") && col("clat") === col("nclat"))
+      val sLat = sin(radians((col("lat") - col("plat")) / 2.0))
+      val sLon = sin(radians((col("lon") - col("plon")) / 2.0))
+      val dist = lit(2.0 * 6371000.0) * asin(sqrt(
+        sLat * sLat +
+          cos(radians(col("plat"))) * cos(radians(col("lat"))) *
+          (sLon * sLon)))
+      cand.withColumn("dist_m", dist)
+        .filter(col("dist_m") <= 100000.0)
+        .select("probe_id", "event_id", "dist_m")
+    }),
+
+    // Per-series autocorrelation (lags 1..3) — the cadence/periodicity
+    // probe of the time-series family (q62 smooths, q66 flags outliers;
+    // this measures self-similarity, the statistic a resampler checks
+    // before choosing q34/q46's grid). The series value is an
+    // integer constructed from event_id (t19's fixture pattern), so
+    // every sufficient statistic — pair count, Σx, Σy, Σx², Σy², Σxy
+    // over (x_t, x_{t−k}) pairs ordered by (ts, event_id) — is an
+    // EXACT int64 (groups are ≤10⁴ rows of ≤10³ values: n·Σx² ≤ 10¹⁴
+    // < 2⁵³, so even the double casts are exact), and the Pearson acf
+    // is a division of exactly-represented doubles — bit-identical on
+    // both engines, sqrt being IEEE correctly-rounded. ONE pass: a
+    // single window computes all three lags over one user_id Exchange
+    // + sort, ONE aggregate folds the three lags' statistics side by
+    // side (conditional sums — the lag-k pair set is "x_{t−k} not
+    // null"), and `inline` unpivots the bounded per-user struct array
+    // to per-lag rows AFTER the aggregate, so the unpivot multiplies
+    // O(series) rows, never the corpus (PlanShapeSpec pins 1 Exchange,
+    // 1 Window). Zero-variance groups are excluded by an exact integer
+    // predicate on both sides (no 0/0 portability bet; a lag with no
+    // pairs yields null sums and the same predicate drops it, matching
+    // the oracle's vanishing group). At 100 TB this is the per-series
+    // profile job: one shuffle of the series columns, output O(series
+    // × lags).
+    "q74_autocorr" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val lagged = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("(event_id * 271) % 1000").as("x"))
+        .select(col("user_id"), col("x"),
+          lag("x", 1).over(w).as("x1"),
+          lag("x", 2).over(w).as("x2"),
+          lag("x", 3).over(w).as("x3"))
+      def stats(k: Int) = {
+        val y = col(s"x$k")
+        val in = when(y.isNotNull, col("x"))
+        Seq(count(y).as(s"n_$k"),
+          sum(in).as(s"sx_$k"), sum(y).as(s"sy_$k"),
+          sum(in * in).as(s"sxx_$k"), sum(y * y).as(s"syy_$k"),
+          sum(col("x") * y).as(s"sxy_$k"))
+      }
+      def lagStruct(k: Int) = struct(
+        lit(k.toLong).as("lag_k"), col(s"n_$k").as("n_pairs"),
+        col(s"sx_$k").as("sx"), col(s"sy_$k").as("sy"),
+        col(s"sxx_$k").as("sxx"), col(s"syy_$k").as("syy"),
+        col(s"sxy_$k").as("sxy"))
+      val vx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n_pairs") * col("syy") - col("sy") * col("sy")
+      val cov = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+      lagged.groupBy("user_id")
+        .agg((1 to 3).flatMap(stats).head,
+          (1 to 3).flatMap(stats).tail: _*)
+        .select(col("user_id"),
+          inline(array(lagStruct(1), lagStruct(2), lagStruct(3))))
+        .filter(vx > 0 && vy > 0)
+        .withColumn("acf",
+          cov.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        .select("user_id", "lag_k", "n_pairs", "sxy", "acf")
+    }),
+
     // Incremental summary refresh ([[graft.plans.SummaryRewrite
     // .mergeSummaries]]) — the maintenance half of q68's materialized
     // aggregate: the fact table arrives as base + today's delta, each is
@@ -2264,6 +2444,107 @@ object Relational {
          |  min(db) AS db_min, max(db) AS db_max,
          |  min(vb) AS vb_min, max(vb) AS vb_max
          |FROM z GROUP BY 1""".stripMargin,
+
+    // the same integer quantizer + the same spread8 interleave as q28's
+    // replay — the cell id never touches a double
+    "q71_geo_cells" ->
+      s"""WITH p AS (
+         |  SELECT event_id,
+         |    (event_id * 7919) % 3600 AS klon,
+         |    (event_id * 104729) % 1600 AS klat
+         |  FROM events),
+         |q AS (SELECT klon, klat,
+         |        (klon * 256) // 3600 AS qlon,
+         |        (klat * 256) // 1600 AS qlat
+         |      FROM p),
+         |z AS (SELECT klon, klat,
+         |        (${spreadSql("qlon")} | (${spreadSql("qlat")} << 1)) AS cell
+         |      FROM q)
+         |SELECT cell, count(*) AS n_points,
+         |  min(klon) AS klon_min, max(klon) AS klon_max,
+         |  min(klat) AS klat_min, max(klat) AS klat_max
+         |FROM z GROUP BY 1""".stripMargin,
+
+    // no bbox prefilter (it is a strict superset on the Spark side —
+    // result-invariant); the identical haversine text with powers as
+    // explicit products, doubles under the gate's 1e-9 envelope
+    "q72_geo_radius" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    ((event_id * 7919) % 3600) / 10.0 - 180.0 AS lon,
+        |    ((event_id * 104729) % 1600) / 10.0 - 80.0 AS lat
+        |  FROM events),
+        |d AS (
+        |  SELECT event_id,
+        |    12742000.0 * asin(sqrt(
+        |      sin(radians((lat - 50.071) / 2.0))
+        |        * sin(radians((lat - 50.071) / 2.0))
+        |      + cos(radians(50.071)) * cos(radians(lat)) *
+        |        (sin(radians((lon - 10.037) / 2.0))
+        |          * sin(radians((lon - 10.037) / 2.0))))) AS dist_m
+        |  FROM p)
+        |SELECT event_id, dist_m FROM d
+        |WHERE dist_m <= 500000.0
+        |ORDER BY dist_m, event_id
+        |LIMIT 20""".stripMargin,
+
+    // NO blocking on the oracle side — probes × all points, the exact
+    // haversine text — so the hash match proves the Spark side's cell
+    // cover is a true superset of every disc
+    "q73_geo_join" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    ((event_id * 7919) % 3600) / 10.0 - 180.0 AS lon,
+        |    ((event_id * 104729) % 1600) / 10.0 - 80.0 AS lat
+        |  FROM events),
+        |pr AS (SELECT event_id AS probe_id, lon AS plon, lat AS plat
+        |       FROM p WHERE event_id % 200 = 17),
+        |d AS (
+        |  SELECT pr.probe_id, p.event_id,
+        |    12742000.0 * asin(sqrt(
+        |      sin(radians((p.lat - pr.plat) / 2.0))
+        |        * sin(radians((p.lat - pr.plat) / 2.0))
+        |      + cos(radians(pr.plat)) * cos(radians(p.lat)) *
+        |        (sin(radians((p.lon - pr.plon) / 2.0))
+        |          * sin(radians((p.lon - pr.plon) / 2.0))))) AS dist_m
+        |  FROM pr, p)
+        |SELECT probe_id, event_id, dist_m FROM d
+        |WHERE dist_m <= 100000.0""".stripMargin,
+
+    // identical sufficient-statistic arithmetic; sums come back HUGEINT
+    // in DuckDB so sxy is cast to BIGINT for the dump and every derived
+    // term is cast before the (exact) double division; sqrt(vx)*sqrt(vy)
+    // spelled the same way on both sides (≠ sqrt(vx*vy))
+    "q74_autocorr" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, (event_id * 271) % 1000 AS x
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, x,
+        |    lag(x, 1) OVER w AS x1,
+        |    lag(x, 2) OVER w AS x2,
+        |    lag(x, 3) OVER w AS x3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a1 AS (SELECT user_id, 1::BIGINT AS lag_k, count(*) AS n_pairs,
+        |         sum(x) AS sx, sum(x1) AS sy, sum(x*x) AS sxx,
+        |         sum(x1*x1) AS syy, sum(x*x1) AS sxy
+        |       FROM l WHERE x1 IS NOT NULL GROUP BY user_id),
+        |a2 AS (SELECT user_id, 2::BIGINT AS lag_k, count(*) AS n_pairs,
+        |         sum(x) AS sx, sum(x2) AS sy, sum(x*x) AS sxx,
+        |         sum(x2*x2) AS syy, sum(x*x2) AS sxy
+        |       FROM l WHERE x2 IS NOT NULL GROUP BY user_id),
+        |a3 AS (SELECT user_id, 3::BIGINT AS lag_k, count(*) AS n_pairs,
+        |         sum(x) AS sx, sum(x3) AS sy, sum(x*x) AS sxx,
+        |         sum(x3*x3) AS syy, sum(x*x3) AS sxy
+        |       FROM l WHERE x3 IS NOT NULL GROUP BY user_id),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |      UNION ALL SELECT * FROM a3)
+        |SELECT user_id, lag_k, n_pairs, sxy::BIGINT AS sxy,
+        |  (n_pairs*sxy - sx*sy)::DOUBLE
+        |    / (sqrt((n_pairs*sxx - sx*sx)::DOUBLE)
+        |       * sqrt((n_pairs*syy - sy*sy)::DOUBLE)) AS acf
+        |FROM u
+        |WHERE (n_pairs*sxx - sx*sx) > 0 AND (n_pairs*syy - sy*sy) > 0""".stripMargin,
 
     // USING(day) coalesces the join key like Spark's Seq("day") form
     "q35_full_outer" ->

@@ -341,6 +341,69 @@ object Text {
           when(col("n_docs") < k, col("n_docs")).otherwise(0L))
     }),
 
+    // Differentially-private release counts — the third privacy gate
+    // beside t33 (redact) and p21 (k-anonymity): per-language doc
+    // counts released with Laplace(1/ε) noise, ε = 1 (count queries
+    // have sensitivity 1, so scale = 1/ε — the textbook Dwork-Roth
+    // mechanism the Census/LinkedIn releases use). The noise variate
+    // is the inverse-CDF transform of a uniform u; HERE u is the
+    // deterministic md5 variate (p10/p12's 13-hex-digit / 2⁵²
+    // discipline, 'dp:'-salted) so both engines draw the identical
+    // sample and the gate certifies the MECHANISM arithmetic —
+    // production swaps the one u-column for a CSPRNG draw and nothing
+    // else changes. A deterministic seed is of course not private;
+    // that substitution is exactly what the constructed-fixture
+    // pattern exists for. ln() differs across libms by ulps — inside
+    // the gate's 1e-9 envelope.
+    "p22_dp_release" -> ((s, dir) => {
+      val u = conv(substring(md5(concat(lit("dp:"), col("lang"))), 1, 13),
+        16, 10).cast("double") / lit(4503599627370496.0)
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("u", u)
+        .withColumn("noise",
+          when(col("u") < 0.5, log(lit(2.0) * col("u")))
+            .otherwise(-log(lit(2.0) * (lit(1.0) - col("u")))))
+        .withColumn("released", col("n_true") + col("noise"))
+        .withColumn("epsilon_permille", lit(1000L))
+    }),
+
+    // Per-language Pareto frontier (skyline) — the curation question
+    // behind every quota/budget rule (p11/p14): which documents are
+    // NOT dominated on the (cost = n_chars, yield = n_tokens) plane —
+    // i.e. no other same-language doc is both no-longer AND
+    // no-less-token-rich, strictly better in one. Spelled as TWO window
+    // maxima over ONE lang shuffle AND one sort — both windows partition
+    // by lang and order by n_chars, so Catalyst plans a single Exchange
+    // + Sort + Window (PlanShapeSpec pins it): m_lt = max tokens over
+    // strictly shorter docs (RANGE … 1 PRECEDING on integer n_chars =
+    // strict <), m_eq = max tokens among equal-length docs (RANGE
+    // CURRENT ROW..CURRENT ROW = the ORDER BY peer group — same-length
+    // docs — not the single row); a row survives iff
+    // m_lt < its tokens (null-safe) AND m_eq == its tokens — exactly
+    // the ∄-dominator predicate, ties kept on both sides (two identical
+    // (chars, tokens) docs are mutually non-dominating and both stay).
+    // All integers — exact. The oracle is the literal quadratic
+    // NOT EXISTS — an INDEPENDENT formulation, so the hash match
+    // checks the window algebra, not a transliteration. At 100 TB the
+    // skyline is one sort per language partition, O(n log n) per
+    // partition vs the oracle's O(n²) — that asymmetry is the point.
+    "p23_pareto_frontier" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      val wLt = Window.partitionBy("lang").orderBy(col("n_chars"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy("lang").orderBy(col("n_chars"))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      d.withColumn("m_lt", max("n_tokens").over(wLt))
+        .withColumn("m_eq", max("n_tokens").over(wEq))
+        .filter((col("m_lt").isNull || col("m_lt") < col("n_tokens")) &&
+          col("m_eq") === col("n_tokens"))
+        .select("lang", "doc_id", "n_chars", "n_tokens")
+    }),
+
     // Context-window chunking (the UDTF/generator shape of corpus prep):
     // split each document into 50-token windows with stride 40 (10-token
     // overlap) — one explode of the stride sequence + a slice per chunk,
@@ -2097,6 +2160,39 @@ object Text {
          |SELECT split, lang, count(*) AS n_docs,
          |  sum(n_tokens)::BIGINT AS sum_tokens
          |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    // identical md5 variate, identical inverse-CDF branch; ln within
+    // libm ulps of Spark's (inside the gate's 1e-9 envelope)
+    "p22_dp_release" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n_true FROM documents GROUP BY lang),
+        |v AS (
+        |  SELECT lang, n_true,
+        |    (('0x' || substr(md5('dp:' || lang), 1, 13))::UBIGINT)
+        |      / 4503599627370496.0 AS u
+        |  FROM g)
+        |SELECT lang, n_true, u,
+        |  CASE WHEN u < 0.5 THEN ln(2.0 * u)
+        |       ELSE -ln(2.0 * (1.0 - u)) END AS noise,
+        |  n_true + (CASE WHEN u < 0.5 THEN ln(2.0 * u)
+        |            ELSE -ln(2.0 * (1.0 - u)) END) AS released,
+        |  1000::BIGINT AS epsilon_permille
+        |FROM v""".stripMargin,
+
+    // the literal quadratic dominance definition — deliberately NOT the
+    // window formulation the engine uses, so the gate checks the
+    // algebra, not a transliteration
+    "p23_pareto_frontier" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents)
+        |SELECT b.lang, b.doc_id, b.n_chars, b.n_tokens FROM d b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d a
+        |  WHERE a.lang = b.lang
+        |    AND a.n_chars <= b.n_chars AND a.n_tokens >= b.n_tokens
+        |    AND (a.n_chars < b.n_chars OR a.n_tokens > b.n_tokens))""".stripMargin,
 
     // the same QI bucketing and k threshold; pure-integer
     "p21_k_anonymity" ->

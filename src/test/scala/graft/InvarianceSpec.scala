@@ -117,7 +117,18 @@ class InvarianceSpec extends SparkSuite {
         "t33_pii_redact", "mm12_aspect_buckets", "mm13_shot_segments",
         "dd20_lsh_planner", "q68_summary_rewrite", "q69_summary_refresh",
         "g12_interp_nearest", "q70_compact_small_files",
-        "p20_stage_attrition", "p21_k_anonymity", "s22_tombstone_knn")) {
+        "p20_stage_attrition", "p21_k_anonymity", "s22_tombstone_knn",
+        // round-9 session-3: q71 is pure-integer (quantizer + morton
+        // interleave + extrema); q72's distances and p22's noise are
+        // row-local double transforms of integer-derived inputs —
+        // identical on every partitioning — and p22's n_true is an
+        // exact integer count; all strict material
+        "q71_geo_cells", "q72_geo_radius", "p22_dp_release",
+        // q73's pairs and q74's sufficient statistics are exact
+        // (integer cells / integer sums); p23's skyline predicate is
+        // pure-integer window algebra — partitioning cannot move any
+        // of them
+        "q73_geo_join", "q74_autocorr", "p23_pareto_frontier")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq

@@ -150,6 +150,69 @@ class PlanShapeSpec extends SparkSuite {
     assert(mm12Ex == 1, s"mm12 expected 1 Exchange, got $mm12Ex:\n$mm12")
   }
 
+  test("round-9 session-3 plans: one-Exchange geo cells, local radius") {
+    // q71: quantize + interleave run in-row at the scan; the ONLY
+    // Exchange is the per-cell occupancy aggregate (bounded by the
+    // 2^16 cell domain). A second Exchange would mean the coordinate
+    // derivation itself started shuffling.
+    val q71 = plan("q71_geo_cells")
+    val q71Ex = "Exchange hashpartitioning".r.findAllIn(q71).size
+    assert(q71Ex == 1, s"q71 expected 1 Exchange, got $q71Ex:\n$q71")
+    // q72: bbox prefilter + haversine are row-local; top-20 resolves
+    // via TakeOrderedAndProject (per-partition heaps + driver merge),
+    // never a global sort Exchange
+    val q72 = plan("q72_geo_radius")
+    assert(q72.contains("TakeOrderedAndProject"),
+      s"q72 expected TakeOrderedAndProject:\n$q72")
+    assert(!q72.contains("Exchange rangepartitioning"),
+      s"q72 must not globally sort:\n$q72")
+    // p22: one |langs|-bounded aggregate; the noise transform is a
+    // projection over the agg, never a second shuffle
+    val p22 = plan("p22_dp_release")
+    val p22Ex = "Exchange hashpartitioning".r.findAllIn(p22).size
+    assert(p22Ex == 1, s"p22 expected 1 Exchange, got $p22Ex:\n$p22")
+  }
+
+  test("q73 geo join broadcasts the probe side; the point table never shuffles") {
+    // the cell-key equijoin must be a BroadcastHashJoin on the exploded
+    // (probes × 9)-row side — zero shuffle Exchanges anywhere: at 100 TB
+    // the point table is the side that must not move
+    val p = plan("q73_geo_join")
+    assert(p.contains("BroadcastHashJoin"), s"q73 expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q73 wrong join strategy:\n$p")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 0, s"q73 expected 0 shuffle Exchanges, got $ex:\n$p")
+  }
+
+  test("q74 autocorr: one Exchange, one Window, generate after the agg") {
+    // all three lags come out of ONE window pass; the aggregate inherits
+    // the window's hashpartitioning(user_id) (no second shuffle); the
+    // per-lag unpivot (Generate/inline) sits ABOVE the aggregate, so it
+    // multiplies O(series) rows, never the corpus
+    val p = plan("q74_autocorr")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 1, s"q74 expected 1 Exchange, got $ex:\n$p")
+    val wins = "\\bWindow \\[".r.findAllIn(p).size
+    assert(wins == 1, s"q74 expected 1 Window, got $wins:\n$p")
+    val genIdx = p.indexOf("Generate")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      s"q74 expected Generate above the aggregate:\n$p")
+  }
+
+  test("p23 pareto frontier: both window maxima share one Exchange and Sort") {
+    // m_lt (RANGE …, -1) and m_eq (RANGE current..current) partition and
+    // order identically, so Catalyst plans a single Exchange + Sort and
+    // one Window node carrying both frames — a second Exchange or Sort
+    // would mean the frames diverged
+    val p = plan("p23_pareto_frontier")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 1, s"p23 expected 1 Exchange, got $ex:\n$p")
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts == 1, s"p23 expected 1 Sort, got $sorts:\n$p")
+  }
+
   test("dd7 plan has no nested-loop or cartesian join") {
     val p = plan("dd7_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
