@@ -1018,8 +1018,88 @@ object Dedup {
       scored.crossJoin(broadcast(best))
         .withColumn("best", col("err_micros") === col("best_err"))
         .drop("best_err")
+    }),
+
+    // Record linkage / entity resolution — the cross-table fuzzy JOIN of
+    // the dedup family (dd9 scores edit distance on an existing pair
+    // list; this FINDS the pairs across two tables): every (alias, base)
+    // pair within Levenshtein τ = 2, never all-pairs. Candidates come
+    // from PassJoin-style pigeonhole blocking (Li, Deng, Feng, ICDE
+    // 2011): the base name splits into τ+1 = 3 disjoint segments
+    // (5+5+6 chars); any alias within τ edits leaves ≥1 segment
+    // untouched, and that segment's image in the alias is contiguous,
+    // identical, and start-shifted by the net indels before it — at
+    // most ±τ. So the base side explodes ×3 on (segment_idx, segment)
+    // and the alias side ×3·(2τ+1) on every ±2-shifted same-length
+    // substring; the equality join is a provable candidate SUPERSET,
+    // and the oracle — which does the blocking-free quadratic join —
+    // hash-certifies exactly that. Names are md5-derived 16-hex fixtures
+    // (t19's pattern): high-entropy, so segment keys are discriminative
+    // and candidates ≈ true matches (formulaic low-entropy keys are the
+    // known failure mode of signature blocking — dd2's doc-freq cut is
+    // the remedy when it bites; here the fixture isolates the join
+    // itself). Aliases are deterministic 1-2-edit corruptions built by
+    // ONE shared CASE expression both engines evaluate verbatim
+    // ([[linkageAliasCase]]), cycling delete / substitute /
+    // delete+substitute by key. The alias side is query-sized and
+    // BROADCASTS — the 100 TB base never shuffles for candidates; the
+    // only Exchange is the candidate-pair dedup. Exact levenshtein
+    // (already cross-engine-certified by dd9) is the residual.
+    "dd21_record_linkage" -> ((s, dir) => {
+      val base = Tables.customer(s, dir).select(col("c_custkey"))
+        .withColumn("name", expr(LinkageNameSql))
+      val aliases = base.filter(col("c_custkey") % 20 === 3)
+        .withColumn("alias", expr(linkageAliasCase))
+        .select(col("c_custkey").as("alias_id"), col("alias"))
+      val segs = Seq((1, 5), (6, 5), (11, 6))
+      val baseSegs = base.select(col("c_custkey"), col("name"),
+        explode(array(segs.zipWithIndex.map { case ((st, ln), i) =>
+          struct(lit(i).as("idx"), substring(col("name"), st, ln).as("seg"))
+        }: _*)).as("b"))
+        .select(col("c_custkey"), col("name"),
+          col("b.idx").as("idx"), col("b.seg").as("seg"))
+      val aliasSegs = aliases.select(col("alias_id"), col("alias"),
+        explode(array((for {
+          ((st, ln), i) <- segs.zipWithIndex
+          d <- -2 to 2
+          if st + d >= 1
+        } yield struct(lit(i).as("idx"),
+          substring(col("alias"), st + d, ln).as("seg"))): _*)).as("a"))
+        .select(col("alias_id"), col("alias"),
+          col("a.idx").as("idx"), col("a.seg").as("seg"))
+      baseSegs.join(broadcast(aliasSegs), Seq("idx", "seg"))
+        // name/alias are functions of the keys, so the arbitrary row
+        // dropDuplicates keeps is content-identical — deterministic
+        .dropDuplicates("alias_id", "c_custkey")
+        .withColumn("edit_dist", levenshtein(col("alias"), col("name")))
+        .filter(col("edit_dist") <= 2)
+        .select("alias_id", "c_custkey", "edit_dist")
     })
   )
+
+  /** dd21's base-name fixture: a high-entropy 16-hex name per customer
+    * key, derivable identically by both engines.
+    */
+  private[graft] val LinkageNameSql: String =
+    "substr(md5('name:' || c_custkey), 1, 16)"
+
+  /** dd21's alias corruption — ONE dialect-common CASE expression (the
+    * dd20 shared-string discipline) over columns (c_custkey, name),
+    * cycling by key: delete the char at p = 4 + key%10 (distance 1) /
+    * substitute 'z' there ('z' is outside the hex alphabet, so the edit
+    * is never vacuous) / delete at p then substitute position 14 of the
+    * 15-char result (distance exactly 2).
+    */
+  private[graft] lazy val linkageAliasCase: String = {
+    val del = "substr(name, 1, 3 + c_custkey % 10) || " +
+      "substr(name, 5 + c_custkey % 10)"
+    s"""CASE c_custkey % 3
+       |  WHEN 0 THEN $del
+       |  WHEN 1 THEN substr(name, 1, 3 + c_custkey % 10) || 'z' ||
+       |              substr(name, 5 + c_custkey % 10)
+       |  ELSE substr($del, 1, 13) || 'z' || substr($del, 15)
+       |END""".stripMargin
+  }
 
   /** The (bands, rows-per-band) splits of dd3's 32-perm budget that
     * dd20 scores.
@@ -1221,6 +1301,22 @@ object Dedup {
          |  fp_micros + fn_micros =
          |    (SELECT min(fp_micros + fn_micros) FROM sc) AS best
          |FROM sc""".stripMargin,
+
+    // the blocking-free quadratic join — every (alias, base) pair scored
+    // by exact levenshtein — so the hash match proves the Spark side's
+    // pigeonhole segment cover is a true candidate superset; name and
+    // alias construction are the SAME shared strings the engine runs
+    "dd21_record_linkage" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey, $LinkageNameSql AS name
+         |  FROM customer),
+         |al AS (
+         |  SELECT c_custkey AS alias_id, $linkageAliasCase AS alias
+         |  FROM base WHERE c_custkey % 20 = 3)
+         |SELECT alias_id, b.c_custkey,
+         |  CAST(levenshtein(alias, name) AS INTEGER) AS edit_dist
+         |FROM al, base b
+         |WHERE levenshtein(alias, name) <= 2""".stripMargin,
 
     // same CTEs as dd2 through `scored` (all candidates, exact shared
     // counts — the Spark-side ub prefilter is result-invariant), then the

@@ -606,4 +606,24 @@ class DedupSimilaritySpec extends SparkSuite {
       assert(s17(id) == s22(id), s"score moved under deletion for $id")
     }
   }
+
+  test("dd21 record linkage: every alias resolves to its own base, " +
+    "both edit classes non-vacuous") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("dd21_record_linkage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // recall floor: the pigeonhole blocking may surface EXTRA true
+    // pairs (any base within 2 edits), but it must never lose the
+    // planted identity link alias(k) → base(k)
+    val expectedAliases = (0L until 150L).filter(_ % 20 == 3)
+    val selfLinks = rows.filter { case (a, b, _) => a == b }
+    assert(selfLinks.map(_._1).toSet == expectedAliases.toSet,
+      s"missing planted links: got ${selfLinks.map(_._1).sorted.toSeq}")
+    // the corruption classes really produce both distances: %3==1
+    // substitutes (distance 1), %3==2 composes delete+substitute
+    // (distance exactly 2); a distance-0 row would mean a vacuous edit
+    assert(rows.forall(_._3 >= 1), s"vacuous alias edit: ${rows.toSeq}")
+    assert(selfLinks.exists(_._3 == 1) && selfLinks.exists(_._3 == 2),
+      s"both edit distances expected: ${selfLinks.toSeq}")
+  }
 }

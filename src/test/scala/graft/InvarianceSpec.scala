@@ -128,7 +128,10 @@ class InvarianceSpec extends SparkSuite {
         // (integer cells / integer sums); p23's skyline predicate is
         // pure-integer window algebra — partitioning cannot move any
         // of them
-        "q73_geo_join", "q74_autocorr", "p23_pareto_frontier")) {
+        "q73_geo_join", "q74_autocorr", "p23_pareto_frontier",
+        // dd21's links and distances are pure string/integer functions
+        // of the keys — strict material
+        "dd21_record_linkage")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq

@@ -201,6 +201,20 @@ class PlanShapeSpec extends SparkSuite {
       s"q74 expected Generate above the aggregate:\n$p")
   }
 
+  test("dd21 linkage broadcasts the alias segments; no nested-loop pair scan") {
+    // candidates come from the pigeonhole segment equijoin with the
+    // query-sized alias side broadcast — the base table must never
+    // shuffle for candidate generation (the only Exchange is the
+    // candidate-pair dedup) and there must be no quadratic join
+    val p = plan("dd21_record_linkage")
+    assert(p.contains("BroadcastHashJoin"), s"dd21 expected broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"dd21 wrong join strategy:\n$p")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 1, s"dd21 expected 1 Exchange (pair dedup), got $ex:\n$p")
+  }
+
   test("p23 pareto frontier: both window maxima share one Exchange and Sort") {
     // m_lt (RANGE …, -1) and m_eq (RANGE current..current) partition and
     // order identically, so Catalyst plans a single Exchange + Sort and
