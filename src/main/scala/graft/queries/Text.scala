@@ -330,15 +330,12 @@ object Text {
     // bucket width is the generalization knob a release tunes until
     // at_risk empties.
     "p21_k_anonymity" -> ((s, dir) => {
-      val k = 5L
-      Tables.documents(s, dir)
-        .select(col("lang"), col("source"),
-          expr("n_chars DIV 100").as("len_bucket"))
-        .groupBy("lang", "source", "len_bucket")
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("at_risk", col("n_docs") < k)
-        .withColumn("suppression_cost",
-          when(col("n_docs") < k, col("n_docs")).otherwise(0L))
+      kAnonymityVerdicts(
+        Tables.documents(s, dir)
+          .select(col("lang"), col("source"),
+            expr("n_chars DIV 100").as("len_bucket"))
+          .groupBy("lang", "source", "len_bucket")
+          .agg(count(lit(1)).as("n_docs")))
     }),
 
     // Differentially-private release counts — the third privacy gate
@@ -1964,6 +1961,19 @@ object Text {
       |      WINDOW wbest AS (ORDER BY (tot IS NULL), tot DESC, l, r
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
       |    WHERE rn = 1))""".stripMargin
+
+  /** p21's verdict arithmetic over a (lang, source, len_bucket, n_docs)
+    * class-count frame — ONE definition shared by the batch gate and the
+    * streaming monitor ([[graft.streaming.PrivacyStream]]), so the two
+    * cannot disagree on what "at risk" means. k = 5.
+    */
+  private[graft] def kAnonymityVerdicts(counts: DataFrame): DataFrame = {
+    val k = 5L
+    counts
+      .withColumn("at_risk", col("n_docs") < k)
+      .withColumn("suppression_cost",
+        when(col("n_docs") < k, col("n_docs")).otherwise(0L))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "t1_text_stats" ->
