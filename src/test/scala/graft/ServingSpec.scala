@@ -141,4 +141,35 @@ class ServingSpec extends SparkSuite {
       shortlist = 1000, excludeId = 0L)
     assert(wide.size == 10)
   }
+
+  test("geo radius serving == q72's gated answer, bit-identical; " +
+    "driver-tier latency") {
+    import graft.queries.GeoServing
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val batch = SparkEntry.queries("q72_geo_radius")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val served = GeoServing.serveRadius(spark, sf,
+        lon0 = 10.037, lat0 = 50.071, rMeters = 500000.0, k = 20)
+      // same ids, BIT-identical doubles: the serving haversine runs
+      // q72's expression tree in q72's IEEE order on the same JVM
+      assert(served == batch, s"geo serving diverges from q72 at $sf:\n" +
+        s"served=$served\nbatch=$batch")
+    }
+    // latency: the index is built; probes across the globe answer with
+    // no Spark job on the hot path (same proxy bound as the ANN tier)
+    val sf = "/root/testdata/sf0.01"
+    val probes = (0 until 200).map(i =>
+      (((i * 97) % 3600) / 10.0 - 180.0 + 0.037,
+        ((i * 131) % 1500) / 10.0 - 75.0 + 0.071))
+    val t0 = System.nanoTime()
+    val rs = probes.map { case (lo, la) =>
+      GeoServing.serveRadius(spark, sf, lo, la, 300000.0, k = 20)
+    }
+    val perQueryMs = (System.nanoTime() - t0) / 1e6 / probes.size
+    assert(rs.forall(r =>
+      r.sliding(2).forall(p => p.size < 2 || p.head._2 <= p.last._2)))
+    assert(perQueryMs < 5.0,
+      f"geo lookup took $perQueryMs%.2f ms/query — not driver-tier")
+    info(f"geo serving latency: $perQueryMs%.3f ms/query over 200 probes")
+  }
 }
