@@ -1201,6 +1201,44 @@ object Relational {
         .select("user_id", "lag_k", "n_pairs", "sxy", "acf")
     }),
 
+    // Per-group OLS trend fit — the regression leg of the stats family
+    // (q21 reads correlation off the float built-ins; this FITS the
+    // model): slope, intercept and R² of y on x per user from the
+    // closed-form normal equations over EXACT int64 sufficient
+    // statistics (q74's discipline — constructed integer series, group
+    // sums ≤10¹⁴ < 2⁵³ so every double cast is exact; cov² is computed
+    // in doubles because its exact value can exceed int64, and a
+    // product of exactly-represented doubles is correctly rounded
+    // identically on both engines). Degenerate groups (zero variance
+    // in x or y) are excluded by exact integer predicates on both
+    // sides. One map-side-combined aggregate — one Exchange; output
+    // O(groups). At 100 TB this is the per-key trend-profile job: the
+    // sums fold in one pass, the solve is a projection.
+    "q75_linear_fit" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("(event_id * 271) % 1000").as("x"),
+        expr("(event_id * 97) % 500").as("y"))
+      val agg = e.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      agg.filter(vx > 0 && vy > 0)
+        .withColumn("slope", cov.cast("double") / vx.cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") -
+            col("slope") * col("sx").cast("double")) /
+            col("n").cast("double"))
+        .withColumn("r2",
+          (cov.cast("double") * cov.cast("double")) /
+            (vx.cast("double") * vy.cast("double")))
+        .select("user_id", "n", "slope", "intercept", "r2")
+    }),
+
     // Incremental summary refresh ([[graft.plans.SummaryRewrite
     // .mergeSummaries]]) — the maintenance half of q68's materialized
     // aggregate: the fact table arrives as base + today's delta, each is
@@ -2545,6 +2583,32 @@ object Relational {
         |       * sqrt((n_pairs*syy - sy*sy)::DOUBLE)) AS acf
         |FROM u
         |WHERE (n_pairs*sxx - sx*sx) > 0 AND (n_pairs*syy - sy*sy) > 0""".stripMargin,
+
+    // identical normal-equation arithmetic; DuckDB's HUGEINT sums are
+    // cast to DOUBLE term-by-term exactly where Spark casts, and the
+    // intercept reuses the slope expression in the same order
+    "q75_linear_fit" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    (event_id * 271) % 1000 AS x,
+        |    (event_id * 97) % 500 AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM e GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id, n, sx, sy,
+        |    (n*sxy - sx*sy) AS cov,
+        |    (n*sxx - sx*sx) AS vx,
+        |    (n*syy - sy*sy) AS vy
+        |  FROM a)
+        |SELECT user_id, n::BIGINT AS n,
+        |  cov::DOUBLE / vx::DOUBLE AS slope,
+        |  (sy::DOUBLE - (cov::DOUBLE / vx::DOUBLE) * sx::DOUBLE)
+        |    / n::DOUBLE AS intercept,
+        |  (cov::DOUBLE * cov::DOUBLE) / (vx::DOUBLE * vy::DOUBLE) AS r2
+        |FROM d WHERE vx > 0 AND vy > 0""".stripMargin,
 
     // USING(day) coalesces the join key like Spark's Seq("day") form
     "q35_full_outer" ->

@@ -130,8 +130,9 @@ class InvarianceSpec extends SparkSuite {
         // of them
         "q73_geo_join", "q74_autocorr", "p23_pareto_frontier",
         // dd21's links and distances are pure string/integer functions
-        // of the keys — strict material
-        "dd21_record_linkage")) {
+        // of the keys — strict material; q75's fit is doubles derived
+        // from exact integer sums — partition-order-free
+        "dd21_record_linkage", "q75_linear_fit")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
