@@ -136,6 +136,40 @@ object Text {
     // gate's float tolerance: both engines sum the same f·log2(f)
     // terms, only in different order (the one libm-shaped caveat,
     // ~1 ulp, documented where q25 documents its boundary).
+    // Readability scoring (Flesch 1948 reading ease) — the curation
+    // signal complementary to t2's stopword heuristics and t29's
+    // learned classifier: 206.835 − 1.015·(words/sentences) −
+    // 84.6·(syllables/words), with the standard corpus-scale proxies —
+    // syllables ≈ vowel groups (one regexp_count, the heuristic every
+    // readability library ships), sentences = terminal-punctuation
+    // runs with a fixed 15-token-window fallback (this corpus carries
+    // no [.!?], so the fallback is the live path; a punctuated corpus
+    // flips to the splitter automatically via greatest()). Every input
+    // is an exact integer count, the score a formula over exact
+    // doubles — identical on both engines (cross-engine regex parity
+    // is already load-bearing for t33's redaction). Scan-local: no
+    // shuffle at all, O(1) state per row at any corpus size.
+    "t34_readability" -> ((s, dir) => {
+      val words = tokenCount(col("text")).cast("long")
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"),
+        words.as("n_words"),
+        greatest(
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+          // double division then truncate == integer DIV for the
+          // positive bounded counts here (exact in double)
+          ((words + lit(14L)) / lit(15L)).cast("long"),
+          lit(1L)).as("n_sentences"),
+        regexp_count(col("text"), lit("[aeiou]+")).cast("long")
+          .as("n_vowel_groups"))
+      d.withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_vowel_groups").cast("double") /
+            col("n_words").cast("double")))
+    }),
+
     "t21_char_entropy" -> ((s, dir) => {
       import graft.functions.TextFunctions.{chars, charEntropy}
       Tables.documents(s, dir)
@@ -2046,6 +2080,25 @@ object Text {
     // boolean keep flag folds from the same BIGINT arithmetic on both
     // engines
     // same in-list arithmetic (list comprehension + nested list_filter);
+    // identical integer counts and formula; DuckDB's regexp engine
+    // agrees with Java's on these character-class patterns (the same
+    // parity t33's redaction already certifies)
+    "t34_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    greatest(
+        |      len(regexp_extract_all(text, '[.!?]+'))::BIGINT,
+        |      (len(string_split(text, ' ')) + 14) // 15,
+        |      1)::BIGINT AS n_sentences,
+        |    len(regexp_extract_all(text, '[aeiou]+'))::BIGINT
+        |      AS n_vowel_groups
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+        |  206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        |    - 84.6 * (n_vowel_groups::DOUBLE / n_words::DOUBLE) AS flesch
+        |FROM c""".stripMargin,
+
     // list_distinct order differs from array_distinct's — only the
     // SUMMATION order changes, covered by the gate's float tolerance
     "t21_char_entropy" ->

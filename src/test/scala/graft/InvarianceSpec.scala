@@ -132,7 +132,9 @@ class InvarianceSpec extends SparkSuite {
         // dd21's links and distances are pure string/integer functions
         // of the keys — strict material; q75's fit is doubles derived
         // from exact integer sums — partition-order-free
-        "dd21_record_linkage", "q75_linear_fit")) {
+        "dd21_record_linkage", "q75_linear_fit",
+        // t34 is a row-local projection — trivially strict
+        "t34_readability")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
