@@ -1239,6 +1239,51 @@ object Relational {
         .select("user_id", "n", "slope", "intercept", "r2")
     }),
 
+    // Referential-integrity audit — the lake-governance report a
+    // multi-table ingest runs when facts and dimensions load on
+    // different cadences: per FK relation, child count, orphan count
+    // (child key with no parent row) and orphan rate in exact ppm.
+    // The driver fixtures are referentially CLEAN, so the audit runs
+    // against deterministically-degraded dimension snapshots (every
+    // 7th customer / 11th order / 5th part / 9th supplier dropped —
+    // the partial-snapshot scenario the audit exists to catch), which
+    // makes every row non-vacuous and exact-integer. Each leg is ONE
+    // left-outer join with the parent KEY SET (dims broadcast — the
+    // fact side never shuffles) folded by a map-side-combined global
+    // aggregate: orphanhood is `parent-marker IS NULL`, so child count
+    // and orphan count come out of the same pass, no anti-join +
+    // rescan. At 100 TB the dim legs stay broadcast; a fact-fact leg
+    // (lineitem→orders) shuffles on the key — or, when only the RATE
+    // is audited, screens through p9's Bloom pattern instead.
+    "q76_fk_orphans" -> ((s, dir) => {
+      def leg(child: DataFrame, ckey: String,
+          parent: DataFrame, pkey: String, drop: Int,
+          label: String): DataFrame = {
+        val pk = parent.filter(col(pkey) % drop =!= 0)
+          .select(col(pkey).as("k"), lit(1).as("present"))
+        child.select(col(ckey).as("k"))
+          .join(broadcast(pk), Seq("k"), "left_outer")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("present").isNull, 1L).otherwise(0L))
+              .as("n_orphans"))
+          .withColumn("relation", lit(label))
+      }
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      Seq(
+        leg(o, "o_custkey", Tables.customer(s, dir), "c_custkey", 7,
+          "orders->customer"),
+        leg(l, "l_orderkey", o, "o_orderkey", 11, "lineitem->orders"),
+        leg(l, "l_partkey", Tables.part(s, dir), "p_partkey", 5,
+          "lineitem->part"),
+        leg(l, "l_suppkey", Tables.supplier(s, dir), "s_suppkey", 9,
+          "lineitem->supplier"))
+        .reduce(_ unionByName _)
+        .withColumn("orphan_ppm",
+          expr("(n_orphans * 1000000) DIV n_child"))
+        .select("relation", "n_child", "n_orphans", "orphan_ppm")
+    }),
+
     // Incremental summary refresh ([[graft.plans.SummaryRewrite
     // .mergeSummaries]]) — the maintenance half of q68's materialized
     // aggregate: the fact table arrives as base + today's delta, each is
@@ -2609,6 +2654,41 @@ object Relational {
         |    / n::DOUBLE AS intercept,
         |  (cov::DOUBLE * cov::DOUBLE) / (vx::DOUBLE * vy::DOUBLE) AS r2
         |FROM d WHERE vx > 0 AND vy > 0""".stripMargin,
+
+    // the same degraded-snapshot audit, leg by leg; counts/sums cast
+    // from DuckDB's HUGEINT to BIGINT, ppm by integer division
+    "q76_fk_orphans" ->
+      """WITH legs AS (
+        |  SELECT 'orders->customer' AS relation, count(*) AS n_child,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_orphans
+        |  FROM orders o LEFT JOIN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0) c
+        |    ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', count(*),
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 <> 0) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem->part', count(*),
+        |    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT p_partkey FROM part WHERE p_partkey % 5 <> 0) p
+        |    ON l.l_partkey = p.p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem->supplier', count(*),
+        |    CAST(sum(CASE WHEN sp.s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT s_suppkey FROM supplier WHERE s_suppkey % 9 <> 0) sp
+        |    ON l.l_suppkey = sp.s_suppkey)
+        |SELECT relation, n_child, n_orphans,
+        |  CAST((n_orphans * 1000000) // n_child AS BIGINT) AS orphan_ppm
+        |FROM legs""".stripMargin,
 
     // USING(day) coalesces the join key like Spark's Seq("day") form
     "q35_full_outer" ->

@@ -133,8 +133,9 @@ class InvarianceSpec extends SparkSuite {
         // of the keys — strict material; q75's fit is doubles derived
         // from exact integer sums — partition-order-free
         "dd21_record_linkage", "q75_linear_fit",
-        // t34 is a row-local projection — trivially strict
-        "t34_readability")) {
+        // t34 is a row-local projection — trivially strict; q76 is
+        // exact integer counts over keyed joins
+        "t34_readability", "q76_fk_orphans")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq

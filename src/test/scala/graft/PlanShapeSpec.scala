@@ -215,6 +215,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(ex == 1, s"dd21 expected 1 Exchange (pair dedup), got $ex:\n$p")
   }
 
+  test("q76 integrity audit: every leg broadcasts its parent key set") {
+    // four left-outer joins against degraded dim snapshots — each must
+    // broadcast the parent side (the fact side never shuffles for the
+    // audit); orphanhood folds in the same aggregate as the child count
+    val p = plan("q76_fk_orphans")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj == 4, s"q76 expected 4 broadcast joins, got $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q76 must not shuffle a fact side:\n$p")
+  }
+
   test("p23 pareto frontier: both window maxima share one Exchange and Sort") {
     // m_lt (RANGE …, -1) and m_eq (RANGE current..current) partition and
     // order identically, so Catalyst plans a single Exchange + Sort and

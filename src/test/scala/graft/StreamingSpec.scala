@@ -1270,4 +1270,47 @@ class StreamingSpec extends SparkSuite {
       "fixture vacuous: need both at-risk and safe classes")
   }
 
+  test("streaming geo occupancy: live cell profile == batch q71") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stream every point (q71's exact quantization, done up front so
+    // stream and batch cell identically) in micro-batches; the folded
+    // live profile must equal the batch layout profile row-for-row —
+    // counts AND extrema. sf0.1 deliberately: the (klon, klat) lattice
+    // has period 14400, so multi-point cells (the rows where count and
+    // extrema folding actually carry state) only exist above 14400
+    // points — smaller SFs make the parity vacuously per-point
+    val sf = "/root/testdata/sf0.1"
+    val pts = Tables.events(spark, sf).select(
+        expr("(event_id * 7919) % 3600").as("klon"),
+        expr("(event_id * 104729) % 1600").as("klat"))
+      .withColumn("qlon", expr("(klon * 256) DIV 3600"))
+      .withColumn("qlat", expr("(klat * 256) DIV 1600"))
+      .withColumn("cell", graft.functions.LayoutFunctions.morton8(
+        col("qlon"), col("qlat")))
+      .select(col("cell"), col("klon"), col("klat"))
+      .as[graft.streaming.GeoStream.CellPoint].collect().toSeq
+    val mem = MemoryStream[graft.streaming.GeoStream.CellPoint]
+    val q = graft.streaming.GeoStream.cellProfiles(mem.toDS())
+      .writeStream.format("memory").queryName("geo_cells")
+      .outputMode("update").start()
+    pts.grouped((pts.size + 3) / 4).foreach { c =>
+      mem.addData(c: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "n_points", "klon_min", "klon_max",
+          "klat_min", "klat_max")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val live = rows(graft.streaming.GeoStream.profile(
+      spark.table("geo_cells")))
+    val batch = rows(SparkEntry.queries("q71_geo_cells")(spark, sf))
+    assert(live == batch,
+      s"live cell profile != batch q71 (diff: ${(live -- batch).take(3)}" +
+        s" / ${(batch -- live).take(3)})")
+    // non-vacuous: multi-point cells must exist, or extrema == point
+    assert(live.exists(_._2 > 1L), "fixture vacuous: no multi-point cell")
+  }
+
 }
