@@ -59,6 +59,16 @@ object AsofJoin {
     require(!payload.values.exists(_ == "_rt"),
       "payload destination _rt is reserved for the carried right time")
     tolerance.foreach(d => require(!d.isNegative, "tolerance must be >= 0"))
+    // the time columns are cast to timestamp for the NTZ/LTZ mix; on an
+    // INTEGRAL column that cast silently reinterprets the value as
+    // SECONDS since epoch (an integer-µs column overflows into garbage
+    // ordering) — reject loudly, callers convert via timestamp_micros
+    Seq(left.schema(leftTime), right.schema(rightTime)).foreach { f =>
+      require(!f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"time column ${f.name} is numeric (${f.dataType.simpleString}): " +
+          "cast-to-timestamp would reinterpret it as seconds — pass a " +
+          "temporal column (e.g. timestamp_micros for integer µs)")
+    }
 
     // The whole right payload rides in ONE struct per row: carrying each
     // payload column independently with last(ignoreNulls) would tear rows —

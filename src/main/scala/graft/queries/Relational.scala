@@ -1940,6 +1940,44 @@ object Relational {
           col("valid_from_us"))
     }),
 
+    // Point-in-time (PIT) join — the canonical warehouse read over SCD2
+    // history that q63's snapshot does NOT cover: every FACT row looks
+    // up the dimension version valid AT ITS OWN timestamp (a different
+    // T per row, not one global instant). Composes q56's history build
+    // (one definition) with the AsofJoin operator: versions tile
+    // seamlessly per user (q56's spec-pinned invariant), so "interval
+    // containing us" ≡ "latest valid_from_us ≤ us" — the as-of
+    // union-and-carry, one user_id shuffle + one window, never an
+    // interval pair-expansion. Empty versions (valid_to == valid_from:
+    // several state changes in the same µs) are dropped first so the
+    // as-of tie-break and the oracle's half-open-interval predicate
+    // cannot disagree on which same-µs version covers. Every purchase
+    // is itself one of the user's events, so a covering version always
+    // exists — the oracle's inner join and the as-of's carry see the
+    // same rows. At 100 TB: facts and a MATERIALIZED history co-bucket
+    // on user_id (q29's layout) and the PIT join is exchange-free.
+    "q77_scd2_pit_join" -> ((s, dir) => {
+      // AsofJoin's time contract is TEMPORAL columns (an integral µs
+      // column would be reinterpreted as seconds by the cast — the
+      // operator now rejects that loudly), so the µs longs convert via
+      // timestamp_micros — exact and order-preserving — and the gated
+      // output keeps the integer µs
+      val hist = queries("q56_scd2_history")(s, dir)
+        .filter(col("valid_to_us").isNull ||
+          col("valid_to_us") > col("valid_from_us"))
+        .select(col("user_id"), col("event_type").as("state"),
+          timestamp_micros(col("valid_from_us")).as("valid_from"))
+      val facts = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns DIV 1000").as("us"))
+        .withColumn("t", timestamp_micros(col("us")))
+      graft.operators.AsofJoin.asof(facts, hist,
+        key = "user_id", leftTime = "t", rightTime = "valid_from",
+        payload = Map("state" -> "state_at_purchase"))
+        .select("event_id", "user_id", "us", "state_at_purchase")
+    }),
+
     // Rolling median — ORDER STATISTICS over a moving frame, the window
     // capability the sum/avg pack (q15/q51/q62) doesn't cover: per-user
     // trailing-10-event median of the (integerized) event value, the
@@ -3293,6 +3331,20 @@ object Relational {
     // inequality spelled IS DISTINCT FROM (DuckDB) == Spark's
     // prev.isNull || prev =!= cur
     "q56_scd2_history" -> Q56Sql,
+
+    // the SAME history string q56 gates, inner-joined on the half-open
+    // interval — the blocking-free interval spelling of the engine's
+    // as-of carry, so the hash match certifies the tiling equivalence
+    "q77_scd2_pit_join" ->
+      s"""WITH h AS ($Q56Sql),
+         |f AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT f.event_id, f.user_id, f.us,
+         |  h.event_type AS state_at_purchase
+         |FROM f JOIN h ON f.user_id = h.user_id
+         |  AND f.us >= h.valid_from_us
+         |  AND (h.valid_to_us IS NULL OR f.us < h.valid_to_us)""".stripMargin,
 
     // the snapshot predicate over the SAME history string q56 gates —
     // half-open [valid_from, valid_to) interval semantics

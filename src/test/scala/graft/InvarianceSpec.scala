@@ -135,7 +135,9 @@ class InvarianceSpec extends SparkSuite {
         "dd21_record_linkage", "q75_linear_fit",
         // t34 is a row-local projection — trivially strict; q76 is
         // exact integer counts over keyed joins
-        "t34_readability", "q76_fk_orphans")) {
+        "t34_readability", "q76_fk_orphans",
+        // q77's carry is a deterministic per-user order — strict
+        "q77_scd2_pit_join")) {
       val r1 = SparkEntry.queries(name)(spark, sf)
       val cols = r1.columns.map(col)
       val base = r1.orderBy(cols: _*).collect().map(_.toString).toSeq
