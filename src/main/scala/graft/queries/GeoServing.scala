@@ -41,6 +41,13 @@ object GeoServing {
   /** Test hook. */
   private[graft] def clearIndexCache(): Unit = indexCache.clear()
 
+  /** Drop `dir`'s built index so the next [[serveRadius]] rebuilds —
+    * the same reload-on-reship hook as [[Serving.refresh]]: a serving
+    * process calls this when notified the point layout re-compacted
+    * (never a per-query freshness probe on the hot path).
+    */
+  def refresh(dir: String): Unit = indexCache.remove(dir)
+
   private val EarthR = 6371000.0
   /** Meters per degree of latitude = π·R/180, rounded DOWN in the
     * divisor so the window over-covers.

@@ -146,6 +146,7 @@ class ServingSpec extends SparkSuite {
     "driver-tier latency") {
     import graft.queries.GeoServing
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      GeoServing.refresh(sf) // reload-on-reship hook: force a cold build
       val batch = SparkEntry.queries("q72_geo_radius")(spark, sf)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val served = GeoServing.serveRadius(spark, sf,
