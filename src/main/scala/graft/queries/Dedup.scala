@@ -1051,31 +1051,61 @@ object Dedup {
       val aliases = base.filter(col("c_custkey") % 20 === 3)
         .withColumn("alias", expr(linkageAliasCase))
         .select(col("c_custkey").as("alias_id"), col("alias"))
-      val segs = Seq((1, 5), (6, 5), (11, 6))
-      val baseSegs = base.select(col("c_custkey"), col("name"),
-        explode(array(segs.zipWithIndex.map { case ((st, ln), i) =>
-          struct(lit(i).as("idx"), substring(col("name"), st, ln).as("seg"))
-        }: _*)).as("b"))
-        .select(col("c_custkey"), col("name"),
-          col("b.idx").as("idx"), col("b.seg").as("seg"))
-      val aliasSegs = aliases.select(col("alias_id"), col("alias"),
-        explode(array((for {
-          ((st, ln), i) <- segs.zipWithIndex
-          d <- -2 to 2
-          if st + d >= 1
-        } yield struct(lit(i).as("idx"),
-          substring(col("alias"), st + d, ln).as("seg"))): _*)).as("a"))
-        .select(col("alias_id"), col("alias"),
-          col("a.idx").as("idx"), col("a.seg").as("seg"))
-      baseSegs.join(broadcast(aliasSegs), Seq("idx", "seg"))
-        // name/alias are functions of the keys, so the arbitrary row
-        // dropDuplicates keeps is content-identical — deterministic
-        .dropDuplicates("alias_id", "c_custkey")
+      linkageCandidates(base, aliases)
         .withColumn("edit_dist", levenshtein(col("alias"), col("name")))
         .filter(col("edit_dist") <= 2)
         .select("alias_id", "c_custkey", "edit_dist")
     })
   )
+
+  /** dd21's PassJoin candidate generator over `base (c_custkey, name)`
+    * and `aliases (alias_id, alias)`: base explodes ×3 on its pigeonhole
+    * segments, aliases ×15 on the ±2-shifted same-length substrings, and
+    * the (idx, seg) equijoin broadcasts the query-sized alias side. With
+    * `maxSegDf = None` the candidate set is a PROVABLE superset of every
+    * ≤2-edit pair (the gated configuration — dd21's blocking-free oracle
+    * certifies it). `maxSegDf = Some(cap)` is dd2's doc-frequency remedy
+    * for the documented low-entropy failure mode: base segment keys
+    * whose frequency exceeds the cap are dropped from the join, so a
+    * formulaic corpus (constant prefixes) stays bounded at
+    * O(aliases × cap) instead of exploding toward aliases × corpus —
+    * recall degrades from guaranteed to "pairs sharing a sub-cap
+    * segment" (ScaleShapeSpec pins both sides of that trade).
+    */
+  private[graft] def linkageCandidates(base: DataFrame, aliases: DataFrame,
+      maxSegDf: Option[Long] = None): DataFrame = {
+    val segs = Seq((1, 5), (6, 5), (11, 6))
+    val baseSegs0 = base.select(col("c_custkey"), col("name"),
+      explode(array(segs.zipWithIndex.map { case ((st, ln), i) =>
+        struct(lit(i).as("idx"), substring(col("name"), st, ln).as("seg"))
+      }: _*)).as("b"))
+      .select(col("c_custkey"), col("name"),
+        col("b.idx").as("idx"), col("b.seg").as("seg"))
+    val baseSegs = maxSegDf match {
+      case None => baseSegs0
+      case Some(cap) =>
+        // the hot-key set is bounded by |distinct keys|/cap — broadcast
+        // at gate SFs; at 100 TB the anti join stays keyed on (idx, seg)
+        val hot = baseSegs0.groupBy("idx", "seg")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select("idx", "seg")
+        baseSegs0.join(broadcast(hot), Seq("idx", "seg"), "left_anti")
+    }
+    val aliasSegs = aliases.select(col("alias_id"), col("alias"),
+      explode(array((for {
+        ((st, ln), i) <- segs.zipWithIndex
+        d <- -2 to 2
+        if st + d >= 1
+      } yield struct(lit(i).as("idx"),
+        substring(col("alias"), st + d, ln).as("seg"))): _*)).as("a"))
+      .select(col("alias_id"), col("alias"),
+        col("a.idx").as("idx"), col("a.seg").as("seg"))
+    baseSegs.join(broadcast(aliasSegs), Seq("idx", "seg"))
+      // name/alias are functions of the keys, so the arbitrary row
+      // dropDuplicates keeps is content-identical — deterministic
+      .dropDuplicates("alias_id", "c_custkey")
+  }
 
   /** dd21's base-name fixture: a high-entropy 16-hex name per customer
     * key, derivable identically by both engines.

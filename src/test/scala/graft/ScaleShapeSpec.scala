@@ -319,4 +319,63 @@ class ScaleShapeSpec extends SparkSuite {
     } finally screen.close()
   }
 
+  test("dd21 candidates grow ~linearly: 8x corpus, ~8x candidates") {
+    import spark.implicits._
+    // high-entropy (hex) names — dd21's gated regime. Candidates =
+    // true links + random segment collisions; both are ~linear in the
+    // corpus when the alias fraction is held fixed, so an 8x corpus
+    // must produce ~8x candidates, never the 64x of an all-pairs creep.
+    def hexCorpus(n: Int): org.apache.spark.sql.DataFrame =
+      spark.range(n).select(col("id").as("c_custkey"))
+        .withColumn("name",
+          expr("substr(md5('sc:' || c_custkey), 1, 16)"))
+    def aliasesOf(b: org.apache.spark.sql.DataFrame) =
+      b.filter(col("c_custkey") % 20 === 3)
+        .withColumn("alias", expr(
+          "substr(name, 1, 3 + c_custkey % 10) || 'z' || " +
+            "substr(name, 5 + c_custkey % 10)"))
+        .select(col("c_custkey").as("alias_id"), col("alias"))
+    val small = hexCorpus(2000)
+    val big = hexCorpus(16000)
+    val cSmall = Dedup.linkageCandidates(small, aliasesOf(small)).count()
+    val cBig = Dedup.linkageCandidates(big, aliasesOf(big)).count()
+    val ratio = cBig.toDouble / cSmall
+    assert(ratio < 16.0 && ratio > 4.0,
+      s"candidate growth not ~linear: $cSmall -> $cBig (ratio $ratio)")
+  }
+
+  test("dd21 segment-df cap bounds a formulaic (low-entropy) corpus " +
+    "without losing digit-segment links") {
+    import spark.implicits._
+    // TPC-H-shaped names: the first two pigeonhole segments are
+    // CONSTANT across the corpus — the documented failure mode of
+    // signature blocking, where every alias matches every base through
+    // the constant segments. The doc-frequency cap (dd2's remedy) must
+    // collapse the candidate set to the discriminative digit segment's
+    // matches while keeping every planted link — the edits sit in the
+    // constant prefix, so the digit segment is untouched and sub-cap.
+    val n = 2000
+    val base = spark.range(n).select(col("id").as("c_custkey"))
+      .withColumn("name", expr("'Item#' || lpad(c_custkey, 11, '0')"))
+    val aliases = base.filter(col("c_custkey") % 20 === 3)
+      // substitute position 2 ('t' -> 'z'): distance 1, prefix-only
+      .withColumn("alias",
+        expr("substr(name, 1, 1) || 'z' || substr(name, 3)"))
+      .select(col("c_custkey").as("alias_id"), col("alias"))
+    val uncapped = Dedup.linkageCandidates(base, aliases).count()
+    val capped = Dedup.linkageCandidates(base, aliases, Some(50L))
+    val cappedN = capped.count()
+    // uncapped: each alias matches every base through the constant
+    // segments — the explosion the cap exists to stop
+    assert(uncapped >= n.toLong * (n / 20) / 2,
+      s"fixture not adversarial enough: uncapped=$uncapped")
+    assert(cappedN < n.toLong * 4,
+      s"cap failed to bound the formulaic corpus: capped=$cappedN")
+    // recall floor under the cap: every planted identity link survives
+    // (the digit segment is untouched by the prefix edit and sub-cap)
+    val links = capped.filter(col("alias_id") === col("c_custkey")).count()
+    assert(links == (0 until n).count(_ % 20 == 3).toLong,
+      s"cap lost planted links: $links")
+  }
+
 }
