@@ -1051,12 +1051,22 @@ object Dedup {
       val aliases = base.filter(col("c_custkey") % 20 === 3)
         .withColumn("alias", expr(linkageAliasCase))
         .select(col("c_custkey").as("alias_id"), col("alias"))
-      linkageCandidates(base, aliases)
-        .withColumn("edit_dist", levenshtein(col("alias"), col("name")))
-        .filter(col("edit_dist") <= 2)
-        .select("alias_id", "c_custkey", "edit_dist")
+      linkPairs(base, aliases)
     })
   )
+
+  /** dd21's full link body — candidates + exact levenshtein residual —
+    * ONE definition shared by the batch gate and the streaming twin
+    * ([[graft.streaming.LinkStream]]), the kAnonymityVerdicts
+    * discipline: stream and batch cannot disagree on what "linked"
+    * means.
+    */
+  private[graft] def linkPairs(base: DataFrame, aliases: DataFrame,
+      maxSegDf: Option[Long] = None): DataFrame =
+    linkageCandidates(base, aliases, maxSegDf)
+      .withColumn("edit_dist", levenshtein(col("alias"), col("name")))
+      .filter(col("edit_dist") <= 2)
+      .select("alias_id", "c_custkey", "edit_dist")
 
   /** dd21's PassJoin candidate generator over `base (c_custkey, name)`
     * and `aliases (alias_id, alias)`: base explodes ×3 on its pigeonhole

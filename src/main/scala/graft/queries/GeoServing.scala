@@ -55,15 +55,42 @@ object GeoServing {
   private val MPerDegFloor = 111000.0
 
   private def index(s: SparkSession, dir: String): Index =
-    indexCache.getOrElseUpdate(dir, {
-      val rows = Tables.events(s, dir).select(
-        col("event_id"),
-        expr("(event_id * 7919) % 3600").as("klon"),
-        expr("(event_id * 104729) % 1600").as("klat"))
-        .collect()
-      val pts = rows.map(r => Pt(r.getLong(0), r.getLong(1), r.getLong(2)))
-      Index(pts.groupBy(p => (p.klon / 72, p.klat / 16)))
-    })
+    indexCache.getOrElseUpdate(dir, Index(toCells(pointFrame(s, dir))))
+
+  private def pointFrame(s: SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      expr("(event_id * 7919) % 3600").as("klon"),
+      expr("(event_id * 104729) % 1600").as("klat"))
+
+  private def toCells(df: org.apache.spark.sql.DataFrame)
+      : Map[(Long, Long), Array[Pt]] =
+    df.collect()
+      .map(r => Pt(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(p => (p.klon / 72, p.klat / 16))
+
+  /** Persist the serving index as the deployment artifact a geo
+    * index-BUILD job ships: parquet partitioned by the serving cell
+    * pair, so a serving shard reads only its cells' directories and a
+    * probe's cell window maps to file paths — q71's cell-is-the-write-
+    * key layout applied to the serving tier ([[Serving.persistIndex]]'s
+    * seam for the geo family). [[loadIndexInto]] cold-starts a server
+    * from exactly these files with NO point-table access.
+    */
+  def persistIndex(s: SparkSession, dir: String, path: String): Unit =
+    pointFrame(s, dir)
+      .withColumn("clon", expr("klon DIV 72"))
+      .withColumn("clat", expr("klat DIV 16"))
+      .repartition(col("clon"), col("clat"))
+      .write.partitionBy("clon", "clat").mode("overwrite").parquet(path)
+
+  /** Cold-start the in-memory index for `dir` from [[persistIndex]]'s
+    * files — no point-table scan; partition pruning applies when a
+    * shard wants only its cells (the driver tier here loads all).
+    */
+  def loadIndexInto(s: SparkSession, dir: String, path: String): Unit =
+    indexCache.put(dir, Index(toCells(
+      s.read.parquet(path).select("event_id", "klon", "klat"))))
 
   /** q72's haversine, in q72's exact IEEE evaluation order (Spark's
     * SIN/COS/ASIN/SQRT/RADIANS are java.lang.Math on the same JVM, and

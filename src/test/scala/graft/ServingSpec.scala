@@ -173,4 +173,26 @@ class ServingSpec extends SparkSuite {
       f"geo lookup took $perQueryMs%.2f ms/query — not driver-tier")
     info(f"geo serving latency: $perQueryMs%.3f ms/query over 200 probes")
   }
+
+  test("geo server cold-starts from the persisted cell layout == q72") {
+    import graft.queries.GeoServing
+    val sf = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-geo-index").toString
+    GeoServing.persistIndex(spark, sf, path)
+    // cold-start: the index comes from the cell-partitioned files
+    // alone — parity against the hash-gated batch frame still holds
+    GeoServing.refresh(sf)
+    GeoServing.loadIndexInto(spark, sf, path)
+    val served = GeoServing.serveRadius(spark, sf,
+      lon0 = 10.037, lat0 = 50.071, rMeters = 500000.0, k = 20)
+    val batch = SparkEntry.queries("q72_geo_radius")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == batch, "cold-started geo server diverges from q72")
+    // the layout is genuinely cell-partitioned (directory per cell)
+    val dirs = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("clon="))
+    assert(dirs > 10, s"expected cell-partitioned layout, got $dirs dirs")
+    graft.util.Fs.rmTree(new java.io.File(path))
+  }
 }

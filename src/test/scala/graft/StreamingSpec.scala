@@ -1313,4 +1313,44 @@ class StreamingSpec extends SparkSuite {
     assert(live.exists(_._2 > 1L), "fixture vacuous: no multi-point cell")
   }
 
+  test("streaming record linkage: union of micro-batches == batch dd21") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // dd21's exact fixtures: the base from customer, the aliases
+    // streamed in 3 micro-batches through LinkStream's foreachBatch
+    // body; the collected union must equal the hash-gated batch frame
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables.customer(spark, sf)
+      .select(col("c_custkey"))
+      .withColumn("name", expr("substr(md5('name:' || c_custkey), 1, 16)"))
+    val aliasRows = SparkEntry.queries("dd21_record_linkage")(spark, sf)
+      // rebuild the alias frame the query derives, straight from base
+      .select("alias_id").distinct().collect().map(_.getLong(0))
+    val aliases = base.filter(col("c_custkey") % 20 === 3)
+      .withColumn("alias", expr(graft.queries.Dedup.linkageAliasCase))
+      .select(col("c_custkey").as("alias_id"), col("alias"))
+      .as[(Long, String)].collect().toSeq
+    assert(aliases.map(_._1).toSet == aliasRows.toSet, "fixture drift")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val q = mem.toDS().toDF("alias_id", "alias")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= graft.streaming.LinkStream.linkBatch(base, batch)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        }
+        ()
+      }.start()
+    aliases.grouped((aliases.size + 2) / 3).foreach { c =>
+      mem.addData(c: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val batchOut = SparkEntry.queries("dd21_record_linkage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.toSet == batchOut,
+      s"streamed links != batch dd21 (diff: ${(got.toSet -- batchOut).take(3)}" +
+        s" / ${(batchOut -- got).take(3)})")
+  }
+
 }
