@@ -218,4 +218,55 @@ class TemporalQuerySpec extends SparkSuite {
     }.sum
     assert(rows.length == wantVersions)
   }
+
+  test("q77 PIT join survives same-microsecond state changes") {
+    import spark.implicits._
+    // the adversarial shape the driver fixtures never produce: several
+    // state CHANGES inside one µs (empty [t, t) versions), where the
+    // as-of carry and the half-open-interval semantics could disagree
+    // if the empty-version filter were wrong. 40 users × 30 events over
+    // only 6 distinct µs instants — duplicate (user, us) guaranteed.
+    val dir = java.nio.file.Files.createTempDirectory("pit-ev").toString
+    val rnd = new scala.util.Random(77)
+    val types = Array("view", "purchase", "click", "error")
+    val rows = for { u <- 0 until 40; i <- 0 until 30 } yield (
+      (u * 30 + i).toLong,
+      (rnd.nextInt(6).toLong * 1000000L + 500L) * 1000L, // nanos
+      u.toLong, types(rnd.nextInt(4)), 1.0)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    // first-principles truth: walk each user's (us, event_id)-ordered
+    // events; the state at a fact's us is the type of the LAST change
+    // point with from <= us — later changes in the same µs overwrite,
+    // which is exactly "skip empty versions"
+    val evs = rows.map(r => (r._3, r._2 / 1000L, r._1, r._4))
+    val byUser = evs.groupBy(_._1)
+    def stateAt(u: Long, us: Long): String = {
+      var state: String = null
+      var cur: String = null
+      for ((_, eus, _, t) <- byUser(u).sortBy(e => (e._2, e._3)))
+        if (cur == null || cur != t) { cur = t; if (eus <= us) state = t }
+      state
+    }
+    val expected = evs.filter(_._4 == "purchase")
+      .map { case (u, us, eid, _) => (eid, u, us, stateAt(u, us)) }.toSet
+    val got = SparkEntry.queries("q77_scd2_pit_join")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == expected,
+      s"PIT diverges on same-µs changes (diff: ${(got -- expected).take(3)}" +
+        s" / ${(expected -- got).take(3)})")
+    // the shape is genuinely adversarial: some user really has >1
+    // distinct state change within one µs instant
+    val multi = byUser.values.exists { es =>
+      es.groupBy(_._2).values.exists { sameUs =>
+        sameUs.sortBy(e => (e._2, e._3)).map(_._4)
+          .sliding(2).count { case Seq(a, b) => a != b; case _ => false } >= 2
+      }
+    }
+    assert(multi, "fixture vacuous: no multi-change µs instant")
+    graft.util.Fs.rmTree(new java.io.File(dir))
+  }
 }
