@@ -21,6 +21,27 @@ import org.apache.spark.sql.SparkSession
   * adds time. The headline total is the sum of the mins.
   */
 object Bench {
+
+  /** Fixed calibration workload — constant shape, zero IO, every run:
+    * 20M synthetic rows, a 997-key hash aggregate (one shuffle), forced
+    * through noop. Its cost is a pure function of the box (cores free,
+    * memory bandwidth, JIT state), never of the engine under test, so
+    * round-over-round per-query comparisons can be normalized by the
+    * calibration ratio instead of argued from a contention narrative
+    * (VERDICT r9 ask #1). Returns the min over `runs` timings.
+    */
+  private def calibrate(spark: SparkSession, runs: Int): Double = {
+    import org.apache.spark.sql.functions.{avg, expr, max, sum}
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .groupBy(expr("id % 997").as("k"))
+        .agg(sum("id").as("s"), avg("id").as("a"), max("id").as("m"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -54,6 +75,9 @@ object Bench {
     // not land on an arbitrary alphabetically-first query.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+
+    // calibration row #1: box state BEFORE the suite
+    val calPre = calibrate(spark, runs)
 
     // optional comma-separated filter for timing one query in isolation
     // (local iteration only — the driver always runs the full suite).
@@ -106,6 +130,9 @@ object Bench {
     // is already raw (SPARK_GRAFT_NO_MEMO=1 — the pair would be two
     // identical columns).
     val alreadyRaw = sys.env.get("SPARK_GRAFT_NO_MEMO").contains("1")
+
+    // calibration row #2: box state between the memo-on and raw passes
+    val calMid = calibrate(spark, runs)
     var nRawFailed = 0
     val rawResults: Seq[(String, Option[Double])] =
       if (alreadyRaw) Seq.empty
@@ -152,14 +179,36 @@ object Bench {
       rs.map { case (k, v) =>
         "\"" + k + "\":" + v.map(fmt).getOrElse("null")
       }.mkString("{", ",", "}")
+    // calibration row #3: box state AFTER the suite. Three samples
+    // bracket the run: a quiet box shows pre≈mid≈post at the machine's
+    // floor; a contended one shows which third of the run was inflated.
+    val calPost = calibrate(spark, runs)
+    val calBest = Seq(calPre, calMid, calPost).min
+
     val qs = toJson(results)
     val raw = toJson(rawResults)
     val total = fmt(results.flatMap(_._2).sum)
     val failedQueries = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val calibration = s"""{"pre":${fmt(calPre)},"mid":${fmt(calMid)},""" +
+      s""""post":${fmt(calPost)},"best":${fmt(calBest)}}"""
     // "failures" makes a broken run visibly broken instead of reporting an
     // artificially fast success-shaped total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"failures":$nFailed,"raw_failures":$nRawFailed,"failed_queries":$failedQueries,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs,"raw":$raw,"failures":$nFailed,"raw_failures":$nRawFailed,"failed_queries":$failedQueries,"runs_per_query":$runs,"sf":"$sfDir"}"""
+    println(line)
+    // Durable artifact: the stdout line at ~200 queries exceeds what the
+    // driver's log-tail capture keeps (BENCH_r09.json arrived truncated,
+    // "parsed": null, losing every q/dd/g/mm/p row) — so the same JSON is
+    // also written to a file in the working directory, where the judge
+    // can always read the complete per-query map.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full results written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write results file: $e")
+    }
     spark.stop()
   }
 }

@@ -146,9 +146,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     if (a.aggregateExpressions.exists(e => e.dataType.isInstanceOf[DecimalType]))
       return None
 
-    // analyzed scan of the summary (schema from footers; no job runs here)
-    val sumRel = SparkSession.active.read.parquet(sumPath)
-      .queryExecution.analyzed
+    // analyzed scan of the summary (schema from footers; no job runs
+    // here). Guarded: a deleted/corrupt summary while the confs are still
+    // set must degrade to the untouched (still-correct) base-scan plan,
+    // not fail every query over the base path at optimization time.
+    val sumRel = scala.util.Try(
+      SparkSession.active.read.parquet(sumPath).queryExecution.analyzed
+    ).getOrElse(return None)
     def sumAttr(name: String): Option[AttributeReference] =
       sumRel.output.collectFirst {
         case ar: AttributeReference if ar.name == name => ar

@@ -1112,9 +1112,13 @@ object Dedup {
       .select(col("alias_id"), col("alias"),
         col("a.idx").as("idx"), col("a.seg").as("seg"))
     baseSegs.join(broadcast(aliasSegs), Seq("idx", "seg"))
-      // name/alias are functions of the keys, so the arbitrary row
-      // dropDuplicates keeps is content-identical — deterministic
-      .dropDuplicates("alias_id", "c_custkey")
+      // dedup on ALL FOUR columns, not just the keys: linkPairs is the
+      // generic seam (LinkStream.linkBatch), and a caller whose base has
+      // duplicate c_custkey (or duplicate alias_id) must get the residual
+      // levenshtein computed on a deterministic (name, alias) row, not
+      // whichever row a shuffle happened to keep. When keys ARE unique
+      // (the gated fixture) this is the same candidate set.
+      .dropDuplicates("alias_id", "c_custkey", "alias", "name")
   }
 
   /** dd21's base-name fixture: a high-entropy 16-hex name per customer

@@ -50,11 +50,14 @@ object SummaryStream {
 
     /** Fold one micro-batch of BASE ROWS into the summary. Re-delivered
       * batch ids (id <= last applied) are ignored — the idempotence
-      * contract above.
+      * contract above. `lastBatch` advances only AFTER the fold
+      * materializes: a mid-fold failure (transient Spark error) leaves the
+      * guard untouched, so the engine's retry of the SAME batchId is
+      * re-applied rather than silently skipped — a failed attempt is not
+      * a committed one.
       */
     def ingest(batch: DataFrame, batchId: Long): Unit = {
       if (batchId <= lastBatch) return
-      lastBatch = batchId
       val delta = SummaryRewrite.buildSummary(batch, keys, measures)
       val next = (cur match {
         case None => delta
@@ -62,6 +65,7 @@ object SummaryStream {
       }).localCheckpoint()
       cur.foreach(Checkpoints.free)
       cur = Some(next)
+      lastBatch = batchId
     }
 
     /** Free the state's checkpoint blocks. */

@@ -139,4 +139,47 @@ class SummaryRewriteSpec extends SparkSuite {
     }
   }
 
+  test("broken summary path degrades to the base scan, not a plan error") {
+    withSummary(Seq("k"), Seq("n")) { (base, dir) =>
+      // summary deleted while the confs are still registered — the exact
+      // operational window the rule must survive: every query over the
+      // base path must still PLAN (and answer from the base scan), never
+      // fail at optimization time
+      graft.util.Fs.rmTree(new java.io.File(s"$dir/summary"))
+      val q = spark.read.parquet(base).groupBy("k")
+        .agg(sum("n").as("sum_n"))
+      assert(!fired(q), "rule fired against a deleted summary")
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 6L, "b" -> 12L, "c" -> 24L))
+    }
+  }
+
+  test("retried batchId after a mid-fold failure is re-applied, not skipped") {
+    import graft.streaming.SummaryStream
+    import spark.implicits._
+    val state = new SummaryStream.SummaryState(Seq("k"), Seq("n"))
+    try {
+      state.ingest(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"), batchId = 0L)
+      // batch 1 fails mid-fold: the frame lacks the measure column, so
+      // buildSummary's analysis throws INSIDE ingest — a failed attempt
+      intercept[Throwable] {
+        state.ingest(Seq(("a", 7L)).toDF("k", "wrong"), batchId = 1L)
+      }
+      // the engine retries the SAME batchId with the real rows; the
+      // exactly-once guard must treat the failed attempt as uncommitted
+      state.ingest(Seq(("a", 10L)).toDF("k", "n"), batchId = 1L)
+      val got = state.snapshot.get
+        .select(col("k"), col(graft.plans.SummaryRewrite.sumCol("n")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 11L, "b" -> 2L),
+        s"retried batch was dropped: $got")
+      // and a genuine re-delivery of the committed id stays a no-op
+      state.ingest(Seq(("a", 100L)).toDF("k", "n"), batchId = 1L)
+      val again = state.snapshot.get
+        .select(col("k"), col(graft.plans.SummaryRewrite.sumCol("n")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(again == got, "re-delivered committed batchId mutated state")
+    } finally state.close()
+  }
+
 }
