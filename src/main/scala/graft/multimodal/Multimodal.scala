@@ -96,12 +96,87 @@ object Multimodal {
     }
   }
 
+  /** The audio-decode slot of [[audioFrameEnergies]]: a batch of opaque
+    * payloads turns into per-frame `(frame_idx, Σ amplitude², n)` energy
+    * rows through this. Serializable — instances ride the
+    * `mapPartitions` closure to executors. Unit contract: `frameSize`
+    * and `n` count the codec's NATIVE unit (bytes for the stand-in,
+    * PCM samples for a real decoder) and `Σ amplitude²` is exact
+    * integer arithmetic in that unit, so the downstream VAD compare
+    * `Σa² ≥ thr·n` stays bit-replayable under any codec — only the
+    * threshold is codec-specific.
+    */
+  trait AudioCodec extends Serializable {
+    def frameEnergies(payload: Array[Byte], frameSize: Int): Seq[(Int, Long, Int)]
+  }
+
+  /** Conf-selected audio codec (the audio twin of [[codecFor]]):
+    * `spark.graft.codec=wav` → the REAL JDK WAV/PCM decoder
+    * ([[WavCodec]]); anything else (the gate default) → [[FakeCodec]]'s
+    * byte arithmetic, which the DuckDB oracle replays.
+    */
+  def audioCodecFor(s: SparkSession): AudioCodec =
+    if (s.conf.getOption("spark.graft.codec").contains("wav"))
+      WavCodec
+    else FakeCodec
+
+  /** REAL audio decode via JDK `javax.sound.sampled` (WAV/PCM — no new
+    * dependency, the audio leg of [[ImageIoCodec]]): parse the RIFF
+    * container, require 16-bit signed PCM (the dominant WAV payload;
+    * rejecting the rest loudly beats silently mis-scaling μ-law or
+    * float frames), decode interleaved samples at the container's
+    * declared endianness, then emit per-frame exact integer Σ sample²
+    * over `frameSize`-SAMPLE frames. Undecodable bytes fail LOUDLY —
+    * same rationale as [[ImageIoCodec]]: silently faking energies for
+    * a corrupt payload is how bad media poisons a VAD profile.
+    */
+  object WavCodec extends AudioCodec {
+
+    /** Decode payload → signed 16-bit PCM samples (interleaved across
+      * channels, in stream order).
+      */
+    private[graft] def decodePcm16(payload: Array[Byte]): Array[Int] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+          s"unsupported WAV frame format: ${fmt.getEncoding}/" +
+            s"${fmt.getSampleSizeInBits}-bit (need 16-bit signed PCM)")
+        val bytes = in.readAllBytes()
+        val out = new Array[Int](bytes.length / 2)
+        val big = fmt.isBigEndian
+        var i = 0
+        while (i < out.length) {
+          val b0 = bytes(2 * i)
+          val b1 = bytes(2 * i + 1)
+          out(i) =
+            if (big) (b0 << 8) | (b1 & 0xff)
+            else (b1 << 8) | (b0 & 0xff)
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+
+    def frameEnergies(payload: Array[Byte], frameSize: Int): Seq[(Int, Long, Int)] = {
+      val pcm = decodePcm16(payload)
+      pcm.grouped(frameSize).zipWithIndex.map { case (f, i) =>
+        var ss = 0L
+        f.foreach { s => ss += s.toLong * s }
+        (i, ss, f.length)
+      }.toSeq
+    }
+  }
+
   /** DETERMINISTIC FAKE — stands in for the real codec (not present in
     * this environment). Every field is a pure function of the bytes so
     * tests and the DuckDB oracle can replay it. A real implementation
     * would call the decoder library here, once per batch.
     */
-  object FakeCodec extends MediaCodec {
+  object FakeCodec extends MediaCodec with AudioCodec {
     val Channels = 3
 
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Double]) = {
@@ -246,7 +321,9 @@ object Multimodal {
   }
 
   /** One audio frame's energy: provenance + source frame index + exact
-    * integer Σ b² and byte count (see [[FakeCodec.frameEnergies]]).
+    * integer Σ a² and unit count (see [[AudioCodec]]; `n_bytes` counts
+    * the codec's native unit — bytes for [[FakeCodec]], PCM samples for
+    * [[WavCodec]] — the field name keeps the gate schema stable).
     */
   final case class FrameEnergy(
       media_id: Long, frame_idx: Int, sum_sq: Long, n_bytes: Int)
@@ -258,11 +335,12 @@ object Multimodal {
     * cardinality payload-bound.
     */
   def audioFrameEnergies(media: Dataset[MediaRow], frameSize: Int,
-      batchSize: Int = 64): Dataset[FrameEnergy] = {
+      batchSize: Int = 64,
+      codec: AudioCodec = FakeCodec): Dataset[FrameEnergy] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.iterator.flatMap(m =>
-        FakeCodec.frameEnergies(m.payload, frameSize).map {
+        codec.frameEnergies(m.payload, frameSize).map {
           case (i, ss, n) => FrameEnergy(m.media_id, i, ss, n)
         }))
     }

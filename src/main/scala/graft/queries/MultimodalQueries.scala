@@ -228,40 +228,19 @@ object MultimodalQueries {
 
     // Energy VAD — the audio leg of the decode family: the batched "PCM
     // decode" ([[Multimodal.audioFrameEnergies]]) emits one integer-
-    // energy row per 32-byte frame (generator shape, narrow), a frame is
-    // "speech" iff Σb² ≥ 10000·n (exact integer compare — at the ASCII
-    // byte distribution this splits ~33% speech / 67% silence, so the
-    // segmentation below genuinely engages), and speech segments are the
-    // gaps-and-islands idiom (q19's sessionize, keyed per media item)
-    // with the island key spelled as frame_idx − running-speech-count —
-    // identical values to the filtered-row_number spelling (which the
-    // oracle uses), but computable over the UNFILTERED frame, so silence
-    // frames ride along (isl NULL) and the whole profile — total frames,
-    // speech frames, segment count, longest segment, silence-only items
-    // included — falls out of one window + one two-level aggregation.
-    // Scale: decode is narrow and payload-bound; ONE media_id Exchange
-    // serves the window AND both groupBys (hash-partitioning on media_id
-    // satisfies the (media_id, isl) clustering — subset rule), pinned by
-    // PlanShapeSpec.
+    // energy row per 32-unit frame (generator shape, narrow), and
+    // [[vadProfile]] segments it (threshold 10000/unit: at the gate
+    // corpus' ASCII byte distribution this splits ~33% speech / 67%
+    // silence, so the segmentation genuinely engages). audioCodecFor:
+    // `spark.graft.codec=wav` swaps the REAL javax.sound.sampled WAV
+    // decoder into this exact call site (MultimodalSpec does, over a
+    // synthesized 16-bit PCM file); the gate keeps the oracle-replayable
+    // FakeCodec default.
     "mm8_audio_vad" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val frames = Multimodal.audioFrameEnergies(
-        Multimodal.mediaFromDocuments(s, dir), frameSize = 32).toDF()
-      val w = Window.partitionBy("media_id").orderBy("frame_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val flagged = frames
-        .withColumn("sp", col("sum_sq") >= lit(10000L) * col("n_bytes"))
-        .withColumn("isl", when(col("sp"), col("frame_idx") -
-          sum(when(col("sp"), 1L).otherwise(0L)).over(w)))
-      flagged.groupBy("media_id", "isl")
-        .agg(count(lit(1)).as("n_rows"))
-        .groupBy("media_id")
-        .agg(sum("n_rows").as("n_frames"),
-          sum(when(col("isl").isNotNull, col("n_rows")).otherwise(0L))
-            .as("n_speech_frames"),
-          count(col("isl")).as("n_segments"),
-          coalesce(max(when(col("isl").isNotNull, col("n_rows"))), lit(0L))
-            .as("max_seg_frames"))
+        Multimodal.mediaFromDocuments(s, dir), frameSize = 32,
+        codec = Multimodal.audioCodecFor(s)).toDF()
+      vadProfile(frames, thrPerUnit = 10000L)
     }),
 
     // Binary-FILE ingest — how image/audio payloads actually enter a
@@ -415,6 +394,42 @@ object MultimodalQueries {
     * driver tier; the memo key includes the shuffle layout so the
     * partition-invariance sweep still runs the real machinery.
     */
+  /** mm8's VAD segmentation, factored over any [[Multimodal.AudioCodec]]
+    * energy frame: a frame is "speech" iff Σa² ≥ thrPerUnit·n (exact
+    * integer compare in the codec's native unit — unsigned bytes for the
+    * gate's FakeCodec at thr 10000, signed 16-bit PCM samples for
+    * WavCodec at a caller-chosen amplitude² scale), and speech segments
+    * are the gaps-and-islands idiom (q19's sessionize, keyed per media
+    * item) with the island key spelled as frame_idx − running-speech-
+    * count — identical values to the filtered-row_number spelling (which
+    * the oracle uses), but computable over the UNFILTERED frame, so
+    * silence frames ride along (isl NULL) and the whole profile — total
+    * frames, speech frames, segment count, longest segment, silence-only
+    * items included — falls out of one window + one two-level
+    * aggregation. Scale: ONE media_id Exchange serves the window AND
+    * both groupBys (hash-partitioning on media_id satisfies the
+    * (media_id, isl) clustering — subset rule), pinned by PlanShapeSpec.
+    */
+  private[graft] def vadProfile(frames: DataFrame,
+      thrPerUnit: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = frames
+      .withColumn("sp", col("sum_sq") >= lit(thrPerUnit) * col("n_bytes"))
+      .withColumn("isl", when(col("sp"), col("frame_idx") -
+        sum(when(col("sp"), 1L).otherwise(0L)).over(w)))
+    flagged.groupBy("media_id", "isl")
+      .agg(count(lit(1)).as("n_rows"))
+      .groupBy("media_id")
+      .agg(sum("n_rows").as("n_frames"),
+        sum(when(col("isl").isNotNull, col("n_rows")).otherwise(0L))
+          .as("n_speech_frames"),
+        count(col("isl")).as("n_segments"),
+        coalesce(max(when(col("isl").isNotNull, col("n_rows"))), lit(0L))
+          .as("max_seg_frames"))
+  }
+
   private[graft] case class PhashArtifacts(
     top25: (org.apache.spark.sql.types.StructType,
       Seq[org.apache.spark.sql.Row]),

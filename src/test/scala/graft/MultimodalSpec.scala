@@ -191,4 +191,75 @@ class MultimodalSpec extends SparkSuite {
     // flag off: the gate's deterministic stand-in is back
     assert(Multimodal.codecFor(spark) eq Multimodal.FakeCodec)
   }
+
+  test("real audio decoder through the seam: javax.sound.sampled WAV " +
+    "decodes in mm8's call site and VAD segments it exactly") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    // a real RIFF/WAV container around KNOWN 16-bit mono PCM samples
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false) // 16-bit LE mono
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+          samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 32-sample frames: [0,1]=silence, [2,3,4]=loud ±12345, [5]=silence,
+    // [6]=ragged 16-sample loud tail → speech frames {2,3,4,6}, two
+    // segments, longest 3
+    val loud: Short = 12345
+    def loudRun(n: Int): Array[Short] =
+      Array.tabulate(n)(i => if (i % 2 == 0) loud else (-loud).toShort)
+    val samples = Array.fill[Short](64)(0) ++ loudRun(96) ++
+      Array.fill[Short](32)(0) ++ loudRun(16)
+    val wav = wavOf(samples)
+    // kernel: the decoder recovers the EXACT samples from the container
+    assert(Multimodal.WavCodec.decodePcm16(wav).toSeq ==
+      samples.map(_.toInt).toSeq)
+    // energies are exact integer Σ s² per 32-SAMPLE frame
+    val fe = Multimodal.WavCodec.frameEnergies(wav, frameSize = 32)
+    val loudE = 32L * loud * loud
+    assert(fe == Seq((0, 0L, 32), (1, 0L, 32), (2, loudE, 32),
+      (3, loudE, 32), (4, loudE, 32), (5, 0L, 32),
+      (6, 16L * loud * loud, 16)))
+    // the flag selects the REAL audio codec through mm8's exact batched
+    // call site; vadProfile (mm8's gated segmentation, verbatim) then
+    // segments the decoded energies — threshold in amplitude² units
+    spark.conf.set("spark.graft.codec", "wav")
+    try {
+      assert(Multimodal.audioCodecFor(spark) eq Multimodal.WavCodec)
+      val media = Seq(
+        MediaRow(1L, "aud/wav", wav),
+        MediaRow(2L, "aud/wav", wavOf(Array.fill[Short](64)(0)))).toDS()
+      val frames = Multimodal.audioFrameEnergies(media, frameSize = 32,
+        codec = Multimodal.audioCodecFor(spark)).toDF()
+      val prof = graft.queries.MultimodalQueries
+        .vadProfile(frames, thrPerUnit = 100000000L)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(prof == Map(
+        1L -> ((7L, 4L, 2L, 3L)),
+        2L -> ((2L, 0L, 0L, 0L))),
+        s"VAD profile mismatch: $prof")
+      // corrupt bytes fail LOUDLY, not as fake energies
+      val boom = intercept[org.apache.spark.SparkException] {
+        Multimodal.audioFrameEnergies(
+          Seq(MediaRow(3L, "aud/wav", Array[Byte](1, 2, 3))).toDS(),
+          frameSize = 32, codec = Multimodal.audioCodecFor(spark)).collect()
+      }
+      assert(boom.getMessage != null)
+    } finally spark.conf.unset("spark.graft.codec")
+    // flag off: the gate's deterministic stand-in is back
+    assert(Multimodal.audioCodecFor(spark) eq Multimodal.FakeCodec)
+  }
 }
