@@ -140,4 +140,84 @@ class GraftS3Spec extends SparkSuite {
     }
   }
 
+  test("paged listings: complete across pages; a continuation-token " +
+    "failure re-lists from scratch, never a truncated result") {
+    import graft.source.{GraftTestFs => TF}
+    import graft.source.GridCatalog
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.grafts3.impl", classOf[graft.source.GraftTestFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("page-fx").toString
+    // 5 cadence steps, page size 2 → a 3-page listing (the s3a shape for
+    // >1000-key prefixes, scaled down)
+    val stamps = (1 to 5).map(i => f"2024-01-02T00:${i}0:00")
+    stamps.foreach { ts =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/grid_$ts.parquet"), Array[Byte](1))
+    }
+    val uri = s"grafts3://bucket$dir"
+    try {
+      TF.pageSize.set(2); TF.pageFetches.set(0); TF.listings.set(0)
+      val found = GridCatalog.discover(spark, uri, prefix = "grid_")
+      assert(found.map(f => GridCatalog.formatTs(f.ts)) == stamps,
+        s"paged listing lost or reordered entries: ${found.map(_.path)}")
+      assert(TF.pageFetches.get == 3,
+        s"expected 3 page fetches for 5 keys @ 2/page, saw ${TF.pageFetches.get}")
+      // mid-pagination failure (page 2 of 3): the WHOLE listing fails and
+      // the Retry envelope re-lists from page 1 — discovery still returns
+      // the complete set, and the fetch count shows 2 (failed attempt)
+      // + 3 (clean attempt) pages, not a resumed partial walk
+      TF.pageFetches.set(0); TF.listings.set(0); TF.failAtPage.set(2)
+      val found2 = GridCatalog.discover(spark, uri, prefix = "grid_")
+      assert(found2.map(f => GridCatalog.formatTs(f.ts)) == stamps,
+        "a mid-pagination failure surfaced as a truncated discovery")
+      assert(TF.listings.get == 2,
+        s"expected 2 listing attempts (1 failed mid-page + 1 ok), saw ${TF.listings.get}")
+      assert(TF.pageFetches.get == 5,
+        s"expected 2 + 3 page fetches across the retry, saw ${TF.pageFetches.get}")
+    } finally {
+      TF.pageSize.set(0); TF.failAtPage.set(0)
+      graft.util.Fs.rmTree(new java.io.File(dir))
+    }
+  }
+
+  test("listing-after-write lag: a fresh file is invisible until the " +
+    "store index catches up; the next discovery converges") {
+    import graft.source.{GraftTestFs => TF}
+    import graft.source.GridCatalog
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.grafts3.impl", classOf[graft.source.GraftTestFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("lag-fx").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$dir/grid_2024-01-02T00:10:00.parquet"), Array[Byte](1))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$dir/grid_2024-01-02T00:20:00.parquet"), Array[Byte](1))
+    val uri = s"grafts3://bucket$dir"
+    try {
+      assert(GridCatalog.discover(spark, uri, prefix = "grid_").size == 2)
+      // a new cadence step lands, but the store's list index lags one
+      // listing behind the PUT (S3's delayed ListObjects visibility)
+      val fresh = "grid_2024-01-02T00:30:00.parquet"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/$fresh"), Array[Byte](1))
+      TF.hiddenNames.add(fresh); TF.hideForListings.set(1)
+      // discovery is a SNAPSHOT of what the store lists: it returns the
+      // two visible steps (correct, not an error) — the new file is not
+      // half-visible or erroring, it is simply not yet listed
+      val lagged = GridCatalog.discover(spark, uri, prefix = "grid_")
+      assert(lagged.size == 2,
+        s"lagged listing should see 2 files, saw ${lagged.map(_.path)}")
+      // the next poll (GridStream's per-trigger re-discovery is exactly
+      // this call) sees the index converge and picks the new step up —
+      // eventual consistency handled by re-listing, not by state
+      val converged = GridCatalog.discover(spark, uri, prefix = "grid_")
+      assert(converged.size == 3 &&
+        converged.map(f => GridCatalog.formatTs(f.ts)).last ==
+          "2024-01-02T00:30:00",
+        s"post-lag discovery should converge to 3 files: ${converged.map(_.path)}")
+    } finally {
+      TF.hideForListings.set(0); TF.hiddenNames.clear()
+      graft.util.Fs.rmTree(new java.io.File(dir))
+    }
+  }
+
 }

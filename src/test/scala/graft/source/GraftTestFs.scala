@@ -36,6 +36,29 @@ object GraftTestFs {
     */
   val failNextListings = new AtomicInteger(0)
   val listings = new AtomicInteger(0)
+  /** Paged-listing simulation (S3 ListObjectsV2 returns ≤1000 keys per
+    * page behind continuation tokens; s3a assembles the pages inside one
+    * listStatus): when > 0, each listStatus serves its result through
+    * ceil(n/pageSize) internal page fetches, counted in [[pageFetches]].
+    * A positive [[failAtPage]] k injects ONE IOException while fetching
+    * page k (then clears) — the mid-pagination continuation-token
+    * failure mode. Key contract being proven: a partial page set NEVER
+    * escapes as a truncated listing; the whole listStatus fails and the
+    * caller's Retry envelope re-lists from scratch.
+    */
+  val pageSize = new AtomicInteger(0)
+  val pageFetches = new AtomicInteger(0)
+  val failAtPage = new AtomicInteger(0)
+  /** Listing-after-write lag (S3's delayed index visibility: a PUT can
+    * be readable by key before it appears in ListObjects): file NAMES in
+    * [[hiddenNames]] are invisible to listStatus while
+    * [[hideForListings]] > 0; each listing decrements the counter, so
+    * the store "catches up" after that many listings and the names
+    * reappear.
+    */
+  val hideForListings = new AtomicInteger(0)
+  val hiddenNames: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   val S3aKeys: Seq[String] = Seq(
     "fs.s3a.connection.maximum", "fs.s3a.attempts.maximum",
     "fs.s3a.retry.limit", "fs.s3a.access.key", "fs.s3a.secret.key")
@@ -70,7 +93,29 @@ class GraftTestFs extends RawLocalFileSystem {
     if (GraftTestFs.failNextListings.getAndUpdate(n => math.max(0, n - 1)) > 0)
       throw new java.io.IOException(
         "grafts3: injected transient listing failure")
-    super.listStatus(f)
+    var all = super.listStatus(f)
+    // delayed index visibility: recently-PUT names missing from the list
+    if (GraftTestFs.hideForListings.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      all = all.filterNot(st => GraftTestFs.hiddenNames.contains(
+        st.getPath.getName))
+    // paged assembly: all pages must fetch for the listing to return —
+    // a continuation-token failure fails the WHOLE call (no partial
+    // array escapes), which is exactly what s3a's paged listing does
+    val ps = GraftTestFs.pageSize.get()
+    if (ps > 0) {
+      val nPages = math.max(1, (all.length + ps - 1) / ps)
+      var page = 1
+      while (page <= nPages) {
+        GraftTestFs.pageFetches.incrementAndGet()
+        if (GraftTestFs.failAtPage.get() == page) {
+          GraftTestFs.failAtPage.set(0)
+          throw new java.io.IOException(
+            s"grafts3: injected continuation-token failure on page $page")
+        }
+        page += 1
+      }
+    }
+    all
   }
 
   // every create overload in RawLocalFileSystem funnels through this
