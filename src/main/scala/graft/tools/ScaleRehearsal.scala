@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal above the driver SFs (VERDICT r9 ask #5): every
+  * adaptive cap, memo over-bound fallback, and skew path in the engine is
+  * spec-forced at sf0.1 (~600k rows) but never organically triggered.
+  * This tool builds a ×N corpus from the driver's sf0.1 tables —
+  * documents and embeddings replicated with shifted ids, replicas
+  * perturbed into NEAR-duplicates (a distinct prefix token, an offset
+  * first embedding dim) so dedup/ANN structure gets genuinely heavier,
+  * not just bigger — then drives the heavy operator family against it
+  * and reports: min-of-N timings, result cardinalities, the data-derived
+  * caps actually chosen, and whether the driver-tier memos fell back to
+  * their distributed over-bound path because the DATA forced it.
+  *
+  * NOT a gate: oracles stay on the driver's parquet. This is the
+  * recorded "does the machinery hold when data, not injection, drives
+  * it" run (results land in BASELINE.md). Writes only under the repo's
+  * target/ directory.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [mult] [srcDir] [outDir]
+  */
+object ScaleRehearsal {
+
+  private val Family = Seq(
+    "dd2_shingle_jaccard", "dd3_minhash_lsh", "dd8_neardup_clusters",
+    "s3_ann_srp", "s17_ivfpq_knn", "p8_full_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2)
+      else s"target/rehearsal/sf0.1x$mult"
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- corpus construction (idempotent: skip when already on disk) ----
+    val docsOut = s"$out/documents.parquet"
+    val embOut = s"$out/embeddings.parquet"
+    def exists(p: String) =
+      new java.io.File(p, "_SUCCESS").exists()
+    if (!exists(docsOut)) {
+      // replica 0 keeps the organic text; replicas 1..m-1 get a distinct
+      // leading token, so each base doc becomes an m-member NEAR-dup
+      // clique (shingle sets nearly identical) — cross-replica pair count
+      // ~ docs × m(m−1)/2, far past the 200k driver-tier memo bound
+      spark.read.parquet(s"$src/documents.parquet")
+        .withColumn("r", explode(sequence(lit(0), lit(mult - 1))))
+        .select(
+          (col("doc_id") + col("r") * lit(10000000L)).as("doc_id"),
+          when(col("r") === 0, col("text"))
+            .otherwise(concat(lit("replica"), col("r"), lit(" "),
+              col("text"))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(docsOut)
+    }
+    if (!exists(embOut)) {
+      // perturb dim 0 per replica: near (not identical) vectors, so IVF
+      // cells fill with realistic near-dup mass instead of exact copies
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("r", explode(sequence(lit(0), lit(mult - 1))))
+        .select(
+          (col("vec_id") + col("r") * lit(10000000L)).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CAST(x + " +
+            "(CASE WHEN i = 0 THEN r * 0.001 ELSE 0.0 END) AS FLOAT))")
+            .as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(embOut)
+    }
+    val nDocs = spark.read.parquet(docsOut).count()
+    val nVecs = spark.read.parquet(embOut).count()
+    System.err.println(s"[rehearsal] corpus: $nDocs docs, $nVecs vecs at $out")
+
+    // ---- drive the heavy family ----
+    def fmt(t: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, t)
+    val report = new StringBuilder
+    report ++= s"""{"mult":$mult,"n_docs":$nDocs,"n_vecs":$nVecs,"""
+    report ++= s""""runs":$runs,"queries":{"""
+    val rows = Family.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      // every run starts cold: the session memos are CLEARED (not
+      // conf-disabled) so each timing covers the full pipeline while the
+      // memo DECISION machinery stays live — dd2/dd8's driver-tier bound
+      // check must run and decline organically, which is the point
+      val times = (1 to runs).map { _ =>
+        graft.queries.Dedup.clearMemo()
+        graft.queries.MultimodalQueries.clearMemo()
+        graft.queries.Similarity.clearTrainedCaches()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val df = fn(spark, out)
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // plan hygiene at scale: no nested-loop/cartesian may appear once
+      // the data is 10× — the exact regression AQE could smuggle in if a
+      // broadcast estimate flipped
+      val plan = fn(spark, out).queryExecution.executedPlan.toString
+      val badJoin = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoop")
+      val n = fn(spark, out).count()
+      // over-bound fallback: dd2/dd8's driver-tier memo must DECLINE to
+      // store a pair list this large — memoSize stays 0 when the data
+      // (not a spec injection) forces the distributed path
+      val memoEntries = graft.queries.Dedup.memoSize
+      s""""$name":{"min_sec":${fmt(times.min)},"rows":$n,""" +
+        s""""bad_join":$badJoin,"dedup_memo_entries":$memoEntries}"""
+    }
+    report ++= rows.mkString(",")
+    // the caps the data actually derived (dd2 emits its cap per row)
+    val capRow = graft.SparkEntry.queries("dd2_shingle_jaccard")(spark, out)
+      .select(max("cap_df")).collect().head
+    val cap = if (capRow.isNullAt(0)) -1L else capRow.getLong(0)
+    report ++= s"""},"dd2_cap_df":$cap}"""
+    println(report.toString)
+    val f = java.nio.file.Paths.get(s"$out/report.json")
+    java.nio.file.Files.write(f, (report.toString + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[rehearsal] report written to $f")
+    spark.stop()
+  }
+}
