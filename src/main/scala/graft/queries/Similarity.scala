@@ -36,9 +36,11 @@ object Similarity {
   private[queries] val SrpBitsPerBand = 4
   private[queries] val SrpSigBits = 32
 
-  /** Bucket-size cap (see [[BucketCap]]): far above any organic bucket at
-    * the test SFs — it engages only on pathological buckets (exact-dup
-    * floods, zero vectors), bounding per-bucket join work at cap²/2.
+  /** Bucket-size regime switch (see [[srpCandidates]]): far above any
+    * organic bucket at the test SFs. A bucket past the cap (near-dup
+    * flood, zero vectors) switches from the exact all-pairs join
+    * (≤ cap²/2 work) to rank-adjacent [[FloodWindow]] pairing
+    * (size·W work, linear) — degraded recall, never silence.
     */
   private[queries] val DefaultBucketCap = 1000
 
@@ -51,9 +53,36 @@ object Similarity {
         normalized(col("embedding")).as("unit"),
         srpSignature(col("embedding"), nBits = SrpSigBits).as("sig"))
 
+  /** Flooded-bucket pairing window: inside a bucket past the cap, each
+    * member pairs with its next-[[FloodWindow]] neighbors in vec_id rank
+    * order (see [[srpCandidates]]) — per-bucket candidate count becomes
+    * size·W (linear), never size²/2.
+    */
+  private[graft] val FloodWindow = 8
+
   /** SRP candidate pairs (i < j) from banding collisions over `base`
     * (must carry vec_id + sig). Bucket join on the (band, key) slice —
-    * never vector×vector; oversized buckets are capped.
+    * never vector×vector; oversized buckets degrade to LINEAR pairing,
+    * never to silence.
+    *
+    * Flood handling (found by the ×30 ScaleRehearsal, round 10): the
+    * former drop-oversized-bucket rule is right for SHINGLE dedup (a
+    * flooded shingle key is uninformative boilerplate; dd1's exact pass
+    * catches the copies) but wrong for embedding ANN — a bucket flooded
+    * by near-identical vectors holds exactly the HIGHEST-cosine pairs,
+    * and at ~30× the gate corpus every bucket crossed the fixed cap and
+    * s3/dd7 silently returned EMPTY. Instead of dropping, an over-cap
+    * bucket now pairs each member with its next [[FloodWindow]] neighbors
+    * in vec_id rank order: per-bucket work falls from size²/2 to size·W
+    * (the quadratic-explosion bound the cap exists for), the true
+    * near-identical pairs stay reachable (adjacent flood members are
+    * mutual near-dups), and the i<j pair CHAIN keeps every flood member
+    * connected — so p3's drop-smaller-id-dup keeplist and dd8-style
+    * clustering still collapse the whole flood to one survivor.
+    * Sub-cap buckets keep the exact all-pairs join, so gate-SF results
+    * are unchanged unless a flood genuinely exists (the DuckDB oracle
+    * replays the same two-regime rule from the signature dump either
+    * way).
     *
     * `multiprobe`: additionally probe every 1-bit-flip neighbor of each
     * band key (the standard multiprobe-LSH trick) — a pair then collides
@@ -62,29 +91,53 @@ object Similarity {
     * floor; over 8 tables: pair recall ≈0.75 → ≈0.998) for a 5× probe
     * fan-out instead of more tables/signature bits. Off for top-k ANN
     * (s3 — ranked output tolerates misses; keep the join light), on for
-    * near-dup dedup (dd7 — recall is the product).
+    * near-dup dedup (dd7 — recall is the product). Flooded buckets do
+    * not multiprobe: a flood supplies its candidates from its own
+    * members; the flip probes exist to recover near-MISSES, which a
+    * flood by definition does not lack.
     */
-  private[queries] def srpCandidates(base: DataFrame, cap: Int,
+  private[graft] def srpCandidates(base: DataFrame, cap: Int,
       multiprobe: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val keyed = base.select(col("vec_id"),
       explode(graft.functions.HashFunctions.longBands(
         col("sig"), bands = SrpBands, bitsPerBand = SrpBitsPerBand)).as("tb"))
-    val capped = BucketCap.capBuckets(keyed, Seq("tb"), cap)
-    val probes = if (!multiprobe) capped else {
+    // bucket sizes from a map-side-combined agg; the oversize list is
+    // near-empty at healthy occupancy, so the sub-cap regime keeps the
+    // original AQE-broadcast anti-join shape — gate-SF plans unchanged
+    val oversize = keyed.groupBy(col("tb"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > cap)
+      .select("tb")
+    val ok = keyed.join(oversize, Seq("tb"), "left_anti")
+    val probes = if (!multiprobe) ok else {
       // flip 0 (the exact key) then each of the band's bits; the flip
       // relation is symmetric, so probing one side of the self-join covers
       // hamming-1 pairs
       val flips = 0L +: (0 until SrpBitsPerBand).map(b => (1L << b))
-      capped.select(col("vec_id"), explode(array(flips.map(f =>
+      ok.select(col("vec_id"), explode(array(flips.map(f =>
         struct(col("tb").getField("band").as("band"),
           col("tb").getField("key").bitwiseXOR(lit(f)).as("key"))): _*)).as("tb"))
     }
     val a = probes.alias("a")
-    val b = capped.alias("b")
-    a.join(b, col("a.tb") === col("b.tb") &&
+    val b = ok.alias("b")
+    val fullPairs = a.join(b, col("a.tb") === col("b.tb") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      .distinct()
+    // flood regime: members of over-cap buckets, ranked by vec_id within
+    // the bucket (the window's Exchange moves ONLY the flood subset —
+    // empty at healthy occupancy), each paired with its next-W neighbors.
+    // rk is ordered by vec_id, so fb.rk > fa.rk already implies i < j.
+    val flood = keyed.join(oversize, Seq("tb"), "left_semi")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("tb")).orderBy(col("vec_id"))))
+    val fa = flood.alias("fa")
+    val fb = flood.alias("fb")
+    val floodPairs = fa.join(fb, col("fa.tb") === col("fb.tb") &&
+        col("fb.rk") > col("fa.rk") &&
+        col("fb.rk") <= col("fa.rk") + FloodWindow)
+      .select(col("fa.vec_id").as("i"), col("fb.vec_id").as("j"))
+    fullPairs.unionByName(floodPairs).distinct()
   }
 
   /** IVF assignment frame (vec_id, cent_id, unit): coarse quantizer =
@@ -1128,8 +1181,10 @@ object Similarity {
   /** DuckDB replay of [[srpCandidates]] from the side_srp_sigs dump: band
     * keys are the raw 4-bit signature slices ((sig >> 4b) & 15 — DuckDB's
     * arithmetic `>>` then mask extracts the same bits as Spark's
-    * shiftright), bucket sizes replicate the cap, candidates are distinct
-    * colliding i<j pairs (probe keys XOR-flipped when multiprobe is on).
+    * shiftright), bucket sizes replicate the two-regime rule — sub-cap
+    * buckets pair fully (probe keys XOR-flipped when multiprobe is on),
+    * over-cap FLOOD buckets pair rank-adjacent within [[FloodWindow]] —
+    * and candidates are the distinct i<j union of both regimes.
     * CTE block ending in `pairs` + `sigs`.
     */
   private[queries] def srpCandidatesSql(cap: Int,
@@ -1149,9 +1204,17 @@ object Similarity {
        |szs AS (SELECT b, k, count(*) AS bsz FROM keyed GROUP BY 1, 2),
        |ok AS (SELECT keyed.* FROM keyed JOIN szs USING (b, k)
        |       WHERE bsz <= $cap),
-       |pairs AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
+       |flood AS (SELECT keyed.*,
+       |            row_number() OVER (PARTITION BY b, k ORDER BY vec_id) AS rk
+       |          FROM keyed JOIN szs USING (b, k) WHERE bsz > $cap),
+       |pairs AS (SELECT DISTINCT i, j FROM (
+       |          SELECT a.vec_id AS i, b2.vec_id AS j
        |          FROM $probeSide a JOIN ok b2 USING (b, k)
-       |          WHERE a.vec_id < b2.vec_id)""".stripMargin
+       |          WHERE a.vec_id < b2.vec_id
+       |          UNION ALL
+       |          SELECT fa.vec_id AS i, fb.vec_id AS j
+       |          FROM flood fa JOIN flood fb USING (b, k)
+       |          WHERE fb.rk > fa.rk AND fb.rk <= fa.rk + $FloodWindow))""".stripMargin
   }
 
   private val baseOracleSql: Map[String, String] = Map(

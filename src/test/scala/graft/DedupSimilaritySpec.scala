@@ -626,4 +626,51 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(selfLinks.exists(_._3 == 1) && selfLinks.exists(_._3 == 2),
       s"both edit distances expected: ${selfLinks.toSeq}")
   }
+
+  test("flooded SRP bucket degrades to linear adjacent pairing, never to " +
+    "empty ANN output (the x30 rehearsal failure mode)") {
+    import graft.queries.Similarity
+    import spark.implicits._
+    // 30 vectors with IDENTICAL signatures (nibble 1 in every band) — a
+    // near-dup flood filling every bucket past cap = 8 — plus a healthy
+    // 3-member bucket (nibble 2, disjoint keys). The former drop rule
+    // returned ZERO pairs for the flood, silently emptying s3/dd7 once a
+    // corpus was duplicated enough; the two-regime rule must keep the
+    // flood represented at linear cost and leave the healthy bucket's
+    // exact pairing untouched.
+    val floodIds = (0L until 30L)
+    val base = (floodIds.map(i => (i, 0x11111111L)) ++
+      Seq((100L, 0x22222222L), (101L, 0x22222222L), (102L, 0x22222222L)))
+      .toDF("vec_id", "sig")
+    val got = Similarity.srpCandidates(base, cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // healthy bucket: the full exact C(3,2) pairing survives unchanged
+    val healthy = Set((100L, 101L), (100L, 102L), (101L, 102L))
+    assert(healthy.subsetOf(got), s"sub-cap bucket lost pairs: $got")
+    // flood bucket: every band yields the same rank-adjacent pairs
+    // (|i-j| <= FloodWindow since rank order == id order here) —
+    // sum_{d=1..8} (30-d) = 204 distinct pairs, and nothing quadratic
+    val floodPairs = got -- healthy
+    val want = (for {
+      i <- floodIds; d <- 1 to Similarity.FloodWindow
+      if i + d < 30L
+    } yield (i, i + d)).toSet
+    assert(floodPairs == want,
+      s"flood pairing wrong: extra=${(floodPairs -- want).take(5)} " +
+        s"missing=${(want -- floodPairs).take(5)}")
+    assert(floodPairs.size == 204)
+    // connectivity contract (what p3's keeplist and clustering ride on):
+    // every flood member except the smallest has a smaller-id near-dup,
+    // so drop-j collapses the whole flood to one survivor
+    val js = floodPairs.map(_._2)
+    assert(floodIds.drop(1).forall(js.contains),
+      "a flood member lost its smaller-id link — keeplist would keep it")
+    // multiprobe (dd7's configuration): flood members don't flip-probe;
+    // result over this fixture is identical (flips of nibble 1 and
+    // nibble 2 don't collide: 1^{1,2,4,8} and 2^{1,2,4,8} are disjoint
+    // from {1, 2})
+    val mp = Similarity.srpCandidates(base, cap = 8, multiprobe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp == got, "multiprobe changed the flood fixture's pairs")
+  }
 }
