@@ -900,23 +900,19 @@ object Dedup {
     // emits a per-cell decision summary (counts + kept-id checksum) so
     // the hash gate certifies the exact kept SET without shipping
     // vectors. At 100 TB: k grows with the corpus (the paper's regime —
-    // cells stay ~constant-size, so Σ cell² ≈ N·cell), and the
-    // [[BucketCap]] on cell occupancy bounds the worst cell — an
-    // exact-dup flood that collapses into one cell is dd1's job anyway,
-    // exactly the argument BucketCap's doc makes for LSH buckets.
+    // cells stay ~constant-size, so Σ cell² ≈ N·cell), and cell
+    // occupancy is bounded by the same two-regime rule as
+    // [[Similarity.srpCandidates]]: a cell past the cap — a popular-
+    // content flood, which is exactly the mass SemDeDup exists to
+    // collapse — degrades to rank-adjacent FloodWindow pairing (size·W
+    // linear work; the ≥0.4-filtered i<j chain still drops every flood
+    // member with a qualifying smaller-id neighbor) instead of being
+    // dropped from the search, which would silently EXEMPT the most
+    // duplicated content from dedup (the ×30-rehearsal failure mode).
     "dd17_semdedup" -> ((s, dir) => {
-      import graft.functions.VectorFunctions.dot
       val (assigned0, eCache) = Similarity.ivfAssign(s, dir)
       val assigned = assigned0.persist()
-      val scoped = BucketCap.capBuckets(assigned, Seq("cent_id"),
-        Similarity.DefaultBucketCap)
-      val a = scoped.alias("a")
-      val b = scoped.alias("b")
-      val dropped = a.join(b, col("a.cent_id") === col("b.cent_id") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .filter(dot(col("a.unit"), col("b.unit")) >= 0.4)
-        .select(col("b.vec_id").as("vec_id"))
-        .distinct()
+      val dropped = semDedupDrops(assigned, Similarity.DefaultBucketCap)
       QueryCache.resultThenRelease(
         assigned
           .join(dropped.withColumn("is_drop", lit(1L)), Seq("vec_id"), "left")
@@ -1061,6 +1057,44 @@ object Dedup {
     * discipline: stream and batch cannot disagree on what "linked"
     * means.
     */
+  /** dd17's drop set over an IVF assignment frame `(vec_id, cent_id,
+    * unit)` — factored so the spec can drive a constructed flood cell
+    * through the IDENTICAL two-regime rule the gated query and its
+    * oracle CTE share: sub-cap cells pair exhaustively i<j; over-cap
+    * FLOOD cells pair rank-adjacent within [[Similarity.FloodWindow]]
+    * (linear, never size²/2, and never dropped-from-search — see
+    * [[Similarity.srpCandidates]] for the rationale); both regimes drop
+    * the larger id of every pair with cos ≥ 0.4.
+    */
+  private[graft] def semDedupDrops(assigned: DataFrame, cap: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.dot
+    val over = assigned.groupBy("cent_id")
+      .agg(count(lit(1)).as("_csz"))
+      .filter(col("_csz") > cap)
+      .select("cent_id")
+    val scoped = assigned.join(over, Seq("cent_id"), "left_anti")
+    val a = scoped.alias("a")
+    val b = scoped.alias("b")
+    val fullDropped = a.join(b, col("a.cent_id") === col("b.cent_id") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.unit"), col("b.unit")) >= 0.4)
+      .select(col("b.vec_id").as("vec_id"))
+    val flood = assigned.join(over, Seq("cent_id"), "left_semi")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cent_id")).orderBy(col("vec_id"))))
+    val fa = flood.alias("fa")
+    val fb = flood.alias("fb")
+    val floodDropped = fa.join(fb,
+        col("fa.cent_id") === col("fb.cent_id") &&
+        col("fb.rk") > col("fa.rk") &&
+        col("fb.rk") <= col("fa.rk") + Similarity.FloodWindow)
+      .filter(dot(col("fa.unit"), col("fb.unit")) >= 0.4)
+      .select(col("fb.vec_id").as("vec_id"))
+    fullDropped.unionByName(floodDropped).distinct()
+  }
+
   private[graft] def linkPairs(base: DataFrame, aliases: DataFrame,
       maxSegDf: Option[Long] = None): DataFrame =
     linkageCandidates(base, aliases, maxSegDf)
@@ -1630,20 +1664,33 @@ object Dedup {
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
     // SemDeDup replay from the certified cell-assignment dump: the
-    // BucketCap on cell occupancy (szs/ok — srpCandidatesSql's idiom),
-    // exhaustive intra-cell i<j pairs at the shared 0.4 threshold, then
-    // the per-cell decision summary over the FULL assignment (drops only
-    // ever come from capped cells, totals count everyone).
+    // two-regime cell-occupancy rule (szs/ok/flood — srpCandidatesSql's
+    // idiom: sub-cap cells pair exhaustively i<j, over-cap FLOOD cells
+    // pair rank-adjacent within FloodWindow), the shared 0.4 threshold
+    // on both regimes, then the per-cell decision summary over the FULL
+    // assignment (totals count everyone).
     "dd17_semdedup" ->
       s"""WITH assign AS (SELECT vec_id, cent_id, unit
          |  FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
          |szs AS (SELECT cent_id, count(*) AS csz FROM assign GROUP BY 1),
          |ok AS (SELECT assign.* FROM assign JOIN szs USING (cent_id)
          |       WHERE csz <= ${Similarity.DefaultBucketCap}),
-         |drops AS (SELECT DISTINCT b.vec_id
+         |flood AS (SELECT assign.*,
+         |            row_number() OVER (PARTITION BY cent_id
+         |                               ORDER BY vec_id) AS rk
+         |          FROM assign JOIN szs USING (cent_id)
+         |          WHERE csz > ${Similarity.DefaultBucketCap}),
+         |drops AS (SELECT DISTINCT vec_id FROM (
+         |          SELECT b.vec_id
          |          FROM ok a JOIN ok b
          |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-         |          WHERE list_dot_product(a.unit, b.unit) >= 0.4)
+         |          WHERE list_dot_product(a.unit, b.unit) >= 0.4
+         |          UNION ALL
+         |          SELECT fb.vec_id
+         |          FROM flood fa JOIN flood fb
+         |            ON fa.cent_id = fb.cent_id AND fb.rk > fa.rk
+         |           AND fb.rk <= fa.rk + ${Similarity.FloodWindow}
+         |          WHERE list_dot_product(fa.unit, fb.unit) >= 0.4))
          |SELECT cent_id, count(*) AS n_vecs,
          |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_dropped,

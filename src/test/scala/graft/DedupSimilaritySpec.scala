@@ -673,4 +673,26 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mp == got, "multiprobe changed the flood fixture's pairs")
   }
+
+  test("SemDeDup flood cell still deduplicates: linear pairing collapses " +
+    "it to one survivor instead of exempting it") {
+    import graft.queries.Dedup
+    import spark.implicits._
+    // cell 7: a 30-member near-identical flood (cap 8 → flood regime);
+    // cell 9: a healthy 3-member cell where only one pair crosses 0.4
+    val u = Seq(1.0, 0.0)
+    val ortho = Seq(0.0, 1.0)
+    val assigned =
+      ((0L until 30L).map(i => (i, 7L, u)) ++
+        Seq((100L, 9L, u), (101L, 9L, u), (102L, 9L, ortho)))
+        .toDF("vec_id", "cent_id", "unit")
+    val dropped = Dedup.semDedupDrops(assigned, cap = 8L)
+      .collect().map(_.getLong(0)).toSet
+    // flood cell: every member except the smallest has a ≥0.4
+    // smaller-id neighbor within the window → 1..29 dropped, 0 kept.
+    // healthy cell: exact pairing drops 101 (dup of 100); 102 is
+    // orthogonal and survives.
+    assert(dropped == ((1L until 30L).toSet + 101L),
+      s"SemDeDup drop set wrong under flood: $dropped")
+  }
 }
