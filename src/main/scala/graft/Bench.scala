@@ -29,8 +29,10 @@ object Bench {
     * round-over-round per-query comparisons can be normalized by the
     * calibration ratio instead of argued from a contention narrative
     * (VERDICT r9 ask #1). Returns the min over `runs` timings.
+    * private[graft]: BenchCeilingSpec normalizes against the SAME
+    * workload — one definition, or the ratio's meaning drifts silently.
     */
-  private def calibrate(spark: SparkSession, runs: Int): Double = {
+  private[graft] def calibrate(spark: SparkSession, runs: Int): Double = {
     import org.apache.spark.sql.functions.{avg, expr, max, sum}
     (1 to runs).map { _ =>
       val t0 = System.nanoTime()

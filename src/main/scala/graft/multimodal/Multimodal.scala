@@ -47,18 +47,26 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Double])
   }
 
+  /** `spark.graft.codec` is a comma-set, so the image and audio seams
+    * switch independently (`imageio`, `wav`, or `imageio,wav` for both
+    * real decoders at once); unset = every seam on its deterministic
+    * stand-in (the gate default).
+    */
+  private def codecFlags(s: SparkSession): Set[String] =
+    s.conf.getOption("spark.graft.codec")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   /** Conf-selected codec for the decode call sites:
-    * `spark.graft.codec=imageio` → the REAL JDK decoder
-    * ([[ImageIoCodec]]); unset (the gate default) → [[FakeCodec]],
+    * `spark.graft.codec` containing `imageio` → the REAL JDK decoder
+    * ([[ImageIoCodec]]); otherwise (the gate default) → [[FakeCodec]],
     * whose arithmetic the DuckDB oracle replays over the driver's
     * synthetic payloads. The flag proves the seam accepts a real
     * decoder (VERDICT r8 ask #4) without moving the gate off its
     * replayable stand-in.
     */
   def codecFor(s: SparkSession): MediaCodec =
-    if (s.conf.getOption("spark.graft.codec").contains("imageio"))
-      ImageIoCodec
-    else FakeCodec
+    if (codecFlags(s).contains("imageio")) ImageIoCodec else FakeCodec
 
   /** REAL image decode via JDK `javax.imageio` (PNG/JPEG/BMP/GIF — no
     * new dependency): width/height from the decoded raster, channels =
@@ -110,15 +118,14 @@ object Multimodal {
     def frameEnergies(payload: Array[Byte], frameSize: Int): Seq[(Int, Long, Int)]
   }
 
-  /** Conf-selected audio codec (the audio twin of [[codecFor]]):
-    * `spark.graft.codec=wav` → the REAL JDK WAV/PCM decoder
-    * ([[WavCodec]]); anything else (the gate default) → [[FakeCodec]]'s
-    * byte arithmetic, which the DuckDB oracle replays.
+  /** Conf-selected audio codec (the audio twin of [[codecFor]];
+    * independent of the image flag — the conf is a comma-set):
+    * `spark.graft.codec` containing `wav` → the REAL JDK WAV/PCM
+    * decoder ([[WavCodec]]); otherwise (the gate default) →
+    * [[FakeCodec]]'s byte arithmetic, which the DuckDB oracle replays.
     */
   def audioCodecFor(s: SparkSession): AudioCodec =
-    if (s.conf.getOption("spark.graft.codec").contains("wav"))
-      WavCodec
-    else FakeCodec
+    if (codecFlags(s).contains("wav")) WavCodec else FakeCodec
 
   /** REAL audio decode via JDK `javax.sound.sampled` (WAV/PCM — no new
     * dependency, the audio leg of [[ImageIoCodec]]): parse the RIFF
@@ -146,6 +153,20 @@ object Multimodal {
           s"unsupported WAV frame format: ${fmt.getEncoding}/" +
             s"${fmt.getSampleSizeInBits}-bit (need 16-bit signed PCM)")
         val bytes = in.readAllBytes()
+        // truncation check: the RIFF header declares the frame count; a
+        // payload cut mid-stream (the classic corrupt object-store PUT)
+        // still parses, so "fail LOUDLY" requires comparing what the
+        // header promised against what the data chunk delivered — a
+        // silently-short energy profile is exactly the poisoned-VAD
+        // outcome this codec rejects. (frameLength can be unspecified
+        // (-1) for streamed sources; then only evenness is checkable.)
+        val declared = in.getFrameLength
+        val frameBytes = fmt.getFrameSize
+        require(declared < 0 || bytes.length.toLong == declared * frameBytes,
+          s"truncated WAV: header declares $declared frames " +
+            s"(${declared * frameBytes} B), data chunk has ${bytes.length} B")
+        require(bytes.length % 2 == 0,
+          s"truncated WAV: odd byte count ${bytes.length} for 16-bit PCM")
         val out = new Array[Int](bytes.length / 2)
         val big = fmt.isBigEndian
         var i = 0

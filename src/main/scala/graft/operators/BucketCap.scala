@@ -35,16 +35,31 @@ object BucketCap {
   /** Keep only rows whose bucket (all `keyCols` equal) has ≤ `cap`
     * members.
     */
-  def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
+  def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame =
+    splitByOccupancy(df, keyCols, cap)._1
+
+  /** Two-regime occupancy split: rows in sub-cap buckets vs rows in
+    * over-cap (FLOOD) buckets — the shared front half of the
+    * flood-pairing rule (`Similarity.srpCandidates` /
+    * `Dedup.semDedupDrops`: sub-cap buckets pair exactly, flood buckets
+    * pair rank-adjacent instead of being dropped). Plan shape as
+    * documented above: one map-side-combined size agg; the near-empty
+    * oversize list anti-joins (AQE-broadcast in practice) for the ok
+    * side and semi-joins for the flood side. Column order preserved on
+    * both outputs.
+    */
+  def splitByOccupancy(df: DataFrame, keyCols: Seq[String], cap: Long)
+      : (DataFrame, DataFrame) = {
     require(cap >= 2, s"cap $cap would drop every pair-producing bucket")
     val oversize = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > cap)
       .select(keyCols.map(col): _*)
-    // the using-columns anti join reorders key columns first; restore the
-    // caller's column order so the cap is a transparent filter
-    df.join(oversize, keyCols, "left_anti")
-      .select(df.columns.map(col).toIndexedSeq: _*)
+    // the using-columns joins reorder key columns first; restore the
+    // caller's column order so the split is a transparent filter
+    val cols = df.columns.map(col).toIndexedSeq
+    (df.join(oversize, keyCols, "left_anti").select(cols: _*),
+      df.join(oversize, keyCols, "left_semi").select(cols: _*))
   }
 
   /** [[capBuckets]] with the cap derived from the bucket-size

@@ -1070,18 +1070,15 @@ object Dedup {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.dot
-    val over = assigned.groupBy("cent_id")
-      .agg(count(lit(1)).as("_csz"))
-      .filter(col("_csz") > cap)
-      .select("cent_id")
-    val scoped = assigned.join(over, Seq("cent_id"), "left_anti")
+    val (scoped, floodRows) =
+      BucketCap.splitByOccupancy(assigned, Seq("cent_id"), cap)
     val a = scoped.alias("a")
     val b = scoped.alias("b")
     val fullDropped = a.join(b, col("a.cent_id") === col("b.cent_id") &&
         col("a.vec_id") < col("b.vec_id"))
       .filter(dot(col("a.unit"), col("b.unit")) >= 0.4)
       .select(col("b.vec_id").as("vec_id"))
-    val flood = assigned.join(over, Seq("cent_id"), "left_semi")
+    val flood = floodRows
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cent_id")).orderBy(col("vec_id"))))
     val fa = flood.alias("fa")
@@ -1095,12 +1092,24 @@ object Dedup {
     fullDropped.unionByName(floodDropped).distinct()
   }
 
+  /** Link verdicts: ONE row per qualifying (alias_id, c_custkey) pair,
+    * carrying the MINIMUM edit distance over the key pair's (name,
+    * alias) variants. With unique keys (the gated fixture) this is the
+    * plain levenshtein residual; for the generic seam
+    * (LinkStream.linkBatch) a caller with duplicate c_custkey (or
+    * duplicate alias_id) still gets a deterministic single verdict per
+    * key pair — the min-agg makes the sink's documented idempotence on
+    * (alias_id, c_custkey) hold regardless of which variants existed,
+    * where any keep-one-row rule would leave the surviving edit_dist
+    * order-dependent.
+    */
   private[graft] def linkPairs(base: DataFrame, aliases: DataFrame,
       maxSegDf: Option[Long] = None): DataFrame =
     linkageCandidates(base, aliases, maxSegDf)
       .withColumn("edit_dist", levenshtein(col("alias"), col("name")))
       .filter(col("edit_dist") <= 2)
-      .select("alias_id", "c_custkey", "edit_dist")
+      .groupBy("alias_id", "c_custkey")
+      .agg(min("edit_dist").as("edit_dist"))
 
   /** dd21's PassJoin candidate generator over `base (c_custkey, name)`
     * and `aliases (alias_id, alias)`: base explodes ×3 on its pigeonhole

@@ -102,14 +102,11 @@ object Similarity {
     val keyed = base.select(col("vec_id"),
       explode(graft.functions.HashFunctions.longBands(
         col("sig"), bands = SrpBands, bitsPerBand = SrpBitsPerBand)).as("tb"))
-    // bucket sizes from a map-side-combined agg; the oversize list is
-    // near-empty at healthy occupancy, so the sub-cap regime keeps the
-    // original AQE-broadcast anti-join shape — gate-SF plans unchanged
-    val oversize = keyed.groupBy(col("tb"))
-      .agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") > cap)
-      .select("tb")
-    val ok = keyed.join(oversize, Seq("tb"), "left_anti")
+    // shared two-regime front half (BucketCap.splitByOccupancy): the
+    // oversize list is near-empty at healthy occupancy, so the sub-cap
+    // regime keeps the AQE-broadcast anti-join shape — gate-SF plans
+    // unchanged
+    val (ok, floodRows) = BucketCap.splitByOccupancy(keyed, Seq("tb"), cap)
     val probes = if (!multiprobe) ok else {
       // flip 0 (the exact key) then each of the band's bits; the flip
       // relation is symmetric, so probing one side of the self-join covers
@@ -128,7 +125,7 @@ object Similarity {
     // the bucket (the window's Exchange moves ONLY the flood subset —
     // empty at healthy occupancy), each paired with its next-W neighbors.
     // rk is ordered by vec_id, so fb.rk > fa.rk already implies i < j.
-    val flood = keyed.join(oversize, Seq("tb"), "left_semi")
+    val flood = floodRows
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("tb")).orderBy(col("vec_id"))))
     val fa = flood.alias("fa")

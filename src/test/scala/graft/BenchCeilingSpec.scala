@@ -33,17 +33,14 @@ class BenchCeilingSpec extends SparkSuite {
     df.write.format("noop").mode("overwrite").save()
 
   test("q60 stays within its calibrated fixed-overhead envelope") {
-    import org.apache.spark.sql.functions.{avg, expr, max, sum}
     val dir = "/root/testdata/sf0.1"
     val q60 = SparkEntry.queries("q60_triangle_count")
     // warm-up: JIT + codegen for both shapes land outside the timings
     noopRun(q60(spark, dir))
-    def calOnce(): Unit = noopRun(
-      spark.range(0, 20000000L, 1, 32)
-        .groupBy(expr("id % 997").as("k"))
-        .agg(sum("id").as("s"), avg("id").as("a"), max("id").as("m")))
-    calOnce()
-    val cal = timeMinOf(3)(calOnce()).max(0.05)
+    // Bench.calibrate IS the normalizer — one shared definition, so the
+    // spec's ratio and the driver's _calibration row measure the same
+    // workload (its first call here doubles as its own warm-up via min)
+    val cal = Bench.calibrate(spark, runs = 4).max(0.05)
     val t = timeMinOf(3) {
       spark.catalog.clearCache()
       noopRun(q60(spark, dir))

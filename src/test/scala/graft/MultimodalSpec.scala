@@ -258,6 +258,20 @@ class MultimodalSpec extends SparkSuite {
           frameSize = 32, codec = Multimodal.audioCodecFor(spark)).collect()
       }
       assert(boom.getMessage != null)
+      // a TRUNCATED wav (valid header, data chunk cut mid-stream — the
+      // corrupt object-store PUT) must also fail loudly: the header
+      // declares more frames than the payload delivers, and a silently
+      // short energy profile is the poisoned-VAD outcome the codec
+      // contract rejects
+      val cut = intercept[IllegalArgumentException] {
+        Multimodal.WavCodec.decodePcm16(wav.dropRight(31))
+      }
+      assert(cut.getMessage.contains("truncated WAV"), cut.getMessage)
+      // both real codecs coexist: the conf is a comma-set, so enabling
+      // wav must not silently downgrade the image seam (or vice versa)
+      spark.conf.set("spark.graft.codec", "imageio,wav")
+      assert(Multimodal.audioCodecFor(spark) eq Multimodal.WavCodec)
+      assert(Multimodal.codecFor(spark) eq Multimodal.ImageIoCodec)
     } finally spark.conf.unset("spark.graft.codec")
     // flag off: the gate's deterministic stand-in is back
     assert(Multimodal.audioCodecFor(spark) eq Multimodal.FakeCodec)
