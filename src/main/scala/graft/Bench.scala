@@ -204,7 +204,16 @@ object Bench {
     // also written to a file in the working directory, where the judge
     // can always read the complete per-query map.
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+      // local-iteration runs (SPARK_GRAFT_DEV=1 — usually filtered and/or
+      // at a smaller SF) default into target/ so they can never clobber
+      // the committed driver-run artifact at the repo root (ADVICE r10);
+      // driver-shaped full runs keep writing the root artifact the judge
+      // reads, and SPARK_GRAFT_BENCH_OUT overrides either way.
+      val defaultOut =
+        if (devMode) "target/bench_results.json" else "bench_results.json"
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+      Option(java.nio.file.Paths.get(out).getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] full results written to $out")

@@ -116,6 +116,17 @@ object Multimodal {
     */
   trait AudioCodec extends Serializable {
     def frameEnergies(payload: Array[Byte], frameSize: Int): Seq[(Int, Long, Int)]
+
+    /** The VAD speech threshold in THIS codec's native energy unit
+      * (mean-square amplitude per unit: bytes² for the stand-in,
+      * sample² for 16-bit PCM) — selected alongside the codec (ADVICE
+      * r10: a constant threshold silently changes meaning when the
+      * decode unit changes; 10000/byte² ≈ RMS 100 of 255 would mean
+      * RMS 100 of 32767 ≈ −50 dBFS under a real decoder). Both values
+      * sit at the same RELATIVE level, RMS ≈ 39% of full scale, so the
+      * segmentation engages comparably under either codec.
+      */
+    def vadThrPerUnit: Long
   }
 
   /** Conf-selected audio codec (the audio twin of [[codecFor]];
@@ -138,6 +149,15 @@ object Multimodal {
     * a corrupt payload is how bad media poisons a VAD profile.
     */
   object WavCodec extends AudioCodec {
+
+    /** 16-bit-sample² scale: RMS ≈ 12247 ≈ 37% of full scale 32767 —
+      * the same relative level as [[FakeCodec]]'s 10000/byte²
+      * (RMS 100 ≈ 39% of 255), so swapping the codec keeps the
+      * speech/silence split engaged instead of silently reclassifying
+      * −50 dBFS noise as speech (which the byte²-calibrated 10000
+      * would, under sample² units).
+      */
+    val vadThrPerUnit: Long = 150000000L
 
     /** Decode payload → signed 16-bit PCM samples (interleaved across
       * channels, in stream order).
@@ -192,13 +212,155 @@ object Multimodal {
     }
   }
 
+  /** The video-decode slot of [[sampleFrameRows]] / [[videoFrameEnergies]]
+    * — the container leg of the codec family: a video payload splits into
+    * its frames in stream order, and each frame reports an exact integer
+    * energy (Σ amplitude², unit count) for shot segmentation. `frameSize`
+    * is the stand-in's chunk width; a real demuxer delimits frames by the
+    * container's own structure and ignores it. Serializable — instances
+    * ride the `mapPartitions` closure to executors.
+    */
+  trait VideoCodec extends Serializable {
+    def frames(payload: Array[Byte], frameSize: Int): Seq[Array[Byte]]
+
+    /** Exact integer (Σ unit², n units) of one frame — bytes² for the
+      * stand-in, decoded-sample² for a real codec (the audio family's
+      * unit contract, applied per frame).
+      */
+    def frameEnergy(frame: Array[Byte]): (Long, Int)
+  }
+
+  /** Conf-selected video codec (the video twin of [[codecFor]] /
+    * [[audioCodecFor]]; the conf is a comma-set so all three seams
+    * switch independently): `spark.graft.codec` containing `mjpeg` →
+    * the REAL Motion-JPEG container parser ([[MjpegCodec]]); otherwise
+    * (the gate default) → [[FakeCodec]]'s fixed-size byte chunks, which
+    * the DuckDB oracle replays.
+    */
+  def videoCodecFor(s: SparkSession): VideoCodec =
+    if (codecFlags(s).contains("mjpeg")) MjpegCodec else FakeCodec
+
+  /** REAL video-container decode: Motion-JPEG as a stream of
+    * concatenated JPEG images (the classic MJPEG payload — what an
+    * MJPEG-AVI's video chunks or an IP camera's multipart stream carry),
+    * parsed by walking the ACTUAL JPEG segment structure — no new
+    * dependency, the video leg of [[ImageIoCodec]]/[[WavCodec]]:
+    *
+    *  - each frame starts at SOI (FFD8); marker segments carry a 2-byte
+    *    big-endian length which is SKIPPED (so an APP/EXIF blob that
+    *    happens to contain FFD9 bytes cannot truncate the frame — the
+    *    naive scan-for-EOI shortcut gets exactly that wrong);
+    *  - after SOS, entropy-coded data is scanned for the next true
+    *    marker (FF followed by neither 00 byte-stuffing nor an RST
+    *    code), which is either EOI — frame complete — or the next
+    *    segment (progressive JPEGs carry several SOS scans);
+    *  - anything other than a clean frame boundary fails LOUDLY
+    *    (ImageIoCodec's rationale: silently mis-framing a corrupt
+    *    stream is how bad media poisons frame dedup and shot stats).
+    *
+    * Per-frame pixels come from the SAME JDK decoder as the image seam
+    * (`javax.imageio` via [[ImageIoCodec]]-style raster access):
+    * [[frameEnergy]] is the exact integer Σ sample² over every band of
+    * every pixel with n = w·h·bands, so mm13's cross-multiplied integer
+    * cut compare works unchanged in sample² units.
+    */
+  object MjpegCodec extends VideoCodec {
+
+    /** Byte offset one past the end of the JPEG starting at `start`
+      * (which must point at SOI), by segment walking.
+      */
+    private[graft] def frameEnd(p: Array[Byte], start: Int): Int = {
+      def u8(i: Int): Int = p(i) & 0xff
+      require(start + 1 < p.length && u8(start) == 0xff &&
+        u8(start + 1) == 0xd8, s"no SOI at offset $start")
+      var i = start + 2
+      while (i + 1 < p.length) {
+        require(u8(i) == 0xff, s"expected marker at $i, got 0x${u8(i).toHexString}")
+        val m = u8(i + 1)
+        if (m == 0xd9) return i + 2 // EOI
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // TEM/RSTn
+        else if (m == 0xda) { // SOS: skip header, then entropy data
+          require(i + 3 < p.length, "truncated SOS header")
+          i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+          var done = false
+          while (!done) {
+            require(i + 1 < p.length, "truncated entropy-coded data")
+            if (u8(i) == 0xff && u8(i + 1) != 0x00 &&
+                !(u8(i + 1) >= 0xd0 && u8(i + 1) <= 0xd7)) done = true
+            else i += 1
+          }
+        } else { // length-prefixed segment (APPn/COM/DQT/DHT/SOFn/…)
+          require(i + 3 < p.length, s"truncated segment 0x${m.toHexString}")
+          i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+        }
+      }
+      throw new IllegalArgumentException(
+        s"truncated MJPEG: frame at $start has no EOI")
+    }
+
+    /** Frames are marker-delimited; `frameSize` is ignored. */
+    def frames(payload: Array[Byte], frameSize: Int): Seq[Array[Byte]] = {
+      val out = Seq.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < payload.length) {
+        val end = frameEnd(payload, i)
+        out += java.util.Arrays.copyOfRange(payload, i, end)
+        i = end
+      }
+      out.result()
+    }
+
+    def frameEnergy(frame: Array[Byte]): (Long, Int) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frame))
+      require(img != null, s"frame (${frame.length} B) is not a decodable image")
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var ss = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) {
+            val v = raster.getSample(x, y, b).toLong; ss += v * v; b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (ss, w * h * bands)
+    }
+  }
+
   /** DETERMINISTIC FAKE — stands in for the real codec (not present in
     * this environment). Every field is a pure function of the bytes so
     * tests and the DuckDB oracle can replay it. A real implementation
     * would call the decoder library here, once per batch.
     */
-  object FakeCodec extends MediaCodec with AudioCodec {
+  object FakeCodec extends MediaCodec with AudioCodec with VideoCodec {
+
+    /** Video stand-in: frames are fixed `frameSize`-byte chunks (ragged
+      * tail kept) and frame energy is the byte² arithmetic the DuckDB
+      * oracle replays — numerically identical to [[frameEnergies]] over
+      * the same payload, so mm13's shot stats don't move when spelled
+      * through the video seam.
+      */
+    def frames(payload: Array[Byte], frameSize: Int): Seq[Array[Byte]] =
+      payload.grouped(frameSize).toSeq
+
+    def frameEnergy(frame: Array[Byte]): (Long, Int) = {
+      var ss = 0L
+      frame.foreach { b => val v = (b & 0xff).toLong; ss += v * v }
+      (ss, frame.length)
+    }
     val Channels = 3
+
+    /** Byte² scale: RMS 100 of 255 — the gate threshold the DuckDB
+      * oracle replays (mm8's `ss >= 10000 * n`); splits the ASCII gate
+      * corpus ~33% speech / 67% silence.
+      */
+    val vadThrPerUnit: Long = 10000L
 
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Double]) = {
       val n = payload.length
@@ -327,17 +489,42 @@ object Multimodal {
     * per-frame work parallelizes past the per-item row count.
     */
   def sampleFrameRows(media: Dataset[MediaRow], frameSize: Int, every: Int,
-      batchSize: Int = 64): Dataset[MediaFrame] = {
+      batchSize: Int = 64,
+      codec: VideoCodec = FakeCodec): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // one "library call" per batch in a real codec (as in decodeMeta —
         // a real video demuxer amortizes container parsing across a batch)
         batch.iterator.flatMap { m =>
-          FakeCodec.sampleFrames(m.payload, frameSize, every)
-            .map { case (srcIdx, f) => MediaFrame(m.media_id, srcIdx, f) }
+          codec.frames(m.payload, frameSize).zipWithIndex
+            .collect { case (f, i) if i % every == 0 =>
+              MediaFrame(m.media_id, i, f)
+            }
         }
       }
+    }
+  }
+
+  /** Per-frame energies through the VIDEO seam — mm13's input: the
+    * codec's frame split ([[VideoCodec.frames]]) followed by its exact
+    * integer per-frame energy. Same narrow batched shape as
+    * [[audioFrameEnergies]], and numerically identical to it under the
+    * [[FakeCodec]] gate default (byte chunks, byte² energy) — the mjpeg
+    * flag swaps in marker-delimited frames and decoded-sample² energies
+    * with no other plan change.
+    */
+  def videoFrameEnergies(media: Dataset[MediaRow], frameSize: Int,
+      batchSize: Int = 64,
+      codec: VideoCodec = FakeCodec): Dataset[FrameEnergy] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { m =>
+        codec.frames(m.payload, frameSize).zipWithIndex.map { case (f, i) =>
+          val (ss, n) = codec.frameEnergy(f)
+          FrameEnergy(m.media_id, i, ss, n)
+        }
+      })
     }
   }
 

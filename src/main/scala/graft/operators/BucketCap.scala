@@ -62,6 +62,60 @@ object BucketCap {
       df.join(oversize, keyCols, "left_semi").select(cols: _*))
   }
 
+  /** Driver-bound for [[splitByOccupancyBounded]]'s eager oversize-key
+    * collect: 64k keys ≈ a few MB of (band, key) rows — comfortably
+    * driver-tier (P4 discipline), and far above any organic flood count
+    * at the gate SFs. A corpus whose over-cap key count exceeds this
+    * (≥ 64k·cap rows inside floods) falls back to the fully lazy
+    * distributed split.
+    */
+  private[graft] val MaxOversizeKeys = 65536
+
+  /** [[splitByOccupancy]] made EAGER and short-circuiting (ADVICE r10):
+    * the lazy split re-derives the size aggregate once per consuming
+    * join (2-3 scans of `df`'s plan) and pays the flood branch even when
+    * no bucket is over cap — the common case at healthy occupancy. This
+    * variant runs the size aggregate ONCE (map-side combined; only
+    * (key, count) survivors reach the driver, `limit`-bounded at
+    * [[MaxOversizeKeys]]+1 rows) and returns:
+    *
+    *  - `(df, None)` when NO bucket is over cap — callers skip the flood
+    *    branch entirely, so the healthy-corpus plan carries no anti-join,
+    *    no union, and no flood machinery at all;
+    *  - `(ok, Some(flood))` with both sides joined against a BROADCAST
+    *    local relation of the collected oversize keys (no re-aggregation
+    *    in either consuming plan) when the oversize list fits the bound;
+    *  - the lazy [[splitByOccupancy]] frames when it does not (the
+    *    degenerate 100 TB mega-flood: the one extra aggregate pass is
+    *    noise next to the pairing work that follows).
+    *
+    * Eager means callers run one Spark job at DataFrame-construction
+    * time; every call site persists `df`'s parent first, so the job
+    * doubles as the cache-warming pass.
+    */
+  def splitByOccupancyBounded(df: DataFrame, keyCols: Seq[String], cap: Long)
+      : (DataFrame, Option[DataFrame]) = {
+    require(cap >= 2, s"cap $cap would drop every pair-producing bucket")
+    val oversize = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > cap)
+      .select(keyCols.map(col): _*)
+    val head = oversize.limit(MaxOversizeKeys + 1).collect()
+    if (head.isEmpty) (df, None)
+    else if (head.length <= MaxOversizeKeys) {
+      import scala.jdk.CollectionConverters._
+      val local = df.sparkSession
+        .createDataFrame(head.toSeq.asJava, oversize.schema)
+      val cols = df.columns.map(col).toIndexedSeq
+      (df.join(broadcast(local), keyCols, "left_anti").select(cols: _*),
+        Some(df.join(broadcast(local), keyCols, "left_semi")
+          .select(cols: _*)))
+    } else {
+      val (ok, flood) = splitByOccupancy(df, keyCols, cap)
+      (ok, Some(flood))
+    }
+  }
+
   /** [[capBuckets]] with the cap derived from the bucket-size
     * distribution itself: `max(floor, p99.9 of bucket sizes)`
     * ([[AdaptiveCap.permilleCap]] — exact, oracle-replayable). Returns

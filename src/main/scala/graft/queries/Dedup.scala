@@ -695,14 +695,15 @@ object Dedup {
     "dd7_embed_neardup" -> ((s, dir) => {
       import graft.functions.VectorFunctions.dot
       val base = Similarity.srpBase(s, dir).persist()
+      val (cand, floodCaches) = Similarity.srpCandidates(base,
+        Similarity.DefaultBucketCap, multiprobe = true)
       QueryCache.resultThenRelease(
-        Similarity.srpCandidates(base, Similarity.DefaultBucketCap,
-            multiprobe = true)
+        cand
           .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
           .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
           .select(col("i"), col("j"), dot(col("u_i"), col("u_j")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4),
-        base)
+        (base +: floodCaches): _*)
     }),
 
     // The APPLY step of embedding dedup: dd7 finds near-dup pairs, this
@@ -715,8 +716,9 @@ object Dedup {
     "p3_embed_keeplist" -> ((s, dir) => {
       import graft.functions.VectorFunctions.dot
       val base = Similarity.srpBase(s, dir).persist()
-      val dropped = Similarity.srpCandidates(base, Similarity.DefaultBucketCap,
-          multiprobe = true)
+      val (cand, floodCaches) = Similarity.srpCandidates(base,
+        Similarity.DefaultBucketCap, multiprobe = true)
+      val dropped = cand
         .join(base.select(col("vec_id").as("i"), col("unit").as("u_i")), "i")
         .join(base.select(col("vec_id").as("j"), col("unit").as("u_j")), "j")
         .filter(dot(col("u_i"), col("u_j")) >= 0.4)
@@ -725,7 +727,7 @@ object Dedup {
       QueryCache.resultThenRelease(
         base.join(dropped, Seq("vec_id"), "left_anti")
           .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_ids")),
-        base)
+        (base +: floodCaches): _*)
     }),
 
     // Containment near-dup ([[containmentPairsWithCaches]]): the
@@ -912,7 +914,8 @@ object Dedup {
     "dd17_semdedup" -> ((s, dir) => {
       val (assigned0, eCache) = Similarity.ivfAssign(s, dir)
       val assigned = assigned0.persist()
-      val dropped = semDedupDrops(assigned, Similarity.DefaultBucketCap)
+      val (dropped, floodCaches) =
+        semDedupDrops(assigned, Similarity.DefaultBucketCap)
       QueryCache.resultThenRelease(
         assigned
           .join(dropped.withColumn("is_drop", lit(1L)), Seq("vec_id"), "left")
@@ -921,7 +924,7 @@ object Dedup {
             sum(coalesce(col("is_drop"), lit(0L))).as("n_dropped"),
             sum(when(col("is_drop").isNull, col("vec_id"))
               .otherwise(lit(0L))).as("kept_id_sum")),
-        assigned, eCache)
+        (Seq(assigned, eCache) ++ floodCaches): _*)
     }),
 
     // SEMANTIC benchmark decontamination — dd10's embedding-space twin
@@ -1067,29 +1070,34 @@ object Dedup {
     * the larger id of every pair with cos ≥ 0.4.
     */
   private[graft] def semDedupDrops(assigned: DataFrame, cap: Long)
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      : (DataFrame, Seq[DataFrame]) = {
     import graft.functions.VectorFunctions.dot
-    val (scoped, floodRows) =
-      BucketCap.splitByOccupancy(assigned, Seq("cent_id"), cap)
+    // eager + short-circuiting split (srpCandidates' discipline): one
+    // size-aggregate job; a healthy assignment (every gate SF) keeps the
+    // plain intra-cell pair join with no flood machinery in the plan
+    val (scoped, floodOpt) =
+      BucketCap.splitByOccupancyBounded(assigned, Seq("cent_id"), cap)
     val a = scoped.alias("a")
     val b = scoped.alias("b")
     val fullDropped = a.join(b, col("a.cent_id") === col("b.cent_id") &&
         col("a.vec_id") < col("b.vec_id"))
       .filter(dot(col("a.unit"), col("b.unit")) >= 0.4)
       .select(col("b.vec_id").as("vec_id"))
-    val flood = floodRows
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("cent_id")).orderBy(col("vec_id"))))
-    val fa = flood.alias("fa")
-    val fb = flood.alias("fb")
-    val floodDropped = fa.join(fb,
-        col("fa.cent_id") === col("fb.cent_id") &&
-        col("fb.rk") > col("fa.rk") &&
-        col("fb.rk") <= col("fa.rk") + Similarity.FloodWindow)
-      .filter(dot(col("fa.unit"), col("fb.unit")) >= 0.4)
-      .select(col("fb.vec_id").as("vec_id"))
-    fullDropped.unionByName(floodDropped).distinct()
+    // flood cells pair rank-adjacent, fully distributed (FloodPairs:
+    // no single task holds a whole flood cell — the r10 `weak`); rank
+    // order is vec_id order, so adjacency implies i < j, matching the
+    // oracle CTE's row_number replay exactly
+    floodOpt match {
+      case None => (fullDropped.distinct(), Nil)
+      case Some(floodRows) =>
+        val (adj, floodCache) = graft.operators.FloodPairs
+          .rankAdjacent(floodRows, Seq("cent_id"), "vec_id",
+            Similarity.FloodWindow)
+        val floodDropped = adj
+          .filter(dot(col("a.unit"), col("b.unit")) >= 0.4)
+          .select(col("b.vec_id").as("vec_id"))
+        (fullDropped.unionByName(floodDropped).distinct(), Seq(floodCache))
+    }
   }
 
   /** Link verdicts: ONE row per qualifying (alias_id, c_custkey) pair,

@@ -54,10 +54,15 @@ object MultimodalQueries {
 
     // Frame sampling (the video shape): every 2nd 64-byte frame, one row
     // per kept frame, then per-item frame accounting — checks the
-    // generator op's cardinality and the exact bytes kept.
+    // generator op's cardinality and the exact bytes kept. videoCodecFor:
+    // `spark.graft.codec=mjpeg` swaps the REAL Motion-JPEG container
+    // parser into this exact call site (MultimodalSpec does, over a
+    // constructed concatenated-JPEG stream); the gate keeps the
+    // oracle-replayable fixed-chunk FakeCodec default.
     "mm4_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrameRows(
-          Multimodal.mediaFromDocuments(s, dir), frameSize = 64, every = 2)
+          Multimodal.mediaFromDocuments(s, dir), frameSize = 64, every = 2,
+          codec = Multimodal.videoCodecFor(s))
         .toDF()
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"),
@@ -77,7 +82,8 @@ object MultimodalQueries {
     // perceptual banding is the near-dup leg at ITEM granularity.
     "mm11_frame_dup_groups" -> ((s, dir) => {
       Multimodal.sampleFrameRows(
-          Multimodal.mediaFromDocuments(s, dir), frameSize = 32, every = 1)
+          Multimodal.mediaFromDocuments(s, dir), frameSize = 32, every = 1,
+          codec = Multimodal.videoCodecFor(s))
         .toDF()
         .select(col("media_id"), col("frame_idx").cast("long").as("fidx"),
           md5(col("frame")).as("frame_key"))
@@ -229,18 +235,22 @@ object MultimodalQueries {
     // Energy VAD — the audio leg of the decode family: the batched "PCM
     // decode" ([[Multimodal.audioFrameEnergies]]) emits one integer-
     // energy row per 32-unit frame (generator shape, narrow), and
-    // [[vadProfile]] segments it (threshold 10000/unit: at the gate
-    // corpus' ASCII byte distribution this splits ~33% speech / 67%
-    // silence, so the segmentation genuinely engages). audioCodecFor:
+    // [[vadProfile]] segments it at the CODEC'S OWN threshold
+    // (`AudioCodec.vadThrPerUnit` — ADVICE r10: the threshold is in the
+    // codec's native energy unit, so it must travel with the codec:
+    // 10000/byte² for the gate's FakeCodec — splitting the ASCII corpus
+    // ~33% speech / 67% silence, the value mm8's oracle replays — and
+    // the same RELATIVE level in sample² for WavCodec). audioCodecFor:
     // `spark.graft.codec=wav` swaps the REAL javax.sound.sampled WAV
     // decoder into this exact call site (MultimodalSpec does, over a
     // synthesized 16-bit PCM file); the gate keeps the oracle-replayable
     // FakeCodec default.
     "mm8_audio_vad" -> ((s, dir) => {
+      val codec = Multimodal.audioCodecFor(s)
       val frames = Multimodal.audioFrameEnergies(
         Multimodal.mediaFromDocuments(s, dir), frameSize = 32,
-        codec = Multimodal.audioCodecFor(s)).toDF()
-      vadProfile(frames, thrPerUnit = 10000L)
+        codec = codec).toDF()
+      vadProfile(frames, thrPerUnit = codec.vadThrPerUnit)
     }),
 
     // Binary-FILE ingest — how image/audio payloads actually enter a
@@ -340,8 +350,17 @@ object MultimodalQueries {
     // pattern).
     "mm13_shot_segments" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val fr = Multimodal.audioFrameEnergies(
-        Multimodal.mediaFromDocuments(s, dir), frameSize = 32).toDF()
+      // the VIDEO energy seam: under the gate's FakeCodec this is
+      // byte-for-byte the audio-energy arithmetic the oracle replays
+      // (FrameEnergyCte); `spark.graft.codec=mjpeg` swaps in
+      // marker-delimited frames with decoded-sample² energies. τ = 600
+      // is a mean-energy-per-unit jump, and both codecs emit 8-bit
+      // amplitudes (payload bytes / 8-bit rasters, units 0..255²), so
+      // the threshold means the same under either — unlike mm8's
+      // 16-bit-PCM case, where the threshold must travel with the codec
+      val fr = Multimodal.videoFrameEnergies(
+        Multimodal.mediaFromDocuments(s, dir), frameSize = 32,
+        codec = Multimodal.videoCodecFor(s)).toDF()
       val w = Window.partitionBy("media_id").orderBy("frame_idx")
       val cuts = fr
         .withColumn("pss", lag("sum_sq", 1).over(w))

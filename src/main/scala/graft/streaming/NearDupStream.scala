@@ -137,6 +137,14 @@ object NearDupStream {
       } finally sigs.unpersist(blocking = false)
     }
 
+    /** (postings rows, signature rows) — the screen's live state size,
+      * for the scale rehearsal's state-growth curve (runs two count
+      * jobs; observability, not the hot path).
+      */
+    private[graft] def stateSizes: (Long, Long) =
+      (postings.map(_.count()).getOrElse(0L),
+        sigStore.map(_.count()).getOrElse(0L))
+
     def close(): Unit = {
       postings.foreach(Checkpoints.free)
       sigStore.foreach(Checkpoints.free)

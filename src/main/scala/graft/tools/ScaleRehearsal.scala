@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   * target/ directory.
   *
   * Usage: runMain graft.tools.ScaleRehearsal [mult] [srcDir] [outDir]
+  *    or: runMain graft.tools.ScaleRehearsal [mult] degenerate
+  *
+  * DEGENERATE mode (VERDICT r10 ask #1's "done" condition): the
+  * flood-regime worst case — EVERY vector identical, so all mult×2000
+  * vectors share ONE SRP bucket per band and ONE IVF cell. The r10
+  * formulation (`row_number() OVER (PARTITION BY bucket)`) would sort
+  * the whole corpus on one task here; the distributed FloodPairs must
+  * instead keep the max per-task row count bounded by the partition
+  * granularity. Measures: (a) the operator-focused probe — max task
+  * shuffle-read rows through FloodPairs.rankAdjacent over 8 monster
+  * buckets, at 32 AND 64 shuffle partitions (the bound must ~halve:
+  * that is the "scales with the cluster, not with the bucket"
+  * property); (b) s3 end-to-end on a degenerate embeddings corpus and
+  * semDedupDrops on a one-cell assignment — non-empty results, no
+  * cartesian/BNLJ, and the flood collapses to one survivor.
   */
 object ScaleRehearsal {
 
@@ -28,11 +43,228 @@ object ScaleRehearsal {
     "dd2_shingle_jaccard", "dd3_minhash_lsh", "dd8_neardup_clusters",
     "s3_ann_srp", "s17_ivfpq_knn", "p8_full_pipeline")
 
+  /** Max records read by any single task (shuffle or input) across the
+    * jobs run while registered — the "did one task get the whole
+    * bucket" probe.
+    */
+  private final class MaxTaskRows
+      extends org.apache.spark.scheduler.SparkListener {
+    val max = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        val r = math.max(m.shuffleReadMetrics.recordsRead,
+          m.inputMetrics.recordsRead)
+        max.getAndAccumulate(r, math.max(_, _))
+      }
+    }
+  }
+
+  private def withMaxTaskRows[A](spark: SparkSession)(body: => A): (A, Long) = {
+    val l = new MaxTaskRows
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val a = body
+      // listener events are posted asynchronously (the bus drain API is
+      // private[spark]); poll until the max stabilizes
+      var prev = -1L
+      var i = 0
+      while (i < 20 && l.max.get() != prev) {
+        prev = l.max.get(); Thread.sleep(100); i += 1
+      }
+      (a, l.max.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private def runDegenerate(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    // AQE's partition COALESCING is disabled for the degenerate probes:
+    // it merges shuffle partitions toward a target BYTE size, and at this
+    // fixture's row width (~3 longs) that re-merges every 150k-row
+    // partition into a handful of fat tasks — masking exactly the
+    // granularity signal under test. At production row widths the same
+    // byte target SPLITS the work across the cluster, so the inherent
+    // distribution (no single task bound to a whole bucket) is the
+    // portable property; skew-join and the rest of AQE stay on.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val out = s"target/rehearsal/degen_x$mult"
+    val nVecs = 2000L * mult
+    val embOut = s"$out/embeddings.parquet"
+    if (!new java.io.File(embOut, "_SUCCESS").exists()) {
+      spark.range(0, nVecs)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), x -> CAST(1.0 AS FLOAT))")
+            .as("embedding"),
+          lit(0).as("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(embOut)
+    }
+    val report = new StringBuilder
+    report ++= s"""{"mode":"degenerate","n_vecs":$nVecs,"""
+
+    // (a) operator probe: 8 monster buckets of nVecs rows each (every
+    // band's single flooded bucket), through FloodPairs alone — the max
+    // single-task row count must track 1/partitions, never the bucket
+    def probe(parts: Int): (Long, Long, Double) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val flood = spark.range(0, nVecs)
+        .select(col("id").as("vec_id"),
+          explode(expr("sequence(0, 7)")).as("tb"))
+      val t0 = System.nanoTime()
+      val (n, maxRows) = withMaxTaskRows(spark) {
+        val (pairs, cache) = graft.operators.FloodPairs
+          .rankAdjacent(flood, Seq("tb"), "vec_id", 8)
+        try pairs.count() finally cache.unpersist(blocking = false)
+      }
+      (n, maxRows, (System.nanoTime() - t0) / 1e9)
+    }
+    val (n32, max32, t32) = probe(32)
+    val (n64, max64, t64) = probe(64)
+    spark.conf.set("spark.sql.shuffle.partitions", 32)
+    val floodRows = nVecs * 8
+    // exact pair arithmetic: 8 monster buckets, each Σ_{d=1..8}(N−d)
+    // rank-adjacent pairs — a rank gap anywhere (the round-11 persist
+    // bug's symptom) changes this count
+    val wantPairs = 8L * (1 to 8).map(nVecs - _).sum
+    require(n32 == wantPairs, s"pair count $n32 != exact $wantPairs")
+    require(n32 == n64, s"pair count moved with partitions: $n32 vs $n64")
+    // the invariant under test is the SCALING LAW, not any absolute at
+    // toy partition counts: the old window formulation pinned ≥ one
+    // whole bucket (nVecs rows) onto a single task at ANY partition
+    // count (its per-task floor was the bucket), while the distributed
+    // form's max task tracks stage-rows/P — it must drop markedly when
+    // P doubles, and at P=64 no task may hold even one bucket's worth.
+    // (max32 can exceed nVecs/1 slightly: the pair-join stage moves
+    // ~3×floodRows rows, so its 32-way granularity is ~150k with
+    // imbalance — still 1/P-bound, unlike a bucket-pinned sort.)
+    require(max64.toDouble <= max32.toDouble * 0.75,
+      s"max task rows did not scale down with partitions: $max32 -> $max64")
+    require(max64 < nVecs,
+      s"at 64 partitions a task still saw a whole bucket: $max64 >= $nVecs")
+    require(max32 < 2L * nVecs,
+      s"max task rows look bucket-pinned: max32=$max32 bucket=$nVecs")
+    report ++= s""""flood_rows":$floodRows,"pairs":$n32,"""
+    report ++= s""""probe_p32":{"max_task_rows":$max32,"sec":${fmt3(t32)}},"""
+    report ++= s""""probe_p64":{"max_task_rows":$max64,"sec":${fmt3(t64)}},"""
+
+    // (b) s3 end-to-end on the degenerate corpus: non-empty, no bad join
+    val t1 = System.nanoTime()
+    val s3 = graft.SparkEntry.queries("s3_ann_srp")(spark, out)
+    val s3rows = s3.count()
+    val s3sec = (System.nanoTime() - t1) / 1e9
+    val plan = s3.queryExecution.executedPlan.toString
+    val badJoin = plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoop")
+    require(s3rows == 10, s"degenerate s3 returned $s3rows rows (want 10)")
+    report ++= s""""s3":{"rows":$s3rows,"sec":${fmt3(s3sec)},"bad_join":$badJoin},"""
+
+    // (b') the SemDeDup monster cell: ONE cell holding the whole corpus;
+    // linear pairing must still collapse it to a single survivor
+    val t2 = System.nanoTime()
+    val assigned = spark.read.parquet(embOut)
+      .select(col("vec_id"), lit(0L).as("cent_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / 8.0)").as("unit"))
+    val (drops, maxCell) = withMaxTaskRows(spark) {
+      val (dropsDf, caches) =
+        graft.queries.Dedup.semDedupDrops(assigned, cap = 1000L)
+      try dropsDf.count()
+      finally caches.foreach(_.unpersist(blocking = false))
+    }
+    val ddsec = (System.nanoTime() - t2) / 1e9
+    require(drops == nVecs - 1,
+      s"monster cell kept ${nVecs - drops} survivors (want 1)")
+    require(maxCell < nVecs,
+      s"a task saw the whole monster cell: $maxCell of $nVecs")
+    report ++= s""""semdedup":{"drops":$drops,"sec":${fmt3(ddsec)},"""
+    report ++= s""""max_task_rows":$maxCell}}"""
+    println(report.toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val f = java.nio.file.Paths.get(s"$out/report.json")
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, (report.toString + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[rehearsal] degenerate report written to $f")
+  }
+
+  private def fmt3(t: Double) =
+    "%.3f".formatLocal(java.util.Locale.ROOT, t)
+
+  private def exists(p: String) =
+    new java.io.File(p, "_SUCCESS").exists()
+
+  /** ORGANIC corpus (VERDICT r10 ask #3): the replication corpus proved
+    * the cap MECHANISMS (it even caught the flood cliff), but its skew
+    * is synthetic — every clique has exactly `mult` members, every
+    * bucket grows uniformly. This generator produces the distributions
+    * a real crawl has, deterministically (every draw is an
+    * xxhash64-of-id uniform, no RNG state):
+    *
+    *  - documents: each doc joins a TEMPLATE via a u³-concentrated draw
+    *    (clique sizes follow a heavy head / long tail — the biggest
+    *    template collects thousands of near-dups, most are singletons);
+    *    template text is `len ∈ [10, 65]` words drawn log-uniformly
+    *    from a 5000-word vocabulary (Zipf-ish document frequencies —
+    *    what AdaptiveCap's p99.9 actually sees on a crawl), and each
+    *    doc mutates ONE position to a doc-unique token (near-dup, not
+    *    exact-dup, Jaccard ≈ (len−1)/(len+1)); lang/source are skewed
+    *    categorical draws.
+    *  - embeddings: 512 cluster centers, cluster membership u³-skewed
+    *    (hot clusters = popular content), vector = center + 10% noise —
+    *    organic IVF-cell and SRP-bucket occupancy skew.
+    */
+  private def runOrganic(spark: SparkSession, mult: Int, runs: Int): Unit = {
+    val out = s"target/rehearsal/organic_x$mult"
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+    val docsOut = s"$out/documents.parquet"
+    val embOut = s"$out/embeddings.parquet"
+    if (!exists(docsOut)) {
+      val nTpl = (nDocs / 4).max(1)
+      spark.range(0, nDocs)
+        .select(col("id").as("doc_id"),
+          expr(s"CAST($nTpl * pow(pmod(xxhash64('tpl', id), 1000000)" +
+            " / 1000000.0, 3) AS BIGINT)").as("tpl"))
+        .withColumn("len", expr("10 + pmod(xxhash64('len', tpl), 56)"))
+        .withColumn("text", expr(
+          """concat_ws(' ', transform(sequence(0, CAST(len AS INT) - 1),
+            |  p -> CASE WHEN p = CAST(pmod(xxhash64('mut', doc_id), len) AS INT)
+            |            THEN concat('u', doc_id)
+            |            ELSE concat('w', CAST(exp(log(5000.0) *
+            |              (pmod(xxhash64('w', tpl, p), 1000000) / 1000000.0))
+            |              AS BIGINT))
+            |       END))""".stripMargin))
+        .select(col("doc_id"), col("text"),
+          expr("element_at(array('en','en','de','fr','es','ja'), " +
+            "CAST(1 + 5 * pow(pmod(xxhash64('lg', doc_id), 1000000)" +
+            " / 1000000.0, 2) AS INT))").as("lang"),
+          expr("concat('src', pmod(xxhash64('src', doc_id), 20))")
+            .as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(docsOut)
+    }
+    if (!exists(embOut)) {
+      spark.range(0, nVecs)
+        .select(col("id").as("vec_id"),
+          expr("CAST(512 * pow(pmod(xxhash64('c', id), 1000000)" +
+            " / 1000000.0, 3) AS BIGINT)").as("c"))
+        .select(col("vec_id"),
+          expr(
+            """transform(sequence(0, 63), d -> CAST(
+              |    (pmod(xxhash64('ctr', c, d), 2000) / 1000.0 - 1.0)
+              |  + 0.1 * (pmod(xxhash64('nz', vec_id, d), 2000) / 1000.0 - 1.0)
+              |  AS FLOAT))""".stripMargin).as("embedding"),
+          expr("CAST(pmod(c, 8) AS INT)").as("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(embOut)
+    }
+    driveFamily(spark, out, runs, s""""mode":"organic","mult":$mult,""")
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val out = if (args.length > 2) args(2)
-      else s"target/rehearsal/sf0.1x$mult"
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -46,12 +278,20 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("degenerate")) {
+      try runDegenerate(spark, mult) finally spark.stop()
+      return
+    }
+    if (args.contains("organic")) {
+      try runOrganic(spark, mult, runs) finally spark.stop()
+      return
+    }
+    val out = if (args.length > 2) args(2)
+      else s"target/rehearsal/sf0.1x$mult"
 
     // ---- corpus construction (idempotent: skip when already on disk) ----
     val docsOut = s"$out/documents.parquet"
     val embOut = s"$out/embeddings.parquet"
-    def exists(p: String) =
-      new java.io.File(p, "_SUCCESS").exists()
     if (!exists(docsOut)) {
       // replica 0 keeps the organic text; replicas 1..m-1 get a distinct
       // leading token, so each base doc becomes an m-member NEAR-dup
@@ -83,15 +323,23 @@ object ScaleRehearsal {
         .repartition(32)
         .write.mode("overwrite").parquet(embOut)
     }
-    val nDocs = spark.read.parquet(docsOut).count()
-    val nVecs = spark.read.parquet(embOut).count()
-    System.err.println(s"[rehearsal] corpus: $nDocs docs, $nVecs vecs at $out")
+    driveFamily(spark, out, runs, s""""mult":$mult,""")
+    spark.stop()
+  }
 
-    // ---- drive the heavy family ----
+  /** Run the heavy family against a prepared corpus dir and write
+    * `$out/report.json` (min-of-N timings, row counts, derived caps,
+    * per-executed-plan no-cartesian assertion, memo-decline evidence).
+    */
+  private def driveFamily(spark: SparkSession, out: String, runs: Int,
+      header: String): Unit = {
+    val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
+    System.err.println(s"[rehearsal] corpus: $nDocs docs, $nVecs vecs at $out")
     def fmt(t: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, t)
     var dd2Cap = -1L
     val report = new StringBuilder
-    report ++= s"""{"mult":$mult,"n_docs":$nDocs,"n_vecs":$nVecs,"""
+    report ++= s"""{$header"n_docs":$nDocs,"n_vecs":$nVecs,"""
     report ++= s""""runs":$runs,"queries":{"""
     val rows = Family.map { name =>
       val fn = graft.SparkEntry.queries(name)
@@ -141,6 +389,5 @@ object ScaleRehearsal {
     java.nio.file.Files.write(f, (report.toString + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[rehearsal] report written to $f")
-    spark.stop()
   }
 }

@@ -642,8 +642,9 @@ class DedupSimilaritySpec extends SparkSuite {
     val base = (floodIds.map(i => (i, 0x11111111L)) ++
       Seq((100L, 0x22222222L), (101L, 0x22222222L), (102L, 0x22222222L)))
       .toDF("vec_id", "sig")
-    val got = Similarity.srpCandidates(base, cap = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (gotDf, gotCaches) = Similarity.srpCandidates(base, cap = 8)
+    val got = gotDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    gotCaches.foreach(_.unpersist(blocking = false))
     // healthy bucket: the full exact C(3,2) pairing survives unchanged
     val healthy = Set((100L, 101L), (100L, 102L), (101L, 102L))
     assert(healthy.subsetOf(got), s"sub-cap bucket lost pairs: $got")
@@ -669,8 +670,10 @@ class DedupSimilaritySpec extends SparkSuite {
     // result over this fixture is identical (flips of nibble 1 and
     // nibble 2 don't collide: 1^{1,2,4,8} and 2^{1,2,4,8} are disjoint
     // from {1, 2})
-    val mp = Similarity.srpCandidates(base, cap = 8, multiprobe = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (mpDf, mpCaches) =
+      Similarity.srpCandidates(base, cap = 8, multiprobe = true)
+    val mp = mpDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    mpCaches.foreach(_.unpersist(blocking = false))
     assert(mp == got, "multiprobe changed the flood fixture's pairs")
   }
 
@@ -686,8 +689,9 @@ class DedupSimilaritySpec extends SparkSuite {
       ((0L until 30L).map(i => (i, 7L, u)) ++
         Seq((100L, 9L, u), (101L, 9L, u), (102L, 9L, ortho)))
         .toDF("vec_id", "cent_id", "unit")
-    val dropped = Dedup.semDedupDrops(assigned, cap = 8L)
-      .collect().map(_.getLong(0)).toSet
+    val (droppedDf, ddCaches) = Dedup.semDedupDrops(assigned, cap = 8L)
+    val dropped = droppedDf.collect().map(_.getLong(0)).toSet
+    ddCaches.foreach(_.unpersist(blocking = false))
     // flood cell: every member except the smallest has a ≥0.4
     // smaller-id neighbor within the window → 1..29 dropped, 0 kept.
     // healthy cell: exact pairing drops 101 (dup of 100); 102 is

@@ -232,17 +232,24 @@ class MultimodalSpec extends SparkSuite {
       (6, 16L * loud * loud, 16)))
     // the flag selects the REAL audio codec through mm8's exact batched
     // call site; vadProfile (mm8's gated segmentation, verbatim) then
-    // segments the decoded energies — threshold in amplitude² units
+    // segments the decoded energies at the CODEC'S OWN threshold
+    // (vadThrPerUnit, in sample² units — exactly what mm8 passes): the
+    // ±12345 "loud" run (≈152.4e6/sample) must read as speech and the
+    // zero run as silence under the codec-selected constant, proving
+    // the threshold travels with the decode unit (ADVICE r10)
     spark.conf.set("spark.graft.codec", "wav")
     try {
-      assert(Multimodal.audioCodecFor(spark) eq Multimodal.WavCodec)
+      val codec = Multimodal.audioCodecFor(spark)
+      assert(codec eq Multimodal.WavCodec)
+      assert(codec.vadThrPerUnit == 150000000L,
+        "WavCodec threshold must be sample²-scaled, not byte²-scaled")
       val media = Seq(
         MediaRow(1L, "aud/wav", wav),
         MediaRow(2L, "aud/wav", wavOf(Array.fill[Short](64)(0)))).toDS()
       val frames = Multimodal.audioFrameEnergies(media, frameSize = 32,
-        codec = Multimodal.audioCodecFor(spark)).toDF()
+        codec = codec).toDF()
       val prof = graft.queries.MultimodalQueries
-        .vadProfile(frames, thrPerUnit = 100000000L)
+        .vadProfile(frames, thrPerUnit = codec.vadThrPerUnit)
         .collect()
         .map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
@@ -275,5 +282,96 @@ class MultimodalSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.codec")
     // flag off: the gate's deterministic stand-in is back
     assert(Multimodal.audioCodecFor(spark) eq Multimodal.FakeCodec)
+  }
+
+  test("real video container through the seam: MJPEG frames decode in " +
+    "mm4/mm11/mm13's call sites; duplicate frames group exactly") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // four REAL JPEG frames: 0 and 2 are encodes of the SAME image
+    // (identical bytes — the static intro/outro pattern mm11 exists to
+    // catch), 1 and 3 are distinct; concatenated = a Motion-JPEG stream
+    def jpegOf(seed: Int, w: Int = 6, h: Int = 5): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (seed * 37 + 16 * y + 4 * x) % 256
+        img.setRGB(x, y, (v << 16) | (((v + seed) % 256) << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", bos), "no jpg writer in this JDK")
+      bos.toByteArray
+    }
+    val still = jpegOf(1)
+    val frames = Seq(still, jpegOf(2), still, jpegOf(3))
+    val payload = frames.flatten.toArray
+    val codec = Multimodal.MjpegCodec
+    // the container parser recovers the EXACT frame boundaries (the
+    // segment walk, not a naive EOI scan: JPEG headers are length-
+    // prefixed and entropy data is byte-stuffed)
+    val got = codec.frames(payload, frameSize = 0)
+    assert(got.length == 4)
+    got.zip(frames).zipWithIndex.foreach { case ((g, want), i) =>
+      assert(java.util.Arrays.equals(g, want), s"frame $i bytes diverge")
+    }
+    // each frame decodes through the SAME JDK decoder as the image seam
+    // with known dims, and energy is the exact Σ sample² with n = w·h·bands
+    val (ss0, n0) = codec.frameEnergy(still)
+    assert(n0 == 6 * 5 * 3 && ss0 > 0L)
+    assert(codec.frameEnergy(got(2)) == ((ss0, n0)),
+      "identical frames must report identical energies")
+    assert(codec.frameEnergy(got(1)) != ((ss0, n0)),
+      "distinct frames should not collide in energy on this fixture")
+    // a frame with an APP segment CONTAINING the EOI byte pair must not
+    // be truncated by the walker (the naive scan's failure mode): splice
+    // a COM segment whose body is FFD9 right after SOI
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0x00, 0x04,
+      0xff.toByte, 0xd9.toByte)
+    val tricky = still.take(2) ++ com ++ still.drop(2)
+    assert(codec.frameEnd(tricky, 0) == tricky.length,
+      "segment walker truncated at an embedded FFD9")
+    // garbage and truncation fail LOUDLY, never as silent mis-framing
+    intercept[IllegalArgumentException] {
+      codec.frames(Array[Byte](1, 2, 3), 0)
+    }
+    intercept[IllegalArgumentException] {
+      codec.frames(payload.dropRight(3), 0)
+    }
+    // through the seam: the flag selects MJPEG in mm4/mm11's exact
+    // batched call site; mm11's md5-of-frame-bytes dedup groups the two
+    // identical frames and nothing else
+    spark.conf.set("spark.graft.codec", "mjpeg")
+    try {
+      assert(Multimodal.videoCodecFor(spark) eq Multimodal.MjpegCodec)
+      val media = Seq(MediaRow(1L, "vid/mjpeg", payload),
+        MediaRow(2L, "vid/mjpeg", jpegOf(4) ++ still)).toDS()
+      val fr = Multimodal.sampleFrameRows(media, frameSize = 32, every = 1,
+        codec = Multimodal.videoCodecFor(spark)).toDF()
+      import org.apache.spark.sql.functions._
+      val groups = fr
+        .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), countDistinct("media_id").as("nm"))
+        .filter(col("n") >= 2)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      // exactly ONE duplicated frame key: the still, 3 occurrences
+      // (item 1 twice, item 2 once) across 2 media items
+      assert(groups.toSeq == Seq((3L, 2L)), s"dup groups: ${groups.toSeq}")
+      // mm13's energy seam: sample² energies for every frame, and the
+      // FakeCodec spelling is untouched — same payload through the gate
+      // default equals the audio-energy arithmetic exactly
+      val e = Multimodal.videoFrameEnergies(media, frameSize = 32,
+        codec = Multimodal.videoCodecFor(spark)).collect()
+      assert(e.count(_.media_id == 1L) == 4 && e.forall(_.n_bytes == n0))
+    } finally spark.conf.unset("spark.graft.codec")
+    assert(Multimodal.videoCodecFor(spark) eq Multimodal.FakeCodec)
+    val fakeV = Multimodal.videoFrameEnergies(
+      Seq(MediaRow(9L, "vid", payload)).toDS(), frameSize = 32).collect()
+      .map(f => (f.frame_idx, f.sum_sq, f.n_bytes)).sortBy(_._1).toSeq
+    val fakeA = Multimodal.audioFrameEnergies(
+      Seq(MediaRow(9L, "aud", payload)).toDS(), frameSize = 32).collect()
+      .map(f => (f.frame_idx, f.sum_sq, f.n_bytes)).sortBy(_._1).toSeq
+    assert(fakeV == fakeA,
+      "gate-default video energies must equal the audio byte² arithmetic")
   }
 }
