@@ -896,8 +896,11 @@ object Dedup {
     // (probabilistic recall, corpus-global) vs cluster enumeration
     // (exhaustive within a cell, blind across cells) — and share the
     // cosine ≥ 0.4 decision threshold so their keep/drop semantics are
-    // directly comparable. Reuses s4's cell assignment
-    // ([[Similarity.ivfAssign]], the frame side_s4_assign certifies);
+    // directly comparable. Reuses s4's assignment KERNEL
+    // ([[Similarity.ivfAssign]]) at the PROPORTIONAL stride — the ANN
+    // tier bounds nlist, SemDeDup does not (cells ∝ N is the paper's
+    // design); the strides coincide at every gate SF, so the frame
+    // side_s4_assign still certifies;
     // drops the larger id of every intra-cell pair above threshold;
     // emits a per-cell decision summary (counts + kept-id checksum) so
     // the hash gate certifies the exact kept SET without shipping
@@ -912,7 +915,13 @@ object Dedup {
     // dropped from the search, which would silently EXEMPT the most
     // duplicated content from dedup (the ×30-rehearsal failure mode).
     "dd17_semdedup" -> ((s, dir) => {
-      val (assigned0, eCache) = Similarity.ivfAssign(s, dir)
+      // PROPORTIONAL stride (not the ANN-bounded ivfStride): SemDeDup's
+      // published regime is cells ∝ corpus with ~constant occupancy —
+      // see Similarity.assignFromUnits. Identical to the ANN assignment
+      // at every gate SF (the 53 floor dominates below ~54k vectors),
+      // which is what keeps the side_s4_assign oracle replay shared.
+      val (assigned0, eCache) = Similarity.ivfAssign(s, dir,
+        stride = Similarity.PqAnchorStride.toLong)
       val assigned = assigned0.persist()
       val (dropped, floodCaches) =
         semDedupDrops(assigned, Similarity.DefaultBucketCap)

@@ -75,8 +75,12 @@ object Serving {
         .collect()
       eCache.unpersist(blocking = false)
       val cb = Similarity.pqCodebookDf(s, dir).collect()
+      // the SAME corpus-derived stride ivfAssign used for the build
+      // (rows = one per vector, so rows.length is the corpus size)
+      val st = Similarity.anchorStride(rows.length.toLong,
+        Similarity.IvfNListBound)
       val cents = rows.iterator
-        .filter(_.getLong(0) % 53 == 0)
+        .filter(_.getLong(0) % st == 0)
         .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray)
         .toArray.sortBy(_._1)
       val members = rows.groupBy(_.getLong(1)).map { case (cid, rs) =>
@@ -114,7 +118,7 @@ object Serving {
     graft.source.ArtifactStore.save(
       Similarity.pqCodebookDf(s, dir),
       new org.apache.hadoop.fs.Path(path, "codebook").toString,
-      "pq_codebook", Similarity.PqParams)
+      "pq_codebook", Similarity.pqParams(s, dir))
   }
 
   /** Cold-start the in-memory index for `dir` from [[persistIndex]]'s
@@ -130,14 +134,19 @@ object Serving {
       .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
         col("unit"), col("codes"))
       .collect()
+    // params and strides re-derived from the loaded row count (one row
+    // per vector) — no corpus access, per this method's contract
+    val params = Similarity.pqParamsFor(rows.length.toLong)
     val cb = graft.source.ArtifactStore.loadLatestMatching(s,
         new org.apache.hadoop.fs.Path(path, "codebook").toString,
-        "pq_codebook", Similarity.PqParams)
+        "pq_codebook", params)
       .getOrElse(throw new IllegalStateException(
-        s"no committed pq_codebook under $path matching ${Similarity.PqParams}"))
+        s"no committed pq_codebook under $path matching $params"))
       .collect()
+    val st = Similarity.anchorStride(rows.length.toLong,
+      Similarity.IvfNListBound)
     val cents = rows.iterator
-      .filter(_.getLong(0) % 53 == 0)
+      .filter(_.getLong(0) % st == 0)
       .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray)
       .toArray.sortBy(_._1)
     val members = rows.groupBy(_.getLong(1)).map { case (cid, rs) =>

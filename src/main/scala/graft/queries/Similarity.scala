@@ -157,16 +157,68 @@ object Similarity {
     }
   }
 
-  /** IVF assignment frame (vec_id, cent_id, unit): coarse quantizer =
-    * every 53rd vector as a centroid (deterministic stand-in for trained
-    * k-means — the Spark plumbing is identical); every vector assigns to
-    * its nearest centroid via broadcast join + `max_by` hash aggregation
-    * (partial/final HashAggregate with map-side combine — N×C rows never
-    * shuffle; the former row_number-window formulation shuffled all of
-    * them to sort each vec_id partition).
+  /** Quantizer size bounds (found by the round-11 ORGANIC ×50
+    * rehearsal): the original anchor rule — every [[PqAnchorStride]]-th
+    * vector, at ANY corpus size — made the IVF centroid count AND the
+    * PQ codebook size grow ∝N, so coarse assignment (N×C dots) and PQ
+    * encode (N×M×K dots) were O(N²/stride) COMPUTE that no partitioning
+    * hides: s17 took 23× longer for 5× more vectors (156 s at 100k).
+    * Real IVF-PQ bounds both — FAISS trains FIXED 256-entry codebooks
+    * per subspace and sizes nlist ≈ 4√N (1024 is that rule's value at
+    * the 100k rehearsal point, and probe cost stays O(nlist)) — so the
+    * anchor STRIDE now derives from the corpus size:
+    * `max(53, ceil(N/bound))`. At every gate SF (N ≤ 2000) the floor
+    * dominates and the stride is exactly the historical 53, so every
+    * oracle hash is unchanged; the DuckDB replays compute the SAME
+    * stride from a COUNT over the dumped frames (lockstep by
+    * construction at any SF). dd17/SemDeDup deliberately does NOT
+    * bound its cells — see [[assignFromUnits]].
     */
-  private[queries] def ivfAssign(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] val IvfNListBound = 1024L
+  private[graft] val PqCodebookBound = 256L
+
+  /** `max(floor, ceil(n/bound))` — the deterministic anchor stride for
+    * a corpus of `n` vectors under a quantizer-size `bound`.
+    */
+  private[graft] def anchorStride(n: Long, bound: Long): Long =
+    math.max(PqAnchorStride.toLong, (n + bound - 1) / bound)
+
+  // corpus vector counts memoized per dir (parquet metadata count — a
+  // tiny job, but every ANN query derives 1-2 strides from it)
+  private val corpusVecsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def corpusVecs(s: SparkSession, dir: String): Long =
+    corpusVecsMemo.computeIfAbsent(dir,
+      _ => Tables.embeddings(s, dir).count()).longValue()
+
+  /** IVF anchor stride for `dir` (nlist ≤ [[IvfNListBound]]). */
+  private[graft] def ivfStride(s: SparkSession, dir: String): Long =
+    anchorStride(corpusVecs(s, dir), IvfNListBound)
+
+  /** PQ codebook anchor stride for `dir` (K ≤ [[PqCodebookBound]]). */
+  private[graft] def pqStride(s: SparkSession, dir: String): Long =
+    anchorStride(corpusVecs(s, dir), PqCodebookBound)
+
+  /** IVF assignment frame (vec_id, cent_id, unit): coarse quantizer =
+    * every [[ivfStride]]-th vector as a centroid (deterministic
+    * stand-in for trained k-means — the Spark plumbing is identical;
+    * nlist bounded at [[IvfNListBound]], see [[anchorStride]]); every
+    * vector assigns to its nearest centroid via broadcast join +
+    * `max_by` hash aggregation (partial/final HashAggregate with
+    * map-side combine — N×C rows never shuffle; the former
+    * row_number-window formulation shuffled all of them to sort each
+    * vec_id partition).
+    *
+    * `stride` defaults to the bounded ANN rule; dd17/SemDeDup passes
+    * [[PqAnchorStride]] explicitly to keep its cells PROPORTIONAL to
+    * the corpus (the published SemDeDup regime — constant occupancy,
+    * Σ cell² ≈ N·cell). The two strides coincide at every gate SF
+    * (floor ≤ 2000 vectors), which is what lets dd17's oracle keep
+    * replaying from the shared side_s4_assign dump.
+    */
+  private[queries] def ivfAssign(s: SparkSession, dir: String,
+      stride: Long = -1L): (DataFrame, DataFrame) = {
     // persisted: referenced by both the centroid extraction and the
     // assignment join — without the barrier each reference re-scans the
     // corpus and re-normalizes every vector. Returned alongside the
@@ -175,14 +227,22 @@ object Similarity {
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
       .persist()
-    (assignFromUnits(e), e)
+    val st = if (stride > 0) stride else ivfStride(s, dir)
+    (assignFromUnits(e, st), e)
   }
 
   /** The assignment join factored over a prepared (vec_id, unit) frame —
     * separated from the table read so ScaleShapeSpec can drive it with
     * synthetic corpora of controlled size (dd17's Σ cell² ≈ N·cell
-    * scale-shape contract: cells = every 53rd id, so cell COUNT grows
-    * with the corpus and occupancy stays ~constant).
+    * scale-shape contract: with the default stride, cell COUNT grows
+    * with the corpus and occupancy stays ~constant — the published
+    * SemDeDup shape; the ANN family passes the [[ivfStride]] bounded
+    * stride instead). The proportional case's N×C assignment compute is
+    * the one knowingly superlinear site left in the engine: published
+    * SemDeDup pays exactly this bill with GPU k-means + approximate
+    * assignment, and the production fix here is the same shape —
+    * hierarchical (two-level) assignment — which is APPROXIMATE, so it
+    * stays out of the hash-gated path.
     *
     * argmax by (sim, then smallest cent_id): max of the (sim, -cent_id)
     * struct is lexicographic, reproducing the old window's deterministic
@@ -190,8 +250,9 @@ object Similarity {
     * (one embedding row fanned out over C centroids), so first() is
     * deterministic-by-construction here.
     */
-  private[graft] def assignFromUnits(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id") % 53 === 0)
+  private[graft] def assignFromUnits(e: DataFrame,
+      stride: Long = PqAnchorStride.toLong): DataFrame = {
+    val cents = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("unit").as("cent"))
     e.join(broadcast(cents))
       .withColumn("sim", dot(col("unit"), col("cent")))
@@ -245,6 +306,7 @@ object Similarity {
   private[graft] def clearTrainedCaches(): Unit = {
     trainedCentroidCache.clear()
     tierTopk.clear()
+    corpusVecsMemo.clear()
   }
 
   private def trainedCentroids(
@@ -344,7 +406,7 @@ object Similarity {
     "s4_ivf_knn" -> ((s, dir) => {
       val (assigned0, eCache) = ivfAssign(s, dir)
       val assigned = assigned0.persist()
-      val cents = assigned.filter(col("vec_id") % 53 === 0)
+      val cents = assigned.filter(col("vec_id") % ivfStride(s, dir) === 0)
         .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
       // query = vec 0; probe its 4 nearest centroids
       val qUnit = typedlit(
@@ -408,7 +470,7 @@ object Similarity {
       val base = pqBase(s, dir).persist()
       val qUnit = base.filter(col("vec_id") === 0L)
         .select("unit").head().getSeq[Double](0)
-      val cbRows = base.filter(col("vec_id") % 53 === 0)
+      val cbRows = base.filter(col("vec_id") % pqStride(s, dir) === 0)
         .select("vec_id", "unit").collect()
       // LUT per subspace: cb_id -> dot(q_m, c_m), both slices walked in
       // ascending index order (matches the kernel and list_dot_product)
@@ -968,7 +1030,7 @@ object Similarity {
     "s21_ivf_filtered_knn" -> ((s, dir) => {
       val (assigned0, eCache) = ivfAssign(s, dir)
       val assigned = assigned0.persist()
-      val cents = assigned.filter(col("vec_id") % 53 === 0)
+      val cents = assigned.filter(col("vec_id") % ivfStride(s, dir) === 0)
         .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
       val qUnit = typedlit(
         assigned.filter(col("vec_id") === 0L).select("unit")
@@ -993,7 +1055,7 @@ object Similarity {
     "s20_ivf_batch_knn" -> ((s, dir) => {
       val (assigned0, eCache) = ivfAssign(s, dir)
       val assigned = assigned0.persist()
-      val cents = assigned.filter(col("vec_id") % 53 === 0)
+      val cents = assigned.filter(col("vec_id") % ivfStride(s, dir) === 0)
         .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
       val probes = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("unit").as("qu"))
@@ -1047,7 +1109,7 @@ object Similarity {
     val qUnit = codes.filter(col("vec_id") === 0L)
       .select("unit").head().getSeq[Double](0)
     val q = typedlit(qUnit)
-    val probed = assigned.filter(col("vec_id") % 53 === 0)
+    val probed = assigned.filter(col("vec_id") % ivfStride(s, dir) === 0)
       .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
       .withColumn("qsim", dot(col("cent"), q))
       .orderBy(col("qsim").desc, col("pc_id"))
@@ -1099,29 +1161,47 @@ object Similarity {
 
   /** Product-quantization geometry: 64-dim embeddings split into PqM
     * subspaces of PqD dims. The codebook per subspace is the subvectors
-    * of every 53rd vector — the same deterministic stand-in for trained
-    * k-means the IVF coarse quantizer uses ([[ivfAssign]]): the Spark
-    * plumbing (broadcast codebook, argmin assignment, ADC scan) is
-    * identical to the trained case, and determinism is what lets the
-    * DuckDB oracle replay the whole pipeline.
+    * of every [[pqStride]]-th vector (≤ [[PqCodebookBound]] entries —
+    * FAISS's fixed-size-codebook shape; see [[anchorStride]]) — the
+    * same deterministic stand-in for trained k-means the IVF coarse
+    * quantizer uses ([[ivfAssign]]): the Spark plumbing (broadcast
+    * codebook, argmin assignment, ADC scan) is identical to the trained
+    * case, and determinism is what lets the DuckDB oracle replay the
+    * whole pipeline.
     */
   private[graft] val PqM = 4
   private[graft] val PqD = 16
 
-  /** Every `PqAnchorStride`-th vector anchors the deterministic
-    * codebook (see [[pqBase]]'s scaladoc for why determinism over
-    * trained k-means here).
+  /** The anchor-stride FLOOR: every `max(53, ceil(N/bound))`-th vector
+    * anchors the deterministic quantizers (see [[anchorStride]]; the
+    * floor alone was the rule through round 10, which made quantizer
+    * sizes ∝N — the organic-rehearsal quadratic). Also the fixed stride
+    * dd17/SemDeDup keeps for its proportional cells.
     */
   private[graft] val PqAnchorStride = 53
 
   private[graft] val PqCodebookArtifact = "s8_pq_codebook"
-  private[graft] val PqParams = Map(
+
+  /** Codebook build params for the artifact store — the anchor stride
+    * is corpus-derived ([[pqStride]]), so a committed build for a
+    * DIFFERENT corpus size is a params MISMATCH and rebuilds rather
+    * than silently serving the wrong-geometry codebook.
+    */
+  private[graft] def pqParams(
+      s: SparkSession, dir: String): Map[String, String] =
+    pqParamsFor(corpusVecs(s, dir))
+
+  /** [[pqParams]] from an already-known corpus size — for consumers
+    * that must not touch the corpus (Serving.loadIndexInto derives `n`
+    * from the loaded index rows).
+    */
+  private[graft] def pqParamsFor(n: Long): Map[String, String] = Map(
     "M" -> PqM.toString, "D" -> PqD.toString,
-    "anchorStride" -> PqAnchorStride.toString)
+    "anchorStride" -> anchorStride(n, PqCodebookBound).toString)
 
   /** The PQ codebook frame (m, cb_id, cvec) — loaded from the artifact
     * store when one is configured and a committed build matches
-    * [[PqParams]] (build-once/load-many, VERDICT r8 ask #1), derived
+    * [[pqParams]] (build-once/load-many, VERDICT r8 ask #1), derived
     * from the corpus otherwise (and saved, so the NEXT session loads).
     * Doubles round-trip parquet bit-exactly, so the loaded codebook is
     * bit-identical to the derivation and the hash gate cannot tell the
@@ -1129,19 +1209,20 @@ object Similarity {
     */
   private[graft] def pqCodebookDf(s: SparkSession, dir: String): DataFrame = {
     import graft.source.ArtifactStore
+    val params = pqParams(s, dir)
     val loaded = ArtifactStore.root(s).flatMap(r =>
-      ArtifactStore.loadLatestMatching(s, r, PqCodebookArtifact, PqParams))
+      ArtifactStore.loadLatestMatching(s, r, PqCodebookArtifact, params))
     loaded.getOrElse {
       val e = Tables.spread(Tables.embeddings(s, dir))
         .select(col("vec_id"), normalized(col("embedding")).as("unit"))
-      val cb = e.filter(col("vec_id") % PqAnchorStride === 0)
+      val cb = e.filter(col("vec_id") % pqStride(s, dir) === 0)
         .select(col("vec_id"), explode(array((0 until PqM).map(m =>
           struct(lit(m).as("m"),
             slice(col("unit"), m * PqD + 1, PqD).as("sub"))): _*)).as("x"))
         .select(col("x.m").as("m"), col("vec_id").as("cb_id"),
           col("x.sub").as("cvec"))
       ArtifactStore.root(s).foreach(r =>
-        ArtifactStore.save(cb, r, PqCodebookArtifact, PqParams))
+        ArtifactStore.save(cb, r, PqCodebookArtifact, params))
       cb
     }
   }
@@ -1264,8 +1345,10 @@ object Similarity {
     "s21_ivf_filtered_knn" ->
       """WITH assign AS (SELECT vec_id, cent_id, unit
         |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+        |ivfst AS (SELECT GREATEST(53, CAST(ceil(count(*) / 1024.0) AS BIGINT))
+        |            AS st FROM assign),
         |cents AS (SELECT vec_id AS pc_id, unit AS cent FROM assign
-        |          WHERE vec_id % 53 = 0),
+        |          WHERE vec_id % (SELECT st FROM ivfst) = 0),
         |q AS (SELECT unit AS qu FROM assign WHERE vec_id = 0),
         |probed AS (SELECT pc_id AS cent_id FROM cents, q
         |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
@@ -1284,8 +1367,10 @@ object Similarity {
     "s20_ivf_batch_knn" ->
       """WITH assign AS (SELECT vec_id, cent_id, unit
         |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+        |ivfst AS (SELECT GREATEST(53, CAST(ceil(count(*) / 1024.0) AS BIGINT))
+        |            AS st FROM assign),
         |cents AS (SELECT vec_id AS pc_id, unit AS cent FROM assign
-        |          WHERE vec_id % 53 = 0),
+        |          WHERE vec_id % (SELECT st FROM ivfst) = 0),
         |probes AS (SELECT vec_id AS qid, unit AS qu FROM assign
         |           WHERE vec_id < 5),
         |routed AS (SELECT qid, cent_id FROM (
@@ -1442,20 +1527,23 @@ object Similarity {
         |LIMIT 10""".stripMargin,
 
     // full ADC replay from the dumped codes: the codebook is re-derived
-    // from the dump itself (% 53 rows), the LUT joins are pinned one per
+    // from the dump itself (anchor rows at the count-derived stride,
+    // the cbst CTE), the LUT joins are pinned one per
     // subspace so the ADC sum is the same fixed-order d0+d1+d2+d3 the
     // Spark side folds, and the re-rank is the exact-cosine discipline
     // shared with s6
     "s8_pq_knn" ->
       """WITH c AS (SELECT vec_id, unit, codes
         |          FROM read_parquet('{VERIFY_DIR}/side_s8_codes.parquet')),
+        |cbst AS (SELECT GREATEST(53, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |           AS st FROM c),
         |q AS (SELECT unit AS qu FROM c WHERE vec_id = 0),
         |lut AS (
         |  SELECT t.m, vec_id AS cb_id,
         |    list_dot_product(unit[t.m*16+1 : t.m*16+16],
         |                     qu[t.m*16+1 : t.m*16+16]) AS d
         |  FROM c, range(0, 4) t(m), q
-        |  WHERE vec_id % 53 = 0),
+        |  WHERE vec_id % (SELECT st FROM cbst) = 0),
         |cand AS (
         |  SELECT c.vec_id, l0.d + l1.d + l2.d + l3.d AS qscore
         |  FROM c
@@ -1473,8 +1561,10 @@ object Similarity {
     "s4_ivf_knn" ->
       """WITH assign AS (SELECT vec_id, cent_id, unit
         |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+        |ivfst AS (SELECT GREATEST(53, CAST(ceil(count(*) / 1024.0) AS BIGINT))
+        |            AS st FROM assign),
         |cents AS (SELECT vec_id AS pc_id, unit AS cent FROM assign
-        |          WHERE vec_id % 53 = 0),
+        |          WHERE vec_id % (SELECT st FROM ivfst) = 0),
         |q AS (SELECT unit AS qu FROM assign WHERE vec_id = 0),
         |probed AS (SELECT pc_id AS cent_id FROM cents, q
         |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
@@ -1567,10 +1657,15 @@ object Similarity {
       |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
       |c AS (SELECT vec_id, unit, codes
       |      FROM read_parquet('{VERIFY_DIR}/side_s8_codes.parquet')),
+      |ivfst AS (SELECT GREATEST(53, CAST(ceil(count(*) / 1024.0) AS BIGINT))
+      |            AS st FROM assign),
+      |cbst AS (SELECT GREATEST(53, CAST(ceil(count(*) / 256.0) AS BIGINT))
+      |           AS st FROM c),
       |q AS (SELECT unit AS qu FROM c WHERE vec_id = 0),
       |probed AS (SELECT pc_id AS cent_id
       |           FROM (SELECT vec_id AS pc_id, unit AS cent
-      |                 FROM assign WHERE vec_id % 53 = 0), q
+      |                 FROM assign
+      |                 WHERE vec_id % (SELECT st FROM ivfst) = 0), q
       |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
       |           LIMIT 2),
       |lut AS (
@@ -1578,7 +1673,7 @@ object Similarity {
       |    list_dot_product(unit[t.m*16+1 : t.m*16+16],
       |                     qu[t.m*16+1 : t.m*16+16]) AS d
       |  FROM c, range(0, 4) t(m), q
-      |  WHERE vec_id % 53 = 0),
+      |  WHERE vec_id % (SELECT st FROM cbst) = 0),
       |cand AS (
       |  SELECT c.vec_id, l0.d + l1.d + l2.d + l3.d AS qscore
       |  FROM c

@@ -60,10 +60,14 @@ object StreamRehearsal {
     {
       val embPath = s"$src/embeddings.parquet"
       val schema = spark.read.parquet(embPath).schema
-      // the fixed quantizer: s4's every-53rd-vector stand-in, plain-dot
-      // form — collected ONCE as the index-build artifact (KBs)
+      // the fixed quantizer: s4's anchor-stride stand-in at the same
+      // corpus-bounded stride the batch tier derives (nlist ≤ 1024),
+      // plain-dot form — collected ONCE as the index-build artifact (KBs)
+      val nAll = spark.read.parquet(embPath).count()
+      val st = graft.queries.Similarity.anchorStride(
+        nAll, graft.queries.Similarity.IvfNListBound)
       val cents = spark.read.parquet(embPath)
-        .filter(col("vec_id") % 53 === 0)
+        .filter(col("vec_id") % st === 0)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("u"))
         .collect()

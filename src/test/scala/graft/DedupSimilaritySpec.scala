@@ -699,4 +699,44 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(dropped == ((1L until 30L).toSet + 101L),
       s"SemDeDup drop set wrong under flood: $dropped")
   }
+
+  test("quantizer anchor strides: 53 floor at every gate SF (oracle " +
+    "invariance), corpus-derived bounds past it (the organic-x50 " +
+    "quadratic fix)") {
+    import graft.queries.Similarity
+    // the law itself: floor below bound*53 vectors, ceil-division above,
+    // and the resulting quantizer size never exceeds the bound
+    assert(Similarity.anchorStride(0L, 1024L) == 53L)
+    assert(Similarity.anchorStride(2000L, 1024L) == 53L)
+    assert(Similarity.anchorStride(53L * 1024L, 1024L) == 53L)
+    assert(Similarity.anchorStride(53L * 1024L + 1L, 1024L) == 54L)
+    assert(Similarity.anchorStride(100000L, 1024L) == 98L)
+    assert(Similarity.anchorStride(100000L, 256L) == 391L)
+    for (n <- Seq(1L, 2000L, 54272L, 54273L, 100000L, 10000000L);
+         b <- Seq(Similarity.IvfNListBound, Similarity.PqCodebookBound)) {
+      val st = Similarity.anchorStride(n, b)
+      // anchors are the multiples of st in [0, n): ceil(n/st) of them
+      val anchors = (n + st - 1) / st
+      assert(st == 53L || anchors <= b,
+        s"quantizer overflows its bound: n=$n bound=$b stride=$st")
+    }
+    // gate invariance, from the real tables: every SF the oracle gate or
+    // the BASELINE replays run at derives the HISTORICAL stride 53, so
+    // the bounded rule cannot move a hash
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      assert(Similarity.ivfStride(spark, dir) == 53L, s"ivf stride at $sf")
+      assert(Similarity.pqStride(spark, dir) == 53L, s"pq stride at $sf")
+    }
+    // and the bounded stride actually bounds the BUILT quantizer: a
+    // synthetic 120k-vector corpus yields <= IvfNListBound cells through
+    // the real assignment kernel's centroid rule
+    val n = 120000L
+    val st = Similarity.anchorStride(n, Similarity.IvfNListBound)
+    val nCents = spark.range(0, n)
+      .filter(org.apache.spark.sql.functions.col("id") % st === 0)
+      .count()
+    assert(nCents <= Similarity.IvfNListBound && nCents > 512L,
+      s"bounded nlist out of band: $nCents")
+  }
 }

@@ -71,7 +71,7 @@ class ServingSpec extends SparkSuite {
         when(expr("m = 0"), expr("transform(cvec, x -> x * 2.0)"))
           .otherwise(expr("cvec")))
       ArtifactStore.save(v2, root, cbName,
-        graft.queries.Similarity.PqParams)
+        graft.queries.Similarity.pqParams(spark, sf))
       assert(ArtifactStore.versions(spark, root, cbName) == Seq(1, 2))
       // a refreshed server and a cold batch run must agree ON V2 —
       // neither side may keep serving the stale build
