@@ -241,8 +241,9 @@ object Similarity {
     * the one knowingly superlinear site left in the engine: published
     * SemDeDup pays exactly this bill with GPU k-means + approximate
     * assignment, and the production fix here is the same shape —
-    * hierarchical (two-level) assignment — which is APPROXIMATE, so it
-    * stays out of the hash-gated path.
+    * [[assignFromUnitsHierarchical]], ≈2N√C instead of N×C — which is
+    * APPROXIMATE, so it stays out of the hash-gated path (agreement
+    * measured by DedupSimilaritySpec and the organic rehearsal probe).
     *
     * argmax by (sim, then smallest cent_id): max of the (sim, -cent_id)
     * struct is lexicographic, reproducing the old window's deterministic
@@ -256,6 +257,59 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("unit").as("cent"))
     e.join(broadcast(cents))
       .withColumn("sim", dot(col("unit"), col("cent")))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("sim"), (-col("cent_id")).as("nc")))
+          .as("cent_id"),
+        first("unit").as("unit"))
+  }
+
+  /** Two-level (hierarchical) coarse assignment — the NAMED production
+    * path for the proportional-cell regime ([[assignFromUnits]]'s
+    * scaladoc), now implemented instead of narrated: exact argmin over
+    * C ∝ N cells is N×C compute; routing each vector through G ≈ √C
+    * level-1 GROUP anchors first (every `stride·g`-th vector,
+    * g = ceil(√(n/stride))), then exact argmin over only the routed
+    * group's cells, costs N×G + N×(C/G) ≈ 2N√C — at the organic-×50
+    * point (N = 100k, C = 1887) that is 188M → ~9M fan-out rows, and
+    * the gap WIDENS with N (the whole point). APPROXIMATE by
+    * construction — a vector whose true nearest cell lives in a
+    * different level-1 group lands on the best cell of ITS group — so
+    * it stays OUT of the hash-gated dd17 path (published SemDeDup
+    * accepts exactly this: GPU FAISS k-means assignment is approximate
+    * too); still fully DETERMINISTIC (every argmin tie-breaks on the
+    * smallest id, so same data → same assignment on any partitioning).
+    *
+    * Plan shape: groups (≈√C rows) broadcast twice (cell→group and
+    * vector→group routing, both collapsing in map-side max_by partial
+    * aggs); the within-group argmin is an equi-join on `grp_id` —
+    * broadcastable while C is, a plain shuffled hash join once cells
+    * outgrow a broadcast (at 10⁹ vectors: C ≈ 19M cells is exactly
+    * why level-1 routing exists) — followed by the same partial/final
+    * max_by. No stage carries N×C rows.
+    */
+  private[graft] def assignFromUnitsHierarchical(e: DataFrame, n: Long,
+      stride: Long = PqAnchorStride.toLong): DataFrame = {
+    val cellCount = math.max(1L, (n + stride - 1) / stride)
+    val g = math.max(2L, math.ceil(math.sqrt(cellCount.toDouble)).toLong)
+    val groupStride = stride * g
+    val cells = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("unit").as("cent"))
+    val groups = e.filter(col("vec_id") % groupStride === 0)
+      .select(col("vec_id").as("grp_id"), col("unit").as("gcent"))
+    def routeToGroup(df: DataFrame, idCol: String, vecCol: String) =
+      df.join(broadcast(groups))
+        .withColumn("gsim", dot(col(vecCol), col("gcent")))
+        .groupBy(idCol)
+        .agg(
+          max_by(col("grp_id"),
+            struct(col("gsim"), (-col("grp_id")).as("ng"))).as("grp_id"),
+          first(vecCol).as(vecCol))
+    val cellsRouted = routeToGroup(
+      cells.withColumnRenamed("cent", "cvec"), "cent_id", "cvec")
+    val vecsRouted = routeToGroup(e, "vec_id", "unit")
+    vecsRouted.join(cellsRouted, "grp_id")
+      .withColumn("sim", dot(col("unit"), col("cvec")))
       .groupBy("vec_id")
       .agg(
         max_by(col("cent_id"), struct(col("sim"), (-col("cent_id")).as("nc")))

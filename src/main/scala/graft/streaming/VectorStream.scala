@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Streaming IVF index maintenance — the ingest-time half of the ANN
@@ -13,22 +12,23 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * without a rebuild.
   *
   * Scale shape:
-  *  - [[assignAgainst]] is STATELESS — the centroid table rides the plan
-  *    as a literal (broadcast for free, KBs for any realistic k) and the
-  *    argmax folds per row over that array. No stream aggregation, no
-  *    state store, append-mode safe: a naive per-vec_id `groupBy` +
-  *    `max_by` (the batch spelling) would grow the state store with
-  *    every vector ever seen.
+  *  - [[assignAgainst]] is STATELESS — the centroid table rides the
+  *    task closure (broadcast for free, KBs for any realistic k) and a
+  *    compiled per-row loop argmaxes over that array. No stream
+  *    aggregation, no state store, append-mode safe: a naive per-vec_id
+  *    `groupBy` + `max_by` (the batch spelling) would grow the state
+  *    store with every vector ever seen.
   *  - [[cellCounts]] keeps ONE long per cell via `mapGroupsWithState` —
   *    state is O(|cells|), independent of stream volume (the SketchStream
   *    rule), emitting each touched cell's current count every trigger.
   *
   * Numeric parity with the batch assignment is BIT-exact by
-  * construction WHEN the scoring forms match: the dot folds
-  * `zip_with → aggregate` in index order — the same sequence of IEEE
-  * adds as the batch `graft_dot` kernel — ‖c‖² folds driver-side in the
-  * same order, and ties break to the smallest cent_id exactly like the
-  * batch `max_by(struct(sim, -cent_id))`. The scoring form is a
+  * construction WHEN the scoring forms match: the dot loop accumulates
+  * in ascending index order — the same sequence of IEEE adds as the
+  * batch `graft_dot` kernel (and as the pre-r11 `zip_with → aggregate`
+  * fold it replaced) — ‖c‖² folds driver-side in the same order, and
+  * ties break to the smallest cent_id exactly like the batch
+  * `max_by(struct(sim, -cent_id))`. The scoring form is a
   * parameter because plain-dot (s4's unit-centroid ranking) and the
   * k-means objective (s9's trained form) agree only in exact
   * arithmetic, not bit-for-bit — see [[assignAgainst]]. StreamingSpec
@@ -42,9 +42,9 @@ object VectorStream {
   final case class CellCount(cent_id: Long, n_vectors: Long)
 
   /** Assign every row of `vecs` (needs `vec_id`, `unit: array<double>`)
-    * to its nearest centroid. Stateless per-row argmax over the literal
-    * centroid array — works identically on a static frame and a
-    * streaming one (the spec runs both and compares).
+    * to its nearest centroid. Stateless per-row argmax over the
+    * closure-carried centroid array — works identically on a static
+    * frame and a streaming one (the spec runs both and compares).
     *
     * @param cents (cent_id, centroid vector) — the fixed quantizer.
     * @param kmeansObjective scoring form. `true` (default): the k-means
@@ -63,30 +63,50 @@ object VectorStream {
       cents: Seq[(Long, Seq[Double])],
       kmeansObjective: Boolean = true): DataFrame = {
     require(cents.nonEmpty, "assignAgainst needs at least one centroid")
-    // (cent_id, cent, cnorm): cnorm folds in index order, matching the
-    // batch dot(cent, cent) bit for bit
-    val centLit = typedlit(cents.map { case (id, c) =>
-      (id, c, c.foldLeft(0.0)((a, x) => a + x * x))
-    })
-    def dotc(c: Column): Column =
-      aggregate(
-        zip_with(col("unit"), c.getField("_2"), (x, y) => x * y),
-        lit(0.0), (a, x) => a + x)
-    def score(c: Column): Column =
-      if (kmeansObjective) lit(2.0) * dotc(c) - c.getField("_3")
-      else dotc(c)
-    val best = aggregate(
-      centLit,
-      struct(lit(Double.NegativeInfinity).as("s"),
-        lit(Long.MaxValue).as("id")),
-      (b, c) => {
-        val sc = score(c)
-        val better = sc > b.getField("s") ||
-          (sc === b.getField("s") && c.getField("_1") < b.getField("id"))
-        when(better,
-          struct(sc.as("s"), c.getField("_1").as("id"))).otherwise(b)
-      })
-    vecs.withColumn("cent_id", best.getField("id"))
+    // COMPILED per-partition scorer (round 11): the former Catalyst
+    // higher-order fold — `aggregate` over a typedlit of C (id, cent,
+    // cnorm) entries with a `zip_with` dot per element — is evaluated
+    // INTERPRETED per row (higher-order functions don't codegen), which
+    // the organic ×50 stream rehearsal measured at ~37 s per 12.5k-row
+    // micro-batch once the index reached C = 1021 cells. This loop is
+    // the same argmax over the same ascending-index double folds (dot
+    // and cnorm both accumulate in index order — bit-identical to the
+    // old fold AND to the batch plan's codegen DotProduct), JIT-compiled.
+    // Still STATELESS and narrow: the centroid array rides the closure,
+    // no shuffle, no state — which is what lets [[cellCounts]] stay the
+    // streaming query's one stateful operator.
+    val centArr: Array[(Long, Array[Double], Double)] =
+      cents.map { case (id, c) =>
+        val a = c.toArray
+        (id, a, a.foldLeft(0.0)((acc, x) => acc + x * x))
+      }.toArray
+    val unitIdx = vecs.schema.fieldIndex("unit")
+    val outSchema = vecs.schema
+      .add("cent_id", org.apache.spark.sql.types.LongType, nullable = false)
+    val obj = kmeansObjective
+    vecs.mapPartitions { it =>
+      it.map { r =>
+        val seq = r.getSeq[Double](unitIdx)
+        val u = new Array[Double](seq.length)
+        var j = 0
+        while (j < u.length) { u(j) = seq(j); j += 1 }
+        var bestS = Double.NegativeInfinity
+        var bestId = Long.MaxValue
+        var i = 0
+        while (i < centArr.length) {
+          val (id, c, cn) = centArr(i)
+          var d = 0.0
+          var k = 0
+          while (k < u.length) { d += u(k) * c(k); k += 1 }
+          val s = if (obj) 2.0 * d - cn else d
+          if (s > bestS || (s == bestS && id < bestId)) {
+            bestS = s; bestId = id
+          }
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ bestId)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Running per-cell occupancy across micro-batches: one long of state

@@ -260,6 +260,46 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(embOut)
     }
     driveFamily(spark, out, runs, s""""mode":"organic","mult":$mult,""")
+
+    // ---- SemDeDup assignment probe: exact N×C argmin vs the two-level
+    // hierarchical route (the documented production path for the
+    // proportional-cell regime) — wall time, agreement, routed sizes.
+    // NOT a gate: dd17 stays on the exact form; this records what the
+    // approximation buys and costs on organic cluster skew.
+    {
+      import graft.queries.Similarity
+      val e = spark.read.parquet(embOut)
+        .select(col("vec_id"),
+          expr("""transform(embedding, x -> CAST(x AS DOUBLE))""").as("u"))
+        .select(col("vec_id"), expr(
+          """transform(u, x -> x / sqrt(aggregate(u, 0.0D,
+            |  (acc, y) -> acc + y * y)))""".stripMargin).as("unit"))
+        .persist()
+      val n = e.count()
+      def timed(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val c = df.count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      val (tExact, _) = timed(Similarity.assignFromUnits(e))
+      val (tHier, _) = timed(Similarity.assignFromUnitsHierarchical(e, n))
+      val agree = Similarity.assignFromUnits(e).alias("x")
+        .join(Similarity.assignFromUnitsHierarchical(e, n).alias("h"),
+          col("x.vec_id") === col("h.vec_id"))
+        .filter(col("x.cent_id") === col("h.cent_id"))
+        .count()
+      e.unpersist(blocking = false)
+      val probe = s"""{"mode":"organic_assign_probe","mult":$mult,""" +
+        s""""n_vecs":$n,"exact_sec":${fmt3(tExact)},""" +
+        s""""hier_sec":${fmt3(tHier)},"agree":$agree,""" +
+        s""""agree_frac":${fmt3(agree.toDouble / n)}}"""
+      println(probe)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/assign_probe.json"),
+        (probe + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[rehearsal] assign probe written to " +
+        s"$out/assign_probe.json")
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -739,4 +739,62 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(nCents <= Similarity.IvfNListBound && nCents > 512L,
       s"bounded nlist out of band: $nCents")
   }
+
+  test("hierarchical two-level assignment: total, deterministic, high " +
+    "agreement with exact argmin, ~2N*sqrt(C) work instead of N*C") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.queries.Similarity
+    // synthetic clustered corpus (the regime SemDeDup assigns in):
+    // 4000 vectors drawn around 16 well-separated orthogonal-ish
+    // centers + small noise — big enough that C = 76 cells and
+    // G = 9 groups are both non-trivial
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(16)(Array.fill(32)(rnd.nextGaussian()))
+    val e = (0 until 4000).map { i =>
+      val c = centers(i % 16)
+      val v = c.map(_ + 0.05 * rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / nrm).toSeq)
+    }.toDF("vec_id", "unit").repartition(8, col("vec_id")).persist()
+    try {
+      val n = e.count()
+      def collectAssign(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "cent_id").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = collectAssign(Similarity.assignFromUnits(e))
+      val hier = collectAssign(Similarity.assignFromUnitsHierarchical(e, n))
+      val cells = exact.keySet.filter(_ % 53 == 0)
+      // total function onto real cells
+      assert(hier.keySet == exact.keySet, "assignment lost vectors")
+      assert(hier.values.toSet.subsetOf(cells), "assigned to a non-cell")
+      // determinism: a second evaluation is identical
+      assert(collectAssign(
+        Similarity.assignFromUnitsHierarchical(e, n)) == hier,
+        "hierarchical assignment nondeterministic")
+      // approximation quality on clustered data: routing only loses a
+      // vector whose true cell sits in another level-1 group
+      val agree = exact.count { case (v, c) => hier(v) == c }
+      assert(agree.toDouble / n >= 0.75,
+        s"hierarchical agreement too low: $agree/$n")
+      info(s"hierarchical vs exact agreement: $agree/$n " +
+        f"(${agree * 100.0 / n}%.1f%%)")
+      // the work-shape claim: the two routing fan-outs are N*G + C*G
+      // rows (G = ceil(sqrt(C)) group anchors exist as id multiples of
+      // 53*g), and the within-group argmin join carries sum_g(n_g*c_g)
+      // <= N*max_g(c_g) — every term bounded by the sqrt split, far
+      // under exact's N*C; the measured end-to-end cost ratio at real
+      // scale is the organic rehearsal probe's job, the spec pins the
+      // arithmetic the operator derives its strides from
+      val cellCount = cells.size.toLong
+      val g = math.max(2L, math.ceil(math.sqrt(cellCount.toDouble)).toLong)
+      val groups = cells.count(_ % (53L * g) == 0).toLong
+      assert(groups >= 2L && groups * groups <= 4L * cellCount,
+        s"level-1 group count off the sqrt split: $groups for $cellCount")
+      val routedRows = n * groups + cellCount * groups
+      assert(routedRows * 3 < n * cellCount,
+        s"two-level routing ($routedRows rows) not materially under " +
+          s"exact (${n * cellCount})")
+    } finally e.unpersist()
+  }
 }
