@@ -36,17 +36,30 @@ import graft.queries.Dedup
   *
   * State = the capped band postings (band, doc_id) plus one signature
   * row per admitted doc — both O(corpus) like any dedup index, 8-byte
-  * band keys and 32-long sigs. Per-batch cost, stated honestly: the
-  * candidate join's BATCH side broadcasts (tiny), so the postings scan
-  * streams in place, but the occupancy aggregate re-groups the full
-  * postings frame each batch — O(state) records through one shuffle in
-  * this self-contained form. The production fix is layout, not
+  * band keys and 32-long sigs. The state is APPEND-ONLY (round 11; the
+  * organic ×50 stream rehearsal showed the per-batch latency creeping
+  * 5.5 → 7.9 s because the original form `localCheckpoint`ed the WHOLE
+  * unioned state — an O(state) re-materialization per trigger — and
+  * semi-joined the full signature store against a full postings
+  * distinct): each batch now materializes only ITS OWN admitted rows
+  * and newly-covered sigs (O(batch)), held as a list of checkpointed
+  * parts that consumers union lazily; every [[PairScreen.CompactEvery]]
+  * batches the parts collapse into one frame so the union plan stays
+  * shallow (amortized O(state)/K per trigger). Measured effect, stated
+  * honestly: at the rehearsal's batch ≈ state/8 ratio the latency
+  * curve is UNCHANGED (pairs byte-identical) — there the per-trigger
+  * cost is dominated by the candidate-join volume itself, which grows
+  * as buckets fill toward cap and IS the product; the rewrite
+  * elimination pays where production lives, batch ≪ state (a 31k-row
+  * trigger no longer re-materializes a multi-billion-row index). The
+  * occupancy aggregate and the candidate/sig joins still SCAN the full
+  * (cached) state — map-side-combined partials, batch side broadcast —
+  * and the remaining production fix for those is layout, not
   * algorithm: keep the postings as a table BUCKETED by band
   * (source/Bucketed's zero-Exchange contract) and the occupancy
   * aggregate, the admission join, and the candidate join are all
-  * exchange-free on the state side, leaving only batch-sized movement
-  * per trigger. Frames follow the [[Checkpoints]] free-previous
-  * discipline.
+  * exchange-free on the state side. Frames follow the [[Checkpoints]]
+  * free-previous discipline.
   */
 object NearDupStream {
 
@@ -63,8 +76,29 @@ object NearDupStream {
       estFloor: Double = 0.5) {
     require(cap >= 1, s"cap $cap must be >= 1")
 
-    private var postings: Option[DataFrame] = None // (band, doc_id)
-    private var sigStore: Option[DataFrame] = None // (doc_id, sig)
+    // append-only state: per-batch checkpointed parts, unioned lazily
+    // by consumers; compacted every CompactEvery appends so the union
+    // plan stays shallow while no trigger rewrites the whole index
+    private var postingParts = Vector.empty[DataFrame] // (doc_id, band)
+    private var sigParts = Vector.empty[DataFrame] // (doc_id, sig)
+    private var appendsSinceCompact = 0
+
+    private def unionOf(parts: Vector[DataFrame]): Option[DataFrame] =
+      parts.reduceOption(_ unionByName _)
+
+    private def compactIfDue(): Unit = {
+      appendsSinceCompact += 1
+      if (appendsSinceCompact >= PairScreen.CompactEvery &&
+          postingParts.length > 1) {
+        val p = unionOf(postingParts).get.localCheckpoint()
+        val s = unionOf(sigParts).get.localCheckpoint()
+        postingParts.foreach(Checkpoints.free)
+        sigParts.foreach(Checkpoints.free)
+        postingParts = Vector(p)
+        sigParts = Vector(s)
+        appendsSinceCompact = 0
+      }
+    }
 
     /** Screen one micro-batch of (doc_id, text) rows; returns the
       * emitted pairs (i, j, est_jac), i < j, est ≥ `estFloor`. The
@@ -83,7 +117,8 @@ object NearDupStream {
         // schema-correct empty stand-in on the first batch (band is a
         // struct — deriving the empty frame from the live plan keeps
         // the two in lockstep)
-        val oldP = postings.getOrElse(newBanded.limit(0))
+        val oldP = unionOf(postingParts)
+          .getOrElse(newBanded.select("doc_id", "band").limit(0))
         // admission: per bucket, old occupancy + this batch's rows in
         // doc_id order fill up to `cap`; later arrivals are turned away
         // (deterministic — re-running the batch admits the same rows)
@@ -107,7 +142,7 @@ object NearDupStream {
           .join(nb.alias("b"), col("a.band") === col("b.band") &&
             col("a.n_id") < col("b.n_id"))
           .select(col("a.n_id").as("i"), col("b.n_id").as("j"))
-        val allSigs = sigStore match {
+        val allSigs = unionOf(sigParts) match {
           case None => sigs
           case Some(st) => st.unionByName(sigs)
         }
@@ -120,18 +155,19 @@ object NearDupStream {
             minhashSimilarity(col("sig_i"), col("sig_j")).as("est_jac"))
           .filter(col("est_jac") >= estFloor)
           .localCheckpoint() // eager: stable before the state advances
-        // advance state: admitted postings; sigs only for docs holding
-        // at least one posting (a doc admitted nowhere can never pair)
-        val nextP = oldP.unionByName(
-          admitted.select("doc_id", "band")).localCheckpoint()
-        val nextS = allSigs
-          .join(nextP.select("doc_id").distinct(), Seq("doc_id"),
+        // advance state by APPENDING this batch's slice only: admitted
+        // postings, and sigs for docs this batch admitted somewhere (a
+        // doc admitted nowhere can never pair; docs from EARLIER
+        // batches already passed this filter when appended) — O(batch)
+        // materialization, never an O(state) rewrite
+        val newP = admitted.select("doc_id", "band").localCheckpoint()
+        val newS = sigs
+          .join(newP.select("doc_id").distinct(), Seq("doc_id"),
             "left_semi")
           .localCheckpoint()
-        postings.foreach(Checkpoints.free)
-        sigStore.foreach(Checkpoints.free)
-        postings = Some(nextP)
-        sigStore = Some(nextS)
+        postingParts :+= newP
+        sigParts :+= newS
+        compactIfDue()
         admitted.unpersist(blocking = false)
         pairs
       } finally sigs.unpersist(blocking = false)
@@ -142,15 +178,25 @@ object NearDupStream {
       * jobs; observability, not the hot path).
       */
     private[graft] def stateSizes: (Long, Long) =
-      (postings.map(_.count()).getOrElse(0L),
-        sigStore.map(_.count()).getOrElse(0L))
+      (unionOf(postingParts).map(_.count()).getOrElse(0L),
+        unionOf(sigParts).map(_.count()).getOrElse(0L))
 
     def close(): Unit = {
-      postings.foreach(Checkpoints.free)
-      sigStore.foreach(Checkpoints.free)
-      postings = None
-      sigStore = None
+      postingParts.foreach(Checkpoints.free)
+      sigParts.foreach(Checkpoints.free)
+      postingParts = Vector.empty
+      sigParts = Vector.empty
+      appendsSinceCompact = 0
     }
+  }
+
+  object PairScreen {
+    /** Compaction period: every this-many appended batches the state
+      * parts collapse into one checkpointed frame — keeps the lazy
+      * union's plan depth bounded while amortizing the O(state) rewrite
+      * to 1/CompactEvery per trigger.
+      */
+    private[graft] val CompactEvery = 32
   }
 
   /** The full ingest-time near-dup path: each micro-batch of documents
