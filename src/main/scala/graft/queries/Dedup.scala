@@ -237,7 +237,7 @@ object Dedup {
     * |A∩B|. The prefilters upstream affect which pairs are REACHABLE
     * (replayed by the oracles), never the score a checked pair receives.
     */
-  private def rerankShared(bounded: DataFrame, docs: DataFrame): DataFrame =
+  private[graft] def rerankShared(bounded: DataFrame, docs: DataFrame): DataFrame =
     bounded.select("i", "j", "na", "nb")
       .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
       .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
@@ -899,8 +899,8 @@ object Dedup {
     // directly comparable. Reuses s4's assignment KERNEL
     // ([[Similarity.ivfAssign]]) at the PROPORTIONAL stride — the ANN
     // tier bounds nlist, SemDeDup does not (cells ∝ N is the paper's
-    // design); the strides coincide at every gate SF, so the frame
-    // side_s4_assign still certifies;
+    // design); the frame side_dd17_assign certifies the assignment at
+    // dd17's OWN stride, valid at any corpus size (ADVICE r11);
     // drops the larger id of every intra-cell pair above threshold;
     // emits a per-cell decision summary (counts + kept-id checksum) so
     // the hash gate certifies the exact kept SET without shipping
@@ -918,8 +918,9 @@ object Dedup {
       // PROPORTIONAL stride (not the ANN-bounded ivfStride): SemDeDup's
       // published regime is cells ∝ corpus with ~constant occupancy —
       // see Similarity.assignFromUnits. Identical to the ANN assignment
-      // at every gate SF (the 53 floor dominates below ~54k vectors),
-      // which is what keeps the side_s4_assign oracle replay shared.
+      // at every gate SF (the 53 floor dominates below ~54k vectors);
+      // the oracle replays from side_dd17_assign, dumped at THIS stride,
+      // so nothing depends on the coincidence (ADVICE r11).
       val (assigned0, eCache) = Similarity.ivfAssign(s, dir,
         stride = Similarity.PqAnchorStride.toLong)
       val assigned = assigned0.persist()
@@ -1259,7 +1260,17 @@ object Dedup {
     "side_dd4_sketches" -> ((s, dir) =>
       Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))),
-    "side_hll_est" -> ((s, dir) => hllEstFromShingles(sourceShingles(s, dir)))
+    "side_hll_est" -> ((s, dir) => hllEstFromShingles(sourceShingles(s, dir))),
+    // dd17's OWN assignment dump at the PROPORTIONAL stride (ADVICE
+    // r11): dd17 used to replay from side_s4_assign, which is produced
+    // at the ANN-bounded ivfStride — the two frames coincide only while
+    // N ≤ 53·1024, so the shared replay was a scale-conditional
+    // invariant nobody checked. Dumping dd17's exact build input makes
+    // the replay unconditional at any corpus size; at every gate SF the
+    // bytes are identical to side_s4_assign, so hashes are unchanged.
+    "side_dd17_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(s, dir,
+        stride = Similarity.PqAnchorStride.toLong)._1)
   )
 
   /** Signature-agreement score in DuckDB: fraction of equal slots of two
@@ -1689,7 +1700,9 @@ object Dedup {
          |FROM sigs
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
-    // SemDeDup replay from the certified cell-assignment dump: the
+    // SemDeDup replay from dd17's OWN cell-assignment dump (the
+    // proportional-stride frame — side_dd17_assign; identical to
+    // side_s4_assign at gate SFs, unconditionally correct beyond): the
     // two-regime cell-occupancy rule (szs/ok/flood — srpCandidatesSql's
     // idiom: sub-cap cells pair exhaustively i<j, over-cap FLOOD cells
     // pair rank-adjacent within FloodWindow), the shared 0.4 threshold
@@ -1697,7 +1710,7 @@ object Dedup {
     // assignment (totals count everyone).
     "dd17_semdedup" ->
       s"""WITH assign AS (SELECT vec_id, cent_id, unit
-         |  FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
+         |  FROM read_parquet('{VERIFY_DIR}/side_dd17_assign.parquet')),
          |szs AS (SELECT cent_id, count(*) AS csz FROM assign GROUP BY 1),
          |ok AS (SELECT assign.* FROM assign JOIN szs USING (cent_id)
          |       WHERE csz <= ${Similarity.DefaultBucketCap}),

@@ -57,7 +57,15 @@ object Serving {
     * a reshipped codebook version reaches batch s17 and a refreshed
     * server identically.
     */
-  def refresh(dir: String): Unit = indexCache.remove(dir)
+  def refresh(dir: String): Unit = {
+    indexCache.remove(dir)
+    // the rebuild must re-COUNT the corpus too (ADVICE r11): a refresh
+    // after an in-place corpus change with a live corpusVecs memo would
+    // rebuild the whole index at the STALE stride — assignment and
+    // centroid extraction would then disagree with any later consumer
+    // deriving the stride from the fresh count
+    Similarity.forgetCorpus(dir)
+  }
 
   /** Build (or reuse) the serving index for `dir`. One Spark pass:
     * the assignment frame joined to the PQ codes, plus the codebook
@@ -75,10 +83,13 @@ object Serving {
         .collect()
       eCache.unpersist(blocking = false)
       val cb = Similarity.pqCodebookDf(s, dir).collect()
-      // the SAME corpus-derived stride ivfAssign used for the build
-      // (rows = one per vector, so rows.length is the corpus size)
-      val st = Similarity.anchorStride(rows.length.toLong,
-        Similarity.IvfNListBound)
+      // the SAME memoized count ivfAssign's stride derivation used —
+      // NOT re-derived from rows.length (ADVICE r11: after an in-place
+      // corpus change with a stale memo, ivfAssign builds at the stale
+      // stride while rows.length counts the new data, so the extracted
+      // "centroids" would not be the assignment's cent_ids and serve()
+      // would silently probe empty cells)
+      val st = Similarity.ivfStride(s, dir)
       val cents = rows.iterator
         .filter(_.getLong(0) % st == 0)
         .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray)
@@ -119,6 +130,18 @@ object Serving {
       Similarity.pqCodebookDf(s, dir),
       new org.apache.hadoop.fs.Path(path, "codebook").toString,
       "pq_codebook", Similarity.pqParams(s, dir))
+    // index geometry travels WITH the index (ADVICE r11): the stride the
+    // assignment above actually used, pinned as metadata, so a cold
+    // server never re-DERIVES it from whatever row count it happens to
+    // load — re-derivation is the in-place-change divergence bug
+    val metaPath = new org.apache.hadoop.fs.Path(path, "INDEX_META.json")
+    val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(
+      (s"""{"corpusN": ${Similarity.corpusVecs(s, dir)}, """ +
+        s""""ivfStride": ${Similarity.ivfStride(s, dir)}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Cold-start the in-memory index for `dir` from [[persistIndex]]'s
@@ -134,17 +157,23 @@ object Serving {
       .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
         col("unit"), col("codes"))
       .collect()
-    // params and strides re-derived from the loaded row count (one row
-    // per vector) — no corpus access, per this method's contract
-    val params = Similarity.pqParamsFor(rows.length.toLong)
+    // geometry comes from the metadata persistIndex wrote alongside the
+    // cells — still no corpus access, but no re-DERIVATION either
+    // (ADVICE r11: rows.length equals the build-time corpus count only
+    // while nobody changed the corpus between count and build; the
+    // metadata pins what the build actually used)
+    val (metaN, metaStride) = readIndexMeta(s, path)
+    require(metaN == rows.length.toLong,
+      s"index at $path is inconsistent: INDEX_META.json declares $metaN " +
+        s"vectors, cells hold ${rows.length} — rebuild via persistIndex")
+    val params = Similarity.pqParamsFor(metaN)
     val cb = graft.source.ArtifactStore.loadLatestMatching(s,
         new org.apache.hadoop.fs.Path(path, "codebook").toString,
         "pq_codebook", params)
       .getOrElse(throw new IllegalStateException(
         s"no committed pq_codebook under $path matching $params"))
       .collect()
-    val st = Similarity.anchorStride(rows.length.toLong,
-      Similarity.IvfNListBound)
+    val st = metaStride
     val cents = rows.iterator
       .filter(_.getLong(0) % st == 0)
       .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray)
@@ -160,6 +189,29 @@ object Serving {
       .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
     indexCache.put(dir, Index(cents, members, codebook, refine))
   }
+
+  /** Parse [[persistIndex]]'s INDEX_META.json → (corpusN, ivfStride). */
+  private def readIndexMeta(s: SparkSession, path: String): (Long, Long) = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "INDEX_META.json")
+    val f = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(f.exists(metaPath),
+      s"no INDEX_META.json under $path — not a persistIndex layout")
+    val in = f.open(metaPath)
+    val raw = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    def num(k: String): Long =
+      s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"INDEX_META.json at $path missing '$k': $raw"))
+    (num("corpusN"), num("ivfStride"))
+  }
+
+  /** Test hook: the built index's coarse-centroid count (ServingSpec's
+    * stride-consistency probe).
+    */
+  private[graft] def centCount(s: SparkSession, dir: String): Int =
+    index(s, dir).cents.length
 
   /** Ascending-index dot — the order [[org.apache.spark.sql.graftexpr
     * .DotProduct]]'s loop folds in, so serving doubles are bit-identical

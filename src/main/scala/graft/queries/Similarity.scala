@@ -192,6 +192,14 @@ object Similarity {
     corpusVecsMemo.computeIfAbsent(dir,
       _ => Tables.embeddings(s, dir).count()).longValue()
 
+  /** Drop `dir`'s memoized corpus count so the next stride derivation
+    * re-counts — the hook [[Serving.refresh]] calls when notified of an
+    * in-place corpus change (ADVICE r11: a stale count means a stale
+    * stride, and every quantizer geometry hangs off the stride).
+    */
+  private[graft] def forgetCorpus(dir: String): Unit =
+    corpusVecsMemo.remove(dir)
+
   /** IVF anchor stride for `dir` (nlist ≤ [[IvfNListBound]]). */
   private[graft] def ivfStride(s: SparkSession, dir: String): Long =
     anchorStride(corpusVecs(s, dir), IvfNListBound)
@@ -214,8 +222,9 @@ object Similarity {
     * [[PqAnchorStride]] explicitly to keep its cells PROPORTIONAL to
     * the corpus (the published SemDeDup regime — constant occupancy,
     * Σ cell² ≈ N·cell). The two strides coincide at every gate SF
-    * (floor ≤ 2000 vectors), which is what lets dd17's oracle keep
-    * replaying from the shared side_s4_assign dump.
+    * (floor ≤ 2000 vectors); dd17 replays from its OWN
+    * side_dd17_assign dump (ADVICE r11), so the coincidence is a
+    * byte-level convenience, not a correctness condition.
     */
   private[queries] def ivfAssign(s: SparkSession, dir: String,
       stride: Long = -1L): (DataFrame, DataFrame) = {
@@ -308,13 +317,35 @@ object Similarity {
     val cellsRouted = routeToGroup(
       cells.withColumnRenamed("cent", "cvec"), "cent_id", "cvec")
     val vecsRouted = routeToGroup(e, "vec_id", "unit")
-    vecsRouted.join(cellsRouted, "grp_id")
+    val within = vecsRouted.join(cellsRouted, "grp_id")
       .withColumn("sim", dot(col("unit"), col("cvec")))
       .groupBy("vec_id")
       .agg(
         max_by(col("cent_id"), struct(col("sim"), (-col("cent_id")).as("nc")))
           .as("cent_id"),
         first("unit").as("unit"))
+    // totality (ADVICE r11): a level-1 group can end up with ZERO routed
+    // cells — reachable with degenerate anchors (e.g. two zero-norm
+    // group anchors: every argmax tie routes the group's own anchor
+    // CELL to the smaller grp_id, while a vector with non-positive sims
+    // everywhere can still route to the larger one) — and vectors routed
+    // there would silently vanish through the inner join above. Those
+    // orphans fall back to the EXACT argmax over all cells: the set is
+    // empty on any non-degenerate corpus (the left_anti probe is one
+    // broadcast against ≈√C distinct grp_ids), so the fallback join
+    // materializes zero rows in the common case and totality holds
+    // unconditionally.
+    val orphans = vecsRouted
+      .join(cellsRouted.select("grp_id").distinct(), Seq("grp_id"),
+        "left_anti")
+      .join(broadcast(cells))
+      .withColumn("sim", dot(col("unit"), col("cent")))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("sim"), (-col("cent_id")).as("nc")))
+          .as("cent_id"),
+        first("unit").as("unit"))
+    within.unionByName(orphans)
   }
 
   /** s9's quantizer-training budget: Lloyd runs over a
@@ -1140,7 +1171,9 @@ object Similarity {
     "s16_recall_eval", "s22_tombstone_knn")
 
   /** The ANN tiers s16 certifies (each emits vec-0's top-10 like s1). */
-  private val RecallMethods =
+  // private[graft]: the flood-recall rehearsal (tools/ScaleRehearsal)
+  // certifies the SAME tier list on flooded corpora (VERDICT r11 ask #3)
+  private[graft] val RecallMethods =
     Seq("s4_ivf_knn", "s6_quantized_knn", "s8_pq_knn", "s9_ivf_trained",
       "s17_ivfpq_knn", "s18_binary_knn")
 

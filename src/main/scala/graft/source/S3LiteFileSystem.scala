@@ -301,6 +301,7 @@ class S3LiteFileSystem extends FileSystem {
     private var pos = 0L
     private var in: InputStream = _
     private var inPos = -1L
+    private var stalls = 0
 
     private def ensure(): Boolean = {
       if (pos >= len) return false
@@ -312,18 +313,52 @@ class S3LiteFileSystem extends FileSystem {
       true
     }
 
+    /** The stream ended before the object did — a mid-transfer
+      * disconnect (server died mid-body, LB idle-closed the
+      * connection). The object's length is KNOWN from the listing, so
+      * this is detectable and retriable: reopen a ranged GET at the
+      * current position, bounded at 5 consecutive stalls with no
+      * progress — silently returning a truncated scan would poison
+      * every downstream frame, so past the bound this fails LOUDLY.
+      */
+    private def stalled(): Unit = {
+      stalls += 1
+      if (stalls >= 5)
+        throw new EOFException(
+          s"$key repeatedly truncated at $pos of $len after $stalls attempts")
+      retriesObserved.incrementAndGet()
+      if (in != null) {
+        try in.close() catch { case _: IOException => () }
+        in = null
+      }
+      inPos = -1L
+    }
+
+    /** One read against the open stream; -1 = clean end-of-stream
+      * before the object's end, -2 = transport error mid-body — both
+      * are the disconnect shape [[stalled]] recovers from (an
+      * HttpURLConnection with a declared Content-Length THROWS on
+      * premature end rather than returning -1).
+      */
+    private def readOnce(b: Array[Byte], off: Int, l: Int): Int =
+      try in.read(b, off, l)
+      catch { case _: IOException => -2 }
+
     override def read(): Int = {
-      if (!ensure()) return -1
-      val b = in.read()
-      if (b >= 0) { pos += 1; inPos += 1 }
-      b
+      val one = new Array[Byte](1)
+      val n = read(one, 0, 1)
+      if (n <= 0) -1 else one(0) & 0xff
     }
 
     override def read(b: Array[Byte], off: Int, l: Int): Int = {
-      if (!ensure()) return -1
-      val n = in.read(b, off, l)
-      if (n > 0) { pos += n; inPos += n }
-      n
+      while (true) {
+        if (!ensure()) return -1
+        val n = readOnce(b, off, l)
+        if (n > 0) { pos += n; inPos += n; stalls = 0; return n }
+        if (n == 0) return 0
+        stalled() // -1 early or -2 transport error: reopen at pos
+      }
+      -1 // unreachable
     }
 
     override def seek(p: Long): Unit = {

@@ -71,10 +71,17 @@ object NearDupStream {
     *   fixed knob — pass the reference corpus' derived cap (dd3 emits
     *   it as `cap_bucket`), the same previous-release pattern as
     *   IngestPipeline's mixture stats.
+    * @param compactEvery parts-compaction period (defaults to the
+    *   production [[PairScreen.CompactEvery]]); injectable so
+    *   StreamingSpec can drive more batches than the period and pin
+    *   pairs + state sizes ACROSS a compaction boundary (ADVICE r11:
+    *   the path was otherwise untested at the spec's 3-batch depth).
     */
   final class PairScreen(spark: SparkSession, cap: Int,
-      estFloor: Double = 0.5) {
+      estFloor: Double = 0.5,
+      compactEvery: Int = PairScreen.CompactEvery) {
     require(cap >= 1, s"cap $cap must be >= 1")
+    require(compactEvery >= 1, s"compactEvery $compactEvery must be >= 1")
 
     // append-only state: per-batch checkpointed parts, unioned lazily
     // by consumers; compacted every CompactEvery appends so the union
@@ -88,7 +95,7 @@ object NearDupStream {
 
     private def compactIfDue(): Unit = {
       appendsSinceCompact += 1
-      if (appendsSinceCompact >= PairScreen.CompactEvery &&
+      if (appendsSinceCompact >= compactEvery &&
           postingParts.length > 1) {
         val p = unionOf(postingParts).get.localCheckpoint()
         val s = unionOf(sigParts).get.localCheckpoint()

@@ -98,8 +98,17 @@ object VectorStream {
           var d = 0.0
           var k = 0
           while (k < u.length) { d += u(k) * c(k); k += 1 }
-          val s = if (obj) 2.0 * d - cn else d
-          if (s > bestS || (s == bestS && id < bestId)) {
+          val s0 = if (obj) 2.0 * d - cn else d
+          // Catalyst's TOTAL double order, not Java `>` (ADVICE r11):
+          // Spark SQL ranks NaN above every double and -0.0 == 0.0, so
+          // a NaN-scored row must still pick a centroid (the old fold
+          // did; bare `>` is false for NaN and would leak
+          // bestId = Long.MaxValue — an id that is not a cell).
+          // Double.compare gives the NaN ordering; the -0.0 normalize
+          // restores Spark's -0.0 == 0.0 tie (compare ranks -0.0 lower).
+          val s = if (s0 == 0.0) 0.0 else s0
+          val cmp = java.lang.Double.compare(s, bestS)
+          if (cmp > 0 || (cmp == 0 && id < bestId)) {
             bestS = s; bestId = id
           }
           i += 1

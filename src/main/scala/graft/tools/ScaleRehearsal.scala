@@ -88,18 +88,9 @@ object ScaleRehearsal {
     // distribution (no single task bound to a whole bucket) is the
     // portable property; skew-join and the rest of AQE stay on.
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    val out = s"target/rehearsal/degen_x$mult"
+    val out = ensureDegenerate(spark, mult)
     val nVecs = 2000L * mult
     val embOut = s"$out/embeddings.parquet"
-    if (!new java.io.File(embOut, "_SUCCESS").exists()) {
-      spark.range(0, nVecs)
-        .select(col("id").as("vec_id"),
-          expr("transform(sequence(0, 63), x -> CAST(1.0 AS FLOAT))")
-            .as("embedding"),
-          lit(0).as("label"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(embOut)
-    }
     val report = new StringBuilder
     report ++= s"""{"mode":"degenerate","n_vecs":$nVecs,"""
 
@@ -187,6 +178,25 @@ object ScaleRehearsal {
     System.err.println(s"[rehearsal] degenerate report written to $f")
   }
 
+  /** Build (idempotently) the all-identical-vectors corpus for `mult`;
+    * returns its directory (the flood-regime worst case — every vector
+    * shares ONE SRP bucket per band and ONE IVF cell).
+    */
+  private def ensureDegenerate(spark: SparkSession, mult: Int): String = {
+    val out = s"target/rehearsal/degen_x$mult"
+    val embOut = s"$out/embeddings.parquet"
+    if (!new java.io.File(embOut, "_SUCCESS").exists()) {
+      spark.range(0, 2000L * mult)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), x -> CAST(1.0 AS FLOAT))")
+            .as("embedding"),
+          lit(0).as("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(embOut)
+    }
+    out
+  }
+
   private def fmt3(t: Double) =
     "%.3f".formatLocal(java.util.Locale.ROOT, t)
 
@@ -213,7 +223,11 @@ object ScaleRehearsal {
     *    (hot clusters = popular content), vector = center + 10% noise —
     *    organic IVF-cell and SRP-bucket occupancy skew.
     */
-  private def runOrganic(spark: SparkSession, mult: Int, runs: Int): Unit = {
+  /** Build (idempotently) the organic corpus for `mult`; returns its
+    * directory. Shared by the family run, the dd2 stage profile, and
+    * the flood-recall certification.
+    */
+  private def ensureOrganic(spark: SparkSession, mult: Int): String = {
     val out = s"target/rehearsal/organic_x$mult"
     val nDocs = 5000L * mult
     val nVecs = 2000L * mult
@@ -259,6 +273,12 @@ object ScaleRehearsal {
         .repartition(32)
         .write.mode("overwrite").parquet(embOut)
     }
+    out
+  }
+
+  private def runOrganic(spark: SparkSession, mult: Int, runs: Int): Unit = {
+    val out = ensureOrganic(spark, mult)
+    val embOut = s"$out/embeddings.parquet"
     driveFamily(spark, out, runs, s""""mode":"organic","mult":$mult,""")
 
     // ---- SemDeDup assignment probe: exact N×C argmin vs the two-level
@@ -302,13 +322,152 @@ object ScaleRehearsal {
     }
   }
 
+  /** dd2 stage profile (VERDICT r11 ask #1): the organic ×200 run
+    * showed dd2's wall time ×15 for docs ×4 while its PAIR output grew
+    * only ×4.5 — this mode times the three stages separately on the
+    * organic corpus so the superlinear one is named by measurement,
+    * not suspicion:
+    *
+    *   A. shingle kernel + doc-frequency + adaptive cap (the two
+    *      persisted frames materialize here),
+    *   B. candidate generation — rare-shingle self-join + (i,j) pair
+    *      groupBy + integer bound columns,
+    *   C. the result-invariant ub prefilter,
+    *   D. the exact array_intersect re-rank + jaccard emission.
+    *
+    * Alongside wall time: row counts, the per-stage max single-task
+    * record count (skew probe), and the dfreq-shape numbers the
+    * candidate bound Σ min(df,cap)² derives from.
+    */
+  private def runDd2Profile(spark: SparkSession, mult: Int): Unit = {
+    import graft.queries.Dedup
+    val out = ensureOrganic(spark, mult)
+    val docs0 = spark.read.parquet(s"$out/documents.parquet")
+      .select("doc_id", "lang", "text")
+    Dedup.clearMemo()
+    spark.catalog.clearCache()
+    def timed[A](body: => A): (A, Double, Long) = {
+      val t0 = System.nanoTime()
+      val (a, maxRows) = withMaxTaskRows(spark)(body)
+      (a, (System.nanoTime() - t0) / 1e9, maxRows)
+    }
+    // A: kernel + dfreq + cap (shingleCandidatesFromDocs derives the
+    // cap eagerly, which materializes both persisted frames)
+    val ((candBounds, docs, cap, caches), tA, maxA) =
+      timed(Dedup.shingleCandidatesFromDocs(docs0))
+    val nDocs = docs.count()
+    // dfreq shape: what the linear candidate bound actually sums over
+    val dfreqs = caches(1)
+    val shape = dfreqs.agg(
+      sum(when(col("dfreq").between(2, cap),
+        col("dfreq") * (col("dfreq") - 1) / 2)).as("cand_rows_bound"),
+      sum(when(col("dfreq").between(2, cap), 1L)).as("rare_shingles"),
+      sum(when(col("dfreq") > cap, 1L)).as("hot_shingles"),
+      max(col("dfreq")).as("max_dfreq")).collect().head
+    // B: candidate join + pair groupBy + bounds, persisted so C and D
+    // measure only their own work
+    val cb = candBounds.persist()
+    val (nCand, tB, maxB) = { val (n, t, m) = timed(cb.count()); (n, t, m) }
+    // C: the integer prefilter
+    val bounded = cb.filter(col("ub").cast("double") /
+      (col("na") + col("nb") - col("ub")).cast("double") >= 0.6).persist()
+    val (nBounded, tC, maxC) =
+      { val (n, t, m) = timed(bounded.count()); (n, t, m) }
+    // D: exact re-rank + emission (dd2's jac >= 0.6 tail, verbatim)
+    val pairs = Dedup.rerankShared(bounded, docs)
+      .withColumn("jac", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jac") >= 0.6)
+      .select("i", "j", "jac")
+    val (nPairs, tD, maxD) =
+      { val (n, t, m) = timed(pairs.count()); (n, t, m) }
+    cb.unpersist(blocking = false)
+    bounded.unpersist(blocking = false)
+    caches.foreach(_.unpersist(blocking = false))
+    val report =
+      s"""{"mode":"dd2_profile","mult":$mult,"n_docs":$nDocs,""" +
+      s""""cap_df":$cap,""" +
+      s""""cand_rows_bound":${shape.getLong(0)},""" +
+      s""""rare_shingles":${shape.getLong(1)},""" +
+      s""""hot_shingles":${if (shape.isNullAt(2)) 0L else shape.getLong(2)},""" +
+      s""""max_dfreq":${shape.getLong(3)},""" +
+      s""""stageA_kernel_dfreq_cap":{"sec":${fmt3(tA)},"max_task_rows":$maxA},""" +
+      s""""stageB_candidates":{"sec":${fmt3(tB)},"rows":$nCand,"max_task_rows":$maxB},""" +
+      s""""stageC_prefilter":{"sec":${fmt3(tC)},"rows":$nBounded,"max_task_rows":$maxC},""" +
+      s""""stageD_rerank":{"sec":${fmt3(tD)},"pairs":$nPairs,"max_task_rows":$maxD}}"""
+    println(report)
+    val f = java.nio.file.Paths.get(s"$out/dd2_profile.json")
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, (report + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[rehearsal] dd2 profile written to $f")
+  }
+
+  /** Flood-regime ANN recall certification (VERDICT r11 ask #3): s16's
+    * recall machinery runs only at healthy occupancy, so the flood
+    * path's recall — rank-adjacent pairing within FloodWindow for s3,
+    * bounded probes for the quantized tiers — was unmeasured by design.
+    * This mode runs every [[graft.queries.Similarity.RecallMethods]]
+    * tier PLUS s3 (the SRP tier whose flood degrade is the one under
+    * suspicion) on a flooded corpus and records recall@10 against s1's
+    * exact answer on the SAME corpus. Results land in BASELINE.md as
+    * the flooded-regime recall table; the constructed-flood spec floor
+    * lives in DedupSimilaritySpec.
+    */
+  private def runFloodRecall(spark: SparkSession, mult: Int,
+      degenerate: Boolean): Unit = {
+    import graft.queries.Similarity
+    val out = if (degenerate) ensureDegenerate(spark, mult)
+      else ensureOrganic(spark, mult)
+    val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
+    def topIds(name: String): (Seq[Long], Double) = {
+      graft.queries.Dedup.clearMemo()
+      Similarity.clearTrainedCaches()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ids = graft.SparkEntry.queries(name)(spark, out)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      (ids, (System.nanoTime() - t0) / 1e9)
+    }
+    val (exact, tExact) = topIds("s1_knn_brute")
+    require(exact.size == 10, s"s1 returned ${exact.size} rows")
+    val exactSet = exact.toSet
+    val tiers = ("s3_ann_srp" +: Similarity.RecallMethods).map { m =>
+      val (ids, sec) = topIds(m)
+      val recall = (ids.toSet & exactSet).size / 10.0
+      System.err.println(f"[floodrecall] $m%-18s recall@10=$recall%.1f " +
+        f"(${sec}%.1f s)")
+      s""""$m":{"recall_at_10":$recall,"sec":${fmt3(sec)},"rows":${ids.size}}"""
+    }
+    val corpus = if (degenerate) "degenerate" else "organic"
+    val report =
+      s"""{"mode":"flood_recall","corpus":"$corpus","mult":$mult,""" +
+      s""""n_vecs":$nVecs,"exact_sec":${fmt3(tExact)},""" +
+      s""""tiers":{${tiers.mkString(",")}}}"""
+    println(report)
+    val f = java.nio.file.Paths.get(s"$out/flood_recall.json")
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, (report + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[rehearsal] flood recall written to $f")
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,8192] runs the SAME rehearsal
+    // with executors in SEPARATE JVMs (VERDICT r11 ask #4): local[32]
+    // concentrates every executor's shuffle/cache state in one heap —
+    // the organic ×200 run needed a 48 GiB driver there — while
+    // local-cluster spreads it the way a real cluster does, retiring
+    // the single-JVM ceiling without needing one. Needs SPARK_HOME
+    // (/opt/spark) for the executor launcher; the app classes ride
+    // spark.executor.extraClassPath.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -316,10 +475,26 @@ object ScaleRehearsal {
         "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val classes = Seq("target/scala-2.13/classes")
+        .map(p => new java.io.File(p).getAbsolutePath)
+        .filter(p => new java.io.File(p).isDirectory)
+        .mkString(java.io.File.pathSeparator)
+      builder.config("spark.executor.extraClassPath", classes)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("degenerate")) {
       try runDegenerate(spark, mult) finally spark.stop()
+      return
+    }
+    if (args.contains("dd2profile")) {
+      try runDd2Profile(spark, mult) finally spark.stop()
+      return
+    }
+    if (args.contains("floodrecall")) {
+      try runFloodRecall(spark, mult, args.contains("degenerate"))
+      finally spark.stop()
       return
     }
     if (args.contains("organic")) {

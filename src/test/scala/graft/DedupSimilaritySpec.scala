@@ -797,4 +797,36 @@ class DedupSimilaritySpec extends SparkSuite {
           s"exact (${n * cellCount})")
     } finally e.unpersist()
   }
+
+  test("hierarchical assignment totality under degenerate anchors: " +
+    "vectors routed to a cell-less group fall back to exact argmax " +
+    "(ADVICE r11)") {
+    import spark.implicits._
+    import graft.queries.Similarity
+    // stride 2, n = 8: cells = even ids {0,2,4,6}; g = ceil(√4) = 2, so
+    // level-1 groups anchor at ids % 4 == 0 → groups 0 and 4. Anchor 4
+    // is the ZERO vector: every cell's routing dot against it is 0, so
+    // every cell (4's own anchor cell included) ties to grp 0 — group 4
+    // routes ZERO cells. Vectors 1 and 3 score dot −1 against grp 0's
+    // anchor and 0 against grp 4's, so they route (strictly) to grp 4:
+    // before the fallback they vanished through the inner grp_id join;
+    // now the exact argmax over ALL cells assigns them (score 0 at
+    // cells {2,4,6}, tie to the smallest → 2).
+    val units: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(-1.0, 0.0), 2L -> Seq(0.0, 1.0),
+      3L -> Seq(-1.0, 0.0), 4L -> Seq(0.0, 0.0), 5L -> Seq(0.5, 0.5),
+      6L -> Seq(0.0, 1.0), 7L -> Seq(1.0, 0.0))
+    val e = units.toDF("vec_id", "unit")
+    val got = Similarity.assignFromUnitsHierarchical(e, 8L, stride = 2L)
+      .select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == units.map(_._1).toSet,
+      s"hierarchical assignment lost vectors: got ${got.keySet}")
+    // and the fallback is the EXACT assignment for the orphaned rows
+    val exact = Similarity.assignFromUnits(e, stride = 2L)
+      .select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == exact(1L) && got(3L) == exact(3L) && got(1L) == 2L,
+      s"orphan fallback off the exact argmax: ${got(1L)}, ${got(3L)}")
+  }
 }

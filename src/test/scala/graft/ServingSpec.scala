@@ -127,6 +127,86 @@ class ServingSpec extends SparkSuite {
     Serving.clearIndexCache()
   }
 
+  test("refresh forgets the corpus count; index geometry travels as " +
+    "metadata, never re-derived from loaded rows (ADVICE r11)") {
+    import spark.implicits._
+    import graft.queries.Similarity
+    // an in-place corpus change: same dir, different vector count. The
+    // stride every quantizer hangs off derives from the memoized count,
+    // so a refresh that dropped only the index cache would rebuild at
+    // the STALE stride — assignment and centroid extraction diverging
+    // is the silent-empty-serve failure this pins against.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-serve-refresh").toString
+    // no artifact store for this fixture: the codebook params (M, D,
+    // stride) don't pin corpus identity, so a store left configured by
+    // another test would cross-pollinate builds across corpora
+    val prevRoot =
+      spark.conf.getOption(graft.source.ArtifactStore.DirKey)
+    spark.conf.unset(graft.source.ArtifactStore.DirKey)
+    def writeCorpus(n: Int): Unit =
+      (0 until n).map(i => (i.toLong,
+          Seq.tabulate(64)(j => (1.0f + i % 7 + j) / (n + j + 1))))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+    writeCorpus(100)
+    assert(Similarity.corpusVecs(spark, dir) == 100L) // memo warm
+    writeCorpus(250) // in-place change
+    assert(Similarity.corpusVecs(spark, dir) == 100L,
+      "memo expected stale before refresh — fixture broken")
+    Serving.refresh(dir)
+    assert(Similarity.corpusVecs(spark, dir) == 250L,
+      "Serving.refresh did not forget the corpus count")
+    // the serving build and the assignment now agree on the fresh
+    // geometry: cents = every ivfStride-th of the NEW corpus
+    val expectCents = (0 until 250).count(_ % 53 == 0)
+    assert(Serving.centCount(spark, dir) == expectCents,
+      "rebuilt index centroids off the refreshed stride")
+    } finally {
+      Serving.clearIndexCache()
+      Similarity.forgetCorpus(dir)
+      prevRoot.foreach(
+        spark.conf.set(graft.source.ArtifactStore.DirKey, _))
+    }
+  }
+
+  test("persistIndex pins geometry in INDEX_META.json; loadIndexInto " +
+    "refuses a layout without it or with inconsistent cells") {
+    val sf = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-serve-meta").toString
+    Serving.persistIndex(spark, sf, path)
+    val metaFile = new java.io.File(path, "INDEX_META.json")
+    assert(metaFile.isFile, "persistIndex wrote no INDEX_META.json")
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(metaFile.toPath))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(raw.contains(s""""corpusN": $n""") &&
+      raw.contains(""""ivfStride": 53"""),
+      s"metadata off the build geometry: $raw")
+    // a meta-less layout (pre-metadata persist, or a hand-rolled dir)
+    // must fail LOUDLY, not silently re-derive a stride. (The local
+    // Hadoop FS shadows the file with a .crc — drop it too, or the
+    // hand-edited rewrite below trips a ChecksumException instead of
+    // the contract under test.)
+    assert(metaFile.delete())
+    new java.io.File(path, ".INDEX_META.json.crc").delete()
+    val err = intercept[IllegalArgumentException] {
+      Serving.loadIndexInto(spark, sf, path)
+    }
+    assert(err.getMessage.contains("INDEX_META"), err.getMessage)
+    // declared-vs-loaded inconsistency (cells from one build, meta from
+    // another) also fails loudly
+    java.nio.file.Files.writeString(metaFile.toPath,
+      s"""{"corpusN": ${n + 1}, "ivfStride": 53}""")
+    val err2 = intercept[IllegalArgumentException] {
+      Serving.loadIndexInto(spark, sf, path)
+    }
+    assert(err2.getMessage.contains("inconsistent"), err2.getMessage)
+    Serving.clearIndexCache()
+  }
+
   test("knobs: k/nprobe/shortlist bound the work; excludeId drops self") {
     val sf = "/root/testdata/sf0.001"
     val q = emb(sf, 0L)

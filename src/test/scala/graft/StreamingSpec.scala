@@ -831,6 +831,32 @@ class StreamingSpec extends SparkSuite {
       "k-means-objective form diverges from plain dot on unit centroids")
   }
 
+  test("streamed IVF scorer keeps Catalyst's NaN/total double order " +
+    "(ADVICE r11)") {
+    import spark.implicits._
+    import graft.streaming.VectorStream
+    // Spark SQL ranks NaN above every double: a row whose scores are
+    // ALL NaN must still pick a centroid (the smallest id among the
+    // ties — what the replaced Catalyst fold did), and one NaN-scoring
+    // centroid outranks every finite score. The compiled loop's bare
+    // `>` was false for NaN and leaked bestId = Long.MaxValue — an id
+    // that is not a cell.
+    val cents: Seq[(Long, Seq[Double])] =
+      Seq(5L -> Seq(Double.NaN), 7L -> Seq(1.0))
+    val rows = Seq(
+      (1L, Seq(0.5)), // scores: NaN (cent 5) vs finite (cent 7)
+      (2L, Seq(Double.NaN))) // all scores NaN → tie to smallest id
+      .toDF("vec_id", "unit")
+    for (obj <- Seq(true, false)) {
+      val got = VectorStream
+        .assignAgainst(rows, cents, kmeansObjective = obj)
+        .select("vec_id", "cent_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 5L, 2L -> 5L),
+        s"NaN ordering diverges from Catalyst (obj=$obj): $got")
+    }
+  }
+
   test("ingest-time quality scoring + blocklist tagging: stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1014,6 +1040,50 @@ class StreamingSpec extends SparkSuite {
       screen.close()
       clusters.close()
     }
+  }
+
+  test("ingest near-dup screen: compaction is invisible — per-batch pairs " +
+    "and state sizes identical across compaction boundaries (ADVICE r11)") {
+    import spark.implicits._
+    import graft.streaming.NearDupStream
+    val sf = "/root/testdata/sf0.001"
+    val dd3 = SparkEntry.queries("dd3_minhash_lsh")(spark, sf).collect()
+    assert(dd3.nonEmpty, "no dd3 pairs at this SF — vacuous")
+    val cap = dd3.head.getLong(3).toInt
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // 7 micro-batches against a period of 2 → three compactions fire
+    // mid-stream (and one frees parts a batch-old pairs frame could
+    // still lazily reference — the ordering bug class this pins); the
+    // control screen's period is past the batch count, so it never
+    // compacts. Everything observable must be identical.
+    val compacting =
+      new NearDupStream.PairScreen(spark, cap, compactEvery = 2)
+    val control =
+      new NearDupStream.PairScreen(spark, cap, compactEvery = 100)
+    try {
+      var compactionsCrossed = 0
+      docs.grouped(math.max(1, (docs.size + 6) / 7)).zipWithIndex
+        .foreach { case (c, bi) =>
+          val df = c.toDF("doc_id", "text")
+          val p1 = compacting.ingest(df)
+          val p2 = control.ingest(df)
+          def pairsOf(p: org.apache.spark.sql.DataFrame) =
+            p.collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+              .toSet
+          assert(pairsOf(p1) == pairsOf(p2),
+            s"batch $bi pairs diverge across a compaction boundary")
+          val (s1, s2) = (compacting.stateSizes, control.stateSizes)
+          assert(s1 == s2,
+            s"batch $bi state sizes diverge: compacting=$s1 control=$s2")
+          if (bi > 0 && bi % 2 == 1) compactionsCrossed += 1
+          graft.operators.Checkpoints.free(p1)
+          graft.operators.Checkpoints.free(p2)
+        }
+      assert(compactionsCrossed >= 2,
+        "fixture too shallow — no compaction boundary was crossed")
+    } finally { compacting.close(); control.close() }
   }
 
   test("ingest curation parity: streamed pipeline == p8's batch accounting") {

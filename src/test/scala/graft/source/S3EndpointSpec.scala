@@ -60,6 +60,142 @@ class S3EndpointSpec extends SparkSuite {
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
       .asInstanceOf[S3LiteFileSystem]
 
+  /** Fault-injecting HTTP reverse proxy in front of moto (VERDICT r11
+    * ask #5): the round-11 smoke proved PROTOCOL correctness; this
+    * exercises the failure modes a real network serves — 5xx bursts,
+    * mid-body disconnects on the hot ranged-GET path, slow pages. One
+    * request per connection (the proxy answers `Connection: close`), so
+    * injection counters are exact. Faults are armed via the atomics;
+    * un-armed requests forward verbatim.
+    */
+  private final class FaultProxy(target: Int) {
+    private val server = new java.net.ServerSocket(0)
+    val port: Int = server.getLocalPort
+    /** Next n requests answer 500 without forwarding. */
+    val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Next n GET-with-body responses declare full length, send half,
+      * then drop the connection — the mid-transfer disconnect.
+      */
+    val truncateNext = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Per-request added latency. */
+    @volatile var delayMs = 0L
+    @volatile private var running = true
+    private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    private val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          pool.submit(new Runnable { def run(): Unit = handle(s) })
+        } catch { case _: Throwable => () }
+      }
+    }, "fault-proxy-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def close(): Unit = {
+      running = false
+      try server.close() catch { case _: Throwable => () }
+      pool.shutdownNow()
+    }
+
+    private def readHead(in: java.io.InputStream): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      var prev4 = 0
+      while (true) {
+        val b = in.read()
+        if (b < 0) return if (buf.size() == 0) null else buf.toString("UTF-8")
+        buf.write(b)
+        prev4 = ((prev4 << 8) | b) & 0xffffffff
+        if (prev4 == 0x0d0a0d0a) return buf.toString("UTF-8")
+      }
+      null
+    }
+
+    private def writeHead(out: java.io.OutputStream, code: Int,
+        headers: Seq[(String, String)]): Unit = {
+      val sb = new StringBuilder
+      sb ++= s"HTTP/1.1 $code X\r\n"
+      headers.foreach { case (k, v) => sb ++= s"$k: $v\r\n" }
+      sb ++= "Connection: close\r\n\r\n"
+      out.write(sb.toString.getBytes("UTF-8"))
+    }
+
+    private def handle(sock: java.net.Socket): Unit = {
+      try {
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val head = readHead(in)
+        if (head == null) return
+        val lines = head.trim.split("\r\n")
+        val req = lines(0).split(" ", 3)
+        val (method, path) = (req(0), req(1))
+        val reqHeaders = lines.tail.flatMap { l =>
+          val i = l.indexOf(':')
+          if (i < 0) None
+          else Some(l.take(i).trim.toLowerCase -> l.drop(i + 1).trim)
+        }.toMap
+        val clen = reqHeaders.get("content-length").map(_.toInt).getOrElse(0)
+        val reqBody = new Array[Byte](clen)
+        var got = 0
+        while (got < clen) {
+          val n = in.read(reqBody, got, clen - got)
+          if (n < 0) return
+          got += n
+        }
+        if (delayMs > 0) Thread.sleep(delayMs)
+        if (failNext.getAndUpdate(x => math.max(0, x - 1)) > 0) {
+          writeHead(out, 500, Seq("Content-Length" -> "0"))
+          out.flush()
+          return
+        }
+        // forward to moto
+        val conn = new java.net.URL(s"http://127.0.0.1:$target$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        reqHeaders.foreach { case (k, v) =>
+          if (k != "content-length" && k != "host" && k != "connection")
+            conn.setRequestProperty(k, v)
+        }
+        if (clen > 0 || method == "PUT" || method == "POST") {
+          conn.setDoOutput(true)
+          conn.setFixedLengthStreamingMode(clen)
+          val os = conn.getOutputStream
+          try os.write(reqBody) finally os.close()
+        }
+        val code = conn.getResponseCode
+        val respBody = {
+          val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+          if (is == null) Array.emptyByteArray
+          else try is.readAllBytes() finally is.close()
+        }
+        val pass = Seq("Content-Type", "ETag", "Content-Range",
+          "Last-Modified", "x-amz-request-id")
+          .flatMap(h => Option(conn.getHeaderField(h)).map(h -> _))
+        if (method == "HEAD") {
+          // a HEAD's Content-Length describes the OBJECT, not the (empty)
+          // relayed body — pass it through verbatim
+          val cl = Option(conn.getHeaderField("Content-Length"))
+            .map(v => Seq("Content-Length" -> v)).getOrElse(Nil)
+          writeHead(out, code, pass ++ cl)
+          out.flush()
+        } else if (truncateNext.getAndUpdate(x => math.max(0, x - 1)) > 0 &&
+            respBody.length > 1 && method == "GET") {
+          writeHead(out, code,
+            pass :+ ("Content-Length" -> respBody.length.toString))
+          out.write(respBody, 0, respBody.length / 2)
+          out.flush()
+          // drop the connection mid-body: declared length never arrives
+        } else {
+          writeHead(out, code,
+            pass :+ ("Content-Length" -> respBody.length.toString))
+          out.write(respBody)
+          out.flush()
+        }
+      } catch { case _: Throwable => () }
+      finally { try sock.close() catch { case _: Throwable => () } }
+    }
+  }
+
   test("s3l FileSystem contract against a live endpoint: write, ranged " +
     "read, list, rename, delete") {
     withMoto { _ =>
@@ -97,6 +233,75 @@ class S3EndpointSpec extends SparkSuite {
       // recursive delete
       assert(fs.delete(new Path(s"$root/moved"), true))
       assert(!fs.exists(new Path(s"$root/moved")))
+    }
+  }
+
+  test("injected faults on the live path: 5xx bursts, mid-body " +
+    "disconnects on ranged GETs, slow pages — the retry envelope holds " +
+    "and no truncated read ever returns (VERDICT r11 ask #5)") {
+    withMoto { motoPort =>
+      val proxy = new FaultProxy(motoPort)
+      try {
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.s3l.endpoint", s"http://127.0.0.1:${proxy.port}")
+        org.apache.hadoop.fs.FileSystem.closeAll() // re-init on new endpoint
+        val root = "s3l://graft-faults"
+        val fs = fsFor(root)
+        fs.ensureBucket()
+        val f = new Path(s"$root/p/data_2020-01-01T00:00:00.bin")
+        val payload = Array.tabulate[Byte](200000)(i => (i * 31 % 251).toByte)
+        val w = fs.create(f, true)
+        w.write(payload); w.close()
+
+        // (a) 5xx burst on the hot ranged-GET path: 3 consecutive 500s
+        // sit inside the 5-attempt envelope; bytes must come back exact
+        val before = S3LiteFileSystem.retriesObserved.get()
+        val in = fs.open(f)
+        proxy.failNext.set(3)
+        val back = new Array[Byte](200000)
+        in.readFully(0, back)
+        assert(java.util.Arrays.equals(back, payload),
+          "bytes corrupted under a 5xx burst")
+        assert(S3LiteFileSystem.retriesObserved.get() - before >= 3,
+          "the 5xx burst was not absorbed by the retry counter")
+        assert(proxy.failNext.get() == 0, "armed 500s went unserved")
+
+        // (b) mid-body disconnects: the response declares the full
+        // length and dies halfway — the reader must reopen a ranged GET
+        // at its position, never return a truncated buffer
+        in.seek(0)
+        proxy.truncateNext.set(2)
+        val back2 = new Array[Byte](200000)
+        in.readFully(0, back2)
+        assert(java.util.Arrays.equals(back2, payload),
+          "a truncated response leaked into the read buffer")
+        assert(proxy.truncateNext.get() == 0, "armed truncations unserved")
+        in.close()
+
+        // (c) slow pages: 150 ms per request on a listing still returns
+        // the complete answer (reads use a 60 s read timeout; this pins
+        // latency does not morph into truncation or misses)
+        proxy.delayMs = 150
+        val names = fs.listStatus(new Path(s"$root/p"))
+          .map(_.getPath.getName)
+        proxy.delayMs = 0
+        assert(names.contains("data_2020-01-01T00:00:00.bin"),
+          s"slow listing lost entries: ${names.toSeq}")
+
+        // (d) fault past the envelope: a 10-deep 500 burst exhausts the
+        // 5 attempts and surfaces LOUDLY (never an empty success)
+        proxy.failNext.set(10)
+        val err = intercept[java.io.IOException] {
+          val in2 = fs.open(f)
+          try { val one = new Array[Byte](1); in2.readFully(0, one) }
+          finally in2.close()
+        }
+        assert(err.getMessage != null, s"fault past envelope not loud: $err")
+        proxy.failNext.set(0)
+      } finally {
+        proxy.close()
+        org.apache.hadoop.fs.FileSystem.closeAll()
+      }
     }
   }
 
