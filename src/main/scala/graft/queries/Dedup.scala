@@ -179,10 +179,21 @@ object Dedup {
         hashedShingles(tokens(col("text"))).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .persist()
-    val ex = docs.select(col("doc_id"), col("lang"),
+    // nsh rides the explode: each shingle row knows its doc's set size,
+    // so the pair groupBy below yields na/nb via first() for free —
+    // eliminating the former post-aggregation joins of the CANDIDATE
+    // frame against the doc-size frame (two shuffles of millions of
+    // pair rows). The round-12 dd2 stage profile (VERDICT r11 ask #1)
+    // showed candidate generation is ~75% of dd2's wall at organic
+    // ×200 and scales LINEARLY with its Σ min(df,cap)² candidate mass
+    // (×2.8 wall for ×4.96 mass at the ×50→×200 step — no quadratic
+    // cliff; the headline ×15 was mass growth under the risen cap plus
+    // cold-vs-warm measurement skew), so the wins here are constants:
+    // fewer full-size shuffles through the one dominant stage.
+    val ex = docs.select(col("doc_id"), col("lang"), col("nsh"),
       explode_outer(col("sh")).as("shingle"))
     // doc-frequency cut: candidates only through shingles 2..cap docs
-    // share. The groupBy and the semi-join shuffle on the same
+    // share. The groupBy and the annotation join shuffle on the same
     // (lang, shingle) key the pair join uses — co-partitioned stages.
     val dfreqs = ex.groupBy("lang", "shingle")
       .agg(count(lit(1)).as("dfreq"))
@@ -192,37 +203,40 @@ object Dedup {
     // a corpus scan
     val cap = capOverride.getOrElse(
       AdaptiveCap.permilleCap(dfreqs, "dfreq", DocFreqFloor))
-    val rareKeys = dfreqs.filter(col("dfreq").between(2, cap))
-      .select("lang", "shingle")
-    val hotKeys = dfreqs.filter(col("dfreq") > cap)
-      .select("lang", "shingle")
+    // ONE join annotates every shingle row with its doc frequency
+    // (inner: dfreqs has exactly one row per key, so the multiset is
+    // unchanged); rare/hot are then FILTERS — the former two semi-joins
+    // re-exploded and re-shuffled the whole shingle frame once each
+    val exDf = ex.join(dfreqs, Seq("lang", "shingle"))
     // per-doc count of hot (over-cap) shingles: bounds how much shared
     // mass the candidate join can't see. Usually an empty frame — the cap
     // is above every organic doc-freq at the test SFs.
-    val nhot = ex.join(hotKeys, Seq("lang", "shingle"), "left_semi")
+    val nhot = exDf.filter(col("dfreq") > cap)
       .groupBy("doc_id").agg(count(lit(1)).as("nhot"))
-    val rare = ex.join(rareKeys, Seq("lang", "shingle"), "left_semi")
+    val rare = exDf.filter(col("dfreq").between(2, cap))
+      .select("lang", "shingle", "doc_id", "nsh")
     val a = rare.alias("a")
     val b = rare.alias("b")
-    // candidate pairs carry their rare-shingle overlap for free (the same
-    // shuffle a DISTINCT would need): shared = shared_rare + shared_hot
+    // candidate pairs carry their rare-shingle overlap AND both docs'
+    // set sizes for free (the same shuffle a DISTINCT would need):
+    // shared = shared_rare + shared_hot; nsh is constant per doc, so
+    // first() is deterministic
     val cand = a.join(b,
         col("a.shingle") === col("b.shingle") &&
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("shared_rare"))
+      .agg(count(lit(1)).as("shared_rare"),
+        first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
     // upper-bound prefilter before touching any array: shared_hot ≤
     // min(nhot_i, nhot_j) and jac is increasing in shared, so pairs whose
     // bound can't reach the threshold are dropped using only integer
     // columns — the exact set intersection below then runs on the ~true
     // pairs, not on every candidate (sf0.1: ~10² array ops instead of
     // ~10⁶). With no hot shingles the bound is exact and the re-rank
-    // confirms it.
-    val sizes = docs.select(col("doc_id"), col("nsh"))
+    // confirms it. nhot joins stay POST-groupBy: the nhot frame is
+    // per-doc (≪ candidate rows) and usually empty.
     val candBounds = cand
-      .join(sizes.select(col("doc_id").as("i"), col("nsh").as("na")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("nsh").as("nb")), "j")
       .join(nhot.select(col("doc_id").as("i"), col("nhot").as("nhot_i")),
         Seq("i"), "left")
       .join(nhot.select(col("doc_id").as("j"), col("nhot").as("nhot_j")),

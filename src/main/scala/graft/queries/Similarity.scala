@@ -60,6 +60,19 @@ object Similarity {
     */
   private[graft] val FloodWindow = 8
 
+  /** Flooded-bucket PIVOT count (VERDICT r11 ask #3): a flood bucket's
+    * first [[FloodPivots]] members by rank additionally pair with every
+    * later member (size·P extra rows — still linear; see
+    * [[graft.operators.FloodPairs.rankAdjacent]]'s pivot arm). Any pair
+    * involving a pivot is exact regardless of rank distance, so a top-k
+    * probe anchored at a low-rank member (the gate's vec_id 0 is always
+    * rank 1 of its bucket) keeps full within-bucket recall under the
+    * flood degrade; the measured effect is the flood-recall table in
+    * BASELINE.md. dd17/SemDeDup keeps the pivot-less adjacency chain —
+    * its drop rule only needs connectivity, which the chain provides.
+    */
+  private[graft] val FloodPivots = 4
+
   /** SRP candidate pairs (i < j) from banding collisions over `base`
     * (must carry vec_id + sig). Bucket join on the (band, key) slice —
     * never vector×vector; oversized buckets degrade to LINEAR pairing,
@@ -150,7 +163,8 @@ object Similarity {
       case None => (fullPairs.distinct(), Nil)
       case Some(floodRows) =>
         val (adj, floodCache) = graft.operators.FloodPairs
-          .rankAdjacent(floodRows, Seq("tb"), "vec_id", FloodWindow)
+          .rankAdjacent(floodRows, Seq("tb"), "vec_id", FloodWindow,
+            pivots = FloodPivots)
         val floodPairs =
           adj.select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
         (fullPairs.unionByName(floodPairs).distinct(), Seq(floodCache))
@@ -317,35 +331,28 @@ object Similarity {
     val cellsRouted = routeToGroup(
       cells.withColumnRenamed("cent", "cvec"), "cent_id", "cvec")
     val vecsRouted = routeToGroup(e, "vec_id", "unit")
-    val within = vecsRouted.join(cellsRouted, "grp_id")
-      .withColumn("sim", dot(col("unit"), col("cvec")))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("cent_id"), struct(col("sim"), (-col("cent_id")).as("nc")))
-          .as("cent_id"),
-        first("unit").as("unit"))
     // totality (ADVICE r11): a level-1 group can end up with ZERO routed
     // cells — reachable with degenerate anchors (e.g. two zero-norm
     // group anchors: every argmax tie routes the group's own anchor
     // CELL to the smaller grp_id, while a vector with non-positive sims
-    // everywhere can still route to the larger one) — and vectors routed
-    // there would silently vanish through the inner join above. Those
-    // orphans fall back to the EXACT argmax over all cells: the set is
-    // empty on any non-degenerate corpus (the left_anti probe is one
-    // broadcast against ≈√C distinct grp_ids), so the fallback join
-    // materializes zero rows in the common case and totality holds
-    // unconditionally.
-    val orphans = vecsRouted
-      .join(cellsRouted.select("grp_id").distinct(), Seq("grp_id"),
-        "left_anti")
-      .join(broadcast(cells))
-      .withColumn("sim", dot(col("unit"), col("cent")))
+    // everywhere can still route to the larger one) — and an INNER
+    // grp_id join would silently drop vectors routed there. LEFT join +
+    // null handling instead: an orphan's single null-cell row falls
+    // back to its routed group's own ANCHOR cell (every grp_id is a
+    // stride multiple, so the anchor IS a cell) at -∞ score — picked
+    // only when no real cell row exists, so non-degenerate assignments
+    // are bit-identical to the inner-join form and pay nothing (a left
+    // and inner hash join cost the same); no second evaluation of the
+    // routed frames, which a union-with-fallback arm would force.
+    vecsRouted.join(cellsRouted, Seq("grp_id"), "left")
+      .withColumn("cand_id", coalesce(col("cent_id"), col("grp_id")))
+      .withColumn("sim", coalesce(dot(col("unit"), col("cvec")),
+        lit(Double.MinValue)))
       .groupBy("vec_id")
       .agg(
-        max_by(col("cent_id"), struct(col("sim"), (-col("cent_id")).as("nc")))
+        max_by(col("cand_id"), struct(col("sim"), (-col("cand_id")).as("nc")))
           .as("cent_id"),
         first("unit").as("unit"))
-    within.unionByName(orphans)
   }
 
   /** s9's quantizer-training budget: Lloyd runs over a
@@ -1400,7 +1407,8 @@ object Similarity {
        |          UNION ALL
        |          SELECT fa.vec_id AS i, fb.vec_id AS j
        |          FROM flood fa JOIN flood fb USING (b, k)
-       |          WHERE fb.rk > fa.rk AND fb.rk <= fa.rk + $FloodWindow))""".stripMargin
+       |          WHERE fb.rk > fa.rk AND (fb.rk <= fa.rk + $FloodWindow
+       |                                   OR fa.rk <= $FloodPivots)))""".stripMargin
   }
 
   private val baseOracleSql: Map[String, String] = Map(

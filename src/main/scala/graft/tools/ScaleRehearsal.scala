@@ -278,8 +278,13 @@ object ScaleRehearsal {
 
   private def runOrganic(spark: SparkSession, mult: Int, runs: Int): Unit = {
     val out = ensureOrganic(spark, mult)
-    val embOut = s"$out/embeddings.parquet"
     driveFamily(spark, out, runs, s""""mode":"organic","mult":$mult,""")
+    assignProbe(spark, out, mult)
+  }
+
+  private def assignProbe(spark: SparkSession, out: String,
+      mult: Int): Unit = {
+    val embOut = s"$out/embeddings.parquet"
 
     // ---- SemDeDup assignment probe: exact N×C argmin vs the two-level
     // hierarchical route (the documented production path for the
@@ -360,7 +365,7 @@ object ScaleRehearsal {
     val dfreqs = caches(1)
     val shape = dfreqs.agg(
       sum(when(col("dfreq").between(2, cap),
-        col("dfreq") * (col("dfreq") - 1) / 2)).as("cand_rows_bound"),
+        expr("dfreq * (dfreq - 1) DIV 2"))).as("cand_rows_bound"),
       sum(when(col("dfreq").between(2, cap), 1L)).as("rare_shingles"),
       sum(when(col("dfreq") > cap, 1L)).as("hot_shingles"),
       max(col("dfreq")).as("max_dfreq")).collect().head
@@ -432,13 +437,36 @@ object ScaleRehearsal {
     val (exact, tExact) = topIds("s1_knn_brute")
     require(exact.size == 10, s"s1 returned ${exact.size} rows")
     val exactSet = exact.toSet
-    val tiers = ("s3_ann_srp" +: Similarity.RecallMethods).map { m =>
+    val perQuery = Similarity.RecallMethods.map { m =>
       val (ids, sec) = topIds(m)
       val recall = (ids.toSet & exactSet).size / 10.0
-      System.err.println(f"[floodrecall] $m%-18s recall@10=$recall%.1f " +
-        f"(${sec}%.1f s)")
+      System.err.println(f"[floodrecall] $m%-18s recall@10=$recall%.2f " +
+        f"($sec%.1f s)")
       s""""$m":{"recall_at_10":$recall,"sec":${fmt3(sec)},"rows":${ids.size}}"""
     }
+    // s3 is PAIR-shaped (global top-10 pairs, not per-query top-k):
+    // exact pair truth is O(N²) — analytic on the degenerate corpus
+    // (every cosine 1.0, ties by (i,j): truth = (0,1)..(0,10)),
+    // brute-forced on the constructed-flood spec fixture
+    // (DedupSimilaritySpec); organic records emissions only.
+    val s3row = {
+      graft.queries.Dedup.clearMemo()
+      Similarity.clearTrainedCaches()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val pairs = graft.SparkEntry.queries("s3_ann_srp")(spark, out)
+        .select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall =
+        if (!degenerate) -1.0
+        else (pairs & (1L to 10L).map(j => (0L, j)).toSet).size / 10.0
+      System.err.println(f"[floodrecall] s3_ann_srp (pairs) " +
+        f"recall@10=$recall%.2f ($sec%.1f s)")
+      s""""s3_ann_srp":{"recall_at_10":$recall,"sec":${fmt3(sec)},""" +
+        s""""rows":${pairs.size}}"""
+    }
+    val tiers = s3row +: perQuery
     val corpus = if (degenerate) "degenerate" else "organic"
     val report =
       s"""{"mode":"flood_recall","corpus":"$corpus","mult":$mult,""" +
@@ -484,6 +512,13 @@ object ScaleRehearsal {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // floodrecall composes with the corpus flags ("floodrecall
+    // degenerate" / "floodrecall organic"), so it must win the dispatch
+    if (args.contains("floodrecall")) {
+      try runFloodRecall(spark, mult, args.contains("degenerate"))
+      finally spark.stop()
+      return
+    }
     if (args.contains("degenerate")) {
       try runDegenerate(spark, mult) finally spark.stop()
       return
@@ -492,8 +527,8 @@ object ScaleRehearsal {
       try runDd2Profile(spark, mult) finally spark.stop()
       return
     }
-    if (args.contains("floodrecall")) {
-      try runFloodRecall(spark, mult, args.contains("degenerate"))
+    if (args.contains("probeonly")) {
+      try assignProbe(spark, ensureOrganic(spark, mult), mult)
       finally spark.stop()
       return
     }
@@ -553,10 +588,16 @@ object ScaleRehearsal {
     System.err.println(s"[rehearsal] corpus: $nDocs docs, $nVecs vecs at $out")
     def fmt(t: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, t)
     var dd2Cap = -1L
+    // SPARK_GRAFT_REHEARSAL_ONLY narrows the family for a targeted
+    // re-measure (e.g. the dd2 before/after); the report records the
+    // narrowed list implicitly via its queries map
+    val fam = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY")
+      .map(f => Family.filter(f.split(",").map(_.trim).toSet))
+      .getOrElse(Family)
     val report = new StringBuilder
     report ++= s"""{$header"n_docs":$nDocs,"n_vecs":$nVecs,"""
     report ++= s""""runs":$runs,"queries":{"""
-    val rows = Family.map { name =>
+    val rows = fam.map { name =>
       val fn = graft.SparkEntry.queries(name)
       // every run starts cold: the session memos are CLEARED (not
       // conf-disabled) so each timing covers the full pipeline while the

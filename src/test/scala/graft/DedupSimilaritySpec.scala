@@ -650,16 +650,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(healthy.subsetOf(got), s"sub-cap bucket lost pairs: $got")
     // flood bucket: every band yields the same rank-adjacent pairs
     // (|i-j| <= FloodWindow since rank order == id order here) —
-    // sum_{d=1..8} (30-d) = 204 distinct pairs, and nothing quadratic
+    // sum_{d=1..8} (30-d) = 204 — PLUS the pivot arm (round 12): the
+    // first FloodPivots=4 members pair with every member past their
+    // window, sum_{i=0..3} (29-i-8) = 78 — 282 distinct pairs total,
+    // still nothing quadratic
     val floodPairs = got -- healthy
-    val want = (for {
+    val want = ((for {
       i <- floodIds; d <- 1 to Similarity.FloodWindow
       if i + d < 30L
-    } yield (i, i + d)).toSet
+    } yield (i, i + d)) ++ (for {
+      i <- 0L until Similarity.FloodPivots.toLong
+      j <- (i + Similarity.FloodWindow + 1) until 30L
+    } yield (i, j))).toSet
     assert(floodPairs == want,
       s"flood pairing wrong: extra=${(floodPairs -- want).take(5)} " +
         s"missing=${(want -- floodPairs).take(5)}")
-    assert(floodPairs.size == 204)
+    assert(floodPairs.size == 282)
     // connectivity contract (what p3's keeplist and clustering ride on):
     // every flood member except the smallest has a smaller-id near-dup,
     // so drop-j collapses the whole flood to one survivor
@@ -798,6 +804,33 @@ class DedupSimilaritySpec extends SparkSuite {
     } finally e.unpersist()
   }
 
+  test("s3 under a total flood returns the EXACT top-10 pairs — the " +
+    "pivot second pass (VERDICT r11 ask #3 spec floor)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-flood-s3").toString
+    // 3000 IDENTICAL vectors: every one shares a single SRP bucket per
+    // band (3000 > cap 1000), so the flood arm is the only candidate
+    // source. Truth is analytic: all cosines are 1.0 and s3 breaks ties
+    // (i, j) — the exact top-10 pairs are (0, 1..10). Ranks 9 and 10 sit
+    // past FloodWindow = 8 from vec 0, so adjacency alone cannot reach
+    // them (the pre-pivot emission was (0,1..8),(1,2),(1,3) — pair
+    // recall 0.8); vec 0 is rank 1 of its bucket, a pivot, so the pivot
+    // arm pairs it with EVERY member and the query recovers the exact
+    // answer at size·P extra cost.
+    spark.range(0, 3000)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), x -> CAST(1.0 AS FLOAT))")
+          .as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("s3_ann_srp")(spark, dir)
+      .select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (1L to 10L).map(j => (0L, j)),
+      s"flooded s3 off the exact top-10 pairs: $got")
+  }
+
   test("hierarchical assignment totality under degenerate anchors: " +
     "vectors routed to a cell-less group fall back to exact argmax " +
     "(ADVICE r11)") {
@@ -809,9 +842,9 @@ class DedupSimilaritySpec extends SparkSuite {
     // every cell (4's own anchor cell included) ties to grp 0 — group 4
     // routes ZERO cells. Vectors 1 and 3 score dot −1 against grp 0's
     // anchor and 0 against grp 4's, so they route (strictly) to grp 4:
-    // before the fallback they vanished through the inner grp_id join;
-    // now the exact argmax over ALL cells assigns them (score 0 at
-    // cells {2,4,6}, tie to the smallest → 2).
+    // before the fix they vanished through the inner grp_id join; the
+    // left-join fallback assigns them to their routed group's own
+    // anchor CELL (grp 4 — a stride multiple, hence a real cell).
     val units: Seq[(Long, Seq[Double])] = Seq(
       0L -> Seq(1.0, 0.0), 1L -> Seq(-1.0, 0.0), 2L -> Seq(0.0, 1.0),
       3L -> Seq(-1.0, 0.0), 4L -> Seq(0.0, 0.0), 5L -> Seq(0.5, 0.5),
@@ -822,11 +855,12 @@ class DedupSimilaritySpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.keySet == units.map(_._1).toSet,
       s"hierarchical assignment lost vectors: got ${got.keySet}")
-    // and the fallback is the EXACT assignment for the orphaned rows
-    val exact = Similarity.assignFromUnits(e, stride = 2L)
-      .select("vec_id", "cent_id").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got(1L) == exact(1L) && got(3L) == exact(3L) && got(1L) == 2L,
-      s"orphan fallback off the exact argmax: ${got(1L)}, ${got(3L)}")
+    // orphans land on their routed group's anchor cell — a real cell,
+    // deterministically (for vec 1's unit, cells {2,4,6} all score 0,
+    // so the anchor is as good as the exact argmax here)
+    assert(got(1L) == 4L && got(3L) == 4L,
+      s"orphan fallback off the routed anchor cell: ${got(1L)}, ${got(3L)}")
+    val cellIds = Set(0L, 2L, 4L, 6L)
+    assert(got.values.forall(cellIds), s"assigned to a non-cell: $got")
   }
 }
