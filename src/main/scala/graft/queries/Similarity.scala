@@ -519,12 +519,12 @@ object Similarity {
     }),
     // Scalar-quantized (int8) kNN — the memory-bandwidth scale path: the
     // first pass scans 8×-smaller int8 codes with an exact *integer* dot
-    // product (top-50 candidates via TakeOrderedAndProject), and only the
-    // 50 survivors touch float vectors for the exact cosine re-rank. At
-    // 100 TB the code table is what stays hot (64 B/vector instead of
+    // product, and only the [[tieCut]] survivors (top-50 boundary,
+    // ties inclusive) touch float vectors for the exact cosine re-rank.
+    // At 100 TB the code table is what stays hot (64 B/vector instead of
     // 512 B); the integer first pass is also oracle-exact by construction
     // — no float-order concerns in the candidate cut. Quantization error
-    // only affects which 50 candidates are seen; the emitted scores are
+    // only affects which candidates are seen; the emitted scores are
     // exact cosines (recall vs s1's exact top-10 asserted by
     // DedupSimilaritySpec). Oracled via the side_sq_codes dump replay.
     "s6_quantized_knn" -> ((s, dir) => {
@@ -533,10 +533,10 @@ object Similarity {
         .select("codes", "unit").head()
       val qCodes = typedlit(q.getSeq[Int](0))
       val qUnit = typedlit(q.getSeq[Double](1))
-      val cands = base.filter(col("vec_id") =!= 0L)
-        .select(col("vec_id"), intDot(col("codes"), qCodes).as("qscore"))
-        .orderBy(col("qscore").desc, col("vec_id"))
-        .limit(50)
+      val cands = tieCut(
+        base.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), intDot(col("codes"), qCodes).as("qscore")),
+        "qscore")
       QueryCache.resultThenRelease(
         cands.join(base.select("vec_id", "unit"), "vec_id")
           .select(col("vec_id"), dot(col("unit"), qUnit).as("cos_sim"))
@@ -552,10 +552,11 @@ object Similarity {
     // dot(query_sub, codebook entry) lookup tables are computed ONCE
     // (M·K dots, driver-side, broadcast as map literals), then the scan
     // scores each vector with M map lookups + a fixed-order sum — no
-    // join, no shuffle, one TakeOrderedAndProject for the candidate cut.
-    // The 50 survivors re-rank on exact float cosine (s6's discipline:
-    // quantization error moves only WHICH candidates are seen, emitted
-    // scores are exact). Oracled via the side_s8_codes dump replay —
+    // join, no shuffle, one TakeOrderedAndProject for the boundary pass.
+    // The [[tieCut]] survivors re-rank on exact float cosine (s6's
+    // discipline: quantization error moves only WHICH candidates are
+    // seen, emitted scores are exact). Oracled via the side_s8_codes dump
+    // replay —
     // LUT, fixed-order ADC sum, cut, and re-rank all replayed in SQL;
     // encode correctness + recall pinned in DedupSimilaritySpec.
     "s8_pq_knn" -> ((s, dir) => {
@@ -577,10 +578,10 @@ object Similarity {
       val adc = (0 until PqM)
         .map(m => element_at(typedlit(luts(m)), col("codes")(m)))
         .reduce(_ + _)
-      val cands = base.filter(col("vec_id") =!= 0L)
-        .select(col("vec_id"), adc.as("qscore"))
-        .orderBy(col("qscore").desc, col("vec_id"))
-        .limit(50)
+      val cands = tieCut(
+        base.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), adc.as("qscore")),
+        "qscore")
       QueryCache.resultThenRelease(
         cands.join(base.select("vec_id", "unit"), "vec_id")
           .select(col("vec_id"),
@@ -637,9 +638,10 @@ object Similarity {
     // assignment, the frame side_s4_assign certifies) restricts the scan
     // to the nprobe=2 cells nearest the query; the PQ codes (s8's 4×16
     // geometry from side_s8_codes) score ONLY those cells' members via
-    // the broadcast ADC lookup tables; the top-50 ADC survivors re-rank
-    // on exact float cosine (the family discipline: quantization error
-    // moves WHICH candidates are seen, never an emitted score). The two
+    // the broadcast ADC lookup tables; the tie-inclusive ADC survivors
+    // ([[tieCut]]) re-rank on exact float cosine (the family discipline:
+    // quantization error moves WHICH candidates are seen, never an
+    // emitted score). The two
     // compression axes multiply at 100 TB — cells cut the scan to
     // ~nprobe/k of the corpus, codes cut its bandwidth to M bytes per
     // visited vector — so the first pass reads nprobe/k × M B/vector
@@ -664,8 +666,11 @@ object Similarity {
     // PQ (s8): sign-bit binarization packs each 64-dim vector into ONE
     // long (8 B — a 32× cut vs float32), the first pass ranks by
     // Hamming distance (xor + popcount — the cheapest possible scan
-    // arithmetic, SIMD/bitwise all the way down), and the top-50
-    // survivors re-rank on exact float cosine (the family discipline).
+    // arithmetic, SIMD/bitwise all the way down), and the [[tieCut]]
+    // survivors (top-50 Hamming boundary, ties inclusive — Hamming over
+    // 64 bits has only 65 values, so the tie block is what carries the
+    // true neighbors) re-rank on exact float cosine (the family
+    // discipline).
     // Sign agreement tracks angle (SRP with hyperplanes = coordinate
     // axes), which is what makes Hamming a usable candidate metric.
     // The oracle RECOMPUTES the codes from the raw embeddings (mm5's
@@ -680,12 +685,12 @@ object Similarity {
         .select("code", "embedding").head()
       val qCode = qRow.getLong(0)
       val qVec = typedlit(qRow.getSeq[Float](1).map(_.toDouble))
-      val cands = base.filter(col("vec_id") =!= 0L)
-        .select(col("vec_id"),
-          graft.functions.HashFunctions.hamming64(
-            col("code"), lit(qCode)).as("hd"))
-        .orderBy(col("hd"), col("vec_id"))
-        .limit(50)
+      val cands = tieCut(
+        base.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"),
+            graft.functions.HashFunctions.hamming64(
+              col("code"), lit(qCode)).as("hd")),
+        "hd", asc = true)
       QueryCache.resultThenRelease(
         cands.join(base.select("vec_id", "embedding"), "vec_id")
           .select(col("vec_id"),
@@ -1184,6 +1189,49 @@ object Similarity {
     Seq("s4_ivf_knn", "s6_quantized_knn", "s8_pq_knn", "s9_ivf_trained",
       "s17_ivfpq_knn", "s18_binary_knn")
 
+  /** Candidate-cut width of the quantized tiers' first pass (s6 int8,
+    * s8 PQ-ADC, s17/s22 IVF-ADC, s18 binary): the top-[[ShortlistK]]
+    * pass defines the BOUNDARY score, and [[tieCut]] keeps every
+    * candidate at-or-better than it.
+    */
+  private[graft] val ShortlistK = 50
+
+  /** Tie-inclusive candidate cut — the family's refine knob (FAISS's
+    * refine-factor/efSearch analog), sized by the data instead of a
+    * constant: the existing bounded top-[[ShortlistK]] pass (a
+    * TakeOrderedAndProject — per-partition heaps, no global sort) yields
+    * the boundary score as ONE driver-side scalar (the P4 bounded tier,
+    * same discipline as the qUnit head), and the cut keeps EVERY
+    * candidate at-or-better than that boundary. On a healthy corpus the
+    * boundary is sparse and this is the old fixed-50 cut; on a
+    * near-duplicate-heavy corpus (the round-12 flood-recall finding:
+    * u³ hot clusters put ~12.5% of vectors in ONE cluster whose
+    * quantized codes are indistinguishable, so a fixed 50-cut filled
+    * with arbitrary ties and recall@10 cratered to 0.0-0.4 for the
+    * int8/PQ/binary tiers) the tie block rides into the exact re-rank
+    * and recall recovers — quantization error again moves only WHICH
+    * candidates are seen, never whether a tied-at-the-boundary true
+    * neighbor is reachable. Worst case (every code identical) the
+    * re-rank degrades gracefully to s1's exact linear scan — never
+    * worse than the family's own brute baseline, with no shuffle and no
+    * window (a global rank-with-ties window would single-partition at
+    * 100 TB; the scalar threshold + map-side filter is the scale-safe
+    * form of the same semantics). Oracles replay the identical rule:
+    * min/max over the LIMIT-50 prefix, then a >=/<= filter.
+    */
+  private def tieCut(scored: DataFrame, score: String,
+      asc: Boolean = false): DataFrame = {
+    val ord = if (asc) col(score).asc else col(score).desc
+    val row = scored.orderBy(ord, col("vec_id")).limit(ShortlistK)
+      .agg((if (asc) max(col(score)) else min(col(score))).as("b"))
+      .head()
+    if (row.isNullAt(0)) scored.filter(lit(false))
+    else {
+      val b = lit(row.get(0))
+      scored.filter(if (asc) col(score) <= b else col(score) >= b)
+    }
+  }
+
   /** s17's IVF-ADC pipeline, shared verbatim by s22's tombstone arm:
     * `tombstoned` (when set) removes matching vec_ids at CANDIDATE time
     * — after the probe restricts cells, before ADC scoring and re-rank —
@@ -1223,12 +1271,12 @@ object Similarity {
       .reduce(_ + _)
     val live = assigned.join(broadcast(probed), "cent_id")
       .filter(col("vec_id") =!= 0L)
-    val cands = tombstoned.fold(live)(t => live.filter(!t))
-      .select("vec_id")
-      .join(codes, "vec_id")
-      .select(col("vec_id"), adc.as("qscore"))
-      .orderBy(col("qscore").desc, col("vec_id"))
-      .limit(50)
+    val cands = tieCut(
+      tombstoned.fold(live)(t => live.filter(!t))
+        .select("vec_id")
+        .join(codes, "vec_id")
+        .select(col("vec_id"), adc.as("qscore")),
+      "qscore")
     QueryCache.resultThenRelease(
       cands.join(codes.select("vec_id", "unit"), "vec_id")
         .select(col("vec_id"), dot(col("unit"), q).as("cos_sim"))
@@ -1611,11 +1659,15 @@ object Similarity {
       """WITH c AS (SELECT vec_id, unit, codes
         |          FROM read_parquet('{VERIFY_DIR}/side_sq_codes.parquet')),
         |q AS (SELECT codes AS qc, unit AS qu FROM c WHERE vec_id = 0),
-        |cand AS (SELECT vec_id,
+        |cand0 AS (SELECT vec_id,
         |    CAST(list_dot_product(codes::INTEGER[], qc::INTEGER[]) AS BIGINT)
         |      AS qscore
-        |  FROM c, q WHERE vec_id <> 0
-        |  ORDER BY qscore DESC, vec_id LIMIT 50)
+        |  FROM c, q WHERE vec_id <> 0),
+        |-- tie-inclusive cut: the top-50 prefix defines the boundary
+        |-- score; every candidate at-or-better re-ranks exactly
+        |thr AS (SELECT min(qscore) AS b FROM
+        |  (SELECT qscore FROM cand0 ORDER BY qscore DESC, vec_id LIMIT 50) p),
+        |cand AS (SELECT vec_id FROM cand0, thr WHERE qscore >= b)
         |SELECT c.vec_id, list_dot_product(c.unit, q.qu) AS cos_sim
         |FROM cand JOIN c USING (vec_id), q
         |ORDER BY cos_sim DESC, c.vec_id
@@ -1639,15 +1691,17 @@ object Similarity {
         |                     qu[t.m*16+1 : t.m*16+16]) AS d
         |  FROM c, range(0, 4) t(m), q
         |  WHERE vec_id % (SELECT st FROM cbst) = 0),
-        |cand AS (
+        |cand0 AS (
         |  SELECT c.vec_id, l0.d + l1.d + l2.d + l3.d AS qscore
         |  FROM c
         |  JOIN lut l0 ON l0.m = 0 AND l0.cb_id = c.codes[1]
         |  JOIN lut l1 ON l1.m = 1 AND l1.cb_id = c.codes[2]
         |  JOIN lut l2 ON l2.m = 2 AND l2.cb_id = c.codes[3]
         |  JOIN lut l3 ON l3.m = 3 AND l3.cb_id = c.codes[4]
-        |  WHERE c.vec_id <> 0
-        |  ORDER BY qscore DESC, c.vec_id LIMIT 50)
+        |  WHERE c.vec_id <> 0),
+        |thr AS (SELECT min(qscore) AS b FROM
+        |  (SELECT qscore FROM cand0 ORDER BY qscore DESC, vec_id LIMIT 50) p),
+        |cand AS (SELECT vec_id FROM cand0, thr WHERE qscore >= b)
         |SELECT c.vec_id, list_dot_product(c.unit, q.qu) AS cos_sim
         |FROM cand JOIN c USING (vec_id), q
         |ORDER BY cos_sim DESC, c.vec_id
@@ -1720,9 +1774,11 @@ object Similarity {
          |                      ELSE 0::HUGEINT END AS BIGINT) AS code
          |      FROM cb),
          |q AS (SELECT code AS qc, embedding AS qe FROM c WHERE vec_id = 0),
-         |cand AS (SELECT c.vec_id, bit_count(xor(c.code, q.qc)) AS hd
-         |         FROM c, q WHERE c.vec_id <> 0
-         |         ORDER BY hd, c.vec_id LIMIT 50)
+         |cand0 AS (SELECT c.vec_id, bit_count(xor(c.code, q.qc)) AS hd
+         |          FROM c, q WHERE c.vec_id <> 0),
+         |thr AS (SELECT max(hd) AS b FROM
+         |  (SELECT hd FROM cand0 ORDER BY hd, vec_id LIMIT 50) p),
+         |cand AS (SELECT vec_id FROM cand0, thr WHERE hd <= b)
          |SELECT c.vec_id, ${cosSql("c.embedding", "q.qe")} AS cos_sim
          |FROM cand JOIN c USING (vec_id), q
          |ORDER BY cos_sim DESC, c.vec_id
@@ -1769,7 +1825,7 @@ object Similarity {
       |                     qu[t.m*16+1 : t.m*16+16]) AS d
       |  FROM c, range(0, 4) t(m), q
       |  WHERE vec_id % (SELECT st FROM cbst) = 0),
-      |cand AS (
+      |cand0 AS (
       |  SELECT c.vec_id, l0.d + l1.d + l2.d + l3.d AS qscore
       |  FROM c
       |  JOIN assign a ON a.vec_id = c.vec_id
@@ -1778,8 +1834,10 @@ object Similarity {
       |  JOIN lut l1 ON l1.m = 1 AND l1.cb_id = c.codes[2]
       |  JOIN lut l2 ON l2.m = 2 AND l2.cb_id = c.codes[3]
       |  JOIN lut l3 ON l3.m = 3 AND l3.cb_id = c.codes[4]
-      |  WHERE c.vec_id <> 0$tombstonePred
-      |  ORDER BY qscore DESC, c.vec_id LIMIT 50)
+      |  WHERE c.vec_id <> 0$tombstonePred),
+      |thr AS (SELECT min(qscore) AS b FROM
+      |  (SELECT qscore FROM cand0 ORDER BY qscore DESC, vec_id LIMIT 50) p),
+      |cand AS (SELECT vec_id FROM cand0, thr WHERE qscore >= b)
       |SELECT c.vec_id, list_dot_product(c.unit, q.qu) AS cos_sim
       |FROM cand JOIN c USING (vec_id), q
       |ORDER BY cos_sim DESC, c.vec_id

@@ -509,6 +509,12 @@ object ScaleRehearsal {
         .filter(p => new java.io.File(p).isDirectory)
         .mkString(java.io.File.pathSeparator)
       builder.config("spark.executor.extraClassPath", classes)
+      // the master string's third field is the WORKER's capacity in MiB;
+      // the executor JVM is still sized by spark.executor.memory (default
+      // 1g — an instant OOM at ×200). Size the executor to the worker.
+      val workerMb = master.split("[\\[\\],]")(3).trim
+      builder.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", s"${workerMb}m"))
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

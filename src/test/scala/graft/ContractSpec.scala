@@ -183,6 +183,11 @@ class ContractSpec extends SparkSuite {
       "side_hll_est" -> Map("source" -> "string", "n_est" -> "bigint"),
       "side_s4_assign" -> Map("vec_id" -> "bigint", "cent_id" -> "bigint",
         "unit" -> "array<double>"),
+      // dd17's own proportional-stride assignment (round 12 — ADVICE
+      // r11: the shared side_s4_assign replay was scale-conditional);
+      // same shape as side_s4_assign, dumped at PqAnchorStride
+      "side_dd17_assign" -> Map("vec_id" -> "bigint",
+        "cent_id" -> "bigint", "unit" -> "array<double>"),
       "side_s8_codes" -> Map("vec_id" -> "bigint",
         "unit" -> "array<double>", "codes" -> "array<bigint>"),
       "side_s9_cents" -> Map("cent_id" -> "bigint",

@@ -831,6 +831,42 @@ class DedupSimilaritySpec extends SparkSuite {
       s"flooded s3 off the exact top-10 pairs: $got")
   }
 
+  test("tie-inclusive candidate cut: quantized-indistinguishable true " +
+    "neighbors past the fixed-50 boundary are recovered by s6 and s18 " +
+    "(round-12 flood-recall fix)") {
+    import org.apache.spark.sql.functions._
+    // 300 vectors whose int8 codes AND sign bits are all IDENTICAL
+    // (perturbations stay inside one quantization cell), but whose float
+    // cosines to the query INCREASE with vec_id: v_i = normalize(b + i·5e-6·d)
+    // with b = normalized ones (every component 0.125 → code 16, sign 1)
+    // and d = (e0 − e1)/√2 ⊥ b; the query (vec 0) tilts 0.01 along d, so
+    // cos(q, v_i) = (1 + 0.01·δ_i)/norms — strictly increasing in i. The
+    // exact top-10 is ids 300..291, ALL past the old fixed-50 cut (whose
+    // qscore tie-break by vec_id kept ids 1..50 → recall 0.0); the
+    // tie-inclusive boundary keeps the whole tie block and the exact
+    // re-rank must return them.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tiecut").toString
+    spark.range(0, 301)
+      .select(col("id").as("vec_id"),
+        expr(
+          """transform(sequence(0, 63), c -> CAST((
+            |    0.125 + (CASE WHEN id = 0 THEN 0.01
+            |                  ELSE id * 0.000005 END)
+            |      * (CASE WHEN c = 0 THEN 0.7071067811865476
+            |              WHEN c = 1 THEN -0.7071067811865476
+            |              ELSE 0.0 END)
+            |  ) AS FLOAT))""".stripMargin).as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (tier <- Seq("s6_quantized_knn", "s18_binary_knn")) {
+      val got = SparkEntry.queries(tier)(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got == (291L to 300L).toSet,
+        s"$tier missed tied-at-the-boundary true neighbors: $got")
+    }
+  }
+
   test("hierarchical assignment totality under degenerate anchors: " +
     "vectors routed to a cell-less group fall back to exact argmax " +
     "(ADVICE r11)") {

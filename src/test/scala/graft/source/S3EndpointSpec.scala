@@ -79,6 +79,12 @@ class S3EndpointSpec extends SparkSuite {
     val truncateNext = new java.util.concurrent.atomic.AtomicInteger(0)
     /** Per-request added latency. */
     @volatile var delayMs = 0L
+    /** Response-body byte-rate shaping (0 = off) — the bandwidth arm:
+      * bodies stream in ~50 ms chunks paced to this rate, so a shaped
+      * ranged GET is slow but COMPLETE (latency and bandwidth must
+      * never morph into truncation).
+      */
+    @volatile var bytesPerSec = 0L
     @volatile private var running = true
     private val pool = java.util.concurrent.Executors.newCachedThreadPool()
     private val acceptor = new Thread(() => {
@@ -188,7 +194,19 @@ class S3EndpointSpec extends SparkSuite {
         } else {
           writeHead(out, code,
             pass :+ ("Content-Length" -> respBody.length.toString))
-          out.write(respBody)
+          val rate = bytesPerSec
+          if (rate <= 0) out.write(respBody)
+          else {
+            val chunk = math.max(1024, (rate / 20).toInt)
+            var off = 0
+            while (off < respBody.length) {
+              val n = math.min(chunk, respBody.length - off)
+              out.write(respBody, off, n)
+              out.flush()
+              off += n
+              Thread.sleep(n * 1000L / rate)
+            }
+          }
           out.flush()
         }
       } catch { case _: Throwable => () }
@@ -298,6 +316,55 @@ class S3EndpointSpec extends SparkSuite {
         }
         assert(err.getMessage != null, s"fault past envelope not loud: $err")
         proxy.failNext.set(0)
+      } finally {
+        proxy.close()
+        org.apache.hadoop.fs.FileSystem.closeAll()
+      }
+    }
+  }
+
+  test("bandwidth shaping on the live path: a rate-limited ranged GET " +
+    "streams slow but byte-exact, and a 5xx mid-stream recovers under " +
+    "the same shaping (the last slice of the live-store gap)") {
+    withMoto { motoPort =>
+      val proxy = new FaultProxy(motoPort)
+      try {
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.s3l.endpoint", s"http://127.0.0.1:${proxy.port}")
+        org.apache.hadoop.fs.FileSystem.closeAll()
+        val root = "s3l://graft-shaped"
+        val fs = fsFor(root)
+        fs.ensureBucket()
+        val f = new Path(s"$root/p/data_2020-01-01T00:00:00.bin")
+        val payload = Array.tabulate[Byte](300000)(i => (i * 17 % 251).toByte)
+        val w = fs.create(f, true)
+        w.write(payload); w.close()
+
+        // (a) 100 KiB/s on a 300 KB object: ~3 s theoretical — assert a
+        // LOWER bound only (an upper bound flakes under box load) plus
+        // byte-exactness; shaping must never morph into truncation
+        proxy.bytesPerSec = 100 * 1024
+        val in = fs.open(f)
+        val t0 = System.nanoTime()
+        val back = new Array[Byte](300000)
+        in.readFully(0, back)
+        val sec = (System.nanoTime() - t0) / 1e9
+        assert(java.util.Arrays.equals(back, payload),
+          "bytes corrupted under bandwidth shaping")
+        assert(sec >= 1.5,
+          f"shaped read finished in $sec%.2f s - shaping was not applied")
+
+        // (b) a 500 mid-burst under the SAME shaping: the retry reopens
+        // a ranged GET and the paced stream still lands byte-exact
+        in.seek(0)
+        proxy.failNext.set(1)
+        val back2 = new Array[Byte](300000)
+        in.readFully(0, back2)
+        assert(java.util.Arrays.equals(back2, payload),
+          "bytes corrupted: 5xx recovery under shaping")
+        assert(proxy.failNext.get() == 0, "armed 500 went unserved")
+        in.close()
+        proxy.bytesPerSec = 0
       } finally {
         proxy.close()
         org.apache.hadoop.fs.FileSystem.closeAll()
