@@ -10,12 +10,22 @@ import org.apache.spark.sql.functions._
   * cluster"): every node is labeled with the smallest node id reachable
   * through the (undirected) edges.
   *
-  * Algorithm: Pregel-style min-label propagation. Each round joins the
-  * edge list against the current labels and takes the per-node min of the
-  * neighbors' labels; labels converge in ≤ component-diameter rounds.
-  * Near-dup clusters are near-cliques (diameter 1-2), so the loop is
-  * short; the stop condition is a full count-join probe, and exceeding
-  * `maxIter` throws rather than returning silently-truncated labels.
+  * Algorithm: Pregel-style min-label propagation with a POINTER-JUMPING
+  * shortcut each round. The hook step joins the edge list against the
+  * current labels and takes the per-node min of the neighbors' labels
+  * (propagates one hop); the shortcut step then replaces every label
+  * with its label's OWN label (label-of-label — doubles the effective
+  * propagation distance). Hook alone converges in ≤ component-diameter
+  * rounds, which the organic ×400 rehearsal (2M docs) falsified as
+  * "enough for dedup graphs": transitive near-dup chains through the
+  * heavy-head template corpus built a component deeper than 11 hops and
+  * the loop hit its ceiling loudly. With the shortcut, depth is
+  * O(log diameter) — the label set is identical at the fixpoint (labels
+  * only ever hold in-component node ids and decrease monotonically; at
+  * a combined fixpoint every label is its component's min), so callers
+  * and oracles are unaffected. The stop condition is a full count-join
+  * probe, and exceeding `maxIter` throws rather than returning
+  * silently-truncated labels.
   *
   * Every round ends in an eager `localCheckpoint` — this is the core of
   * making iteration O(1) per round on BOTH axes that otherwise grow:
@@ -31,8 +41,10 @@ import org.apache.spark.sql.functions._
   * unpersisted explicitly before returning; only the returned frame's
   * blocks remain, owned by the caller.
   *
-  * For billion-edge, high-diameter graphs the large-star/small-star
-  * formulation halves round counts; dedup pair graphs don't need it.
+  * For billion-edge graphs the large-star/small-star formulation also
+  * SHRINKS the edge list per round; the hook+shortcut form keeps the
+  * edge list constant but already has the logarithmic round count —
+  * the axis that actually bit at ×400.
   */
 object ConnectedComponents {
 
@@ -51,7 +63,7 @@ object ConnectedComponents {
     * sweeps everything this call checkpointed except the returned frame.
     */
   def components(pairs: DataFrame, src: String, dst: String,
-      maxIter: Int = 12): DataFrame = {
+      maxIter: Int = 30): DataFrame = {
     val p = pairs.select(col(src).as("i"), col(dst).as("j"))
     val live = mutable.Set.empty[DataFrame]
     try {
@@ -69,13 +81,30 @@ object ConnectedComponents {
           .join(labels, edges("j") === labels("node"))
           .groupBy(edges("i").as("node"))
           .agg(min("label").as("nbr_label"))
-        val next = labels.alias("l")
+        // hook: one-hop neighbor-min propagation (checkpointed — the
+        // shortcut references it twice, and an unmaterialized frame is
+        // recomputed per branch)
+        val hooked = labels.alias("l")
           .join(nbrMin.alias("n"), col("l.node") === col("n.node"), "left")
           .select(col("l.node").as("node"),
             least(col("l.label"),
               coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
           .localCheckpoint()
+        live += hooked
+        // shortcut (pointer jumping): label <- label's own label. Every
+        // label value IS a node id of the same frame, so the left join
+        // is total in practice; coalesce guards the contract anyway.
+        val next = hooked.alias("x")
+          .join(hooked
+              .select(col("node").as("pn"), col("label").as("plabel"))
+              .alias("y"),
+            col("x.label") === col("y.pn"), "left")
+          .select(col("x.node").as("node"),
+            coalesce(col("y.plabel"), col("x.label")).as("label"))
+          .localCheckpoint()
         live += next
+        Checkpoints.free(hooked)
+        live -= hooked
         converged = next.alias("a")
           .join(labels.alias("b"), col("a.node") === col("b.node"))
           .filter(col("a.label") =!= col("b.label"))

@@ -306,18 +306,30 @@ object ScaleRehearsal {
         val c = df.count()
         ((System.nanoTime() - t0) / 1e9, c)
       }
-      val (tExact, _) = timed(Similarity.assignFromUnits(e))
+      // the exact arm's broadcast fan-out is N×C rows (C ≈ N/53): at
+      // ×400 that is ~12e9 rows whose sort-aggregate spill filled the
+      // box's disk (52 GB in /tmp) — which IS the probe's conclusion
+      // (the 2N√C hierarchical path is the only viable one up there),
+      // so past this bound the probe records hier-only instead of
+      // failing the whole rehearsal on ENOSPC.
+      val exactFanout = n * (n / Similarity.PqAnchorStride.max(1))
+      val exactViable = exactFanout <= 4e9.toLong
+      val (tExact, _) =
+        if (exactViable) timed(Similarity.assignFromUnits(e))
+        else (-1.0, 0L)
       val (tHier, _) = timed(Similarity.assignFromUnitsHierarchical(e, n))
-      val agree = Similarity.assignFromUnits(e).alias("x")
-        .join(Similarity.assignFromUnitsHierarchical(e, n).alias("h"),
-          col("x.vec_id") === col("h.vec_id"))
-        .filter(col("x.cent_id") === col("h.cent_id"))
-        .count()
+      val agree =
+        if (exactViable) Similarity.assignFromUnits(e).alias("x")
+          .join(Similarity.assignFromUnitsHierarchical(e, n).alias("h"),
+            col("x.vec_id") === col("h.vec_id"))
+          .filter(col("x.cent_id") === col("h.cent_id"))
+          .count()
+        else -1L
       e.unpersist(blocking = false)
       val probe = s"""{"mode":"organic_assign_probe","mult":$mult,""" +
         s""""n_vecs":$n,"exact_sec":${fmt3(tExact)},""" +
         s""""hier_sec":${fmt3(tHier)},"agree":$agree,""" +
-        s""""agree_frac":${fmt3(agree.toDouble / n)}}"""
+        s""""agree_frac":${fmt3(if (n > 0) agree.toDouble / n else 0.0)}}"""
       println(probe)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$out/assign_probe.json"),
@@ -420,10 +432,51 @@ object ScaleRehearsal {
     * lives in DedupSimilaritySpec.
     */
   private def runFloodRecall(spark: SparkSession, mult: Int,
-      degenerate: Boolean): Unit = {
+      degenerate: Boolean, dedupFirst: Boolean = false): Unit = {
     import graft.queries.Similarity
-    val out = if (degenerate) ensureDegenerate(spark, mult)
+    val base = if (degenerate) ensureDegenerate(spark, mult)
       else ensureOrganic(spark, mult)
+    // "dedup" arm — the round-12 flood-recall table's own conclusion,
+    // closed experimentally: the resolution-bound tiers (s6 int8, s18
+    // binary) lose recall on the organic hot-cluster corpus because
+    // ~12.5% of vectors are near-identical mates whose codes cannot be
+    // told apart; the documented production answer is dedup BEFORE
+    // indexing. This arm applies the engine's own SemDeDup (dd17's
+    // assignment + drop rule, cap-bounded flood pairing included) to
+    // the corpus, then runs the SAME recall certification on the kept
+    // vectors — recall is vs s1's exact answer on the deduped corpus,
+    // i.e. "did the production recipe restore the tier's usefulness",
+    // not a comparison across different ground truths.
+    val out = if (!dedupFirst) base else {
+      val dd = s"${base}_dedup"
+      if (!exists(s"$dd/embeddings.parquet")) {
+        val t0 = System.nanoTime()
+        val e = spark.read.parquet(s"$base/embeddings.parquet")
+        val units = e
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("u"))
+          .select(col("vec_id"), expr(
+            """transform(u, x -> x / sqrt(aggregate(u, 0.0D,
+              |  (acc, y) -> acc + y * y)))""".stripMargin).as("unit"))
+          .persist()
+        val assigned = Similarity.assignFromUnits(units).persist()
+        val (dropsDf, caches) =
+          graft.queries.Dedup.semDedupDrops(assigned, cap = 1000L)
+        val kept = e.join(dropsDf, Seq("vec_id"), "left_anti")
+          .persist()
+        val nKept = kept.count()
+        val nAll = e.count()
+        kept.repartition(32).write.mode("overwrite")
+          .parquet(s"$dd/embeddings.parquet")
+        caches.foreach(_.unpersist(blocking = false))
+        assigned.unpersist(blocking = false)
+        units.unpersist(blocking = false)
+        kept.unpersist(blocking = false)
+        System.err.println(f"[floodrecall] semdedup kept $nKept of $nAll " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      }
+      dd
+    }
     val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
     def topIds(name: String): (Seq[Long], Double) = {
       graft.queries.Dedup.clearMemo()
@@ -467,7 +520,8 @@ object ScaleRehearsal {
         s""""rows":${pairs.size}}"""
     }
     val tiers = s3row +: perQuery
-    val corpus = if (degenerate) "degenerate" else "organic"
+    val corpus = (if (degenerate) "degenerate" else "organic") +
+      (if (dedupFirst) "_dedup" else "")
     val report =
       s"""{"mode":"flood_recall","corpus":"$corpus","mult":$mult,""" +
       s""""n_vecs":$nVecs,"exact_sec":${fmt3(tExact)},""" +
@@ -521,7 +575,8 @@ object ScaleRehearsal {
     // floodrecall composes with the corpus flags ("floodrecall
     // degenerate" / "floodrecall organic"), so it must win the dispatch
     if (args.contains("floodrecall")) {
-      try runFloodRecall(spark, mult, args.contains("degenerate"))
+      try runFloodRecall(spark, mult, args.contains("degenerate"),
+        dedupFirst = args.contains("dedup"))
       finally spark.stop()
       return
     }

@@ -78,6 +78,24 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  test("ConnectedComponents converges logarithmically on a deep chain " +
+    "(the organic x400 ceiling, distilled)") {
+    import spark.implicits._
+    // A 5000-node path graph: pure hook (min-label) propagation needs
+    // 4999 rounds — the shape that blew the 12-round ceiling when the
+    // x400 corpus built a >11-hop near-dup chain. With the pointer-
+    // jumping shortcut the distance covered doubles per round, so the
+    // DEFAULT maxIter must suffice and every node must land on label 0.
+    val n = 5000L
+    val edges = spark.range(0, n - 1)
+      .select(col("id").as("i"), (col("id") + 1).as("j"))
+    val got = graft.operators.ConnectedComponents
+      .components(edges, "i", "j")
+    assert(got.filter(col("label") =!= 0L).count() == 0,
+      "deep chain did not collapse to the component minimum")
+    assert(got.count() == n)
+  }
+
   test("ConnectedComponents equals union-find on chain+clique graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(404)
