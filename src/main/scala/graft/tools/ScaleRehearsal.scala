@@ -420,6 +420,88 @@ object ScaleRehearsal {
     System.err.println(s"[rehearsal] dd2 profile written to $f")
   }
 
+  /** dd3 stage profile (round 12): the organic ×400 point recorded dd3's
+    * wall ×3.0 for docs ×2 while its OUTPUT grew only ×1.6 — the same
+    * smell dd2 had at ×200 (where measurement found constants, not a
+    * quadratic stage). Times the pipeline's four stages separately, each
+    * persisted so a stage's clock covers only its own work: A the
+    * 32-hash minhash kernel, B band explode + adaptive bucket cap (with
+    * the Σ min(occ,cap)·(min(occ,cap)−1)/2 candidate bound the capped
+    * self-join is bounded by), C the bucket self-join + pair distinct,
+    * D the two signature-attach joins + the est_jac ≥ 0.5 agreement
+    * re-rank.
+    */
+  private def runDd3Profile(spark: SparkSession, mult: Int): Unit = {
+    import graft.queries.Dedup
+    import graft.functions.HashFunctions
+    import graft.operators.BucketCap
+    val out = ensureOrganic(spark, mult)
+    Dedup.clearMemo()
+    spark.catalog.clearCache()
+    def timed[A](body: => A): (A, Double, Long) = {
+      val t0 = System.nanoTime()
+      val (a, maxRows) = withMaxTaskRows(spark)(body)
+      (a, (System.nanoTime() - t0) / 1e9, maxRows)
+    }
+    // A: the minhash kernel (32 hashes per doc over its shingle set)
+    val sigs = Dedup.sigsOf(
+      spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text")).persist()
+    val (nDocs, tA, maxA) = { val (n, t, m) = timed(sigs.count()); (n, t, m) }
+    // B: band explode + adaptive cap (cap derivation materializes sizes)
+    val banded = sigs.select(col("doc_id"),
+      explode(HashFunctions.lshBands(col("sig"), bands = 16, rows = 2))
+        .as("band"))
+    val ((capped0, cap, sizes), tB, maxB) = timed {
+      val r = BucketCap.capBucketsAdaptive(banded, Seq("band"),
+        Dedup.LshBucketFloor)
+      r._1.persist().count()
+      r
+    }
+    val capped = capped0.persist()
+    // the linear bound the capped self-join is bounded by, from the
+    // bucket-size frame the cap derivation already computed
+    val bound = sizes.agg(
+      sum(expr(s"least(_bsz, ${cap}L) * (least(_bsz, ${cap}L) - 1) DIV 2"))
+        .as("cand_rows_bound"),
+      sum(when(col("_bsz") > cap, 1L)).as("capped_buckets"),
+      max(col("_bsz")).as("max_bucket")).collect().head
+    // C: bucket self-join + pair distinct
+    val pairs = capped.alias("a")
+      .join(capped.alias("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct().persist()
+    val (nPairs, tC, maxC) = { val (n, t, m) = timed(pairs.count()); (n, t, m) }
+    // D: signature attach + agreement re-rank (dd3's tail, verbatim)
+    val scored = pairs
+      .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), "i")
+      .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), "j")
+      .select(col("i"), col("j"),
+        HashFunctions.minhashSimilarity(col("sig_i"), col("sig_j"))
+          .as("est_jac"))
+      .filter(col("est_jac") >= 0.5)
+    val (nOut, tD, maxD) = { val (n, t, m) = timed(scored.count()); (n, t, m) }
+    Seq(sigs, capped, pairs).foreach(_.unpersist(blocking = false))
+    sizes.unpersist(blocking = false)
+    val report =
+      s"""{"mode":"dd3_profile","mult":$mult,"n_docs":$nDocs,""" +
+      s""""cap_bucket":$cap,""" +
+      s""""cand_rows_bound":${bound.getLong(0)},""" +
+      s""""capped_buckets":${if (bound.isNullAt(1)) 0L else bound.getLong(1)},""" +
+      s""""max_bucket":${bound.getLong(2)},""" +
+      s""""stageA_minhash":{"sec":${fmt3(tA)},"max_task_rows":$maxA},""" +
+      s""""stageB_band_cap":{"sec":${fmt3(tB)},"max_task_rows":$maxB},""" +
+      s""""stageC_pair_distinct":{"sec":${fmt3(tC)},"rows":$nPairs,"max_task_rows":$maxC},""" +
+      s""""stageD_attach_rerank":{"sec":${fmt3(tD)},"rows":$nOut,"max_task_rows":$maxD}}"""
+    println(report)
+    val f = java.nio.file.Paths.get(s"$out/dd3_profile.json")
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, (report + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[rehearsal] dd3 profile written to $f")
+  }
+
   /** Flood-regime ANN recall certification (VERDICT r11 ask #3): s16's
     * recall machinery runs only at healthy occupancy, so the flood
     * path's recall — rank-adjacent pairing within FloodWindow for s3,
@@ -586,6 +668,10 @@ object ScaleRehearsal {
     }
     if (args.contains("dd2profile")) {
       try runDd2Profile(spark, mult) finally spark.stop()
+      return
+    }
+    if (args.contains("dd3profile")) {
+      try runDd3Profile(spark, mult) finally spark.stop()
       return
     }
     if (args.contains("probeonly")) {
