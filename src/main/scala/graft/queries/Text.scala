@@ -1122,12 +1122,14 @@ object Text {
     //
     // 100 TB shape: ONE corpus scan builds the word-frequency table
     // (vocab-sized — sublinear in corpus, the standard BPE working set);
-    // every round after that touches only the vocab table: one
-    // pair-keyed shuffle for the count (map-side combined, pairs
-    // bounded by Σ|word| symbols) and a 1-row argmax collect (P4
-    // driver tier). Each round persists its state and releases the
-    // previous one — the PageRank iteration discipline — so lineage
-    // stays one cache deep. k is a fixed training knob (real runs use
+    // the merge rounds then run ENTIRELY in driver memory over the
+    // collected vocab with incremental pair counts (bpeTrainLocal —
+    // a 32k-merge production run is 32k map updates, zero Spark jobs),
+    // under the BpeVocabMaxRows P4 bound. Over-bound vocabularies fall
+    // back to the distributed per-round loop: one vocab-bounded
+    // pair-keyed shuffle + a 1-row argmax collect per round, each round
+    // persisting its state and releasing the previous one (the PageRank
+    // iteration discipline). k is a fixed training knob (real runs use
     // 30k-100k merges; the loop shape is identical).
     "t28_bpe_train" -> ((s, dir) => {
       import s.implicits._
@@ -1749,17 +1751,51 @@ object Text {
     */
   private[graft] val BpeRounds = 12
 
+  /** Driver-tier bound for the in-memory merge loop: the word-frequency
+    * table is VOCAB-sized (one row per distinct whitespace token), and
+    * natural-language vocabularies saturate in the low millions even at
+    * web scale (Heaps' law) — 2M rows of (freq, char-split syms) is a
+    * few hundred MB on an 8g driver, the same P4 tier the memo-pair and
+    * axis-extraction paths already use. Over-bound corpora fall back to
+    * the distributed per-round loop below.
+    */
+  private[graft] val BpeVocabMaxRows = 2000000L
+
   /** The shared BPE training loop (Sennrich et al. 2016): word-frequency
     * table → k rounds of (weighted pair count → argmax merge → greedy
-    * left-to-right rewrite). Returns the merge table and the FINAL
-    * per-word segmentation state (n, syms) — PERSISTED; the caller owns
-    * its release. One definition serves both gated queries: t28 emits
-    * the merges, t30 the applied segmentation's vocabulary.
+    * left-to-right rewrite). One definition serves both gated queries:
+    * t28 emits the merges, t30 replays them over the word table.
+    *
+    * Tiered like the interpolator (SURVEY §2.8): the corpus-sized work
+    * is exactly ONE pass (the word-frequency aggregation, map-side
+    * combined and vocab-bounded on the shuffle); when the resulting
+    * vocab fits [[BpeVocabMaxRows]] it is collected ONCE and the k
+    * merge rounds run in driver memory with incremental pair counts —
+    * a 32k-merge production tokenizer is then 32k map updates, not 32k
+    * Spark jobs with a 1-row argmax collect each (the r12 verdict's
+    * named scale-killer). The in-memory loop reproduces the distributed
+    * rounds' semantics exactly: same weighted pair counts, same
+    * `(cnt desc, l, r)` argmax with strings in UTF-8 BINARY order
+    * (Spark's string ordering — [[utf8Compare]], not String.compareTo,
+    * whose UTF-16 code-unit order disagrees above the BMP), same greedy
+    * left-to-right rewrite. Over-bound vocabularies keep the
+    * distributed loop: per round one vocab-bounded pair shuffle + a
+    * 1-row argmax collect (P4 driver tier), each round persisting its
+    * state and releasing the previous one (the PageRank discipline).
     */
-  private def bpeTrainLoop(s: SparkSession, dir: String, k: Int)
-      : (Seq[(Long, String, String, Long)], DataFrame) = {
+  private[graft] def bpeTrainLoop(s: SparkSession, dir: String, k: Int,
+      maxVocabRows: Long = BpeVocabMaxRows)
+      : Seq[(Long, String, String, Long)] = {
     var state = bpeInitState(s, dir).persist()
-    state.count()
+    val vocabN = state.count()
+    if (vocabN <= maxVocabRows) {
+      // row order cannot move the result: pair counts are full-vocab
+      // sums and the argmax tie-break is a total order
+      val words = state.select(col("n"), col("syms")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+      state.unpersist(blocking = false)
+      return bpeTrainLocal(words, k)
+    }
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var step = 1
@@ -1795,7 +1831,136 @@ object Text {
         step += 1
       }
     }
-    (merges.toSeq, state)
+    state.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Spark's string ordering, reproduced on the driver: UTF8String
+    * compares UNSIGNED UTF-8 bytes, which is code-point order — Java's
+    * String.compareTo (UTF-16 code units) disagrees for [U+E000,
+    * U+FFFF] vs supplementary characters, so the argmax tie-break must
+    * compare encoded bytes to match the distributed `orderBy(l, r)`.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** One greedy left-to-right merge rewrite in driver memory —
+    * [[applyMerge]]'s fold verbatim: merge only when the PREVIOUS
+    * emitted symbol is an unconsumed `bl`. Returns the input array
+    * REFERENCE when nothing merged, so callers can skip the count
+    * delta for untouched words.
+    */
+  private def mergeWordLocal(syms: Array[String], bl: String, br: String)
+      : Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var changed = false
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out.last == bl && x == br) {
+        out(out.length - 1) = bl + br
+        changed = true
+      } else out += x
+      i += 1
+    }
+    if (changed) out.toArray else syms
+  }
+
+  /** The in-memory merge loop over the collected word table, with
+    * INCREMENTAL pair maintenance (Sennrich's reference implementation's
+    * own structure): a pair-count map plus a pair→word-ids index, so a
+    * merge round touches only the words that actually contain the
+    * winning pair — O(Σ|affected word|) per round, not a full vocab
+    * rescan. Counts stay exact longs; the index may hold stale ids
+    * (words rewritten since registration), which the rewrite pass
+    * no-ops on and drops.
+    */
+  private[graft] def bpeTrainLocal(
+      words0: Array[(Long, Array[String])], k: Int)
+      : Seq[(Long, String, String, Long)] = {
+    val freq = words0.map(_._1)
+    val words = words0.map(_._2)
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val where =
+      new java.util.HashMap[(String, String), java.util.HashSet[Int]]()
+    def delta(wid: Int, syms: Array[String], sign: Long): Unit = {
+      val f = freq(wid) * sign
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = counts.getOrDefault(p, 0L) + f
+        if (c == 0L) counts.remove(p) else counts.put(p, c)
+        if (sign > 0) {
+          var set = where.get(p)
+          if (set == null) {
+            set = new java.util.HashSet[Int]()
+            where.put(p, set)
+          }
+          set.add(wid)
+        }
+        i += 1
+      }
+    }
+    var wid = 0
+    while (wid < words.length) { delta(wid, words(wid), 1L); wid += 1 }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= k && !dry) {
+      // argmax with the distributed loop's exact tie-break:
+      // (cnt desc, l asc, r asc), strings in UTF-8 binary order
+      var bl: String = null
+      var br: String = null
+      var bc = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        if (c > 0L) {
+          val (l, r) = e.getKey
+          val better =
+            if (bl == null) true
+            else if (c != bc) c > bc
+            else {
+              val cl = utf8Compare(l, bl)
+              if (cl != 0) cl < 0 else utf8Compare(r, br) < 0
+            }
+          if (better) { bl = l; br = r; bc = c }
+        }
+      }
+      if (bl == null) dry = true
+      else {
+        merges += ((step.toLong, bl, br, bc))
+        val wids = where.remove((bl, br))
+        if (wids != null) {
+          val wit = wids.iterator()
+          while (wit.hasNext) {
+            val w = wit.next()
+            val old = words(w)
+            val neu = mergeWordLocal(old, bl, br)
+            if (neu ne old) { // stale index entry otherwise: no-op
+              delta(w, old, -1L)
+              words(w) = neu
+              delta(w, neu, 1L)
+            }
+          }
+        }
+        counts.remove((bl, br)) // defensive: rewrite consumed them all
+        step += 1
+      }
+    }
+    merges.toSeq
   }
 
   /** The trained-merge application fold as a UDF — ONE definition for
@@ -1895,8 +2060,7 @@ object Text {
                                    // merges as a fold, order is semantics
         }
         loaded.getOrElse {
-          val (merges, state) = bpeTrainLoop(s, dir, BpeRounds)
-          state.unpersist(blocking = false)
+          val merges = bpeTrainLoop(s, dir, BpeRounds)
           ArtifactStore.root(s).foreach { r =>
             import s.implicits._
             ArtifactStore.save(

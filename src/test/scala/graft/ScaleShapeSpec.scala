@@ -261,6 +261,35 @@ class ScaleShapeSpec extends SparkSuite {
       s"BPE round shuffles grew with the corpus: $r1 -> $r8 (ratio $ratio)")
   }
 
+  test("t28 BPE driver loop: 200 merge rounds on a x10 corpus in " +
+    "single-digit seconds") {
+    // the production-vocab viability pin (r12 verdict ask #1): the old
+    // loop ran one Spark job + a 1-row argmax collect PER ROUND — fine
+    // at the gated k=12, a 32k-job scale-killer at production vocab.
+    // The driver tier must make k=200 on a x10-of-gate corpus (5000
+    // docs, 3000-word vocab) interactive: one corpus scan + one
+    // vocab-bounded collect + 200 in-memory rounds. Wall bound is 10 s
+    // with the typical run well under 3 s — a regression back to
+    // per-round jobs costs 200 x (job latency ~0.1 s) and blows it.
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 3000).map(i => s"tok${i}x${i % 97}")
+    val docs = (0L until 5000L).map(i =>
+      (i, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("bpe-k200").toString
+    try {
+      docs.toDF("doc_id", "text").repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val merges = graft.queries.Text.bpeTrainLoop(spark, dir, 200)
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(merges.size == 200,
+        s"vocab ran dry at ${merges.size} merges — fixture too small")
+      assert(sec < 10.0, f"k=200 BPE training took $sec%.1f s")
+    } finally graft.util.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("p18 PSI shuffle records stay flat: 8x corpus, same <= 20-key agg") {
     // PLANS.md's p18 claim measured: the corpus contributes ONLY
     // map-side-combined partials of the fixed 20-bin histogram to the

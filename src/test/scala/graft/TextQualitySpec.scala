@@ -121,6 +121,34 @@ class TextQualitySpec extends SparkSuite {
     } finally graft.util.Fs.rmTree(new java.io.File(dir))
   }
 
+  test("t28 BPE: driver-tier and distributed merge loops agree exactly") {
+    // the tiered rewrite (r12 verdict ask #1) must be a pure execution
+    // move: identical merge table — same argmax, same counts, same
+    // (cnt desc, l, r) tie-breaks — from the in-memory incremental loop
+    // and the per-round distributed loop. The fixture mixes 1-, 2- and
+    // 3-byte UTF-8 symbols so the driver comparator's UTF-8-binary
+    // order (Spark's string order, NOT String.compareTo) is exercised,
+    // and the random word soup makes count ties common.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-tier").toString
+    val rnd = new scala.util.Random(43)
+    val alpha = Seq("a", "b", "c", "é", "ø", "中", "z")
+    def word(): String =
+      (0 to rnd.nextInt(4)).map(_ => alpha(rnd.nextInt(alpha.size))).mkString
+    val docs = (0L until 60L).map(i =>
+      (i, (0 until 12).map(_ => word()).mkString(" ")))
+    docs.toDF("doc_id", "text").coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val local = graft.queries.Text.bpeTrainLoop(spark, dir, 12)
+      val dist =
+        graft.queries.Text.bpeTrainLoop(spark, dir, 12, maxVocabRows = -1L)
+      assert(local.size == 12, s"expected 12 merges, got ${local.size}")
+      assert(local == dist,
+        s"tier divergence:\n driver $local\n dist   $dist")
+    } finally graft.util.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("t33 PII redaction: exact masking on hand strings, idempotent, " +
     "no residual matches") {
     import spark.implicits._
