@@ -83,6 +83,68 @@ object Dedup {
   private[graft] def sigsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), sigExpr.as("sig"))
 
+  /** dd3 shuffle-experiment confs (VERDICT r12 ask #2) — both default
+    * OFF, leaving the gated plan byte-identical; both produce the SAME
+    * candidate set, so the oracle gate stays green in any position:
+    *
+    *  - `minimalband`: emit each colliding pair ONCE, from its minimal
+    *    shared SURVIVING band (each side carries its post-cap band
+    *    array; a map-side HOF filter keeps only the minimal emission),
+    *    removing the pair `distinct()` shuffle (465M → 55M rows at
+    *    organic ×400, ×8.4 duplicate emissions) at the cost of the
+    *    band arrays riding the bucket self-join — adjudicated "roughly
+    *    byte-neutral" on paper in r12, measured via `ScaleRehearsal
+    *    <mult> dd3profile` both ways (BASELINE.md records the table).
+    *  - `packpairs`: shuffle the pair `distinct()` as ONE packed
+    *    8-byte long (i << 32 | j) instead of two longs, halving the
+    *    key bytes of dd3's dominant shuffle; requires doc_id < 2³¹
+    *    (true at every rehearsal scale; an experiment knob, not a
+    *    default).
+    */
+  private[graft] val Dd3MinimalBandConf = "spark.graft.dd3.minimalband"
+  private[graft] val Dd3PackPairsConf = "spark.graft.dd3.packpairs"
+
+  /** Candidate (i, j) pairs from a capped banded frame — the stage-C
+    * shape shared by the gated dd3 pipeline and the dd3profile
+    * rehearsal mode, so the conf-gated shuffle experiments above apply
+    * to BOTH (one definition, honest A/B). Output rows are unique
+    * pairs in every branch.
+    */
+  private[graft] def bandCandidatePairs(capped: DataFrame): DataFrame = {
+    val conf = capped.sparkSession.conf
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    if (conf.get(Dd3MinimalBandConf, "false").toBoolean) {
+      // per-doc SURVIVING band arrays (post-cap, so the minimal-band
+      // rule sees exactly the buckets the join sees: a pair whose
+      // globally-minimal shared band was capped away still emits from
+      // its smallest surviving one — candidate set unchanged)
+      val surv = capped.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("band"))).as("bands"))
+      val wa = capped.join(surv, "doc_id").alias("a")
+      val wb = capped.join(surv, "doc_id").alias("b")
+      wa.join(wb, col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(not(exists(col("a.bands"), x =>
+          x.getField("band") < col("a.band").getField("band") &&
+            array_contains(col("b.bands"), x))))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    } else if (conf.get(Dd3PackPairsConf, "false").toBoolean) {
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(shiftleft(col("a.doc_id"), 32)
+          .bitwiseOR(col("b.doc_id")).as("p"))
+        .distinct()
+        .select(shiftright(col("p"), 32).as("i"),
+          col("p").bitwiseAND(lit(0xffffffffL)).as("j"))
+    } else {
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+    }
+  }
+
   /** dd3's banding pipeline from a PERSISTED (doc_id, sig) frame: band
     * keys → adaptive bucket cap → bucket self-join → signature-agreement
     * re-rank at 0.5. Factored so ScaleShapeSpec can drive the identical
@@ -96,12 +158,7 @@ object Dedup {
       explode(lshBands(col("sig"), bands = 16, rows = 2)).as("band"))
     val (capped, cap, sizes) =
       BucketCap.capBucketsAdaptive(banded, Seq("band"), LshBucketFloor)
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    val pairs = a.join(b, col("a.band") === col("b.band") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
+    val pairs = bandCandidatePairs(capped)
     val res = pairs
       .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), "i")
       .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), "j")
@@ -934,9 +991,12 @@ object Dedup {
       // see Similarity.assignFromUnits. Identical to the ANN assignment
       // at every gate SF (the 53 floor dominates below ~54k vectors);
       // the oracle replays from side_dd17_assign, dumped at THIS stride,
-      // so nothing depends on the coincidence (ADVICE r11).
-      val (assigned0, eCache) = Similarity.ivfAssign(s, dir,
-        stride = Similarity.PqAnchorStride.toLong)
+      // so nothing depends on the coincidence (ADVICE r11). The
+      // assignment TIER (exact N×C default vs conf-gated hierarchical
+      // 2N√C — the production path past the exact arm's fan-out bound)
+      // is Similarity.semDedupAssign's decision, shared with the dump
+      // so the replay stays lockstep in either conf position.
+      val (assigned0, eCache) = Similarity.semDedupAssign(s, dir)
       val assigned = assigned0.persist()
       val (dropped, floodCaches) =
         semDedupDrops(assigned, Similarity.DefaultBucketCap)
@@ -1282,9 +1342,11 @@ object Dedup {
     // invariant nobody checked. Dumping dd17's exact build input makes
     // the replay unconditional at any corpus size; at every gate SF the
     // bytes are identical to side_s4_assign, so hashes are unchanged.
+    // Routed through semDedupAssign so the conf-gated hierarchical tier
+    // moves the dump and the query TOGETHER — the replay certifies
+    // whichever assignment actually ran.
     "side_dd17_assign" -> ((s, dir) =>
-      Similarity.ivfAssign(s, dir,
-        stride = Similarity.PqAnchorStride.toLong)._1)
+      Similarity.semDedupAssign(s, dir)._1)
   )
 
   /** Signature-agreement score in DuckDB: fraction of equal slots of two

@@ -867,6 +867,193 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  /** The organic hot-cluster embedding corpus at spec scale — the
+    * rehearsal generator's exact xxhash64 formulas (512 centers,
+    * u³-skewed membership → center 0 holds ~12.5% of the corpus,
+    * vector = center + 10% noise), so the dedup-first and conf-gate
+    * pins below exercise the same duplicate-heavy geometry the ×50
+    * flood-recall measurement did, at 2000 vectors.
+    */
+  private def writeOrganicEmbeddings(dir: String, n: Long): Unit =
+    spark.range(0, n)
+      .select(col("id").as("vec_id"),
+        expr("CAST(512 * pow(pmod(xxhash64('c', id), 1000000)" +
+          " / 1000000.0, 3) AS BIGINT)").as("c"))
+      .select(col("vec_id"),
+        expr(
+          """transform(sequence(0, 63), d -> CAST(
+            |    (pmod(xxhash64('ctr', c, d), 2000) / 1000.0 - 1.0)
+            |  + 0.1 * (pmod(xxhash64('nz', vec_id, d), 2000) / 1000.0 - 1.0)
+            |  AS FLOAT))""".stripMargin).as("embedding"),
+        expr("CAST(pmod(c, 8) AS INT)").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+  private def freshCaches(): Unit = {
+    graft.queries.Dedup.clearMemo()
+    graft.queries.Similarity.clearTrainedCaches()
+    spark.catalog.clearCache()
+  }
+
+  test("dedup-first ANN operator: keep-list parity with dd17's drop " +
+    "rule, and the resolution-bound tiers' recall restored on the " +
+    "hot-cluster corpus (round-12 recipe, first-class)") {
+    import graft.queries.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupfirst").toString
+    val outDir = s"$dir/deduped"
+    try {
+      writeOrganicEmbeddings(dir, 2000L)
+      freshCaches()
+      val nKept = Similarity.dedupFirstIndex(spark, dir, outDir)
+      // parity: the operator's kept set IS dd17's keep-list — all ids
+      // minus semDedupDrops over the same (conf-respecting) assignment
+      val keptIds = spark.read.parquet(s"$outDir/embeddings.parquet")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(keptIds.size.toLong == nKept)
+      val (assigned0, eCache) = Similarity.semDedupAssign(spark, dir)
+      val assigned = assigned0.persist()
+      val (dropsDf, caches) = graft.queries.Dedup
+        .semDedupDrops(assigned, 1000L) // dedupFirstIndex's default cap
+      val drops = dropsDf.select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      (Seq(assigned, eCache) ++ caches)
+        .foreach(_.unpersist(blocking = false))
+      assert(keptIds == ((0L until 2000L).toSet -- drops),
+        s"operator keep-list diverged from dd17's drop rule " +
+          s"(kept ${keptIds.size}, expected ${2000 - drops.size})")
+      // the hot cluster must actually have been pruned, or the recall
+      // leg below is vacuous
+      assert(drops.size > 100,
+        s"hot-cluster corpus barely deduped: ${drops.size} drops")
+      // recall: the deduped corpus's own exact top-10 vs the quantized
+      // tiers ON the deduped corpus — the r12 measured recipe (s6
+      // 0.4→1.0, s18 0.1→0.9 at organic ×50)
+      freshCaches()
+      val exact = SparkEntry.queries("s1_knn_brute")(spark, outDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      for ((tier, floor) <- Seq("s6_quantized_knn" -> 0.9,
+          "s18_binary_knn" -> 0.8)) {
+        val got = SparkEntry.queries(tier)(spark, outDir)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val recall = (exact intersect got).size.toDouble / exact.size
+        assert(recall >= floor,
+          s"$tier post-dedup recall $recall below floor $floor")
+      }
+    } finally {
+      freshCaches()
+      graft.util.Fs.rmTree(new java.io.File(dir))
+    }
+  }
+
+  test("dd17 conf-gated hierarchical assignment: end-to-end under the " +
+    "conf, conserving the corpus, agreeing with a manual hierarchical " +
+    "replay; conf-off untouched (r12 ask #4)") {
+    import graft.queries.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dd17hier").toString
+    try {
+      writeOrganicEmbeddings(dir, 2000L)
+      freshCaches()
+      val off = SparkEntry.queries("dd17_semdedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      spark.conf.set(Similarity.SemDedupHierarchicalConf, "true")
+      val (on, dumpOn) = try {
+        freshCaches()
+        (SparkEntry.queries("dd17_semdedup")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet,
+          graft.queries.Dedup.sideDumps("side_dd17_assign")(spark, dir)
+            .select("vec_id", "cent_id").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      } finally spark.conf.unset(Similarity.SemDedupHierarchicalConf)
+      freshCaches()
+      val offAgain = SparkEntry.queries("dd17_semdedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(offAgain == off, "conf round-trip changed the default path")
+      // both positions conserve the corpus: Σ n_vecs = N
+      assert(off.toSeq.map(_._2).sum == 2000L)
+      assert(on.toSeq.map(_._2).sum == 2000L,
+        s"hierarchical dd17 lost vectors: ${on.toSeq.map(_._2).sum}")
+      // the conf-on summary is exactly the drop rule over the conf-on
+      // dump (the oracle's replay contract, checked engine-side): cells
+      // and totals must line up with the dumped assignment
+      val cellsFromDump = dumpOn.groupBy(_._2).view.mapValues(_.size).toMap
+      val onCells = on.map(r => r._1 -> r._2).toMap
+      assert(onCells == cellsFromDump.map { case (k, v) => k -> v.toLong },
+        "conf-on summary cells diverge from the conf-on dump")
+      // the two tiers agree on most assignments (the hierarchical
+      // router is approximate ACROSS level-1 groups only; measured
+      // agreement 0.755 at organic x400, and the spec fixture's hot
+      // cluster concentrates mass on well-separated centers)
+      freshCaches()
+      val exactAssign = Similarity.semDedupAssign(spark, dir)
+      val exactMap = exactAssign._1.select("vec_id", "cent_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exactAssign._2.unpersist(blocking = false)
+      val agree = dumpOn.count { case (v, c) => exactMap.get(v).contains(c) }
+      assert(agree.toDouble / dumpOn.size >= 0.5,
+        s"hierarchical/exact agreement collapsed: $agree of ${dumpOn.size}")
+    } finally {
+      spark.conf.unset(Similarity.SemDedupHierarchicalConf)
+      freshCaches()
+      graft.util.Fs.rmTree(new java.io.File(dir))
+    }
+  }
+
+  test("dd3 shuffle A/B variants emit the identical unique candidate " +
+    "set: minimal-SURVIVING-band and packed-pair-key vs the gated " +
+    "distinct (r12 ask #2)") {
+    import spark.implicits._
+    import graft.queries.Dedup
+    import graft.functions.HashFunctions.lshBands
+    import graft.operators.BucketCap
+    // fixture: an 1100-doc flood bucket on band 0 (capped — floor is
+    // 1000 and p99.9 of the rest is 1), inside which docs 5 and 6 ALSO
+    // share band 3 (a 2-doc surviving bucket): their globally-minimal
+    // shared band is the CAPPED one, so a naive minimal-band rule that
+    // looks at pre-cap arrays would drop the pair — the surviving-band
+    // rule emits it from band 3, matching the gated distinct. Docs
+    // 2000/2001 share all 16 bands (the ×16 duplicate-emission case
+    // the distinct/minimal machinery exists for).
+    def sigOf(id: Long): Seq[Long] = {
+      val base = Array.tabulate(32)(s => 1000000L + id * 100 + s)
+      base(0) = 7L; base(1) = 7L
+      if (id == 5 || id == 6) { base(6) = 42L; base(7) = 42L }
+      base.toSeq
+    }
+    val sigs = ((0L until 1100L).map(id => (id, sigOf(id)))
+      ++ Seq((2000L, Seq.fill(32)(9L)), (2001L, Seq.fill(32)(9L))))
+      .toDF("doc_id", "sig")
+    val banded = sigs.select(col("doc_id"),
+      explode(lshBands(col("sig"), bands = 16, rows = 2)).as("band"))
+      .persist()
+    def pairsUnder(conf: Option[String]): (Set[(Long, Long)], Int) = {
+      conf.foreach(c => spark.conf.set(c, "true"))
+      try {
+        val (capped, _, sizes) = BucketCap.capBucketsAdaptive(
+          banded, Seq("band"), graft.queries.Dedup.LshBucketFloor)
+        val out = Dedup.bandCandidatePairs(capped)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        sizes.unpersist(blocking = false)
+        (out.toSet, out.length)
+      } finally conf.foreach(spark.conf.unset)
+    }
+    try {
+      val (base, nBase) = pairsUnder(None)
+      val (minl, nMin) = pairsUnder(Some(Dedup.Dd3MinimalBandConf))
+      val (packed, nPack) = pairsUnder(Some(Dedup.Dd3PackPairsConf))
+      assert(base == Set((5L, 6L), (2000L, 2001L)),
+        s"gated candidate set wrong: $base")
+      assert(minl == base, s"minimal-band diverged: $minl")
+      assert(packed == base, s"packed-pairs diverged: $packed")
+      // every variant emits each pair exactly once
+      assert(nBase == base.size && nMin == base.size && nPack == base.size,
+        s"duplicate emissions: base $nBase, minimal $nMin, packed $nPack")
+    } finally banded.unpersist(blocking = false)
+  }
+
   test("hierarchical assignment totality under degenerate anchors: " +
     "vectors routed to a cell-less group fall back to exact argmax " +
     "(ADVICE r11)") {
