@@ -329,7 +329,10 @@ object ScaleRehearsal {
       val probe = s"""{"mode":"organic_assign_probe","mult":$mult,""" +
         s""""n_vecs":$n,"exact_sec":${fmt3(tExact)},""" +
         s""""hier_sec":${fmt3(tHier)},"agree":$agree,""" +
-        s""""agree_frac":${fmt3(if (n > 0) agree.toDouble / n else 0.0)}}"""
+        // clean sentinel when the exact arm did not run (mirrors
+        // exact_sec: -1.0) — -1.0/n would render as a plausible
+        // near-zero agreement fraction
+        s""""agree_frac":${if (exactViable && n > 0) fmt3(agree.toDouble / n) else "-1"}}"""
       println(probe)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$out/assign_probe.json"),
@@ -452,13 +455,12 @@ object ScaleRehearsal {
     val banded = sigs.select(col("doc_id"),
       explode(HashFunctions.lshBands(col("sig"), bands = 16, rows = 2))
         .as("band"))
-    val ((capped0, cap, sizes), tB, maxB) = timed {
+    val ((capped, cap, sizes), tB, maxB) = timed {
       val r = BucketCap.capBucketsAdaptive(banded, Seq("band"),
         Dedup.LshBucketFloor)
-      r._1.persist().count()
+      r._1.persist().count() // the one persist — r._1 IS `capped` below
       r
     }
-    val capped = capped0.persist()
     // the linear bound the capped self-join is bounded by, from the
     // bucket-size frame the cap derivation already computed
     val bound = sizes.agg(
@@ -466,12 +468,10 @@ object ScaleRehearsal {
         .as("cand_rows_bound"),
       sum(when(col("_bsz") > cap, 1L)).as("capped_buckets"),
       max(col("_bsz")).as("max_bucket")).collect().head
-    // C: bucket self-join + pair distinct
-    val pairs = capped.alias("a")
-      .join(capped.alias("b"), col("a.band") === col("b.band") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct().persist()
+    // C: bucket self-join + pair uniquing — Dedup.bandCandidatePairs,
+    // the gated query's own stage, so the conf-gated shuffle A/B
+    // (minimalband / packpairs) profiles the exact production shape
+    val pairs = Dedup.bandCandidatePairs(capped).persist()
     val (nPairs, tC, maxC) = { val (n, t, m) = timed(pairs.count()); (n, t, m) }
     // D: signature attach + agreement re-rank (dd3's tail, verbatim)
     val scored = pairs
@@ -487,9 +487,9 @@ object ScaleRehearsal {
     val report =
       s"""{"mode":"dd3_profile","mult":$mult,"n_docs":$nDocs,""" +
       s""""cap_bucket":$cap,""" +
-      s""""cand_rows_bound":${bound.getLong(0)},""" +
+      s""""cand_rows_bound":${if (bound.isNullAt(0)) 0L else bound.getLong(0)},""" +
       s""""capped_buckets":${if (bound.isNullAt(1)) 0L else bound.getLong(1)},""" +
-      s""""max_bucket":${bound.getLong(2)},""" +
+      s""""max_bucket":${if (bound.isNullAt(2)) 0L else bound.getLong(2)},""" +
       s""""stageA_minhash":{"sec":${fmt3(tA)},"max_task_rows":$maxA},""" +
       s""""stageB_band_cap":{"sec":${fmt3(tB)},"max_task_rows":$maxB},""" +
       s""""stageC_pair_distinct":{"sec":${fmt3(tC)},"rows":$nPairs,"max_task_rows":$maxC},""" +
@@ -541,7 +541,15 @@ object ScaleRehearsal {
             """transform(u, x -> x / sqrt(aggregate(u, 0.0D,
               |  (acc, y) -> acc + y * y)))""".stripMargin).as("unit"))
           .persist()
-        val assigned = Similarity.assignFromUnits(units).persist()
+        // same exact-arm viability bound as the assign probe: the exact
+        // N×C broadcast fan-out ENOSPCed the box at the organic ×400
+        // point, and the hierarchical path is proven to agree — so the
+        // dedup arm degrades the same way instead of dying there
+        val nU = units.count()
+        val exactFanout = nU * (nU / Similarity.PqAnchorStride.max(1))
+        val assigned = (if (exactFanout <= 4e9.toLong)
+          Similarity.assignFromUnits(units)
+        else Similarity.assignFromUnitsHierarchical(units, nU)).persist()
         val (dropsDf, caches) =
           graft.queries.Dedup.semDedupDrops(assigned, cap = 1000L)
         val kept = e.join(dropsDf, Seq("vec_id"), "left_anti")
@@ -572,12 +580,100 @@ object ScaleRehearsal {
     val (exact, tExact) = topIds("s1_knn_brute")
     require(exact.size == 10, s"s1 returned ${exact.size} rows")
     val exactSet = exact.toSet
-    val perQuery = Similarity.RecallMethods.map { m =>
+    val tierAnswers = Similarity.RecallMethods.map { m =>
       val (ids, sec) = topIds(m)
+      (m, ids, sec)
+    }
+    val perQuery = tierAnswers.map { case (m, ids, sec) =>
       val recall = (ids.toSet & exactSet).size / 10.0
       System.err.println(f"[floodrecall] $m%-18s recall@10=$recall%.2f " +
         f"($sec%.1f s)")
       s""""$m":{"recall_at_10":$recall,"sec":${fmt3(sec)},"rows":${ids.size}}"""
+    }
+    // post-dedup lost-neighbor attribution (VERDICT r12 ask #6): for the
+    // two tiers that stayed below 1.0 after dedup-first, name the
+    // mechanism by measurement — s18: is the miss boundary-width-bound
+    // (a 2× tieCut recovers it; its Hamming distance sits past the k=50
+    // boundary but inside k=100) or resolution-bound (hd ties/beats the
+    // boundary block so widening changes nothing)?  s9: a miss can ONLY
+    // be a probe miss (the tier exact-ranks every vector in its 4
+    // probed cells — no shortlist), so report each missed id's trained
+    // cell vs the probed set.
+    val probeRows = if (!dedupFirst) Seq.empty[String] else {
+      import graft.functions.VectorFunctions.{binarize64, normalized, dot}
+      val s18ids = tierAnswers.find(_._1 == "s18_binary_knn")
+        .map(_._2.toSet).getOrElse(Set.empty[Long])
+      val missed18 = (exactSet -- s18ids).toSeq.sorted
+      val s18probe = {
+        graft.queries.Dedup.clearMemo()
+        Similarity.clearTrainedCaches()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val wideIds = Similarity
+          .binaryKnnRaw(spark, out, 2 * Similarity.ShortlistK)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val wideSec = (System.nanoTime() - t0) / 1e9
+        val wideRecall = (wideIds & exactSet).size / 10.0
+        // Hamming geometry of the misses vs the two boundaries
+        val codes = spark.read.parquet(s"$out/embeddings.parquet")
+          .select(col("vec_id"), binarize64(col("embedding")).as("code"))
+          .persist()
+        val qCode = codes.filter(col("vec_id") === 0L)
+          .head().getLong(1)
+        val hd = codes.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"),
+            graft.functions.HashFunctions.hamming64(
+              col("code"), lit(qCode)).as("hd"))
+        def boundary(k: Int): Long = hd
+          .orderBy(col("hd"), col("vec_id")).limit(k)
+          .agg(max(col("hd"))).head().getLong(0)
+        val b50 = boundary(Similarity.ShortlistK)
+        val b100 = boundary(2 * Similarity.ShortlistK)
+        val missHd = hd.filter(col("vec_id").isin(missed18: _*))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        codes.unpersist(blocking = false)
+        System.err.println(f"[floodrecall] s18 wide(k=100) " +
+          f"recall@10=$wideRecall%.2f; boundaries hd50=$b50 hd100=$b100; " +
+          s"missed=$missHd")
+        s""""s18_attrib":{"wide_recall_at_10":$wideRecall,""" +
+          s""""wide_sec":${fmt3(wideSec)},"hd_boundary_k50":$b50,""" +
+          s""""hd_boundary_k100":$b100,"missed":{${missHd.map {
+            case (id, h) => s""""$id":$h""" }.mkString(",")}}}"""
+      }
+      val s9ids = tierAnswers.find(_._1 == "s9_ivf_trained")
+        .map(_._2.toSet).getOrElse(Set.empty[Long])
+      val missed9 = (exactSet -- s9ids).toSeq.sorted
+      val s9probe = {
+        val cents = Similarity.ivfTrainedCents(spark, out)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getDouble(2)))
+        val units = spark.read.parquet(s"$out/embeddings.parquet")
+          .filter(col("vec_id").isin((0L +: missed9): _*))
+          .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+          .collect().map(r => r.getLong(0) ->
+            r.getSeq[Double](1).toArray).toMap
+        def score(u: Array[Double], c: Array[Double], cn: Double) = {
+          var s0 = 0.0
+          var i = 0
+          while (i < u.length) { s0 += u(i) * c(i); i += 1 }
+          2.0 * s0 - cn
+        }
+        def bestCell(u: Array[Double]): Long =
+          cents.maxBy { case (cid, c, cn) => (score(u, c, cn), -cid) }._1
+        val qu = units(0L)
+        val probed = cents.map { case (cid, c, cn) => (cid, score(qu, c, cn)) }
+          .sortBy { case (cid, s0) => (-s0, cid) }.take(4).map(_._1).toSet
+        val missCells = missed9.map(id => id -> bestCell(units(id)))
+        val inProbe = missCells.count { case (_, c) => probed(c) }
+        System.err.println(s"[floodrecall] s9 probed=$probed " +
+          s"missedCells=$missCells (in-probe: $inProbe)")
+        s""""s9_attrib":{"probed":[${probed.toSeq.sorted.mkString(",")}],""" +
+          s""""missed_cells":{${missCells.map {
+            case (id, c) => s""""$id":$c""" }.mkString(",")}},""" +
+          s""""missed_in_probed":$inProbe}"""
+      }
+      Seq(s18probe, s9probe)
     }
     // s3 is PAIR-shaped (global top-10 pairs, not per-query top-k):
     // exact pair truth is O(N²) — analytic on the degenerate corpus
@@ -601,7 +697,7 @@ object ScaleRehearsal {
       s""""s3_ann_srp":{"recall_at_10":$recall,"sec":${fmt3(sec)},""" +
         s""""rows":${pairs.size}}"""
     }
-    val tiers = s3row +: perQuery
+    val tiers = (s3row +: perQuery) ++ probeRows
     val corpus = (if (degenerate) "degenerate" else "organic") +
       (if (dedupFirst) "_dedup" else "")
     val report =
@@ -614,6 +710,45 @@ object ScaleRehearsal {
     java.nio.file.Files.write(f, (report + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[rehearsal] flood recall written to $f")
+  }
+
+  /** dd17's FULL production path (assignment + drop rule + keep
+    * summary) at rehearsal scale, with the assignment tier selected by
+    * the SAME conf the gated query honors — r12 ask #4's "Done"
+    * condition: `semdedup hier` at ×400 must complete where the exact
+    * arm's N×C fan-out ENOSPCed the box; `semdedup` (no flag) records
+    * the exact arm for the A/B where it is still viable.
+    */
+  private def runSemDedup(spark: SparkSession, mult: Int,
+      hier: Boolean): Unit = {
+    import graft.queries.{Dedup, Similarity}
+    val out = ensureOrganic(spark, mult)
+    if (hier) spark.conf.set(Similarity.SemDedupHierarchicalConf, "true")
+    def timed[A](body: => A): (A, Double, Long) = {
+      val t0 = System.nanoTime()
+      val (a, maxRows) = withMaxTaskRows(spark)(body)
+      (a, (System.nanoTime() - t0) / 1e9, maxRows)
+    }
+    val (assigned0, eCache) = Similarity.semDedupAssign(spark, out)
+    val assigned = assigned0.persist()
+    val (n, tAssign, maxAssign) = timed(assigned.count())
+    // 1000 = dd17's DefaultBucketCap (the gated cap literal)
+    val (dropsDf, caches) = Dedup.semDedupDrops(assigned, 1000L)
+    val (nDrops, tDrops, maxDrops) = timed(dropsDf.count())
+    (Seq(assigned, eCache) ++ caches)
+      .foreach(_.unpersist(blocking = false))
+    val report =
+      s"""{"mode":"semdedup","hier":$hier,"mult":$mult,"n_vecs":$n,""" +
+      s""""assign_sec":${fmt3(tAssign)},"assign_max_task_rows":$maxAssign,""" +
+      s""""drops":$nDrops,"drops_sec":${fmt3(tDrops)},""" +
+      s""""drops_max_task_rows":$maxDrops}"""
+    println(report)
+    val f = java.nio.file.Paths.get(
+      s"$out/semdedup_${if (hier) "hier" else "exact"}.json")
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, (report + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[rehearsal] semdedup report written to $f")
   }
 
   def main(args: Array[String]): Unit = {
@@ -676,6 +811,11 @@ object ScaleRehearsal {
     }
     if (args.contains("probeonly")) {
       try assignProbe(spark, ensureOrganic(spark, mult), mult)
+      finally spark.stop()
+      return
+    }
+    if (args.contains("semdedup")) {
+      try runSemDedup(spark, mult, hier = args.contains("hier"))
       finally spark.stop()
       return
     }

@@ -1,24 +1,32 @@
 package graft
 
-/** Normalized performance ceiling for q60_triangle_count (VERDICT r9 ask
-  * #6: "q60's number is governed by a test, not a BASELINE paragraph").
+/** Normalized performance ceilings for the heavy bench rows (VERDICT r9
+  * ask #6 established the pattern for q60: "the number is governed by a
+  * test, not a BASELINE paragraph"; VERDICT r12 ask #5 extends it to
+  * every row the judge's plan audit reads — q58, mm9, q57, dd12, p20 —
+  * so a regression in ANY of them fails `sbt test` instead of waiting
+  * for a human to diff BENCH jsons).
   *
-  * q60's cost at gate SFs is fixed per-Exchange overhead on a ~3.6k-edge
-  * graph — scale-sane (the stages amortize at 100 TB) but drift-prone as
-  * sessions add stages. An absolute wall-clock assertion would flap with
-  * box contention, so the ceiling is NORMALIZED: q60's min-of-3 must stay
-  * within a fixed multiple of the same session's min-of-3 calibration
-  * workload (Bench's `_calibration` shape — constant 20M-row zero-IO hash
-  * aggregate, a pure box-speed probe). Contention inflates both numbers
-  * together; a genuine plan regression (a new Exchange chain, a lost
-  * persist, a cartesian) inflates only the numerator and trips the gate.
+  * These rows' cost at gate SFs is fixed per-Exchange/per-job overhead
+  * on small data — scale-sane (the stages amortize at 100 TB) but
+  * drift-prone as sessions add stages. An absolute wall-clock assertion
+  * would flap with box contention, so each ceiling is NORMALIZED: the
+  * query's min-of-3 must stay within a fixed multiple of the same
+  * session's min-of-3 calibration workload (Bench's `_calibration`
+  * shape — constant 20M-row zero-IO hash aggregate, a pure box-speed
+  * probe). Contention inflates both numbers together; a genuine plan
+  * regression (a new Exchange chain, a lost persist, a cartesian)
+  * inflates only the numerator and trips the gate.
   *
-  * Constants: on a quiet box the ratio sits ~8-14 in this session shape
-  * (local[4]); the ceiling of 25 allows scheduler jitter at toy scale
-  * while still failing the ~3× blowups that triggered three rounds of
-  * BASELINE paragraphs. The small absolute floor keeps the test
-  * meaningful if the calibration itself degenerates (a sub-50 ms cal
-  * would make any ratio vacuous).
+  * Ceilings: measured local[4] ratios on a quiet box are recorded per
+  * row below; each ceiling is ~2-2.5× its measured ratio — loose enough
+  * for scheduler jitter at toy scale, tight enough to fail the ~3×
+  * blowups that triggered three rounds of BASELINE paragraphs. The
+  * small absolute calibration floor keeps the ratios meaningful if the
+  * calibration itself degenerates (a sub-50 ms cal would make any
+  * ratio vacuous). Memo state is cleared before EVERY timed run so the
+  * ceilings govern the raw pipelines (the driver bench's `raw` map),
+  * not memo hits.
   */
 class BenchCeilingSpec extends SparkSuite {
 
@@ -32,23 +40,50 @@ class BenchCeilingSpec extends SparkSuite {
   private def noopRun(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  test("q60 stays within its calibrated fixed-overhead envelope") {
+  private def freshState(): Unit = {
+    graft.queries.Dedup.clearMemo()
+    graft.queries.Text.clearBpeMemo()
+    spark.catalog.clearCache()
+  }
+
+  /** (query, ceiling) — measured quiet-box local[4] ratios r13:
+    * q60 9.3, q58 8.8, mm9 6.5, q57 5.6, dd12 4.4, p20 5.2 (cal 0.41 s).
+    * q60 keeps its historical 25 (ratio ranged 8-14 across sessions);
+    * the rest get ~2.5× their r13 measurement.
+    */
+  private val Heavy = Seq(
+    "q60_triangle_count" -> 25.0,
+    "q58_pagerank" -> 22.0,
+    "mm9_binary_ingest" -> 16.0,
+    "q57_copurchase_pairs" -> 14.0,
+    "dd12_containment" -> 11.0,
+    "p20_stage_attrition" -> 13.0)
+
+  test("the six heavy bench rows stay within their calibrated " +
+    "fixed-overhead envelopes") {
     val dir = "/root/testdata/sf0.1"
-    val q60 = SparkEntry.queries("q60_triangle_count")
-    // warm-up: JIT + codegen for both shapes land outside the timings
-    noopRun(q60(spark, dir))
     // Bench.calibrate IS the normalizer — one shared definition, so the
-    // spec's ratio and the driver's _calibration row measure the same
-    // workload (its first call here doubles as its own warm-up via min)
+    // spec's ratios and the driver's _calibration row measure the same
+    // workload (its first call doubles as its own warm-up via min)
     val cal = Bench.calibrate(spark, runs = 4).max(0.05)
-    val t = timeMinOf(3) {
-      spark.catalog.clearCache()
-      noopRun(q60(spark, dir))
+    val failures = Heavy.flatMap { case (name, ceiling) =>
+      val q = SparkEntry.queries(name)
+      // warm-up: JIT + codegen land outside the timings
+      freshState()
+      noopRun(q(spark, dir))
+      val t = timeMinOf(3) {
+        freshState()
+        noopRun(q(spark, dir))
+      }
+      info(f"$name%-22s min-of-3 = $t%.3f s, ratio = ${t / cal}%.1f " +
+        f"(ceiling $ceiling%.0f)")
+      if (t <= ceiling * cal) None
+      else Some(f"$name $t%.3f s = ${t / cal}%.1fx cal $cal%.3f s " +
+        f"(ceiling $ceiling%.0f)")
     }
-    info(f"q60 min-of-3 = $t%.3f s, calibration = $cal%.3f s, " +
-      f"ratio = ${t / cal}%.1f (ceiling 25)")
-    assert(t <= 25.0 * cal,
-      f"q60 $t%.3f s exceeds 25x the box calibration $cal%.3f s — " +
-        "a plan regression, not box noise (calibration normalizes that)")
+    info(f"calibration = $cal%.3f s")
+    assert(failures.isEmpty,
+      "plan regressions, not box noise (calibration normalizes that):\n" +
+        failures.mkString("\n"))
   }
 }
