@@ -104,6 +104,13 @@ object Dedup {
   private[graft] val Dd3MinimalBandConf = "spark.graft.dd3.minimalband"
   private[graft] val Dd3PackPairsConf = "spark.graft.dd3.packpairs"
 
+  /** dd2's sibling of [[Dd3PackPairsConf]]: pack the candidate
+    * groupBy's (i, j) key into one 8-byte long (same aggregate, half
+    * the key bytes on dd2's dominant shuffle). Default OFF; the ×800
+    * spill-regime experiment's knob.
+    */
+  private[graft] val Dd2PackPairsConf = "spark.graft.dd2.packpairs"
+
   /** Candidate (i, j) pairs from a capped banded frame — the stage-C
     * shape shared by the gated dd3 pipeline and the dd3profile
     * rehearsal mode, so the conf-gated shuffle experiments above apply
@@ -277,14 +284,31 @@ object Dedup {
     // candidate pairs carry their rare-shingle overlap AND both docs'
     // set sizes for free (the same shuffle a DISTINCT would need):
     // shared = shared_rare + shared_hot; nsh is constant per doc, so
-    // first() is deterministic
-    val cand = a.join(b,
+    // first() is deterministic. Conf-gated spill experiment (r12 ask
+    // #7's "spill-lightened pair rows"): pack (i, j) into ONE 8-byte
+    // group key — same aggregate, half the key bytes on dd2's dominant
+    // shuffle; result-identical (the pack is a bijection for
+    // doc_id < 2³¹, true at every rehearsal scale).
+    val joined = a.join(b,
         col("a.shingle") === col("b.shingle") &&
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("shared_rare"),
-        first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
+    val pack = docs0.sparkSession.conf
+      .get(Dd2PackPairsConf, "false").toBoolean
+    val cand =
+      if (pack)
+        joined
+          .groupBy(shiftleft(col("a.doc_id"), 32)
+            .bitwiseOR(col("b.doc_id")).as("p"))
+          .agg(count(lit(1)).as("shared_rare"),
+            first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
+          .select(shiftright(col("p"), 32).as("i"),
+            col("p").bitwiseAND(lit(0xffffffffL)).as("j"),
+            col("shared_rare"), col("na"), col("nb"))
+      else joined
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("shared_rare"),
+          first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
     // upper-bound prefilter before touching any array: shared_hot ≤
     // min(nhot_i, nhot_j) and jac is increasing in shared, so pairs whose
     // bound can't reach the threshold are dropped using only integer

@@ -751,7 +751,7 @@ object Similarity {
     // The oracle RECOMPUTES the codes from the raw embeddings (mm5's
     // HUGEINT two's-complement fold), so the gate certifies the
     // binarization itself — no side dump needed.
-    "s18_binary_knn" -> ((s, dir) => binaryKnnRaw(s, dir, ShortlistK)),
+    "s18_binary_knn" -> ((s, dir) => binaryKnnRaw(s, dir, ShortlistKBinary)),
   )
 
   /** s18's pipeline with an explicit boundary width — the gated query
@@ -1280,6 +1280,18 @@ object Similarity {
     * candidate at-or-better than it.
     */
   private[graft] val ShortlistK = 50
+
+  /** s18's boundary width — 2× the family default, adopted from the
+    * round-13 post-dedup attribution probe: on the organic ×50 deduped
+    * corpus the one lost true neighbor sat at Hamming 25, two bits past
+    * the k=50 boundary (23) and exactly ON the k=100 boundary — i.e.
+    * the miss was boundary-width-bound, not resolution-bound, and the
+    * 2× cut measured recall 0.9 → 1.0. 64-bit Hamming has only 65
+    * distinct scores, so the coarsest tier's tie blocks need more rank
+    * headroom than the 8-bit/float tiers; the re-rank stays exact and
+    * the oracle interpolates the same constant (lockstep).
+    */
+  private[graft] val ShortlistKBinary = 2 * ShortlistK
 
   /** Tie-inclusive candidate cut — the family's refine knob (FAISS's
     * refine-factor/efSearch analog), sized by the data instead of a
@@ -1872,7 +1884,7 @@ object Similarity {
          |cand0 AS (SELECT c.vec_id, bit_count(xor(c.code, q.qc)) AS hd
          |          FROM c, q WHERE c.vec_id <> 0),
          |thr AS (SELECT max(hd) AS b FROM
-         |  (SELECT hd FROM cand0 ORDER BY hd, vec_id LIMIT $ShortlistK) p),
+         |  (SELECT hd FROM cand0 ORDER BY hd, vec_id LIMIT $ShortlistKBinary) p),
          |cand AS (SELECT vec_id FROM cand0, thr WHERE hd <= b)
          |SELECT c.vec_id, ${cosSql("c.embedding", "q.qe")} AS cos_sim
          |FROM cand JOIN c USING (vec_id), q

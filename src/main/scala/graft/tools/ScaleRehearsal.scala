@@ -608,9 +608,12 @@ object ScaleRehearsal {
         graft.queries.Dedup.clearMemo()
         Similarity.clearTrainedCaches()
         spark.catalog.clearCache()
+        // counterfactual: the PRE-adoption family width (the gated s18
+        // now runs at ShortlistKBinary = 2×) — keeps the attribution
+        // measured, not just remembered
         val t0 = System.nanoTime()
         val wideIds = Similarity
-          .binaryKnnRaw(spark, out, 2 * Similarity.ShortlistK)
+          .binaryKnnRaw(spark, out, Similarity.ShortlistK)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val wideSec = (System.nanoTime() - t0) / 1e9
         val wideRecall = (wideIds & exactSet).size / 10.0
@@ -623,20 +626,20 @@ object ScaleRehearsal {
         val hd = codes.filter(col("vec_id") =!= 0L)
           .select(col("vec_id"),
             graft.functions.HashFunctions.hamming64(
-              col("code"), lit(qCode)).as("hd"))
+              col("code"), lit(qCode)).cast("long").as("hd"))
         def boundary(k: Int): Long = hd
           .orderBy(col("hd"), col("vec_id")).limit(k)
           .agg(max(col("hd"))).head().getLong(0)
         val b50 = boundary(Similarity.ShortlistK)
-        val b100 = boundary(2 * Similarity.ShortlistK)
+        val b100 = boundary(Similarity.ShortlistKBinary)
         val missHd = hd.filter(col("vec_id").isin(missed18: _*))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         codes.unpersist(blocking = false)
-        System.err.println(f"[floodrecall] s18 wide(k=100) " +
+        System.err.println(f"[floodrecall] s18 narrow(k=50) " +
           f"recall@10=$wideRecall%.2f; boundaries hd50=$b50 hd100=$b100; " +
           s"missed=$missHd")
-        s""""s18_attrib":{"wide_recall_at_10":$wideRecall,""" +
-          s""""wide_sec":${fmt3(wideSec)},"hd_boundary_k50":$b50,""" +
+        s""""s18_attrib":{"narrow_k50_recall_at_10":$wideRecall,""" +
+          s""""narrow_sec":${fmt3(wideSec)},"hd_boundary_k50":$b50,""" +
           s""""hd_boundary_k100":$b100,"missed":{${missHd.map {
             case (id, h) => s""""$id":$h""" }.mkString(",")}}}"""
       }
@@ -774,6 +777,13 @@ object ScaleRehearsal {
         "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // arbitrary session confs for the A/B knobs, e.g.
+    // SPARK_GRAFT_EXTRA_CONF='spark.graft.dd3.minimalband=true'
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
     if (master.startsWith("local-cluster")) {
       val classes = Seq("target/scala-2.13/classes")
         .map(p => new java.io.File(p).getAbsolutePath)

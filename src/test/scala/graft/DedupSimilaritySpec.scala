@@ -1002,6 +1002,26 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("dd2 packed pair-key variant is result-identical to the gated " +
+    "two-long groupBy (r12 ask #7 spill knob)") {
+    import graft.queries.Dedup
+    def run(): Set[(Long, Long, Double)] = {
+      Dedup.clearMemo()
+      val (p, _, caches) = Dedup.shingleJaccardPairsWithCaches(spark, sf)
+      val out = p.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      caches.foreach(_.unpersist(blocking = false))
+      out
+    }
+    val base = run()
+    spark.conf.set(Dedup.Dd2PackPairsConf, "true")
+    val packed = try run()
+    finally spark.conf.unset(Dedup.Dd2PackPairsConf)
+    assert(base.nonEmpty, "fixture produced no near-dup pairs")
+    assert(packed == base,
+      s"packed dd2 diverged: ${packed.size} vs ${base.size} pairs")
+  }
+
   test("dd3 shuffle A/B variants emit the identical unique candidate " +
     "set: minimal-SURVIVING-band and packed-pair-key vs the gated " +
     "distinct (r12 ask #2)") {
