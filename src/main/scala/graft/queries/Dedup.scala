@@ -111,6 +111,18 @@ object Dedup {
     */
   private[graft] val Dd2PackPairsConf = "spark.graft.dd2.packpairs"
 
+  /** The pack precondition made LOUD: `i << 32 | j` is a bijection only
+    * for ids in [0, 2³¹) — past that the sign bit corrupts the unpack
+    * and distinct() would silently merge unrelated pairs. raise_error
+    * is a codegen'd branch on the experiment arms only; the gated
+    * default never evaluates it.
+    */
+  private def packGuard(c: Column): Column =
+    when(c < 0 || c >= (1L << 31),
+      raise_error(concat(
+        lit("packpairs requires doc_id in [0, 2^31): "), c.cast("string"))))
+      .otherwise(c)
+
   /** Candidate (i, j) pairs from a capped banded frame — the stage-C
     * shape shared by the gated dd3 pipeline and the dd3profile
     * rehearsal mode, so the conf-gated shuffle experiments above apply
@@ -139,8 +151,8 @@ object Dedup {
     } else if (conf.get(Dd3PackPairsConf, "false").toBoolean) {
       a.join(b, col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(shiftleft(col("a.doc_id"), 32)
-          .bitwiseOR(col("b.doc_id")).as("p"))
+        .select(shiftleft(packGuard(col("a.doc_id")), 32)
+          .bitwiseOR(packGuard(col("b.doc_id"))).as("p"))
         .distinct()
         .select(shiftright(col("p"), 32).as("i"),
           col("p").bitwiseAND(lit(0xffffffffL)).as("j"))
@@ -298,8 +310,8 @@ object Dedup {
     val cand =
       if (pack)
         joined
-          .groupBy(shiftleft(col("a.doc_id"), 32)
-            .bitwiseOR(col("b.doc_id")).as("p"))
+          .groupBy(shiftleft(packGuard(col("a.doc_id")), 32)
+            .bitwiseOR(packGuard(col("b.doc_id"))).as("p"))
           .agg(count(lit(1)).as("shared_rare"),
             first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
           .select(shiftright(col("p"), 32).as("i"),

@@ -612,11 +612,11 @@ object ScaleRehearsal {
         // now runs at ShortlistKBinary = 2×) — keeps the attribution
         // measured, not just remembered
         val t0 = System.nanoTime()
-        val wideIds = Similarity
+        val narrowIds = Similarity
           .binaryKnnRaw(spark, out, Similarity.ShortlistK)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        val wideSec = (System.nanoTime() - t0) / 1e9
-        val wideRecall = (wideIds & exactSet).size / 10.0
+        val narrowSec = (System.nanoTime() - t0) / 1e9
+        val narrowRecall = (narrowIds & exactSet).size / 10.0
         // Hamming geometry of the misses vs the two boundaries
         val codes = spark.read.parquet(s"$out/embeddings.parquet")
           .select(col("vec_id"), binarize64(col("embedding")).as("code"))
@@ -636,10 +636,10 @@ object ScaleRehearsal {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         codes.unpersist(blocking = false)
         System.err.println(f"[floodrecall] s18 narrow(k=50) " +
-          f"recall@10=$wideRecall%.2f; boundaries hd50=$b50 hd100=$b100; " +
+          f"recall@10=$narrowRecall%.2f; boundaries hd50=$b50 hd100=$b100; " +
           s"missed=$missHd")
-        s""""s18_attrib":{"narrow_k50_recall_at_10":$wideRecall,""" +
-          s""""narrow_sec":${fmt3(wideSec)},"hd_boundary_k50":$b50,""" +
+        s""""s18_attrib":{"narrow_k50_recall_at_10":$narrowRecall,""" +
+          s""""narrow_sec":${fmt3(narrowSec)},"hd_boundary_k50":$b50,""" +
           s""""hd_boundary_k100":$b100,"missed":{${missHd.map {
             case (id, h) => s""""$id":$h""" }.mkString(",")}}}"""
       }
@@ -732,9 +732,17 @@ object ScaleRehearsal {
       val (a, maxRows) = withMaxTaskRows(spark)(body)
       (a, (System.nanoTime() - t0) / 1e9, maxRows)
     }
-    val (assigned0, eCache) = Similarity.semDedupAssign(spark, out)
-    val assigned = assigned0.persist()
-    val (n, tAssign, maxAssign) = timed(assigned.count())
+    // the WHOLE assignment build is inside the timed block — including
+    // the corpus scan + normalization, which the hierarchical branch
+    // materializes eagerly (its internal e.count()) and the exact
+    // branch leaves lazy; timing only assigned.count() would exclude
+    // the scan from one arm and not the other, biasing the A/B
+    val ((assigned, eCache, n), tAssign, maxAssign) = timed {
+      val (a0, e) = Similarity.semDedupAssign(spark, out)
+      val a = a0.persist()
+      val cnt = a.count()
+      (a, e, cnt)
+    }
     // 1000 = dd17's DefaultBucketCap (the gated cap literal)
     val (dropsDf, caches) = Dedup.semDedupDrops(assigned, 1000L)
     val (nDrops, tDrops, maxDrops) = timed(dropsDf.count())
@@ -778,9 +786,14 @@ object ScaleRehearsal {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // arbitrary session confs for the A/B knobs, e.g.
-    // SPARK_GRAFT_EXTRA_CONF='spark.graft.dd3.minimalband=true'
+    // SPARK_GRAFT_EXTRA_CONF='spark.graft.dd3.minimalband=true'.
+    // Comma-separated k=v; a fragment WITHOUT '=' (e.g. a comma inside
+    // a value) fails loudly instead of silently mangling the session
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",")
-      .filter(_.contains("=")).foreach { kv =>
+      .filter(_.trim.nonEmpty).foreach { kv =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_EXTRA_CONF fragment without '=': '$kv' " +
+            "(comma-containing values are not supported)")
         val Array(k, v) = kv.split("=", 2)
         builder.config(k.trim, v.trim)
       })
