@@ -131,9 +131,17 @@ object Dedup {
     */
   private[graft] def bandCandidatePairs(capped: DataFrame): DataFrame = {
     val conf = capped.sparkSession.conf
+    val minimalband = conf.get(Dd3MinimalBandConf, "false").toBoolean
+    val packpairs = conf.get(Dd3PackPairsConf, "false").toBoolean
+    // the two shuffle arms are mutually-exclusive A/B variants — an
+    // operator setting packpairs on top of an exported minimalband
+    // session conf would silently profile the wrong arm otherwise
+    require(!(minimalband && packpairs),
+      s"$Dd3MinimalBandConf and $Dd3PackPairsConf are mutually " +
+        "exclusive A/B arms — unset one")
     val a = capped.alias("a")
     val b = capped.alias("b")
-    if (conf.get(Dd3MinimalBandConf, "false").toBoolean) {
+    if (minimalband) {
       // per-doc SURVIVING band arrays (post-cap, so the minimal-band
       // rule sees exactly the buckets the join sees: a pair whose
       // globally-minimal shared band was capped away still emits from
@@ -148,7 +156,7 @@ object Dedup {
           x.getField("band") < col("a.band").getField("band") &&
             array_contains(col("b.bands"), x))))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-    } else if (conf.get(Dd3PackPairsConf, "false").toBoolean) {
+    } else if (packpairs) {
       a.join(b, col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(shiftleft(packGuard(col("a.doc_id")), 32)

@@ -1956,7 +1956,15 @@ object Text {
             }
           }
         }
-        counts.remove((bl, br)) // defensive: rewrite consumed them all
+        // the rewrite pass must have decremented every (bl,br)
+        // occurrence to zero (delta removes zero entries) — a residual
+        // means a greedy-rewrite bug that would silently diverge the
+        // driver tier from the distributed loop, so fail loudly instead
+        // of erasing it (absent key unboxes to 0L)
+        val residual = counts.remove((bl, br))
+        require(residual == 0L,
+          s"BPE rewrite left residual count $residual for merged pair " +
+            s"($bl,$br) at step $step — driver tier diverged")
         step += 1
       }
     }
