@@ -417,9 +417,14 @@ object Similarity {
   }
 
   /** Materialize [[dedupFirstCorpus]] as `outDir/embeddings.parquet` —
-    * the engine's own table layout — so the full query surface
-    * (s1..s22, dd7/dd17/dd19, serving) runs against the deduped corpus
-    * by just pointing at `outDir`. Returns the kept-row count.
+    * the engine's own table layout — so every EMBEDDING-backed query
+    * (the s1..s22 ANN tiers, incl. s22's predicate tombstones, and
+    * [[Serving]]'s cold-start index build, all of which read only the
+    * `embeddings` table) runs against the deduped corpus by just
+    * pointing at `outDir`. Queries that join other tables (dd7/dd19's
+    * documents-side legs, the relational suite) need those tables
+    * present too — `outDir` is NOT a full sf-dir clone. Returns the
+    * kept-row count.
     */
   def dedupFirstIndex(s: SparkSession, dir: String, outDir: String,
       cap: Long = DefaultBucketCap.toLong): Long = {
@@ -485,9 +490,14 @@ object Similarity {
       // trains, and the fresh build is persisted for the next session.
       // Store unset (the gate's default): train in-session as before.
       import graft.source.ArtifactStore
+      // params carry the CORPUS identity too (r14): one shared store
+      // root across rehearsal corpora (base vs _dedup, different mults)
+      // must never serve centroids trained on a different corpus —
+      // loadLatestMatching declines on the mismatch and retrains
+      val params = CentroidParams + ("corpus" -> dir)
       val loaded = ArtifactStore.root(s).flatMap { r =>
         ArtifactStore
-          .loadLatestMatching(s, r, CentroidArtifact, CentroidParams)
+          .loadLatestMatching(s, r, CentroidArtifact, params)
           .map(_.select("cent_id", "cent").collect()
             .map(row => (row.getLong(0), row.getSeq[Double](1)))
             .toSeq.sortBy(_._1))
@@ -497,7 +507,7 @@ object Similarity {
         ArtifactStore.root(s).foreach { r =>
           import s.implicits._
           ArtifactStore.save(cents.toDF("cent_id", "cent"), r,
-            CentroidArtifact, CentroidParams)
+            CentroidArtifact, params)
         }
         cents
       }
@@ -575,14 +585,14 @@ object Similarity {
       val assigned = assigned0.persist()
       val cents = assigned.filter(col("vec_id") % ivfStride(s, dir) === 0)
         .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
-      // query = vec 0; probe its 4 nearest centroids
+      // query = vec 0; probe its nprobe nearest centroids
       val qUnit = typedlit(
         assigned.filter(col("vec_id") === 0L).select("unit")
           .head().getSeq[Double](0))
       val probed = cents
         .withColumn("qsim", dot(col("cent"), qUnit))
         .orderBy(col("qsim").desc, col("pc_id"))
-        .limit(4)
+        .limit(nprobeOr(s, IvfNProbeDefault))
         .select(col("pc_id").as("cent_id"))
       QueryCache.resultThenRelease(
         assigned.join(broadcast(probed), "cent_id")
@@ -696,7 +706,7 @@ object Similarity {
         .withColumn("qscore",
           lit(2.0) * dot(col("cent"), qUnit) - col("cnorm"))
         .orderBy(col("qscore").desc, col("cent_id"))
-        .limit(4)
+        .limit(nprobeOr(s, IvfNProbeDefault))
         .select("cent_id")
       QueryCache.resultThenRelease(
         assigned.join(broadcast(probed), "cent_id")
@@ -1221,7 +1231,7 @@ object Similarity {
       val probed = cents
         .withColumn("qsim", dot(col("cent"), qUnit))
         .orderBy(col("qsim").desc, col("pc_id"))
-        .limit(4)
+        .limit(nprobeOr(s, IvfNProbeDefault))
         .select(col("pc_id").as("cent_id"))
       val labels = Tables.embeddings(s, dir).select("vec_id", "label")
       QueryCache.resultThenRelease(
@@ -1246,7 +1256,8 @@ object Similarity {
         probes.join(broadcast(cents))
           .select(col("qid"), col("qu"), col("pc_id"),
             dot(col("cent"), col("qu")).as("qsim")),
-        keyCol = "qid", scoreCol = "qsim", tieCol = "pc_id", k = 4)
+        keyCol = "qid", scoreCol = "qsim", tieCol = "pc_id",
+        k = nprobeOr(s, IvfNProbeDefault))
         .select(col("qid"), col("qu"), col("pc_id").as("cent_id"))
       val cands = assigned.join(broadcast(routed), "cent_id")
         .filter(col("vec_id") =!= col("qid"))
@@ -1293,6 +1304,30 @@ object Similarity {
     * the oracle interpolates the same constant (lockstep).
     */
   private[graft] val ShortlistKBinary = 2 * ShortlistK
+
+  /** IVF probe-set width ("nprobe" — the knob FAISS users turn): how
+    * many nearest cells a query visits before exact-ranking their
+    * members. Session conf [[IvfNProbeConf]] overrides EVERY IVF-probed
+    * tier (s4/s9/s20/s21 flat, s17/s22 ADC); unset → the per-tier
+    * defaults below, which are what the oracle SQL interpolates
+    * (lockstep constants, tieCut/ShortlistKBinary's discipline). The
+    * correctness gate therefore pins the DEFAULT width; non-default
+    * widths are validated by the rehearsal recall-vs-nprobe sweep
+    * (`ScaleRehearsal <mult> nprobesweep`, BASELINE r14) — the
+    * engine-side control the r13 s9 attribution named as missing (one
+    * true neighbor's cell ranked 5th for that training draw; nprobe=8
+    * is the measured answer).
+    */
+  private[graft] val IvfNProbeConf = "spark.graft.ivf.nprobe"
+  private[graft] val IvfNProbeDefault = 4
+  private[graft] val IvfPqNProbeDefault = 2
+
+  private[graft] def nprobeOr(s: SparkSession, default: Int): Int = {
+    val n = s.conf.getOption(IvfNProbeConf).map(_.trim.toInt)
+      .getOrElse(default)
+    require(n >= 1, s"$IvfNProbeConf must be >= 1 (got $n)")
+    n
+  }
 
   /** Tie-inclusive candidate cut — the family's refine knob (FAISS's
     * refine-factor/efSearch analog), sized by the data instead of a
@@ -1363,7 +1398,7 @@ object Similarity {
       .select(col("vec_id").as("pc_id"), col("unit").as("cent"))
       .withColumn("qsim", dot(col("cent"), q))
       .orderBy(col("qsim").desc, col("pc_id"))
-      .limit(2)
+      .limit(nprobeOr(s, IvfPqNProbeDefault))
       .select(col("pc_id").as("cent_id"))
     val cbRows = pqCodebookDf(s, dir).collect()
     val luts: Seq[Map[Long, Double]] = (0 until PqM).map { m =>
@@ -1439,7 +1474,12 @@ object Similarity {
     */
   private[graft] def pqParams(
       s: SparkSession, dir: String): Map[String, String] =
-    pqParamsFor(corpusVecs(s, dir))
+    // corpus identity rides along (r14): a shared rehearsal store root
+    // must not serve a same-geometry codebook derived from a DIFFERENT
+    // corpus. pqParamsFor consumers (Serving's cold-start, which only
+    // knows the loaded row count) still match — loadLatestMatching
+    // compares only the keys the CALLER passes.
+    pqParamsFor(corpusVecs(s, dir)) + ("corpus" -> dir)
 
   /** [[pqParams]] from an already-known corpus size — for consumers
     * that must not touch the corpus (Serving.loadIndexInto derives `n`
@@ -1594,7 +1634,7 @@ object Similarity {
 
     // s4's probe CTEs + the label predicate on probed-cell members only
     "s21_ivf_filtered_knn" ->
-      """WITH assign AS (SELECT vec_id, cent_id, unit
+      s"""WITH assign AS (SELECT vec_id, cent_id, unit
         |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
         |ivfst AS (SELECT GREATEST(53, CAST(ceil(count(*) / 1024.0) AS BIGINT))
         |            AS st FROM assign),
@@ -1603,7 +1643,7 @@ object Similarity {
         |q AS (SELECT unit AS qu FROM assign WHERE vec_id = 0),
         |probed AS (SELECT pc_id AS cent_id FROM cents, q
         |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
-        |           LIMIT 4)
+        |           LIMIT $IvfNProbeDefault)
         |SELECT a.vec_id, list_dot_product(a.unit, q.qu) AS cos_sim
         |FROM assign a JOIN probed USING (cent_id), q
         |JOIN embeddings e ON e.vec_id = a.vec_id
@@ -1616,7 +1656,7 @@ object Similarity {
     // the per-probe top-5 window — s5's replay shape with the routing
     // CTE in front
     "s20_ivf_batch_knn" ->
-      """WITH assign AS (SELECT vec_id, cent_id, unit
+      s"""WITH assign AS (SELECT vec_id, cent_id, unit
         |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
         |ivfst AS (SELECT GREATEST(53, CAST(ceil(count(*) / 1024.0) AS BIGINT))
         |            AS st FROM assign),
@@ -1629,7 +1669,7 @@ object Similarity {
         |      row_number() OVER (PARTITION BY p.qid
         |        ORDER BY list_dot_product(c.cent, p.qu) DESC, c.pc_id)
         |        AS rn
-        |    FROM probes p, cents c) WHERE rn <= 4),
+        |    FROM probes p, cents c) WHERE rn <= $IvfNProbeDefault),
         |cand AS (SELECT p.qid, a.vec_id,
         |           list_dot_product(a.unit, p.qu) AS cos_sim
         |         FROM routed r
@@ -1816,7 +1856,7 @@ object Similarity {
         |LIMIT 10""".stripMargin,
 
     "s4_ivf_knn" ->
-      """WITH assign AS (SELECT vec_id, cent_id, unit
+      s"""WITH assign AS (SELECT vec_id, cent_id, unit
         |               FROM read_parquet('{VERIFY_DIR}/side_s4_assign.parquet')),
         |ivfst AS (SELECT GREATEST(53, CAST(ceil(count(*) / 1024.0) AS BIGINT))
         |            AS st FROM assign),
@@ -1825,7 +1865,7 @@ object Similarity {
         |q AS (SELECT unit AS qu FROM assign WHERE vec_id = 0),
         |probed AS (SELECT pc_id AS cent_id FROM cents, q
         |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
-        |           LIMIT 4)
+        |           LIMIT $IvfNProbeDefault)
         |SELECT a.vec_id, list_dot_product(a.unit, q.qu) AS cos_sim
         |FROM assign a JOIN probed USING (cent_id), q
         |WHERE a.vec_id <> 0
@@ -1837,7 +1877,7 @@ object Similarity {
     // dump — the unit vectors come from the srp dump the s3/dd7 replays
     // already use, so s9 adds only the 8-row centroid table
     "s9_ivf_trained" ->
-      """WITH u AS (SELECT vec_id, unit
+      s"""WITH u AS (SELECT vec_id, unit
         |          FROM read_parquet('{VERIFY_DIR}/side_srp_sigs.parquet')),
         |cents AS (SELECT cent_id, cent, cnorm
         |          FROM read_parquet('{VERIFY_DIR}/side_s9_cents.parquet')),
@@ -1853,7 +1893,7 @@ object Similarity {
         |probed AS (SELECT cent_id FROM cents, q
         |           ORDER BY 2 * list_dot_product(cent, qu) - cnorm DESC,
         |                    cent_id
-        |           LIMIT 4)
+        |           LIMIT $IvfNProbeDefault)
         |SELECT a.vec_id, list_dot_product(a.unit, q.qu) AS cos_sim
         |FROM assign a JOIN probed USING (cent_id), q
         |WHERE a.vec_id <> 0
@@ -1926,7 +1966,7 @@ object Similarity {
       |                 FROM assign
       |                 WHERE vec_id % (SELECT st FROM ivfst) = 0), q
       |           ORDER BY list_dot_product(cent, qu) DESC, pc_id
-      |           LIMIT 2),
+      |           LIMIT $IvfPqNProbeDefault),
       |lut AS (
       |  SELECT t.m, vec_id AS cb_id,
       |    list_dot_product(unit[t.m*16+1 : t.m*16+16],

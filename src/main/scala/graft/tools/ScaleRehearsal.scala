@@ -513,6 +513,52 @@ object ScaleRehearsal {
     * the flooded-regime recall table; the constructed-flood spec floor
     * lives in DedupSimilaritySpec.
     */
+  /** SemDeDup-then-reindex corpus for the "dedup" arms: applies the
+    * engine's own dd17 assignment + drop rule to `base` and
+    * materializes the kept embeddings as `${base}_dedup` (idempotent —
+    * an existing materialization is reused). Factored out of
+    * [[runFloodRecall]] so the nprobe sweep rehearses the same corpus.
+    */
+  private def ensureDedupFirst(spark: SparkSession, base: String): String = {
+    import graft.queries.Similarity
+    val dd = s"${base}_dedup"
+    if (!exists(s"$dd/embeddings.parquet")) {
+      val t0 = System.nanoTime()
+      val e = spark.read.parquet(s"$base/embeddings.parquet")
+      val units = e
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("u"))
+        .select(col("vec_id"), expr(
+          """transform(u, x -> x / sqrt(aggregate(u, 0.0D,
+            |  (acc, y) -> acc + y * y)))""".stripMargin).as("unit"))
+        .persist()
+      // same exact-arm viability bound as the assign probe: the exact
+      // N×C broadcast fan-out ENOSPCed the box at the organic ×400
+      // point, and the hierarchical path is proven to agree — so the
+      // dedup arm degrades the same way instead of dying there
+      val nU = units.count()
+      val exactFanout = nU * (nU / Similarity.PqAnchorStride.max(1))
+      val assigned = (if (exactFanout <= 4e9.toLong)
+        Similarity.assignFromUnits(units)
+      else Similarity.assignFromUnitsHierarchical(units, nU)).persist()
+      val (dropsDf, caches) =
+        graft.queries.Dedup.semDedupDrops(assigned, cap = 1000L)
+      val kept = e.join(dropsDf, Seq("vec_id"), "left_anti")
+        .persist()
+      val nKept = kept.count()
+      val nAll = e.count()
+      kept.repartition(32).write.mode("overwrite")
+        .parquet(s"$dd/embeddings.parquet")
+      caches.foreach(_.unpersist(blocking = false))
+      assigned.unpersist(blocking = false)
+      units.unpersist(blocking = false)
+      kept.unpersist(blocking = false)
+      System.err.println(f"[floodrecall] semdedup kept $nKept of $nAll " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
+    dd
+  }
+
   private def runFloodRecall(spark: SparkSession, mult: Int,
       degenerate: Boolean, dedupFirst: Boolean = false): Unit = {
     import graft.queries.Similarity
@@ -529,44 +575,7 @@ object ScaleRehearsal {
     // vectors — recall is vs s1's exact answer on the deduped corpus,
     // i.e. "did the production recipe restore the tier's usefulness",
     // not a comparison across different ground truths.
-    val out = if (!dedupFirst) base else {
-      val dd = s"${base}_dedup"
-      if (!exists(s"$dd/embeddings.parquet")) {
-        val t0 = System.nanoTime()
-        val e = spark.read.parquet(s"$base/embeddings.parquet")
-        val units = e
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("u"))
-          .select(col("vec_id"), expr(
-            """transform(u, x -> x / sqrt(aggregate(u, 0.0D,
-              |  (acc, y) -> acc + y * y)))""".stripMargin).as("unit"))
-          .persist()
-        // same exact-arm viability bound as the assign probe: the exact
-        // N×C broadcast fan-out ENOSPCed the box at the organic ×400
-        // point, and the hierarchical path is proven to agree — so the
-        // dedup arm degrades the same way instead of dying there
-        val nU = units.count()
-        val exactFanout = nU * (nU / Similarity.PqAnchorStride.max(1))
-        val assigned = (if (exactFanout <= 4e9.toLong)
-          Similarity.assignFromUnits(units)
-        else Similarity.assignFromUnitsHierarchical(units, nU)).persist()
-        val (dropsDf, caches) =
-          graft.queries.Dedup.semDedupDrops(assigned, cap = 1000L)
-        val kept = e.join(dropsDf, Seq("vec_id"), "left_anti")
-          .persist()
-        val nKept = kept.count()
-        val nAll = e.count()
-        kept.repartition(32).write.mode("overwrite")
-          .parquet(s"$dd/embeddings.parquet")
-        caches.foreach(_.unpersist(blocking = false))
-        assigned.unpersist(blocking = false)
-        units.unpersist(blocking = false)
-        kept.unpersist(blocking = false)
-        System.err.println(f"[floodrecall] semdedup kept $nKept of $nAll " +
-          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
-      }
-      dd
-    }
+    val out = if (!dedupFirst) base else ensureDedupFirst(spark, base)
     val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
     def topIds(name: String): (Seq[Long], Double) = {
       graft.queries.Dedup.clearMemo()
@@ -762,6 +771,63 @@ object ScaleRehearsal {
     System.err.println(s"[rehearsal] semdedup report written to $f")
   }
 
+  /** Recall-vs-nprobe curve (VERDICT r13 ask #3): the IVF tiers'
+    * probe-set width is now a session conf
+    * ([[graft.queries.Similarity.IvfNProbeConf]]); this mode measures
+    * recall@10 vs s1's exact answer for nprobe ∈ {4, 8, 16} on the
+    * organic corpus AND its dedup-first variant (where the r13 s9=0.9
+    * residue lives), for the three conf-honoring single-query tiers.
+    * The artifact-store default above makes the sweep isolate probe
+    * width: the s9 centroids are trained once and every nprobe point
+    * loads the same committed geometry. Results land in BASELINE.md as
+    * the recall-vs-nprobe table.
+    */
+  private def runNProbeSweep(spark: SparkSession, mult: Int): Unit = {
+    import graft.queries.Similarity
+    val base = ensureOrganic(spark, mult)
+    val corpora = Seq("organic" -> base,
+      "organic_dedup" -> ensureDedupFirst(spark, base))
+    val tiers = Seq("s4_ivf_knn", "s9_ivf_trained", "s17_ivfpq_knn")
+    def clearAll(): Unit = {
+      graft.queries.Dedup.clearMemo()
+      Similarity.clearTrainedCaches()
+      spark.catalog.clearCache()
+    }
+    def topIds(name: String, out: String): (Set[Long], Double) = {
+      clearAll()
+      val t0 = System.nanoTime()
+      val ids = graft.SparkEntry.queries(name)(spark, out)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (ids, (System.nanoTime() - t0) / 1e9)
+    }
+    val rows = corpora.flatMap { case (cname, out) =>
+      spark.conf.unset(Similarity.IvfNProbeConf)
+      val (exact, tExact) = topIds("s1_knn_brute", out)
+      require(exact.size == 10, s"s1 returned ${exact.size} ids on $cname")
+      System.err.println(f"[nprobesweep] $cname exact in $tExact%.1f s")
+      val r = Seq(4, 8, 16).flatMap { np =>
+        spark.conf.set(Similarity.IvfNProbeConf, np.toString)
+        tiers.map { m =>
+          val (ids, sec) = topIds(m, out)
+          val recall = (ids & exact).size / 10.0
+          System.err.println(f"[nprobesweep] $cname%-14s nprobe=$np%-2d " +
+            f"$m%-16s recall@10=$recall%.2f ($sec%.1f s)")
+          s"""{"corpus":"$cname","nprobe":$np,"tier":"$m",""" +
+            s""""recall_at_10":$recall,"sec":${fmt3(sec)}}"""
+        }
+      }
+      spark.conf.unset(Similarity.IvfNProbeConf)
+      r
+    }
+    val out = s"target/rehearsal/nprobe_sweep_x$mult"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val f = java.nio.file.Paths.get(s"$out/nprobe_sweep.json")
+    java.nio.file.Files.writeString(f,
+      s"""{"mode":"nprobe_sweep","mult":$mult,""" +
+        s""""rows":[${rows.mkString(",")}]}""")
+    System.err.println(s"[rehearsal] nprobe sweep written to $f")
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -785,6 +851,19 @@ object ScaleRehearsal {
         "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // rehearsal legs default onto the artifact store (VERDICT r13 ask
+    // #4): the r13 s9 pin proved train-once/serve-same fixes cross-JVM
+    // recall flapping (re-fit k-means float nondeterminism), so
+    // rehearsal now trains-or-loads by default — two consecutive runs
+    // on the same corpus are byte-identical in probe geometry. Params
+    // carry the corpus identity (Similarity.centroid/pq params), so one
+    // shared root across corpora/mults can never serve a wrong-corpus
+    // artifact. SPARK_GRAFT_REFIT=1 forces in-session re-fit (store
+    // off); an explicit SPARK_GRAFT_EXTRA_CONF dir wins (it is applied
+    // AFTER this default, and later .config calls override).
+    if (!sys.env.get("SPARK_GRAFT_REFIT").contains("1"))
+      builder.config(graft.source.ArtifactStore.DirKey,
+        new java.io.File("target/rehearsal/artifacts").getAbsolutePath)
     // arbitrary session confs for the A/B knobs, e.g.
     // SPARK_GRAFT_EXTRA_CONF='spark.graft.dd3.minimalband=true'.
     // Comma-separated k=v; a fragment WITHOUT '=' (e.g. a comma inside
@@ -818,6 +897,10 @@ object ScaleRehearsal {
       try runFloodRecall(spark, mult, args.contains("degenerate"),
         dedupFirst = args.contains("dedup"))
       finally spark.stop()
+      return
+    }
+    if (args.contains("nprobesweep")) {
+      try runNProbeSweep(spark, mult) finally spark.stop()
       return
     }
     if (args.contains("degenerate")) {
