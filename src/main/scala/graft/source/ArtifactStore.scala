@@ -204,8 +204,17 @@ object ArtifactStore {
     */
   def loadLatestMatching(s: SparkSession, root: String, name: String,
       params: Map[String, String]): Option[DataFrame] =
-    loadLatest(s, root, name).collect {
-      case (df, m) if params.forall { case (k, v) => m.params.get(k).contains(v) } =>
-        df
-    }
+    // scan versions NEWEST-FIRST for the first params match, not just
+    // the single newest version (r14): with corpus-keyed params, two
+    // corpora sharing one store interleave versions — latest-only
+    // matching would retrain corpus A every time corpus B committed a
+    // newer version, re-introducing exactly the cross-JVM re-fit
+    // nondeterminism the store exists to remove
+    versions(s, root, name).reverseIterator
+      .flatMap(v => manifest(s, root, name, v).map(v -> _))
+      .collectFirst {
+        case (v, m) if params.forall { case (k, x) =>
+            m.params.get(k).contains(x) } =>
+          s.read.parquet(new Path(versionDir(root, name, v), "data").toString)
+      }
 }
