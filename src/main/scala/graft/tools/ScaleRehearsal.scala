@@ -828,6 +828,58 @@ object ScaleRehearsal {
     System.err.println(s"[rehearsal] nprobe sweep written to $f")
   }
 
+  /** Served recall on the organic fixture (the BASELINE leg of VERDICT
+    * r13 ask #6): materialize the dedup-first layout with the OPERATOR
+    * ([[graft.queries.Similarity.dedupFirstIndex]]), then measure the
+    * serving tier's recall@10 against s1's exact answer on that corpus
+    * — warm, and cold-started from the persisted index files
+    * (INDEX_META path). The two served answers must be identical.
+    */
+  private def runServedRecall(spark: SparkSession, mult: Int): Unit = {
+    import graft.queries.{Serving, Similarity}
+    val base = ensureOrganic(spark, mult)
+    val out = s"target/rehearsal/organic_x${mult}_ddfirst"
+    def freshAll(): Unit = {
+      graft.queries.Dedup.clearMemo()
+      Similarity.clearTrainedCaches()
+      Serving.clearIndexCache()
+      spark.catalog.clearCache()
+    }
+    if (!exists(s"$out/embeddings.parquet")) {
+      val t0 = System.nanoTime()
+      val kept = Similarity.dedupFirstIndex(spark, base, out)
+      System.err.println(f"[servedrecall] dedupFirstIndex kept $kept " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
+    freshAll()
+    val exact = graft.SparkEntry.queries("s1_knn_brute")(spark, out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    require(exact.size == 10, s"s1 returned ${exact.size} ids")
+    val q = graft.Tables.embeddings(spark, out)
+      .filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    freshAll()
+    val t1 = System.nanoTime()
+    val warm = Serving.serve(spark, out, q, k = 10, excludeId = 0L)
+    val warmSec = (System.nanoTime() - t1) / 1e9
+    val warmRecall = (warm.map(_._1).toSet & exact).size / 10.0
+    val idx = s"$out/index"
+    Serving.persistIndex(spark, out, idx)
+    freshAll()
+    Serving.loadIndexInto(spark, out, idx)
+    val cold = Serving.serve(spark, out, q, k = 10, excludeId = 0L)
+    require(cold == warm, "cold-started serve diverged from warm serve")
+    System.err.println(f"[servedrecall] organic ×$mult dedup-first: " +
+      f"served recall@10=$warmRecall%.2f (warm build $warmSec%.1f s; " +
+      "cold-start answer identical)")
+    val f = java.nio.file.Paths.get(s"$out/served_recall.json")
+    java.nio.file.Files.writeString(f,
+      s"""{"mode":"served_recall","mult":$mult,""" +
+        s""""recall_at_10":$warmRecall,"warm_build_sec":${fmt3(warmSec)},""" +
+        s""""cold_identical":true}""")
+    System.err.println(s"[rehearsal] served recall written to $f")
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -901,6 +953,10 @@ object ScaleRehearsal {
     }
     if (args.contains("nprobesweep")) {
       try runNProbeSweep(spark, mult) finally spark.stop()
+      return
+    }
+    if (args.contains("servedrecall")) {
+      try runServedRecall(spark, mult) finally spark.stop()
       return
     }
     if (args.contains("degenerate")) {

@@ -348,4 +348,48 @@ class ServingSpec extends SparkSuite {
     info(f"32-thread serving: p50 $p50%.3f ms, p99 $p99%.3f ms " +
       f"over ${sorted.size} ANN probes (geo probes interleaved)")
   }
+
+  test("dedupFirstIndex -> Serving end-to-end: the deduped engine-native " +
+    "layout serves bit-identically to the gated batch queries, incl. the " +
+    "files-only cold start through INDEX_META (r13 VERDICT ask #6)") {
+    import graft.queries.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-dedupserve").toString
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-dedupserve-idx").toString
+    def freshAll(): Unit = {
+      graft.queries.Dedup.clearMemo()
+      Similarity.clearTrainedCaches()
+      Serving.clearIndexCache()
+      spark.catalog.clearCache()
+    }
+    try {
+      val nKept = Similarity.dedupFirstIndex(spark, sf, out)
+      assert(nKept > 0 && nKept <= 500, s"implausible kept count $nKept")
+      // the production recipe in one breath: dedup-first layout, gated
+      // batch answer on it, then the serving tier over the SAME dir
+      freshAll()
+      val batch = s17Rows(out)
+      assert(batch.size == 10)
+      val served = Serving.serve(spark, out, emb(out, 0L), k = 10,
+        excludeId = 0L)
+      assert(served == batch,
+        "serving over dedupFirstIndex's layout diverges from the gated s17")
+      // cold start: persist the index, wipe every in-memory trace, and
+      // answer from files alone — INDEX_META geometry must survive the
+      // deduped (non-contiguous vec_id) corpus
+      Serving.persistIndex(spark, out, idxPath)
+      freshAll()
+      Serving.loadIndexInto(spark, out, idxPath)
+      val cold = Serving.serve(spark, out, emb(out, 0L), k = 10,
+        excludeId = 0L)
+      assert(cold == batch,
+        "cold-started serving over the deduped layout diverges")
+    } finally {
+      freshAll()
+      graft.util.Fs.rmTree(new java.io.File(out))
+      graft.util.Fs.rmTree(new java.io.File(idxPath))
+    }
+  }
 }
