@@ -323,15 +323,40 @@ object Fuzz {
     }
     if (tss.nonEmpty) choices += { () =>
       val a = baseE(pick(rng, tss))
-      rng.nextInt(4) match {
+      rng.nextInt(5) match {
         case 0 => E(s"year(${a.sql})", year(a.col), TInt)
         case 1 => E(s"month(${a.sql})", month(a.col), TInt)
         case 2 => E(s"day(${a.sql})", dayofmonth(a.col), TInt)
-        case _ =>
+        case 3 =>
           val part = pick(rng, Seq("year", "month", "day"))
           E(s"date_trunc(${sq(part)}, ${a.sql})",
             date_trunc(part, a.col), TTs)
+        case _ => // interval arithmetic — identical literal syntax
+          val k = 1 + rng.nextInt(90)
+          E(s"(${a.sql} + INTERVAL $k DAY)",
+            a.col + expr(s"INTERVAL $k DAY"), TTs)
       }
+    }
+    if (ints.nonEmpty || dbls.nonEmpty) choices += { () =>
+      val a = baseE(pick(rng, ints ++ dbls))
+      rng.nextInt(3) match {
+        case 0 => E(s"abs(${a.sql})", abs(a.col), a.typ)
+        // floor/ceil: Spark returns LONG for double input, DuckDB
+        // DOUBLE — CAST both sides to BIGINT (values are exact either
+        // way, only the carrier type differs)
+        case 1 => E(s"CAST(floor(${a.sql}) AS BIGINT)",
+          floor(a.col).cast("long"), TInt)
+        case _ => E(s"CAST(ceil(${a.sql}) AS BIGINT)",
+          ceil(a.col).cast("long"), TInt)
+      }
+    }
+    val domStrs = strs.filter(_.domain.isDefined)
+    if (domStrs.nonEmpty) choices += { () =>
+      val c = pick(rng, domStrs)
+      val v = c.domain.get.asInstanceOf[DStr].values
+      val from = pick(rng, v).take(1 + rng.nextInt(3))
+      E(s"replace(${c.name}, ${sq(from)}, ${sq("_")})",
+        replace(col(c.name), lit(from), lit("_")), TStr)
     }
     val predicable = t.cols.filter(_.domain.isDefined)
     if (predicable.nonEmpty) choices += { () => // CASE WHEN
@@ -498,6 +523,97 @@ object Fuzz {
     (sql, df)
   }
 
+  /** top-k groups: aggregate then ORDER BY the aggregate + keys, LIMIT.
+    * The ordering aggregate is INTEGER-valued (count / CAST sum) — a
+    * float aggregate differing in the last ulp between engines could
+    * legitimately pick a different group at the LIMIT boundary. */
+  private def shapeAggTopK(rng: Random, t: FTable): (String,
+      (SparkSession, String) => DataFrame) = {
+    val p = predicate(rng, t)
+    val nKeys = 1 + rng.nextInt(2)
+    val keys = (0 until nKeys).map(i => groupKey(rng, t, i))
+    val ints = t.cols.filter(_.typ == TInt)
+    val ord = if (ints.nonEmpty && rng.nextBoolean()) {
+      val c = pick(rng, ints)
+      ("z_0", E(s"CAST(sum(${c.name}) AS BIGINT)",
+        sum(col(c.name)).cast("long"), TInt))
+    } else ("z_0", E("count(*)", count(lit(1)), TInt))
+    val k = 3 + rng.nextInt(8)
+    val desc0 = rng.nextBoolean()
+    val keySqls = keys.map(_._2.sql)
+    val selSql = (keys.map { case (a, e) => s"${e.sql} AS $a" } :+
+      s"${ord._2.sql} AS z_0").mkString(", ")
+    // ORDER BY the agg then every key: keys are unique per group, so
+    // the order is total and the LIMIT deterministic. NULLS LAST/FIRST
+    // pinned explicitly — nullif'd keys may be null and the engines'
+    // defaults differ (the grammar rule that is elsewhere solved by
+    // never-null anchors)
+    val dir0 = if (desc0) "DESC" else "ASC"
+    val keyOrd = keys.map(kv => s"${kv._1} ASC NULLS LAST").mkString(", ")
+    val sql = s"SELECT $selSql FROM ${t.name} WHERE ${p.sql} " +
+      s"GROUP BY ${keySqls.mkString(", ")} " +
+      s"ORDER BY z_0 $dir0, $keyOrd LIMIT $k"
+    val df = (s: SparkSession, dir: String) => {
+      val agged = load(s, dir, t.name).filter(p.col)
+        .groupBy(keys.map { case (a, e) => e.col.as(a) }: _*)
+        .agg(ord._2.col.as("z_0"))
+      val ordCols = (if (desc0) col("z_0").desc else col("z_0").asc) +:
+        keys.map(kv => col(kv._1).asc_nulls_last)
+      agged.orderBy(ordCols: _*).limit(k)
+    }
+    (sql, df)
+  }
+
+  /** two-level aggregation: inner per-(k1, k2) counts, outer re-agg on
+    * k2 — integer algebra throughout, exact on both engines */
+  private def shapeNestedAgg(rng: Random, t: FTable): (String,
+      (SparkSession, String) => DataFrame) = {
+    val p = predicate(rng, t)
+    val k1 = groupKey(rng, t, 0)
+    val k2 = groupKey(rng, t, 1)
+    val sql = s"SELECT k_1, CAST(sum(c) AS BIGINT) AS z_0, " +
+      s"count(*) AS z_1, CAST(max(c) AS BIGINT) AS z_2 FROM (" +
+      s"SELECT ${k1._2.sql} AS k_0, ${k2._2.sql} AS k_1, count(*) AS c " +
+      s"FROM ${t.name} WHERE ${p.sql} GROUP BY ${k1._2.sql}, ${k2._2.sql}" +
+      s") sub GROUP BY k_1"
+    val df = (s: SparkSession, dir: String) =>
+      load(s, dir, t.name).filter(p.col)
+        .groupBy(k1._2.col.as("k_0"), k2._2.col.as("k_1"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("k_1")
+        .agg(sum(col("c")).cast("long").as("z_0"),
+          count(lit(1)).as("z_1"), max(col("c")).cast("long").as("z_2"))
+    (sql, df)
+  }
+
+  /** GROUP BY ROLLUP — subtotal/grand-total rows with null keys; the
+    * aggregates stay integer-exact so subtotal rows (which share null
+    * key values with each other) sort deterministically by value */
+  private def shapeRollup(rng: Random, t: FTable): (String,
+      (SparkSession, String) => DataFrame) = {
+    val p = predicate(rng, t)
+    val groupables = t.cols.filter(_.groupable)
+    val src = if (groupables.size >= 2) groupables else t.cols.filter(_.domain.isDefined)
+    val ks = Seq.fill(2)(pick(rng, src)).distinctBy(_.name) match {
+      case Seq(one) => Seq(one, src.find(_.name != one.name).getOrElse(one))
+      case more => more.take(2)
+    }
+    val ints = t.cols.filter(_.typ == TInt)
+    val aggSql = if (ints.nonEmpty) {
+      val c = pick(rng, ints)
+      (s"CAST(sum(${c.name}) AS BIGINT)", sum(col(c.name)).cast("long"))
+    } else ("count(*)", count(lit(1)))
+    val names = ks.map(_.name).distinct
+    val sql = s"SELECT ${names.mkString(", ")}, ${aggSql._1} AS z_0, " +
+      s"count(*) AS z_1 FROM ${t.name} WHERE ${p.sql} " +
+      s"GROUP BY ROLLUP(${names.mkString(", ")})"
+    val df = (s: SparkSession, dir: String) =>
+      load(s, dir, t.name).filter(p.col)
+        .rollup(names.map(col): _*)
+        .agg(aggSql._2.as("z_0"), count(lit(1)).as("z_1"))
+    (sql, df)
+  }
+
   /** FK join chain (1–2 hops, inner/left with filtered right subquery)
     * + aggregate over columns from any table in the chain */
   private def shapeJoinAgg(rng: Random, idx: Int): (String,
@@ -617,6 +733,25 @@ object Fuzz {
       winExprs += ((sumSql,
         if (x.typ == TInt) sumCol0.cast("long") else sumCol0))
     }
+    val intOrd = t.cols.filter(c => c.typ == TInt && c.domain.isDefined)
+    if (intOrd.nonEmpty && rng.nextBoolean()) {
+      // RANGE frame over ONE integer order column: peers (ties) are all
+      // included, so the frame is deterministic on both engines even
+      // where the order is not total
+      val oc = pick(rng, intOrd)
+      val w = 1 + rng.nextInt(1000)
+      val wRange = Window.partitionBy(g.map(c => Seq(col(c.name)))
+        .getOrElse(Seq(lit(1))): _*).orderBy(col(oc.name))
+        .rangeBetween(-w.toLong, 0L)
+      val rSql = s"CAST(sum(${x.name}) OVER (${partSql}ORDER BY ${oc.name} " +
+        s"RANGE BETWEEN $w PRECEDING AND CURRENT ROW) AS BIGINT)"
+      val rCol = sum(col(x.name).cast("long")).over(wRange).cast("long")
+      winExprs += ((if (x.typ == TInt) rSql
+        else s"sum(${x.name}) OVER (${partSql}ORDER BY ${oc.name} " +
+          s"RANGE BETWEEN $w PRECEDING AND CURRENT ROW)",
+        if (x.typ == TInt) rCol
+        else sum(col(x.name)).over(wRange)))
+    }
     val winSel = winExprs.zipWithIndex
       .map { case ((s0, _), i) => s"$s0 AS z_$i" }
     val selBase = (t.uniq ++ g.map(_.name).toSeq).distinct
@@ -687,14 +822,18 @@ object Fuzz {
   def genCase(seed: Long, index: Int): FuzzCase = {
     val rng = new Random(seed ^ (index.toLong * 0x9E3779B97F4A7C15L))
     val t = pick(rng, tables)
-    val (sql, df) = rng.nextInt(10) match {
+    val (sql, df) = rng.nextInt(14) match {
       case 0 | 1 => shapeScan(rng, t)
-      case 2 | 3 | 4 => shapeAgg(rng, t)
-      case 5 | 6 => shapeJoinAgg(rng, index)
-      case 7 => shapeSemiAnti(rng)
-      case 8 => shapeWindow(rng, t)
-      case _ => if (rng.nextBoolean()) shapeSetOp(rng, t)
+      case 2 | 3 => shapeAgg(rng, t)
+      case 4 | 5 => shapeJoinAgg(rng, index)
+      case 6 => shapeSemiAnti(rng)
+      case 7 | 12 => shapeWindow(rng, t)
+      case 8 => if (rng.nextBoolean()) shapeSetOp(rng, t)
         else shapeDistinct(rng, t)
+      case 9 => shapeAggTopK(rng, t)
+      case 10 => shapeNestedAgg(rng, t)
+      case 11 => shapeRollup(rng, t)
+      case _ => shapeAgg(rng, t)
     }
     FuzzCase(f"fz$index%04d", seed, index, sql, df)
   }
