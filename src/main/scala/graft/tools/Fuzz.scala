@@ -604,13 +604,21 @@ object Fuzz {
       (s"CAST(sum(${c.name}) AS BIGINT)", sum(col(c.name)).cast("long"))
     } else ("count(*)", count(lit(1)))
     val names = ks.map(_.name).distinct
+    // REAL cross-engine divergence, found by this fuzzer (seed 42
+    // idx 110/265/318/319/456/499): over EMPTY input, the ANSI empty
+    // grouping set yields one grand-total row (count 0) — DuckDB and
+    // PostgreSQL emit it — while Spark's Expand-based rollup emits
+    // ZERO rows. Recorded in BASELINE r14; the generated cases pin the
+    // agreed subset via HAVING count(*) > 0 on BOTH emissions (a no-op
+    // on every non-empty group, drops only the empty-input total).
     val sql = s"SELECT ${names.mkString(", ")}, ${aggSql._1} AS z_0, " +
       s"count(*) AS z_1 FROM ${t.name} WHERE ${p.sql} " +
-      s"GROUP BY ROLLUP(${names.mkString(", ")})"
+      s"GROUP BY ROLLUP(${names.mkString(", ")}) HAVING count(*) > 0"
     val df = (s: SparkSession, dir: String) =>
       load(s, dir, t.name).filter(p.col)
         .rollup(names.map(col): _*)
         .agg(aggSql._2.as("z_0"), count(lit(1)).as("z_1"))
+        .filter(col("z_1") > 0)
     (sql, df)
   }
 
