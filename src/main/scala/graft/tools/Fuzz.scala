@@ -224,16 +224,9 @@ object Fuzz {
           case "=" => b.col === l.col; case _ => b.col =!= l.col
         }
         E(s"(${b.sql} $op ${l.sql})", cc, TStr /*bool*/)
-      case 1 => // between (order the endpoints)
+      case 1 => // between: endpoint order delegated to least/greatest —
+        // identical builtins in both engines, no literal-order guessing
         val (x, y) = (litFor(rng, d), litFor(rng, d))
-        val (lo, hi) = d match {
-          case _: DStr => if (x.sql <= y.sql) (x, y) else (y, x)
-          case _ => if (x.sql.replaceAll("[^0-9.-]", "") <= y.sql
-            .replaceAll("[^0-9.-]", "")) (x, y) else (y, x)
-        }
-        // string compare of numeric literals is not numeric order; use
-        // the column-safe form `x BETWEEN least(a,b) AND greatest(a,b)`
-        // instead of guessing — identical builtins in both engines
         E(s"(${b.sql} BETWEEN least(${x.sql}, ${y.sql}) AND " +
             s"greatest(${x.sql}, ${y.sql}))",
           b.col.between(least(x.col, y.col), greatest(x.col, y.col)), TStr)
