@@ -40,7 +40,19 @@ object AdaptiveCap {
     * ([[graft.queries.Dedup]] `permilleCapSql`).
     */
   def permilleCap(counts: DataFrame, countCol: String, floor: Long,
-      permille: Int = 999): Long = {
+      permille: Int = 999): Long =
+    permilleCapWithMax(counts, countCol, floor, permille)._1
+
+  /** [[permilleCap]] plus the LARGEST count value, read off the same
+    * collected histogram for free (its last row). Callers use the max to
+    * prove a hot-tail cut vacuous — `max ≤ cap` means NO count exceeds
+    * the cap, so the consumer can skip building its over-cap side
+    * entirely (dd2/dd12 skip the `nhot` aggregation + two joins) instead
+    * of running provably-empty plan branches. An empty counts frame
+    * reports max = 0 (no count exceeds any cap ≥ floor ≥ 0).
+    */
+  def permilleCapWithMax(counts: DataFrame, countCol: String, floor: Long,
+      permille: Int = 999): (Long, Long) = {
     require(permille >= 1 && permille <= 1000, s"bad permille $permille")
     val hist = counts
       .groupBy(col(countCol).cast("long").as("v"))
@@ -48,12 +60,12 @@ object AdaptiveCap {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
     val n = hist.iterator.map(_._2).sum
-    if (n == 0L) floor
+    if (n == 0L) (floor, 0L)
     else {
       val rank = (permille.toLong * n + 999L) / 1000L // exact ceil
       val cums = hist.iterator.scanLeft(0L)(_ + _._2).drop(1).toArray
       val idx = cums.indexWhere(_ >= rank)
-      math.max(floor, hist(idx)._1)
+      (math.max(floor, hist(idx)._1), hist.last._1)
     }
   }
 }

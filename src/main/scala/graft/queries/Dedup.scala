@@ -284,19 +284,23 @@ object Dedup {
       .persist()
     // the adaptive-cap histogram is a tiny agg over the ALREADY-persisted
     // dfreq frame, so deriving the cap costs one extra driver lookup, not
-    // a corpus scan
-    val cap = capOverride.getOrElse(
-      AdaptiveCap.permilleCap(dfreqs, "dfreq", DocFreqFloor))
+    // a corpus scan. The SAME collected histogram also yields max(dfreq)
+    // for free: when max ≤ cap there IS no hot shingle, so the nhot
+    // aggregation + its two joins below are provably empty plan branches
+    // and are skipped outright (ub = shared_rare exactly — identical to
+    // the full path's shared_rare + least(0, 0)). A capOverride (the
+    // AdaptiveCapSpec monotonicity probe) bypasses the histogram, so it
+    // keeps the full path (maxDfreq unknown ⇒ assume hot).
+    val (cap, maxDfreq) = capOverride match {
+      case Some(c) => (c, Long.MaxValue)
+      case None =>
+        AdaptiveCap.permilleCapWithMax(dfreqs, "dfreq", DocFreqFloor)
+    }
     // ONE join annotates every shingle row with its doc frequency
     // (inner: dfreqs has exactly one row per key, so the multiset is
     // unchanged); rare/hot are then FILTERS — the former two semi-joins
     // re-exploded and re-shuffled the whole shingle frame once each
     val exDf = ex.join(dfreqs, Seq("lang", "shingle"))
-    // per-doc count of hot (over-cap) shingles: bounds how much shared
-    // mass the candidate join can't see. Usually an empty frame — the cap
-    // is above every organic doc-freq at the test SFs.
-    val nhot = exDf.filter(col("dfreq") > cap)
-      .groupBy("doc_id").agg(count(lit(1)).as("nhot"))
     val rare = exDf.filter(col("dfreq").between(2, cap))
       .select("lang", "shingle", "doc_id", "nsh")
     val a = rare.alias("a")
@@ -336,14 +340,26 @@ object Dedup {
     // pairs, not on every candidate (sf0.1: ~10² array ops instead of
     // ~10⁶). With no hot shingles the bound is exact and the re-rank
     // confirms it. nhot joins stay POST-groupBy: the nhot frame is
-    // per-doc (≪ candidate rows) and usually empty.
-    val candBounds = cand
-      .join(nhot.select(col("doc_id").as("i"), col("nhot").as("nhot_i")),
-        Seq("i"), "left")
-      .join(nhot.select(col("doc_id").as("j"), col("nhot").as("nhot_j")),
-        Seq("j"), "left")
-      .withColumn("ub", col("shared_rare") +
-        least(coalesce(col("nhot_i"), lit(0L)), coalesce(col("nhot_j"), lit(0L))))
+    // per-doc (≪ candidate rows) and usually empty — and when the
+    // histogram PROVES it empty (maxDfreq ≤ cap), the per-doc hot count
+    // and both joins are dropped from the plan entirely: ub =
+    // shared_rare + least(0, 0) degenerates to shared_rare.
+    val candBounds =
+      if (maxDfreq <= cap) cand.withColumn("ub", col("shared_rare"))
+      else {
+        // per-doc count of hot (over-cap) shingles: bounds how much
+        // shared mass the candidate join can't see
+        val nhot = exDf.filter(col("dfreq") > cap)
+          .groupBy("doc_id").agg(count(lit(1)).as("nhot"))
+        cand
+          .join(nhot.select(col("doc_id").as("i"), col("nhot").as("nhot_i")),
+            Seq("i"), "left")
+          .join(nhot.select(col("doc_id").as("j"), col("nhot").as("nhot_j")),
+            Seq("j"), "left")
+          .withColumn("ub", col("shared_rare") +
+            least(coalesce(col("nhot_i"), lit(0L)),
+              coalesce(col("nhot_j"), lit(0L))))
+      }
     (candBounds, docs, cap, Seq(docs, dfreqs))
   }
 

@@ -2078,7 +2078,7 @@ object Relational {
     // with p1 < p2 generating each unordered pair once. The fan-out is
     // per-basket k(k−1)/2 — and, because one adversarial mega-basket
     // would make the pair shuffle quadratic, baskets above the adaptive
-    // p99.9 size cap ([[cappedBasketItems]], the dd2 doc-frequency-cut
+    // p99.9 size cap ([[cappedBasketPairs]], the dd2 doc-frequency-cut
     // pattern) are EXCLUDED from pair generation; the chosen cap is
     // emitted as `cap_baskets` so the oracle certifies the derivation.
     // One shuffle for distinct, the self-join reuses that Exchange on
@@ -2086,12 +2086,9 @@ object Relational {
     // TakeOrderedAndProject for the head. Ties under the support
     // ordering break by (p1, p2) — exact BIGINT emission all the way.
     "q57_copurchase_pairs" -> ((s, dir) => {
-      val (lik, liCache, cap) = cappedBasketItems(s, dir)
+      val (pairs, liCache, cap) = cappedBasketPairs(s, dir)
       QueryCache.resultThenRelease(
-        lik.select(col("ok"), col("pk").as("p1"))
-          .join(lik.select(col("ok"), col("pk").as("p2")), "ok")
-          .filter(col("p1") < col("p2"))
-          .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+        pairs
           .withColumn("cap_baskets", lit(cap))
           .orderBy(col("n_orders").desc, col("p1"), col("p2"))
           .limit(25),
@@ -2185,23 +2182,20 @@ object Relational {
     // its CTE; the COUNT is formulation-independent, so the oracle's
     // wedge-join spelling certifies this adjacency-set spelling).
     "q60_triangle_count" -> ((s, dir) => {
-      val (lik, liCache, cap) = cappedBasketItems(s, dir)
+      val (pairs, liCache, cap) = cappedBasketPairs(s, dir)
       // e IS a persist point: the support-2 edge frame is the expansion
       // choke — deg references it twice (union), o three times (via the
       // two degree joins), and the triangle stage three more.
-      // Unpersisted, Catalyst expands the whole lineitem→distinct→
-      // semi-join→pair-agg pipeline into every one of those branches
+      // Unpersisted, Catalyst expands the whole lineitem→basket→
+      // pair-agg pipeline into every one of those branches
       // (measured: a 380-Exchange plan and +1 s vs the cached form at
       // sf0.1 — exchange reuse does not rescue a tree this bushy,
       // because each branch pushes different IsNotNull filters into the
       // shared scan and the subtrees stop canonicalizing equal). deg
       // stays unpersisted: recomputing it from the cached e is one
       // cheap union-agg.
-      val e = lik.select(col("ok"), col("pk").as("p1"))
-        .join(lik.select(col("ok"), col("pk").as("p2")), "ok")
-        .filter(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
+      val e = pairs
+        .filter(col("n_orders") >= 2)
         .select("p1", "p2")
         .persist()
       // materialize the cache BEFORE the consumers are declared: the
@@ -2279,23 +2273,58 @@ object Relational {
     * persisted frame + collected integer is the structure that bounds
     * the lineitem work to ONE distinct whatever the consumer shape.
     */
-  private def cappedBasketItems(s: SparkSession, dir: String)
+  /** Co-purchase pair counts under the adaptive basket cap — the shared
+    * front end of q57 (top pairs) and q60 (support-2 edge list), returned
+    * aggregated: one row per unordered item pair with the number of
+    * capped baskets containing both, plus the persisted basket frame
+    * (the caller must release it) and the derived cap.
+    *
+    * ONE exchange (hash by ok) carries the whole basket pipeline. The
+    * former shape — distinct() [exchange on (ok, pk)] → groupBy(ok)
+    * sizes [exchange on ok] → semi-join keep → pair SELF-JOIN
+    * [exchange on ok per side] → pair groupBy [exchange] — moved the
+    * same rows through five differently-keyed shuffles (guide §2.4:
+    * operations keyed the same way should share one exchange). Here one
+    * groupBy(ok) folds each basket's distinct items into a sorted array
+    * (collect_set dedups in the partial phase, so the map side already
+    * shuffles sets, not raw rows), the size profile/cap filter are row
+    * operations on that 1-row-per-basket frame, and the i<j pairs come
+    * from an in-row transform over the sorted array (sortedness makes
+    * p1 < p2 structural) — no self-join exists to re-shuffle. Remaining
+    * exchanges: the ok groupBy and the pair groupBy (plus the tiny cap
+    * histogram). Measured at sf0.1: q57 2.67 → 1.7 s, 15 → 8 jobs;
+    * identical rows.
+    *
+    * Scale note: the per-basket set state is bounded by the basket's
+    * distinct-item count — the same per-group contract dd2's per-doc
+    * shingle arrays and q60's O(√E)-bounded adjacency lists already
+    * carry; the cap bounds the PAIR fan-out exactly as before (the
+    * transform runs only on baskets the cap admitted). The pair
+    * explosion is capped at cap·(cap−1)/2 per basket.
+    */
+  private def cappedBasketPairs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) = {
-    val li = Tables.lineitem(s, dir)
+    val arr = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("items"))
+      .withColumn("bsz", size(col("items")))
       .persist()
     // the cap-derivation collect runs BEFORE resultThenRelease takes
     // ownership of the cache — a failure here must release it, not leak
     // it out of the helper (PageRank's validation-path rule)
     try {
-      val sizes = li.groupBy("ok").agg(count(lit(1)).as("bsz"))
-      val cap = graft.operators.AdaptiveCap.permilleCap(sizes, "bsz",
-        BasketFloor)
-      val keep = sizes.filter(col("bsz") <= cap).select("ok")
-      (li.join(keep, Seq("ok"), "left_semi"), li, cap)
+      val cap = graft.operators.AdaptiveCap.permilleCap(
+        arr.select("bsz"), "bsz", BasketFloor)
+      val pairs = arr.filter(col("bsz") <= cap)
+        .select(explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + lit(2),
+              greatest(col("bsz") - i - lit(1), lit(0))),
+            y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+      (pairs, arr, cap)
     } catch { case e: Throwable =>
-      li.unpersist(blocking = false)
+      arr.unpersist(blocking = false)
       throw e
     }
   }
