@@ -16,9 +16,21 @@ private[graft] object Checkpoints {
     * the frame is unrecoverable (lineage was truncated) — only call on
     * rounds no later plan references.
     */
-  def free(df: DataFrame): Unit =
-    df.queryExecution.optimizedPlan match {
+  def free(df: DataFrame): Unit = {
+    // look through projections: a checkpoint-returning operator may
+    // narrow its public schema (ConnectedComponents drops its internal
+    // convergence column), and the owner must still be able to free the
+    // blocks underneath. Only Project is traversed — anything deeper
+    // (joins, aggregates) means the frame no longer OWNS the checkpoint
+    // and freeing it from here would yank blocks out from under other
+    // references.
+    def loop(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Unit = p match {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        loop(pr.child)
       case _ => ()
     }
+    loop(df.queryExecution.optimizedPlan)
+  }
 }
