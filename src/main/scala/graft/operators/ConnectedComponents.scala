@@ -114,7 +114,11 @@ object ConnectedComponents {
         live -= hooked
         // labels only DECREASE, so label != orig on any row iff the
         // round moved something — same predicate the former join probe
-        // evaluated, now a scan of the just-checkpointed blocks
+        // evaluated, now a scan of the just-checkpointed blocks.
+        // (The small-loop AQE fast path PageRank takes was A/B'd here
+        // too and LOST — dd8 4.2→4.8 s, mm7 2.6→3.8 s at sf0.1: CC's
+        // hook join relies on AQE's runtime broadcast conversion, which
+        // the fast path forfeits — so CC keeps AQE on at every size.)
         converged = next.filter(col("label") =!= col("orig")).count() == 0
         // the previous round is no longer referenced by anything
         Checkpoints.free(labels)

@@ -109,27 +109,60 @@ object PageRank {
     var ranks: DataFrame = null
     var lastCp: DataFrame = null
     var done = false
+    var aqeRestore: Option[() => Unit] = None
     try {
-      val n = nodes.count().toDouble // materializes both persists
-      val anyDangling = dangling.limit(1).count() > 0
+      // ONE setup action (was three jobs: nodes.count, a dangling
+      // limit-probe, and a no-in-edge anti-join probe — each its own
+      // job plus AQE sub-jobs): |nodes|, the dangling count and the
+      // no-in-edge count fold into a single aggregate over nodes
+      // left-joined with the distinct src/dst sets. Materializes both
+      // persists exactly like the old nodes.count did; `dangling`
+      // stays lazy and only ever materializes when the graph actually
+      // has dangling mass to re-aggregate per round.
+      val probe = nodes
+        .join(norm.select(col("src").as("node")).distinct()
+          .withColumn("_out", lit(1)), Seq("node"), "left")
+        .join(norm.select(col("dst").as("node")).distinct()
+          .withColumn("_in", lit(1)), Seq("node"), "left")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("_out").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_dangling"),
+          coalesce(sum(when(col("_in").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_no_in"))
+        .head()
+      val n = probe.getLong(0).toDouble
+      val anyDangling = probe.getLong(1) > 0L
       if (requireFullDegree) {
         require(!anyDangling,
           "dangling node (no out-edges) present — the caller's SQL oracle " +
             "cannot replay the dangling-mass term; re-derive the graph or " +
             "drop requireFullDegree")
-        val noIn = nodes.join(
-          norm.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
-        require(noIn.limit(1).count() == 0,
+        require(probe.getLong(2) == 0L,
           "node with no in-edges present — the recursive-CTE oracle's inner " +
             "join would drop it; re-derive the graph or drop requireFullDegree")
       }
 
+      // NOT checkpointed: rank₀ is a constant projection over the
+      // persisted nodes frame — cheaper to fold into iteration 1's
+      // checkpoint job than to pay a job materializing it
+      // (Checkpoints.free below no-ops on a non-checkpointed frame).
       ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-        .localCheckpoint() // eager
       // the latest CHECKPOINTED round: intermediate (uncheckpointed)
       // rounds keep their lineage anchored on this frame's blocks, so
       // it is freed only when a NEWER checkpoint exists
       lastCp = ranks
+      // Small-graph fast path (scale-adaptive, guide §1.2/§2): each
+      // checkpointed round is re-planned from scratch, and with AQE on
+      // every Exchange in the round becomes its own job submission +
+      // runtime re-optimization. That machinery exists to coalesce and
+      // skew-split LARGE shuffles; when the rank frame is provably tiny
+      // (n from the setup probe) the per-round replanning costs more
+      // wall than it can ever recover (measured on the gated q58 graph:
+      // 56 → 26 jobs, −0.3 s of pure scheduling), so the loop runs with
+      // AQE off below the row bound and untouched above it. The conf is
+      // restored in the outer finally (failure paths included).
+      aqeRestore = Some(Checkpoints.disableAqeForSmallLoop(
+        edges.sparkSession, n.toLong))
       var it = 0
       var converged = false
       while (it < iters && !converged) {
@@ -184,6 +217,7 @@ object PageRank {
       done = true
       (ranks, it)
     } finally {
+      aqeRestore.foreach(_.apply())
       norm.unpersist()
       nodes.unpersist()
       dangling.unpersist()

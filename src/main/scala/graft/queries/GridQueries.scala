@@ -208,9 +208,13 @@ object GridQueries {
           (length(col("event_type")) % 2).cast("double").as("q"))
         .agg(avg("value").as("v"))
         .persist()
-      def axis(c: String): Array[Double] =
-        series.select(c).distinct().orderBy(c).collect().map(_.getDouble(0))
-      val (tA, uA, pA, qA) = (axis("t"), axis("u"), axis("p"), axis("q"))
+      // ONE collect for all four axes (was one distinct+sort job per
+      // axis — four actions): the persisted series is 72 cells, so the
+      // axis extraction is a driver-side distinct over materialized rows
+      val cells = series.select("t", "u", "p", "q").collect()
+      def axis(i: Int): Array[Double] =
+        cells.map(_.getDouble(i)).distinct.sorted
+      val (tA, uA, pA, qA) = (axis(0), axis(1), axis(2), axis(3))
       val probes = fracs.map { case (i, f) =>
         (i.toLong,
           tA.head + f * (tA.last - tA.head),
@@ -237,10 +241,13 @@ object GridQueries {
           (col("user_id") % 4).cast("double").as("u"))
         .agg(avg("value").as("v"))
         .persist()
-      val tAxis = series.select("t").distinct().orderBy("t")
-        .collect().map(_.getDouble(0))
-      val uAxis = series.select("u").distinct().orderBy("u")
-        .collect().map(_.getDouble(0))
+      // ONE collect for both axes (was one distinct+sort job per axis):
+      // the persisted series is |cells|-bounded, so the axis extraction
+      // is a driver-side distinct over rows already materialized — the
+      // same values the per-axis jobs produced, two fewer actions
+      val cells = series.select("t", "u").collect()
+      val tAxis = cells.map(_.getDouble(0)).distinct.sorted
+      val uAxis = cells.map(_.getDouble(1)).distinct.sorted
       val probes = fracs.map { case (i, f) =>
         (i.toLong,
           tAxis.head + f * (tAxis.last - tAxis.head),
