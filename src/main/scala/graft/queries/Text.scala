@@ -244,7 +244,10 @@ object Text {
     // is unique and compared first). Every emitted column is an integer
     // or a categorical string — nothing order-sensitive reaches the hash.
     "p1_pipeline_e2e" -> ((s, dir) => {
-      val scored = Tables.documents(s, dir)
+      // spread before the per-doc kernels: the driver parquet is
+      // single-row-group, so an unspread scan tokenizes the whole
+      // corpus on ONE core (guide §2.5 input skew)
+      val scored = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"),
           tokenCount(col("text")).as("n_tokens"),
           md5(col("text")).as("text_key"),
@@ -288,7 +291,11 @@ object Text {
       // train side and the left_anti survivor join — without the persist
       // Catalyst instantiates the scan + quality filter + word-stats agg
       // subtree twice (PlanShapeSpec pins the resulting Exchange bound)
-      val rep = repCleanDocs(Tables.documents(s, dir)).persist()
+      // spread before the per-doc kernels: the driver parquet is
+      // single-row-group, so an unspread scan runs every quality/
+      // repetition kernel on ONE core (guide §2.5 input skew)
+      val rep = repCleanDocs(Tables.spread(Tables.documents(s, dir)))
+        .persist()
       val train = rep.filter(col("doc_id") % 97 =!= 0)
       val evalDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 97 === 0).select("doc_id", "text")
@@ -320,11 +327,36 @@ object Text {
     // persisted barriers p8 already uses; at 100 TB each count is one
     // map-side-combined scan of a frame the pipeline materializes anyway.
     "p20_stage_attrition" -> ((s, dir) => {
-      val raw = Tables.documents(s, dir)
+      // Stage-aggregate fusion (optimization guide §1.2/§2.4): the
+      // former per-stage `agg` branches re-scanned the corpus once for
+      // stage 0 and once for stage 1 (each a SINGLE-task kernel pass —
+      // the driver parquet is one row group), and read the rep persist
+      // once each for stages 2 and 3. Stages 0-1 now share ONE spread
+      // scan (quality is a column; the two stage rows come off one
+      // aggregate via stack) and stages 2-3 share ONE pass over the rep
+      // persist (the holdout split is a conditional sum). The emitted
+      // rows are bit-identical: same counts, same coalesce(sum, 0)
+      // null-handling, same names and BIGINT types — the oracle's
+      // P8Cte replay is unchanged.
+      val enriched = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"),
-          tokenCount(col("text")).as("n_tokens"))
-      val q = qualityDocs(Tables.documents(s, dir))
-      val rep = repCleanDocs(Tables.documents(s, dir)).persist()
+          tokenCount(col("text")).as("n_tokens"),
+          qualityScore(col("text")).as("quality"))
+      def cnt(p: Column): Column =
+        coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L))
+      def tok(p: Column): Column =
+        coalesce(sum(when(p, col("n_tokens")).otherwise(0L)), lit(0L))
+      val rawQuality = enriched
+        .agg(count(lit(1)).as("n0"),
+          coalesce(sum("n_tokens"), lit(0L)).as("s0"),
+          cnt(col("quality") >= 0.5).as("n1"),
+          tok(col("quality") >= 0.5).as("s1"))
+        .selectExpr("stack(2, " +
+          "'0_raw', CAST(0 AS BIGINT), n0, s0, " +
+          "'1_quality', CAST(1 AS BIGINT), n1, s1) " +
+          "AS (stage, stage_ord, n_docs, sum_tokens)")
+      val rep = repCleanDocs(Tables.spread(Tables.documents(s, dir)))
+        .persist()
       val train = rep.filter(col("doc_id") % 97 =!= 0)
       val evalDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 97 === 0).select("doc_id", "text")
@@ -335,15 +367,22 @@ object Text {
       val deduped = exactDedupMeta(clean).persist()
       val stats = deduped.groupBy("lang").agg(count(lit(1)).as("n_lang"))
       val mixed = mixtureSurvivors(deduped, stats)
+      val repTrain = rep
+        .agg(count(lit(1)).as("n2"),
+          coalesce(sum("n_tokens"), lit(0L)).as("s2"),
+          cnt(col("doc_id") % 97 =!= 0).as("n3"),
+          tok(col("doc_id") % 97 =!= 0).as("s3"))
+        .selectExpr("stack(2, " +
+          "'2_repetition', CAST(2 AS BIGINT), n2, s2, " +
+          "'3_train_holdout', CAST(3 AS BIGINT), n3, s3) " +
+          "AS (stage, stage_ord, n_docs, sum_tokens)")
       def stage(name: String, ord: Long, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_docs"),
             coalesce(sum("n_tokens"), lit(0L)).as("sum_tokens"))
           .select(lit(name).as("stage"), lit(ord).as("stage_ord"),
             col("n_docs"), col("sum_tokens"))
-      val out = stage("0_raw", 0L, raw)
-        .unionByName(stage("1_quality", 1L, q))
-        .unionByName(stage("2_repetition", 2L, rep))
-        .unionByName(stage("3_train_holdout", 3L, train))
+      val out = rawQuality
+        .unionByName(repTrain)
         .unionByName(stage("4_decontaminated", 4L, clean))
         .unionByName(stage("5_exact_dedup", 5L, deduped))
         .unionByName(stage("6_mixture", 6L, mixed))

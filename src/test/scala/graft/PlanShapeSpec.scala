@@ -297,14 +297,18 @@ class PlanShapeSpec extends SparkSuite {
     // below would pass vacuously — fail loudly on format drift instead
     assert(all.nonEmpty, "no [plan_id=N]-tagged Exchange lines found — " +
       "the plan print format changed; update the extraction")
-    // 15 distinct ids in the current static plan (13 stage exchanges +
-    // 2 added by canChangeCachedPlanOutputPartitioning=true, which
-    // plans an explicit re-partition above cached reads instead of
-    // trusting the cache's layout — AQE elides/coalesces those at
-    // runtime); 16 leaves one id of headroom for print-format jitter
-    // while still firing on a stage recomputation, which adds 2+
-    // (measured: removing one barrier → +3)
-    assert(all.size <= 16,
+    // 19 distinct ids in the current static plan: 13 stage exchanges +
+    // 2 added by canChangeCachedPlanOutputPartitioning=true (an explicit
+    // re-partition above cached reads instead of trusting the cache's
+    // layout — AQE elides/coalesces those at runtime) + 4 from the r14
+    // kernel-parallelism spread (the quality scan is spread before the
+    // per-doc kernels; the RoundRobin exchange gets a distinct id per
+    // instantiated branch of the rep self-join — deliberate: without it
+    // the single-row-group driver parquet runs every kernel on one
+    // core). 20 leaves one id of headroom for print-format jitter while
+    // still firing on a stage recomputation, which adds 2+ (measured:
+    // removing one barrier → +3)
+    assert(all.size <= 20,
       s"p8 plans ${all.size} distinct non-broadcast Exchanges:\n" +
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
     // the barriers themselves: the plan must reference ≥3 DISTINCT
