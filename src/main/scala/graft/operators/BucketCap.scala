@@ -127,15 +127,32 @@ object BucketCap {
     */
   def capBucketsAdaptive(df: DataFrame, keyCols: Seq[String], floor: Long)
       : (DataFrame, Long, DataFrame) = {
+    val (out, cap, _, sizes) = capBucketsAdaptiveWithMax(df, keyCols, floor)
+    (out, cap, sizes)
+  }
+
+  /** [[capBucketsAdaptive]] plus the LARGEST bucket size, read off the
+    * same collected histogram for free (dd2's `permilleCapWithMax`
+    * pattern). When max ≤ cap NO bucket is over the cap, so the oversize
+    * anti-join is provably a no-op and is dropped from the plan outright
+    * (`out eq df` filter-free); callers can additionally use the proof to
+    * take capping-free fast paths (dd4's minimal-band pair emission).
+    */
+  def capBucketsAdaptiveWithMax(df: DataFrame, keyCols: Seq[String],
+      floor: Long): (DataFrame, Long, Long, DataFrame) = {
     require(floor >= 2, s"floor $floor would drop every pair-producing bucket")
     val sizes = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
       .persist()
-    val cap = AdaptiveCap.permilleCap(sizes, "_bsz", floor)
-    val oversize = sizes.filter(col("_bsz") > cap)
-      .select(keyCols.map(col): _*)
-    val out = df.join(oversize, keyCols, "left_anti")
-      .select(df.columns.map(col).toIndexedSeq: _*)
-    (out, cap, sizes)
+    val (cap, maxB) = AdaptiveCap.permilleCapWithMax(sizes, "_bsz", floor)
+    val out =
+      if (maxB <= cap) df
+      else {
+        val oversize = sizes.filter(col("_bsz") > cap)
+          .select(keyCols.map(col): _*)
+        df.join(oversize, keyCols, "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      }
+    (out, cap, maxB, sizes)
   }
 }

@@ -767,6 +767,14 @@ object Dedup {
       val docs = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
         .persist()
+      // (r14 A/B, rejected: emitting each pair once from its minimal
+      // shared band — derivable bitwise from sh_i XOR sh_j when the cap
+      // histogram proves nothing was capped — removes the 4.16M-row /
+      // 95 MiB distinct exchange and both sketch re-joins, but measured
+      // SLOWER at sf0.1, 1.58 → 1.77 s min-of-6 on a quieter box: the
+      // sketches riding the bucket join cost more than the saved
+      // exchange at gate scale. The capBucketsAdaptive anti-join elision
+      // below is kept — that part is free.)
       val banded = docs.select(col("doc_id"),
         explode(longBands(col("sh"), bands = 8, bitsPerBand = 8)).as("bk"))
       val (capped, cap, sizes) =
