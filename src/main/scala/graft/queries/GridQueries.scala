@@ -399,14 +399,20 @@ object GridQueries {
     // the object store GraftS3 configures (the reference stages its
     // planes on live S3).
     val gridDir = Fs.mkStagingDir(s, "graft_g5_")
-    val tPlanes = series.select("t_s").distinct().orderBy("t_s")
-      .collect().map(_.getLong(0))
+    // ONE collect for the plane list AND the density guard (was a
+    // distinct+sort collect plus a separate count job): the per-plane
+    // cell counts are |planes| rows, and their driver-side sum is the
+    // same total the count() compared
+    val planeCounts = series.groupBy("t_s").agg(count(lit(1)).as("n"))
+      .orderBy("t_s").collect()
+    val tPlanes = planeCounts.map(_.getLong(0))
     // loud guard for the dense-grid reference invariant this construction
     // relies on (every timestep file carries the full h axis): a sparse
     // cell would otherwise surface as a confusing interpolator/oracle
     // mismatch. Verified dense at every driver SF (min cell count 2).
-    require(series.count() == tPlanes.length * 8L,
-      s"g5 grid not dense: ${series.count()} cells for ${tPlanes.length}×8")
+    val nCells = planeCounts.map(_.getLong(1)).sum
+    require(nCells == tPlanes.length * 8L,
+      s"g5 grid not dense: $nCells cells for ${tPlanes.length}×8")
     // ONE write job for all planes (repartition on t_s → one file per
     // plane), then driver-side renames of the partition dirs into the
     // reference's flat `data_<ts>.parquet` layout — the per-plane
@@ -440,9 +446,11 @@ object GridQueries {
       .select(col("time").cast("double").as("tc"),
         col("h").cast("double").as("h"), col("v"))
       .persist()
-    def axis(c: String): Array[Double] =
-      fetched.select(c).distinct().orderBy(c).collect().map(_.getDouble(0))
-    val (tA, hA) = (axis("tc"), axis("h"))
+    // ONE collect for both axes (g3's fusion): the persisted fetch
+    // window is |planes|·8 cells, driver-side distinct is free
+    val cells = fetched.select("tc", "h").collect()
+    val tA = cells.map(_.getDouble(0)).distinct.sorted
+    val hA = cells.map(_.getDouble(1)).distinct.sorted
     val probes = fracs.map { case (i, f) =>
       (i.toLong,
         tA.head + f * (tA.last - tA.head),

@@ -787,6 +787,10 @@ object Relational {
           countDistinct(col(c)).as(s"nd_$c")))
       val stackArgs = cols
         .map(c => s"'$c', n_rows, nn_$c, nd_$c").mkString(", ")
+      // (r14 A/B, rejected: spreading the scan before the multi-distinct
+      // Expand parallelizes it but shuffles the full rows incl. props —
+      // measured 0.92 → 1.21 s min-of-6 on a quieter box; the Expand's
+      // one-core cost is cheaper than moving the payload.)
       Tables.events(s, dir)
         .agg(aggs.head, aggs.tail: _*)
         .select(expr(s"stack(${cols.length}, $stackArgs)" +

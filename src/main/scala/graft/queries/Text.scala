@@ -864,8 +864,11 @@ object Text {
     // collect is the bounded driver tier (≤ m strings, P4's rule).
     "t25_hot_ngrams" -> ((s, dir) => {
       import s.implicits._
+      // spread: both passes explode trigrams from the single-row-group
+      // scan — unspread, each tokenize+explode runs on one core
       def grams = trigrams(
-        Tables.documents(s, dir).select(tokens(col("text")).as("t")))
+        Tables.spread(Tables.documents(s, dir))
+          .select(tokens(col("text")).as("t")))
       val pass1 = grams.agg(
         HeavyHitters.mgCandidates(col("gram"), 16384).as("cand"),
         count(lit(1)).as("n")).head()
@@ -1335,7 +1338,9 @@ object Text {
     // BIGINT-exact; avg_logp2 is the same IEEE log2 terms summed in
     // engine-specific order (t21's documented float-tolerance ride).
     "t23_lm_perplexity" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
+      // spread: three explode passes (bigrams ×2 via `big`, unigrams)
+      // otherwise each tokenize the corpus on the scan's one core
+      val toks = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), tokens(col("text")).as("t"))
       def big = toks.select(col("doc_id"),
           explode(zip_with(
