@@ -81,22 +81,23 @@ object ConnectedComponents {
           .join(labels, edges("j") === labels("node"))
           .groupBy(edges("i").as("node"))
           .agg(min("label").as("nbr_label"))
-        // hook: one-hop neighbor-min propagation (checkpointed — the
-        // shortcut references it twice, and an unmaterialized frame is
-        // recomputed per branch). The round's STARTING label rides along
-        // as `orig` so convergence below is a column comparison on the
-        // round's own checkpoint instead of a (node=node) join back to
-        // the previous round — one join + exchange pair less per round
-        // (the probe was ~2 extra stages of pure scheduling latency on
-        // small graphs, and at scale a full |nodes| shuffle).
+        // hook: one-hop neighbor-min propagation. The round's STARTING
+        // label rides along as `orig` so convergence below is a column
+        // comparison on the round's own checkpoint instead of a
+        // (node=node) join back to the previous round — one join +
+        // exchange pair less per round. NOT checkpointed (r14): the
+        // shortcut references it twice, but both references share the
+        // identical hook subtree, so exchange/stage reuse materializes
+        // its shuffles once — the former mid-round localCheckpoint was
+        // one extra job per round for blocks the round immediately
+        // freed (A/B at sf0.1, min-of-6: dd8 raw 3.95 → 3.54 s, mm7 /
+        // dd14 flat; storage per round strictly smaller).
         val hooked = labels.alias("l")
           .join(nbrMin.alias("n"), col("l.node") === col("n.node"), "left")
           .select(col("l.node").as("node"),
             least(col("l.label"),
               coalesce(col("n.nbr_label"), col("l.label"))).as("label"),
             col("l.label").as("orig"))
-          .localCheckpoint()
-        live += hooked
         // shortcut (pointer jumping): label <- label's own label. Every
         // label value IS a node id of the same frame, so the left join
         // is total in practice; coalesce guards the contract anyway.
@@ -110,8 +111,6 @@ object ConnectedComponents {
             col("x.orig").as("orig"))
           .localCheckpoint()
         live += next
-        Checkpoints.free(hooked)
-        live -= hooked
         // labels only DECREASE, so label != orig on any row iff the
         // round moved something — same predicate the former join probe
         // evaluated, now a scan of the just-checkpointed blocks.
