@@ -731,8 +731,11 @@ object Dedup {
     // collision actually fires).
     "dd10_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // train side spread: its shingle explode otherwise runs on the
+      // single-row-group scan's one task; the eval side stays unspread
+      // (1/97 of the corpus, broadcast anyway)
       decontaminate(
-        docs.filter(col("doc_id") % 97 =!= 0),
+        Tables.spread(docs.filter(col("doc_id") % 97 =!= 0)),
         docs.filter(col("doc_id") % 97 === 0),
         minShared = 3)
     }),

@@ -1111,6 +1111,9 @@ object Similarity {
     // TopKPerKey its shortlist BEFORE the rank window, same output.
     "s15_hybrid_rrf" -> ((s, dir) => {
       import graft.functions.TextFunctions.tokens
+      // (r14 A/B, rejected: spreading before the tokenize measured a
+      // wash at sf0.1 — 1.30 → 1.32 s min-of-6 — the token-array
+      // shuffle costs what the parallel kernel saves on this corpus)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("len", size(col("toks")))

@@ -180,7 +180,9 @@ object Text {
     }),
 
     "t15_repetition" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // spread: the word and bigram branches each re-tokenize the
+      // single-row-group scan — unspread, both run on one core
+      val docs = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       val ws = docs
         .select(col("doc_id"), explode(col("toks")).as("w"))
