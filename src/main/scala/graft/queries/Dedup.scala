@@ -770,14 +770,15 @@ object Dedup {
       val docs = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
         .persist()
-      // (r14 A/B, rejected: emitting each pair once from its minimal
-      // shared band — derivable bitwise from sh_i XOR sh_j when the cap
-      // histogram proves nothing was capped — removes the 4.16M-row /
-      // 95 MiB distinct exchange and both sketch re-joins, but measured
-      // SLOWER at sf0.1, 1.58 → 1.77 s min-of-6 on a quieter box: the
-      // sketches riding the bucket join cost more than the saved
-      // exchange at gate scale. The capBucketsAdaptive anti-join elision
-      // below is kept — that part is free.)
+      // (r14: a capping-free fast path — emit each pair once from its
+      // minimal shared band, derivable bitwise from sh_i XOR sh_j,
+      // killing the 4.16M-row / 95 MiB distinct exchange — was built and
+      // A/B'd, but the plan dump showed dd4's corpus IS capped at sf0.1
+      // (a band bucket exceeds the 1000 floor: boilerplate docs sharing
+      // an 8-bit slice), so the guard `maxB ≤ cap` never let it engage
+      // and the A/B was vacuous. The capped variant of the same idea is
+      // dd3's minimalband arm, measured a loss in r13 (band arrays
+      // riding the join). Removed rather than shipped dead.)
       val banded = docs.select(col("doc_id"),
         explode(longBands(col("sh"), bands = 8, bitsPerBand = 8)).as("bk"))
       val (capped, cap, sizes) =
