@@ -74,6 +74,59 @@ class AdaptiveCapSpec extends SparkSuite {
     sizes2.unpersist()
   }
 
+  test("capBucketsAdaptiveWithMax reports the true max and elides the " +
+      "anti-join when nothing is over cap") {
+    val s = spark
+    import s.implicits._
+    // flooded corpus: max is the flood bucket's 50, cap stays 2, and the
+    // capped frame must NOT be the input (anti-join present)
+    val rows = Seq.tabulate(999)(i => (s"k$i", i.toLong)) ++
+      Seq.tabulate(50)(i => ("flood", 10000L + i))
+    val df = rows.toDF("k", "m")
+    val (capped, cap, maxB, sizes) =
+      BucketCap.capBucketsAdaptiveWithMax(df, Seq("k"), floor = 2L)
+    assert(cap == 2L && maxB == 50L)
+    assert(!(capped eq df), "flooded input must keep the anti-join")
+    assert(capped.count() == 999L)
+    sizes.unpersist()
+    // healthy corpus: max ≤ cap proves the anti-join vacuous — the capped
+    // frame IS the input object (zero extra plan operators), and the
+    // row set is trivially identical
+    val hot = Seq.tabulate(200)(i => (s"k${i % 5}", i.toLong)).toDF("k", "m")
+    val (capped2, cap2, max2, sizes2) =
+      BucketCap.capBucketsAdaptiveWithMax(hot, Seq("k"), floor = 2L)
+    assert(cap2 == 40L && max2 == 40L)
+    assert(capped2 eq hot, "uncapped input must skip the anti-join")
+    sizes2.unpersist()
+  }
+
+  test("disableAqeForSmallLoop toggles only below the bound and restores " +
+      "the caller's setting") {
+    val key = "spark.sql.adaptive.enabled"
+    val ck = graft.operators.Checkpoints
+    val before = spark.conf.get(key)
+    // at/above the bound: no-op thunk, conf untouched
+    val none = ck.disableAqeForSmallLoop(spark, rows = Long.MaxValue)
+    assert(spark.conf.get(key) == before)
+    none()
+    // below the bound: AQE off inside, caller's value back after restore
+    val restore = ck.disableAqeForSmallLoop(spark, rows = 1L)
+    assert(spark.conf.get(key) == "false")
+    restore()
+    assert(spark.conf.get(key) == before)
+    // custom bound via conf
+    spark.conf.set(ck.IterAqeMaxRowsConf, "10")
+    try {
+      val r2 = ck.disableAqeForSmallLoop(spark, rows = 10L)
+      assert(spark.conf.get(key) == before, "rows == bound must not toggle")
+      r2()
+      val r3 = ck.disableAqeForSmallLoop(spark, rows = 9L)
+      assert(spark.conf.get(key) == "false")
+      r3()
+      assert(spark.conf.get(key) == before)
+    } finally spark.conf.unset(ck.IterAqeMaxRowsConf)
+  }
+
   test("dd2's doc-freq cut is monotone in the cap on the real corpus") {
     val dir = "/root/testdata/sf0.001"
     def pairsAt(cap: Option[Long]): (Set[(Long, Long)], Long) = {
