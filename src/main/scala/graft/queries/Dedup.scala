@@ -770,31 +770,85 @@ object Dedup {
       val docs = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
         .persist()
-      // (r14: a capping-free fast path — emit each pair once from its
-      // minimal shared band, derivable bitwise from sh_i XOR sh_j,
-      // killing the 4.16M-row / 95 MiB distinct exchange — was built and
-      // A/B'd, but the plan dump showed dd4's corpus IS capped at sf0.1
-      // (a band bucket exceeds the 1000 floor: boilerplate docs sharing
-      // an 8-bit slice), so the guard `maxB ≤ cap` never let it engage
-      // and the A/B was vacuous. The capped variant of the same idea is
-      // dd3's minimalband arm, measured a loss in r13 (band arrays
-      // riding the join). Removed rather than shipped dead.)
-      val banded = docs.select(col("doc_id"),
+      // CAPPED-SAFE minimal-band pair emission (r14, guide §2.3/§2.4):
+      // the pair `distinct()` shuffled 4.16M candidate rows / 95 MiB at
+      // sf0.1 and the two sketch re-attach joins read them back. With
+      // the sketch riding the banded rows (8 bytes), a joined pair's
+      // full shared-band set is derivable bitwise — band b is shared
+      // iff byte b of sh_i XOR sh_j is zero — and CAPPING is decidable
+      // in-row too: the over-cap bucket keys are driver-bounded (the
+      // splitByOccupancyBounded tier — ~1-10 keys at any gate SF), so
+      // "bucket (b, slice) survived the cap" is a literal isin check.
+      // Each colliding pair then emits EXACTLY ONCE, from its minimal
+      // shared SURVIVING band (the slice is equal at a shared band, so
+      // survival is a property both sides agree on), which is precisely
+      // the distinct pair set of the capped bucket join — no distinct
+      // exchange, no re-rank joins; TakeOrderedAndProject's partial
+      // top-20 is the only thing downstream of the bucket join. A
+      // corpus whose oversize-key count exceeds the driver bound falls
+      // back to the distinct path (the degenerate mega-flood regime).
+      val banded = docs.select(col("doc_id"), col("sh"),
         explode(longBands(col("sh"), bands = 8, bitsPerBand = 8)).as("bk"))
-      val (capped, cap, sizes) =
-        BucketCap.capBucketsAdaptive(banded, Seq("bk"), LshBucketFloor)
-      val a = capped.alias("a")
-      val b = capped.alias("b")
-      val pairs = a.join(b, col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
+      val (capped0, cap, maxB, sizes) = BucketCap.capBucketsAdaptiveWithMax(
+        banded, Seq("bk"), LshBucketFloor)
+      val overKeys: Option[Map[Int, Array[Long]]] =
+        if (maxB <= cap) Some(Map.empty)
+        else {
+          val rows = sizes.filter(col("_bsz") > cap).select("bk")
+            .limit(BucketCap.MaxOversizeKeys + 1).collect()
+          if (rows.length > BucketCap.MaxOversizeKeys) None
+          else Some(rows.map(_.getStruct(0))
+            .map(st => (st.getInt(0), st.getLong(1)))
+            .groupBy(_._1).map { case (b, ks) => b -> ks.map(_._2) })
+        }
+      val scored = overKeys match {
+        case Some(over) =>
+          def slice(sh: org.apache.spark.sql.Column, b: Int) =
+            shiftright(sh, 8 * b).bitwiseAND(lit(0xffL))
+          // survival of band b's bucket, in-row from the literal keys
+          def survives(sh: org.apache.spark.sql.Column, b: Int) =
+            over.get(b) match {
+              case None => lit(true)
+              case Some(ks) => !slice(sh, b).isin(ks.map(Long.box): _*)
+            }
+          // the same in-row rule replaces the oversize anti-join on the
+          // banded frame itself
+          val keep = (0 until 8).map(b =>
+            col("bk").getField("band") === b && survives(col("sh"), b))
+            .reduce(_ || _)
+          val a = banded.filter(keep).alias("a")
+          val b = banded.filter(keep).alias("b")
+          val x = col("a.sh").bitwiseXOR(col("b.sh"))
+          // minimal shared surviving band of the pair: at a joined row
+          // at least one such band exists (the matched one), so the
+          // CASE is total
+          val minBand = (0 until 8).foldLeft(when(lit(false), -1)) {
+            (c, i) => c.when(
+              shiftright(x, 8 * i).bitwiseAND(lit(0xffL)) === 0L &&
+                survives(col("a.sh"), i), i)
+          }
+          a.join(b, col("a.bk") === col("b.bk") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .filter(col("a.bk").getField("band") === minBand)
+            .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+              hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+        case None =>
+          val capped = capped0
+          val a = capped.alias("a")
+          val b = capped.alias("b")
+          a.join(b, col("a.bk") === col("b.bk") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+            .distinct()
+            .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")),
+              "i")
+            .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")),
+              "j")
+            .select(col("i"), col("j"),
+              hamming64(col("sh_i"), col("sh_j")).as("hamming"))
+      }
       QueryCache.resultThenRelease(
-        pairs
-          .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
-          .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
-          .select(col("i"), col("j"),
-            hamming64(col("sh_i"), col("sh_j")).as("hamming"))
+        scored
           .orderBy(col("hamming"), col("i"), col("j"))
           .limit(20)
           .withColumn("cap_bucket", lit(cap)),
