@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HashFunctions._
 import graft.functions.TextFunctions.tokens
-import graft.operators.{AdaptiveCap, BucketCap, ConnectedComponents,
-  IncrementalDedup}
+import graft.operators.{AdaptiveCap, BandedPairs, BucketCap,
+  ConnectedComponents, IncrementalDedup}
 
 /** Deduplication operator family over the `documents` table — the first
   * stage of any 100 TB training-corpus pipeline: exact dedup, n-gram
@@ -770,89 +770,19 @@ object Dedup {
       val docs = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
         .persist()
-      // CAPPED-SAFE minimal-band pair emission (r14, guide §2.3/§2.4):
-      // the pair `distinct()` shuffled 4.16M candidate rows / 95 MiB at
-      // sf0.1 and the two sketch re-attach joins read them back. With
-      // the sketch riding the banded rows (8 bytes), a joined pair's
-      // full shared-band set is derivable bitwise — band b is shared
-      // iff byte b of sh_i XOR sh_j is zero — and CAPPING is decidable
-      // in-row too: the over-cap bucket keys are driver-bounded (the
-      // splitByOccupancyBounded tier — ~1-10 keys at any gate SF), so
-      // "bucket (b, slice) survived the cap" is a literal isin check.
-      // Each colliding pair then emits EXACTLY ONCE, from its minimal
-      // shared SURVIVING band (the slice is equal at a shared band, so
-      // survival is a property both sides agree on), which is precisely
-      // the distinct pair set of the capped bucket join — no distinct
-      // exchange, no re-rank joins; TakeOrderedAndProject's partial
-      // top-20 is the only thing downstream of the bucket join. A
-      // corpus whose oversize-key count exceeds the driver bound falls
-      // back to the distinct path (the degenerate mega-flood regime).
-      val banded = docs.select(col("doc_id"), col("sh"),
-        explode(longBands(col("sh"), bands = 8, bitsPerBand = 8)).as("bk"))
-      val (capped0, cap, maxB, sizes) = BucketCap.capBucketsAdaptiveWithMax(
-        banded, Seq("bk"), LshBucketFloor)
-      val overKeys: Option[Map[Int, Array[Long]]] =
-        if (maxB <= cap) Some(Map.empty)
-        else {
-          val rows = sizes.filter(col("_bsz") > cap).select("bk")
-            .limit(BucketCap.MaxOversizeKeys + 1).collect()
-          if (rows.length > BucketCap.MaxOversizeKeys) None
-          else Some(rows.map(_.getStruct(0))
-            .map(st => (st.getInt(0), st.getLong(1)))
-            .groupBy(_._1).map { case (b, ks) => b -> ks.map(_._2) })
-        }
-      val scored = overKeys match {
-        case Some(over) =>
-          def slice(sh: org.apache.spark.sql.Column, b: Int) =
-            shiftright(sh, 8 * b).bitwiseAND(lit(0xffL))
-          // survival of band b's bucket, in-row from the literal keys
-          def survives(sh: org.apache.spark.sql.Column, b: Int) =
-            over.get(b) match {
-              case None => lit(true)
-              case Some(ks) => !slice(sh, b).isin(ks.map(Long.box): _*)
-            }
-          // the same in-row rule replaces the oversize anti-join on the
-          // banded frame itself
-          val keep = (0 until 8).map(b =>
-            col("bk").getField("band") === b && survives(col("sh"), b))
-            .reduce(_ || _)
-          val a = banded.filter(keep).alias("a")
-          val b = banded.filter(keep).alias("b")
-          val x = col("a.sh").bitwiseXOR(col("b.sh"))
-          // minimal shared surviving band of the pair: at a joined row
-          // at least one such band exists (the matched one), so the
-          // CASE is total
-          val minBand = (0 until 8).foldLeft(when(lit(false), -1)) {
-            (c, i) => c.when(
-              shiftright(x, 8 * i).bitwiseAND(lit(0xffL)) === 0L &&
-                survives(col("a.sh"), i), i)
-          }
-          a.join(b, col("a.bk") === col("b.bk") &&
-              col("a.doc_id") < col("b.doc_id"))
-            .filter(col("a.bk").getField("band") === minBand)
-            .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-              hamming64(col("a.sh"), col("b.sh")).as("hamming"))
-        case None =>
-          val capped = capped0
-          val a = capped.alias("a")
-          val b = capped.alias("b")
-          a.join(b, col("a.bk") === col("b.bk") &&
-              col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-            .distinct()
-            .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")),
-              "i")
-            .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")),
-              "j")
-            .select(col("i"), col("j"),
-              hamming64(col("sh_i"), col("sh_j")).as("hamming"))
-      }
+      // Capped-safe minimal-band single emission (r14, guide §2.3/§2.4):
+      // no pair distinct() (a 4.16M-row / 95 MiB exchange at sf0.1), no
+      // sketch re-attach joins — TakeOrderedAndProject's partial top-20
+      // is the only thing downstream of the bucket join. The full story
+      // lives on the shared helper (mm5/mm7 ride the same machinery).
+      val (scored, cap, caches) = BandedPairs.minimalBandScoredPairs(
+        docs, "doc_id", "sh", bands = 8, bitsPerBand = 8, LshBucketFloor)
       QueryCache.resultThenRelease(
         scored
           .orderBy(col("hamming"), col("i"), col("j"))
           .limit(20)
           .withColumn("cap_bucket", lit(cap)),
-        docs, sizes)
+        (docs +: caches): _*)
     }),
 
     // Corpus-level sketch via the MinHashMerge Aggregator (§2.10 UDAF

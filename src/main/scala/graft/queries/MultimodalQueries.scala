@@ -538,37 +538,26 @@ object MultimodalQueries {
   private[graft] def memoSize: Int = phashMemo.size
 
   /** mm5/mm7's shared candidate machinery: banded dHash buckets with the
-    * adaptive flood cap, exact Hamming on surviving pairs. Returns the
-    * UNLIMITED scored pair frame, the derived cap, and the persisted
-    * frames the caller must release (dd8's ownership discipline).
+    * adaptive flood cap, exact Hamming on surviving pairs — dd4's
+    * capped-safe minimal-band single emission
+    * ([[graft.operators.BandedPairs]]: no pair distinct(), no dHash
+    * re-attach joins). Returns the UNLIMITED scored pair frame, the
+    * derived cap, and the persisted frames the caller must release
+    * (dd8's ownership discipline).
     */
   private def phashScoredPairs(s: SparkSession, dir: String)
       : (DataFrame, Long, Seq[DataFrame]) = {
-    import graft.functions.HashFunctions.{hamming64, longBands}
-    import graft.operators.BucketCap
+    import graft.operators.BandedPairs
     val hashes = graft.Tables.spread(
         Multimodal.perceptualHash(Multimodal.mediaFromDocuments(s, dir))
           .toDF())
       .persist()
-    val banded = hashes.select(col("media_id"),
-      explode(longBands(col("phash"), bands = 8, bitsPerBand = 8))
-        .as("bk"))
-    val (capped, cap, sizes) =
-      BucketCap.capBucketsAdaptive(banded, Seq("bk"), Dedup.LshBucketFloor)
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    val pairs = a.join(b, col("a.bk") === col("b.bk") &&
-        col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("i"), col("b.media_id").as("j"))
-      .distinct()
-    val scored = pairs
-      .join(hashes.select(col("media_id").as("i"),
-        col("phash").as("ph_i")), "i")
-      .join(hashes.select(col("media_id").as("j"),
-        col("phash").as("ph_j")), "j")
-      .select(col("i"), col("j"),
-        hamming64(col("ph_i"), col("ph_j")).cast("int").as("hamming"))
-    (scored, cap, Seq(hashes, sizes))
+    val (scored0, cap, caches) = BandedPairs.minimalBandScoredPairs(
+      hashes, "media_id", "phash", bands = 8, bitsPerBand = 8,
+      Dedup.LshBucketFloor)
+    val scored = scored0.select(col("i"), col("j"),
+      col("hamming").cast("int").as("hamming"))
+    (scored, cap, hashes +: caches)
   }
 
   /** The dHash-recompute + band/cap/pair/Hamming replay shared by mm5
