@@ -129,7 +129,11 @@ object Similarity {
     */
   private[graft] def srpCandidates(base: DataFrame, cap: Int,
       multiprobe: Boolean = false): (DataFrame, Seq[DataFrame]) = {
-    val keyed = base.select(col("vec_id"),
+    // sig rides the banded rows (8 bytes): the healthy-occupancy branch
+    // below derives a pair's full matched-band set from it in-row;
+    // Catalyst prunes the column away in the flood branch, which never
+    // reads it past the join
+    val keyed = base.select(col("vec_id"), col("sig"),
       explode(graft.functions.HashFunctions.longBands(
         col("sig"), bands = SrpBands, bitsPerBand = SrpBitsPerBand)).as("tb"))
     // shared two-regime front half, eager + short-circuiting
@@ -143,15 +147,16 @@ object Similarity {
       // relation is symmetric, so probing one side of the self-join covers
       // hamming-1 pairs
       val flips = 0L +: (0 until SrpBitsPerBand).map(b => (1L << b))
-      ok.select(col("vec_id"), explode(array(flips.map(f =>
+      ok.select(col("vec_id"), col("sig"), explode(array(flips.map(f =>
         struct(col("tb").getField("band").as("band"),
           col("tb").getField("key").bitwiseXOR(lit(f)).as("key"))): _*)).as("tb"))
     }
     val a = probes.alias("a")
     val b = ok.alias("b")
-    val fullPairs = a.join(b, col("a.tb") === col("b.tb") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+    val joined = a.join(b, col("a.tb") === col("b.tb") &&
+      col("a.vec_id") < col("b.vec_id"))
+    def pairsOf(df: DataFrame): DataFrame =
+      df.select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
     // flood regime: rank-adjacent pairing within each over-cap bucket,
     // fully DISTRIBUTED (FloodPairs.rankAdjacent: range-partitioned
     // local ranks + chunk-bucketed adjacency join — no single task ever
@@ -160,14 +165,38 @@ object Similarity {
     // and the emitted pair set is identical to a row_number window's —
     // which is exactly what the DuckDB oracle CTE replays.
     floodOpt match {
-      case None => (fullPairs.distinct(), Nil)
+      case None =>
+        // healthy occupancy: emit each pair EXACTLY ONCE, from its
+        // minimal matched band, in-row from the two sigs
+        // (BandedPairs' rule, multiprobe-generalized) — the distinct
+        // exchange of the candidate set disappears. Band i matched iff
+        // the slice XOR is 0 (exact probe) or, under multiprobe, has
+        // ≤1 bit set — precisely the flip set {0, 1<<0..1<<3}. The
+        // joined row's own band always matched, so the CASE is total,
+        // and per matched band exactly ONE flip collides, so the
+        // band-equality filter keeps one row per pair. No in-row cap
+        // survival test is needed here: floodOpt == None proves NO
+        // bucket is over cap (the flood branch keeps the distinct).
+        val mask = (1L << SrpBitsPerBand) - 1L
+        val x = col("a.sig").bitwiseXOR(col("b.sig"))
+        def sliceXor(i: Int): Column =
+          shiftright(x, SrpBitsPerBand * i).bitwiseAND(lit(mask))
+        def matched(i: Int): Column =
+          if (multiprobe) bit_count(sliceXor(i)) <= 1
+          else sliceXor(i) === 0L
+        val minBand = (0 until SrpBands).foldLeft(when(lit(false), -1)) {
+          (c, i) => c.when(matched(i), i)
+        }
+        (pairsOf(joined.filter(
+          col("a.tb").getField("band") === minBand)), Nil)
       case Some(floodRows) =>
         val (adj, floodCache) = graft.operators.FloodPairs
           .rankAdjacent(floodRows, Seq("tb"), "vec_id", FloodWindow,
             pivots = FloodPivots)
         val floodPairs =
           adj.select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-        (fullPairs.unionByName(floodPairs).distinct(), Seq(floodCache))
+        (pairsOf(joined).unionByName(floodPairs).distinct(),
+          Seq(floodCache))
     }
   }
 

@@ -279,7 +279,11 @@ object ScaleRehearsal {
   private def runOrganic(spark: SparkSession, mult: Int, runs: Int): Unit = {
     val out = ensureOrganic(spark, mult)
     driveFamily(spark, out, runs, s""""mode":"organic","mult":$mult,""")
-    assignProbe(spark, out, mult)
+    // a targeted re-measure (narrowed family) skips the assign probe —
+    // it has its own modes (probeonly / semdedup) and its exact arm is
+    // minutes of N×C fan-out at the upper octaves
+    if (sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY").isEmpty)
+      assignProbe(spark, out, mult)
   }
 
   private def assignProbe(spark: SparkSession, out: String,

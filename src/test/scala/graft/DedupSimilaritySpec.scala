@@ -683,6 +683,51 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(mp == got, "multiprobe changed the flood fixture's pairs")
   }
 
+  test("healthy-occupancy SRP candidates: minimal-band emission equals " +
+    "the naive banded pair set, exactly once, exact and multiprobe") {
+    import graft.queries.Similarity
+    import spark.implicits._
+    def slice(sg: Long, b: Int): Long = (sg >>> (4 * b)) & 0xfL
+    // planted structure over a scrambled background: (0,1) identical
+    // (all 8 bands collide — the exactly-once stress), (2,3) exactly one
+    // bit apart in band 0 and ≥2 bits everywhere else (multiprobe-only
+    // pair), background sigs golden-gamma mixed
+    val sigs: Map[Long, Long] = Map(
+      0L -> 0x13579BDFL, 1L -> 0x13579BDFL,
+      2L -> 0x2468ACE0L, 3L -> (0x2468ACE0L ^ 0x33333331L)) ++
+      (10L until 46L).map(i =>
+        i -> ((i * 0x9E3779B97F4A7C15L) & 0xFFFFFFFFL)).toMap
+    // healthy-occupancy precondition: no (band, key) bucket over cap —
+    // otherwise the flood regime (its own fixture above) takes over
+    val cap = 16
+    val occ = sigs.values.toSeq
+      .flatMap(sg => (0 until 8).map(b => (b, slice(sg, b))))
+      .groupBy(identity).map(_._2.size)
+    assert(occ.max <= cap, s"fixture not healthy: max bucket ${occ.max}")
+    def expected(maxFlips: Int): Set[(Long, Long)] = {
+      val ids = sigs.keys.toSeq.sorted
+      (for {
+        i <- ids; j <- ids if i < j
+        if (0 until 8).exists(b => java.lang.Long.bitCount(
+          slice(sigs(i), b) ^ slice(sigs(j), b)) <= maxFlips)
+      } yield (i, j)).toSet
+    }
+    val base = sigs.toSeq.toDF("vec_id", "sig")
+    for (mp <- Seq(false, true)) {
+      val (df, caches) = Similarity.srpCandidates(base, cap, multiprobe = mp)
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      caches.foreach(_.unpersist(blocking = false))
+      assert(rows.length == rows.toSet.size,
+        s"multiprobe=$mp emitted a pair twice")
+      assert(rows.toSet == expected(if (mp) 1 else 0),
+        s"multiprobe=$mp pair set diverged from the naive reference")
+    }
+    // the fixture is non-vacuous: (0,1) pairs in both modes, (2,3) only
+    // under multiprobe
+    assert(expected(0).contains((0L, 1L)) && !expected(0).contains((2L, 3L)))
+    assert(expected(1).contains((2L, 3L)))
+  }
+
   test("SemDeDup flood cell still deduplicates: linear pairing collapses " +
     "it to one survivor instead of exempting it") {
     import graft.queries.Dedup
